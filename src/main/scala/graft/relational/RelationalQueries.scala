@@ -1,0 +1,434 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The SQL-expressible operators from SURVEY.md §2, realized over the
+  * driver's TPC-H-ish parquet tables (FIXTURES.md §B) with a DuckDB oracle
+  * for each (driver contract, graft.Verify).
+  *
+  * Conventions that keep the Spark result hash-identical to DuckDB:
+  *   - every float produced by an aggregate is `round(x, 6)` on both sides
+  *     (raw parquet values pass through un-rounded — they are bit-identical);
+  *   - integer outputs are BIGINT on both sides;
+  *   - every query ends in a total ORDER BY;
+  *   - column names are aliased identically on both sides.
+  */
+object RelationalQueries {
+  import Tables.tbl
+
+  private def events(s: SparkSession, d: String) = tbl(s, d, "events")
+  private def lineitem(s: SparkSession, d: String) = tbl(s, d, "lineitem")
+
+  private def seqW = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+
+  // ---------------------------------------------------------------- §2.1 sources
+  /** reference examples/example0.ipynb cell 0: headerless numeric ingest. */
+  private def scanCsvHeaderless(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** reference examples/Satellite Analysis.ipynb cell 2: sentinel→NaN→drop. */
+  private def scanCsvHeadered(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("value", when(col("value") === lit(-1e31), lit(null)).otherwise(col("value")))
+      .na.drop(Seq("value"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  // ------------------------------------------------------- §2.2 project / filter
+  /** reference detection.py:124,140: drop bookkeeping columns. */
+  private def projectDropCols(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .drop("l_returnflag", "l_linestatus", "l_shipdate")
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** reference Satellite notebook cells 2,4: positional column slice. */
+  private def projectSliceCols(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    li.select(li.columns.slice(0, 4).map(col).toIndexedSeq: _*)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** reference detection.py:365: rows of one cluster. */
+  private def filterByCluster(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "customer")
+      .filter(col("c_nationkey") === 7)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** reference detection.py:133-136: alphabet_size = max(symbol)+1 (NOT distinct). */
+  private def mapAlphabetSize(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg((max(floor(col("value") / 50).cast("long")) + 1).as("alphabet_size"))
+      .orderBy(col("user_id"))
+
+  /** reference detection.py:139-140: keep sequences whose alphabet fits the PFSA. */
+  private def filterAlphabetCompat(s: SparkSession, d: String): DataFrame =
+    mapAlphabetSize(s, d).filter(col("alphabet_size") <= 9).orderBy(col("user_id"))
+
+  /** reference detection.py:613: drop rows with any NaN. */
+  private def filterNotnaRows(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .na.drop("any")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("props"), unix_micros(col("ts")).as("ts_us"))
+      .orderBy(col("event_id"))
+
+  /** reference detection.py:280: no-quantize path casts to int8. */
+  private def mapCastInt8(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"), floor(col("value") / 4).cast("tinyint").as("symbol"))
+      .orderBy(col("event_id"))
+
+  /** reference Satellite notebook cell 2: sentinel value → null. */
+  private def mapSentinelToNull(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"),
+        when(col("value") === lit(-1e31), lit(null).cast("double")).otherwise(col("value")).as("value"))
+      .orderBy(col("event_id"))
+
+  // ------------------------------------------------------------ §2.3 quantization
+  /** reference detection.py:289-292: Δ along time then sign (first Δ := 0). */
+  private def quantizeSimple(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("t", (row_number().over(seqW) - 1).cast("long"))
+      .withColumn("d", coalesce(col("value") - lag(col("value"), 1).over(seqW), lit(0.0)))
+      .select(col("user_id"), col("t"),
+        when(col("d") > 0, lit(1L)).otherwise(lit(0L)).as("symbol"))
+      .orderBy(col("user_id"), col("t"))
+
+  /** reference detection.py:293-296: diff.fillna(0).diff.fillna(0) then sign. */
+  private def quantizeSimpleSecond(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d)
+      .withColumn("t", (row_number().over(seqW) - 1).cast("long"))
+      .withColumn("d1", coalesce(col("value") - lag(col("value"), 1).over(seqW), lit(0.0)))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("t"))
+    base
+      .withColumn("d2", coalesce(col("d1") - lag(col("d1"), 1).over(w2), lit(0.0)))
+      .select(col("user_id"), col("t"),
+        when(col("d2") > 0, lit(1L)).otherwise(lit(0L)).as("symbol"))
+      .orderBy(col("user_id"), col("t"))
+  }
+
+  /** reference detection.py:297-306 + tex/ms.tex:293-294: entropy-max
+    * (equal-mass) partition. Oracle variant: exact equal-frequency via ntile.
+    * The engine's scale path (graft.core.Quantize) uses approxQuantile
+    * cutoffs instead of a global sort. */
+  private def quantizeComplex(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"),
+        (ntile(8).over(Window.orderBy(col("value"), col("event_id"))) - 1).cast("long").as("symbol"))
+      .orderBy(col("event_id"))
+
+  /** reference detection.py:279-280: symbols already discrete, cast only. */
+  private def quantizePassthrough(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_linenumber").cast("tinyint").as("symbol"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // -------------------------------------------------- §2.4 llk-shaped relational
+  /** reference detection.py:142-144: left-join scored subset back onto all
+    * sequences, missing ⇒ +inf. */
+  private def llkRealignFillinf(s: SparkSession, d: String): DataFrame = {
+    val per = events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("llk0"))
+    val compat = per.filter(col("n") >= 60)
+      .select(col("user_id"), round(col("llk0"), 6).as("llk1"))
+    events(s, d).select(col("user_id")).distinct()
+      .join(compat, Seq("user_id"), "left")
+      .select(col("user_id"), coalesce(col("llk1"), lit(Double.PositiveInfinity)).as("llk"))
+      .orderBy(col("user_id"))
+  }
+
+  /** reference detection.py:320-323 + tex/ms.tex:290-291 (SLD): pairwise
+    * sequence divergence from per-sequence feature vectors; self-join. */
+  private def distMatrix(s: SparkSession, d: String): DataFrame = {
+    val f = events(s, d).groupBy(col("user_id")).agg(
+      round(avg(col("value")), 6).as("f1"),
+      round(stddev_samp(col("value")), 6).as("f2"),
+      round(min(col("value")), 6).as("f3"),
+      round(max(col("value")), 6).as("f4"))
+    val a = f.alias("a")
+    val b = f.alias("b")
+    a.join(b, col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"),
+        round(abs(col("a.f1") - col("b.f1")) + abs(col("a.f2") - col("b.f2"))
+          + abs(col("a.f3") - col("b.f3")) + abs(col("a.f4") - col("b.f4")), 6).as("dist"))
+      .orderBy(col("user_a"), col("user_b"))
+  }
+
+  // ------------------------------------------------------------ §2.5 aggregations
+  /** reference detection.py:472-499: per-cluster mean + sample std of llk. */
+  private def aggLlkStats(s: SparkSession, d: String): DataFrame =
+    events(s, d).groupBy(col("event_type")).agg(
+      round(avg(col("value")), 6).as("llk_mean"),
+      round(stddev_samp(col("value")), 6).as("llk_std"))
+      .orderBy(col("event_type"))
+
+  /** reference detection.py:342-344. */
+  private def aggClusterCounts(s: SparkSession, d: String): DataFrame =
+    events(s, d).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** reference detection.py:341-347: relabel clusters by descending size. */
+  private def aggRankRelabel(s: SparkSession, d: String): DataFrame =
+    events(s, d).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        (row_number().over(Window.orderBy(col("n").desc, col("event_type"))) - 1).cast("long").as("new_label"))
+      .orderBy(col("new_label"))
+
+  /** reference detection.py:152: per sequence, cluster with min llk. */
+  private def aggArgminClosest(s: SparkSession, d: String): DataFrame = {
+    val sc = events(s, d).groupBy(col("user_id"), col("event_type"))
+      .agg(round(avg(col("value")), 6).as("llk"))
+    sc.withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("llk"), col("event_type"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("closest"), col("llk"))
+      .orderBy(col("user_id"))
+  }
+
+  /** reference detection.py:153-158: cluster → member sequence ids. */
+  private def aggGroupbyCollect(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("user_id"))).as("members"))
+      .orderBy(col("event_type"))
+
+  /** reference detection.py:430-442: row-normalized confusion fractions. */
+  private def aggConfusionFractions(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("frac", round(col("n").cast("double")
+        / sum(col("n")).over(Window.partitionBy(col("o_orderstatus"))), 6))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("frac"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  /** SURVEY §2.5 agg_seq_collect: long form → ordered per-sequence array. */
+  private def aggSeqCollect(s: SparkSession, d: String): DataFrame =
+    events(s, d).groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("z"))
+      .select(col("user_id"), expr("transform(z, x -> x.value)").as("vals"))
+      .orderBy(col("user_id"))
+
+  // ---------------------------------------------------- §2.6 window / segmentation
+  /** reference detection.py:595-613 split_streams: stride windows, size=10,
+    * overlap=5 (stride 5), incomplete windows dropped. Scale path: the
+    * `sequence`+`explode` expansion bounds the blow-up to ⌈size/stride⌉ = 2×
+    * rows, with no global sort and no driver loop. */
+  private def windowSegmentBase(s: SparkSession, d: String): DataFrame = {
+    val size = 10
+    val stride = 5
+    events(s, d)
+      .withColumn("rn", (row_number().over(seqW) - 1).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .withColumn("w", explode(sequence(
+        greatest(lit(0L), ceil((col("rn") - lit(size - 1)) / lit(stride.toDouble))),
+        floor(col("rn") / lit(stride.toDouble)))))
+      .filter(col("w") * stride + size <= col("n"))
+      .select(col("user_id"), col("w").as("win_id"),
+        (col("rn") - col("w") * stride).as("pos"), col("value"))
+  }
+
+  private def windowSegment(s: SparkSession, d: String): DataFrame =
+    windowSegmentBase(s, d).orderBy(col("user_id"), col("win_id"), col("pos"))
+
+  /** reference detection.py:143: key each window by its first element. */
+  private def windowFirstVal(s: SparkSession, d: String): DataFrame =
+    windowSegmentBase(s, d)
+      .filter(col("pos") === 0)
+      .select(col("user_id"), col("win_id"), col("value").as("first_val"))
+      .orderBy(col("user_id"), col("win_id"))
+
+  // -------------------------------------------------------- §2.9 anomaly decision
+  /** reference detection.py:147-149: anomalous iff llk_i > mean_i + k·std_i
+    * for EVERY cluster i (sensitivity k = 1); missing (seq,cluster) scores
+    * realigned to +inf per detection.py:142-144. */
+  private def predictAnomaly(s: SparkSession, d: String): DataFrame = {
+    val sc = events(s, d).groupBy(col("user_id"), col("event_type"))
+      .agg(round(avg(col("value")), 6).as("llk"))
+    val bounds = sc.groupBy(col("event_type"))
+      .agg(round(avg(col("llk")) + stddev_samp(col("llk")), 6).as("bound"))
+    val users = events(s, d).select(col("user_id")).distinct()
+    val types = events(s, d).select(col("event_type")).distinct()
+    users.crossJoin(types)
+      .join(sc, Seq("user_id", "event_type"), "left")
+      .withColumn("llk", coalesce(col("llk"), lit(Double.PositiveInfinity)))
+      .join(bounds, Seq("event_type"))
+      .groupBy(col("user_id"))
+      .agg(bool_and(col("llk") > col("bound")).as("is_anomaly"))
+      .orderBy(col("user_id"))
+  }
+
+  // ------------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_csv_headerless" -> (scanCsvHeaderless _),
+    "scan_csv_headered" -> (scanCsvHeadered _),
+    "project_drop_cols" -> (projectDropCols _),
+    "project_slice_cols" -> (projectSliceCols _),
+    "filter_by_cluster" -> (filterByCluster _),
+    "map_alphabet_size" -> (mapAlphabetSize _),
+    "filter_alphabet_compat" -> (filterAlphabetCompat _),
+    "filter_notna_rows" -> (filterNotnaRows _),
+    "map_cast_int8" -> (mapCastInt8 _),
+    "map_sentinel_to_null" -> (mapSentinelToNull _),
+    "quantize_simple" -> (quantizeSimple _),
+    "quantize_simple_second" -> (quantizeSimpleSecond _),
+    "quantize_complex" -> (quantizeComplex _),
+    "quantize_passthrough" -> (quantizePassthrough _),
+    "llk_realign_fillinf" -> (llkRealignFillinf _),
+    "dist_matrix" -> (distMatrix _),
+    "agg_llk_stats" -> (aggLlkStats _),
+    "agg_cluster_counts" -> (aggClusterCounts _),
+    "agg_rank_relabel" -> (aggRankRelabel _),
+    "agg_argmin_closest" -> (aggArgminClosest _),
+    "agg_groupby_collect" -> (aggGroupbyCollect _),
+    "agg_confusion_fractions" -> (aggConfusionFractions _),
+    "agg_seq_collect" -> (aggSeqCollect _),
+    "window_segment" -> (windowSegment _),
+    "window_first_val" -> (windowFirstVal _),
+    "predict_anomaly" -> (predictAnomaly _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_csv_headerless" ->
+      "SELECT event_id, user_id, value FROM events WHERE value IS NOT NULL ORDER BY event_id",
+    "scan_csv_headered" ->
+      """SELECT event_id, user_id, event_type, value FROM (
+        |  SELECT event_id, user_id, event_type,
+        |         CASE WHEN value = -1e31 THEN NULL ELSE value END AS value FROM events)
+        |WHERE value IS NOT NULL ORDER BY event_id""".stripMargin,
+    "project_drop_cols" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |       l_extendedprice, l_discount, l_tax
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "project_slice_cols" ->
+      "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "filter_by_cluster" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer WHERE c_nationkey = 7 ORDER BY c_custkey",
+    "map_alphabet_size" ->
+      """SELECT user_id, max(CAST(floor(value / 50) AS BIGINT)) + 1 AS alphabet_size
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "filter_alphabet_compat" ->
+      """SELECT user_id, max(CAST(floor(value / 50) AS BIGINT)) + 1 AS alphabet_size
+        |FROM events GROUP BY user_id
+        |HAVING max(CAST(floor(value / 50) AS BIGINT)) + 1 <= 9 ORDER BY user_id""".stripMargin,
+    "filter_notna_rows" ->
+      """SELECT event_id, user_id, event_type, value, props, epoch_us(ts) AS ts_us
+        |FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+        |  AND event_type IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "map_cast_int8" ->
+      "SELECT event_id, CAST(floor(value / 4) AS TINYINT) AS symbol FROM events ORDER BY event_id",
+    "map_sentinel_to_null" ->
+      """SELECT event_id, CASE WHEN value = -1e31 THEN NULL ELSE value END AS value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "quantize_simple" ->
+      """SELECT user_id, CAST(row_number() OVER w - 1 AS BIGINT) AS t,
+        |       CAST(CASE WHEN coalesce(value - lag(value) OVER w, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS symbol
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, t""".stripMargin,
+    "quantize_simple_second" ->
+      """WITH b AS (
+        |  SELECT user_id, CAST(row_number() OVER w - 1 AS BIGINT) AS t,
+        |         coalesce(value - lag(value) OVER w, 0) AS d1
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, t,
+        |       CAST(CASE WHEN coalesce(d1 - lag(d1) OVER w2, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS symbol
+        |FROM b WINDOW w2 AS (PARTITION BY user_id ORDER BY t)
+        |ORDER BY user_id, t""".stripMargin,
+    "quantize_complex" ->
+      """SELECT event_id, CAST(ntile(8) OVER (ORDER BY value, event_id) - 1 AS BIGINT) AS symbol
+        |FROM events ORDER BY event_id""".stripMargin,
+    "quantize_passthrough" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_linenumber AS TINYINT) AS symbol
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "llk_realign_fillinf" ->
+      """WITH per AS (SELECT user_id, count(*) AS n, avg(value) AS llk0 FROM events GROUP BY user_id),
+        |compat AS (SELECT user_id, round(llk0, 6) AS llk1 FROM per WHERE n >= 60),
+        |allu AS (SELECT DISTINCT user_id FROM events)
+        |SELECT a.user_id, coalesce(c.llk1, CAST('infinity' AS DOUBLE)) AS llk
+        |FROM allu a LEFT JOIN compat c ON a.user_id = c.user_id
+        |ORDER BY a.user_id""".stripMargin,
+    "dist_matrix" ->
+      """WITH f AS (SELECT user_id, round(avg(value), 6) AS f1, round(stddev(value), 6) AS f2,
+        |                  round(min(value), 6) AS f3, round(max(value), 6) AS f4
+        |           FROM events GROUP BY user_id)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |       round(abs(a.f1 - b.f1) + abs(a.f2 - b.f2) + abs(a.f3 - b.f3) + abs(a.f4 - b.f4), 6) AS dist
+        |FROM f a, f b WHERE a.user_id < b.user_id
+        |ORDER BY user_a, user_b""".stripMargin,
+    "agg_llk_stats" ->
+      """SELECT event_type, round(avg(value), 6) AS llk_mean, round(stddev(value), 6) AS llk_std
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_cluster_counts" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+    "agg_rank_relabel" ->
+      """SELECT event_type, CAST(row_number() OVER (ORDER BY count(*) DESC, event_type) - 1 AS BIGINT) AS new_label
+        |FROM events GROUP BY event_type ORDER BY new_label""".stripMargin,
+    "agg_argmin_closest" ->
+      """WITH s AS (SELECT user_id, event_type, round(avg(value), 6) AS llk
+        |           FROM events GROUP BY user_id, event_type),
+        |r AS (SELECT user_id, event_type AS closest, llk,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY llk, event_type) AS rn FROM s)
+        |SELECT user_id, closest, llk FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "agg_groupby_collect" ->
+      """SELECT event_type, list(user_id ORDER BY user_id) AS members
+        |FROM (SELECT DISTINCT event_type, user_id FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_confusion_fractions" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus, o_orderpriority,
+        |       round(n * 1.0 / sum(n) OVER (PARTITION BY o_orderstatus), 6) AS frac
+        |FROM c ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "agg_seq_collect" ->
+      """SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "window_segment" ->
+      """WITH base AS (
+        |  SELECT user_id, value,
+        |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |ex AS (SELECT user_id, value, rn, n,
+        |              unnest(generate_series(CAST(greatest(0, ceil((rn - 9) / 5.0)) AS BIGINT),
+        |                                     CAST(floor(rn / 5.0) AS BIGINT))) AS w
+        |       FROM base)
+        |SELECT user_id, w AS win_id, rn - w * 5 AS pos, value
+        |FROM ex WHERE w * 5 + 10 <= n
+        |ORDER BY user_id, win_id, pos""".stripMargin,
+    "window_first_val" ->
+      """WITH base AS (
+        |  SELECT user_id, value,
+        |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |ex AS (SELECT user_id, value, rn, n,
+        |              unnest(generate_series(CAST(greatest(0, ceil((rn - 9) / 5.0)) AS BIGINT),
+        |                                     CAST(floor(rn / 5.0) AS BIGINT))) AS w
+        |       FROM base)
+        |SELECT user_id, w AS win_id, value AS first_val
+        |FROM ex WHERE w * 5 + 10 <= n AND rn - w * 5 = 0
+        |ORDER BY user_id, win_id""".stripMargin,
+    "predict_anomaly" ->
+      """WITH s AS (SELECT user_id, event_type, round(avg(value), 6) AS llk
+        |           FROM events GROUP BY user_id, event_type),
+        |b AS (SELECT event_type, round(avg(llk) + stddev(llk), 6) AS bound FROM s GROUP BY event_type),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |x AS (SELECT u.user_id, ty.event_type, coalesce(s.llk, CAST('infinity' AS DOUBLE)) AS llk
+        |      FROM u CROSS JOIN ty
+        |      LEFT JOIN s ON s.user_id = u.user_id AND s.event_type = ty.event_type)
+        |SELECT x.user_id, bool_and(x.llk > b.bound) AS is_anomaly
+        |FROM x JOIN b ON x.event_type = b.event_type
+        |GROUP BY x.user_id ORDER BY x.user_id""".stripMargin,
+  )
+}
