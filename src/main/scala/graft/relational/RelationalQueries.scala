@@ -18,10 +18,10 @@ import org.apache.spark.sql.functions._
 object RelationalQueries {
   import Tables.tbl
 
-  private def events(s: SparkSession, d: String) = tbl(s, d, "events")
+  private def events(s: SparkSession, d: String) = Tables.events(s, d)
   private def lineitem(s: SparkSession, d: String) = tbl(s, d, "lineitem")
 
-  private def seqW = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+  private def seqW = Tables.seqWindow
 
   // ---------------------------------------------------------------- §2.1 sources
   /** reference examples/example0.ipynb cell 0: headerless numeric ingest. */
@@ -35,7 +35,7 @@ object RelationalQueries {
   private def scanCsvHeadered(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .withColumn("value", when(col("value") === lit(-1e31), lit(null)).otherwise(col("value")))
-      .na.drop(Seq("value"))
+      .filter(col("value").isNotNull) // NOT na.drop: that would also drop NaN, diverging from the IS NOT NULL oracle
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .orderBy(col("event_id"))
 
@@ -71,13 +71,15 @@ object RelationalQueries {
   private def filterAlphabetCompat(s: SparkSession, d: String): DataFrame =
     mapAlphabetSize(s, d).filter(col("alphabet_size") <= 9).orderBy(col("user_id"))
 
-  /** reference detection.py:613: drop rows with any NaN. */
-  private def filterNotnaRows(s: SparkSession, d: String): DataFrame =
-    events(s, d)
-      .na.drop("any")
+  /** reference detection.py:613: drop rows with any NULL (explicit isNotNull
+    * conjunction, not na.drop, to keep NaN rows like the SQL oracle does). */
+  private def filterNotnaRows(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    e.filter(e.columns.map(col(_).isNotNull).reduce(_ && _))
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
-        col("props"), unix_micros(col("ts")).as("ts_us"))
+        col("props"), expr("ts div 1000").as("ts_us"))
       .orderBy(col("event_id"))
+  }
 
   /** reference detection.py:280: no-quantize path casts to int8. */
   private def mapCastInt8(s: SparkSession, d: String): DataFrame =
@@ -122,7 +124,7 @@ object RelationalQueries {
   private def quantizeComplex(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .select(col("event_id"),
-        (ntile(8).over(Window.orderBy(col("value"), col("event_id"))) - 1).cast("long").as("symbol"))
+        (ntile(8).over(Window.orderBy(col("value").asc_nulls_last, col("event_id"))) - 1).cast("long").as("symbol"))
       .orderBy(col("event_id"))
 
   /** reference detection.py:279-280: symbols already discrete, cast only. */
@@ -188,7 +190,7 @@ object RelationalQueries {
     val sc = events(s, d).groupBy(col("user_id"), col("event_type"))
       .agg(round(avg(col("value")), 6).as("llk"))
     sc.withColumn("rn", row_number().over(
-        Window.partitionBy(col("user_id")).orderBy(col("llk"), col("event_type"))))
+        Window.partitionBy(col("user_id")).orderBy(col("llk").asc_nulls_last, col("event_type"))))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("event_type").as("closest"), col("llk"))
       .orderBy(col("user_id"))
