@@ -10,13 +10,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * property/golden ScalaTest specs instead, SURVEY.md §5).
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: full PFSA fit+predict pipeline (reference detection.py:77-163)
+    * on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    relational.RelationalQueries.queries("predict_anomaly")(spark, "/root/testdata/sf0.001")
+    relational.PipelineQueries.pipelineFitPredict(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational.RelationalQueries.queries
+    relational.RelationalQueries.queries ++ relational.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,0 +1,136 @@
+package graft.core
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence clustering (reference detection.py:311-354).
+  *
+  * The reference materializes an N×N Lsmash divergence matrix and hands it to
+  * sklearn KMeans (detection.py:320-339) — quadratic in sequence count. The
+  * scale path here (SURVEY.md §1.4): represent each sequence by its llk
+  * feature vector against a small FIXED set of base PFSAs — KMeans on those
+  * features clusters in the metric the divergence induces (likelihood
+  * smashing, tex/ms.tex:290-291) at O(N·bases) instead of O(N²).
+  */
+object Cluster {
+
+  /** Deterministic base-model set for likelihood-smashing features: biased
+    * memoryless machines + an alternating 2-state machine, spread over the
+    * probability simplex. */
+  def basePfsas(alphabetSize: Int): Seq[Pfsa] = {
+    val k = alphabetSize
+    def oneState(weights: Array[Double]): Pfsa = {
+      val tot = weights.sum
+      Pfsa(Array(Array.fill(k)(0)), Array(weights.map(_ / tot)), weights.map(_ / tot))
+    }
+    val uniform = oneState(Array.fill(k)(1.0))
+    val geomFwd = oneState(Array.tabulate(k)(s => math.pow(2.0, -s)))
+    val geomRev = oneState(Array.tabulate(k)(s => math.pow(2.0, s - k + 1.0)))
+    val twoState = {
+      // state flips on every symbol; emissions skewed oppositely per state
+      val row0 = Array.tabulate(k)(s => (s + 1).toDouble)
+      val row1 = Array.tabulate(k)(s => (k - s).toDouble)
+      val n0 = row0.sum; val n1 = row1.sum
+      Pfsa(
+        conn = Array(Array.fill(k)(1), Array.fill(k)(0)),
+        pitilde = Array(row0.map(_ / n0), row1.map(_ / n1)),
+        symFrq = Array.fill(k)(1.0 / k))
+    }
+    Seq(uniform, geomFwd, geomRev, twoState)
+  }
+
+  /** (seq_id, symbols) → (seq_id, features: Vector) of llks vs base models.
+    * +∞ scores (inexplicable) clamp to a large finite value for KMeans. */
+  def features(spark: SparkSession, seqs: DataFrame, alphabetSize: Int): DataFrame = {
+    val bases = basePfsas(alphabetSize)
+    val bc = spark.sparkContext.broadcast(bases.toArray)
+    val featUdf = udf { symbols: Seq[Byte] =>
+      val arr = symbols.toArray
+      Vectors.dense(bc.value.map { m =>
+        val v = Llk.llk(arr, m)
+        if (v.isInfinite || v.isNaN) 1e6 else v
+      })
+    }
+    seqs.select(col("seq_id"), col("symbols"), featUdf(col("symbols")).as("features"))
+  }
+
+  /** KMeans labels, relabeled so 0 = most frequent (reference
+    * detection.py:332-354). Returns (seq_id, symbols, cluster). */
+  def assign(spark: SparkSession, seqs: DataFrame, alphabetSize: Int,
+             nClusters: Int, seed: Long = 42L): DataFrame = {
+    val feat = features(spark, seqs, alphabetSize).cache()
+    val labeled =
+      if (nClusters <= 1) feat.withColumn("raw_label", lit(0))
+      else {
+        val km = new KMeans().setK(nClusters).setSeed(seed)
+          .setFeaturesCol("features").setPredictionCol("raw_label")
+        km.fit(feat).transform(feat)
+      }
+    // frequency relabel: rank labels by descending member count
+    // (reference's double-argsort trick, detection.py:341-347)
+    val countsW = Window.partitionBy(col("raw_label"))
+    val rankW = Window.orderBy(col("cnt").desc, col("raw_label"))
+    val relabeled = labeled
+      .withColumn("cnt", count(lit(1)).over(countsW))
+      .withColumn("cluster", (dense_rank().over(rankW) - 1).cast("int"))
+    val out = relabeled.select(col("seq_id"), col("symbols"), col("cluster"))
+    feat.unpersist()
+    out
+  }
+
+  /** Row-normalized confusion fractions between fitted clusters (reference
+    * detection.py:430-442): fraction of cluster-i members whose best-scoring
+    * model is j. Input long llk matrix (seq_id, cluster_id, llk) + membership
+    * (seq_id, cluster). */
+  def confusionFractions(llks: DataFrame, members: DataFrame): DataFrame = {
+    val best = llks
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("seq_id")).orderBy(col("llk").asc_nulls_last, col("cluster_id"))))
+      .filter(col("rn") === 1)
+      .select(col("seq_id"), col("cluster_id").as("best_cluster"))
+    members.join(best, "seq_id")
+      .groupBy(col("cluster").as("src_cluster"), col("best_cluster"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("frac", col("n").cast("double")
+        / sum(col("n")).over(Window.partitionBy(col("src_cluster"))))
+      .select(col("src_cluster"), col("best_cluster"), col("frac"))
+  }
+
+  /** Cluster-reduction step (reference __reduce_clusters,
+    * detection.py:401-469): edge i→j iff confusion fraction ≥ threshold;
+    * number of Tarjan SCCs of that graph is the reduced cluster count. */
+  def reducedClusterCount(fracs: Seq[(Int, Int, Double)], nClusters: Int,
+                          threshold: Double = 0.2): Int = {
+    val adj = Array.fill(nClusters)(scala.collection.mutable.ArrayBuffer[Int]())
+    fracs.foreach { case (i, j, f) =>
+      if (f >= threshold && i < nClusters && j < nClusters) adj(i) += j
+    }
+    GenESeSS.tarjan(nClusters, adj.map(_.toSeq)).max + 1
+  }
+
+  /** Union-find with path compression — driver-side parity with the
+    * reference's UnionFind (_utils.py:58-109), used by notebook workflows. */
+  final class UnionFind(n: Int) {
+    private val parent = Array.tabulate(n)(identity)
+    private val rank = new Array[Int](n)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    def union(a: Int, b: Int): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(ra) > rank(rb)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) += 1 }
+      }
+    }
+    def components: Int = (0 until n).map(find).distinct.length
+  }
+}

@@ -1,0 +1,337 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** PFSA inference — GenESeSS (reference Alg. 2, tex/ms.tex:296-338; invoked
+  * at detection.py:372-395,700-722; published as chattopadhyay2013abductive).
+  *
+  * Split per SURVEY.md §2.8:
+  *   - the HEAVY part — the "derivative heap" of empirical next-symbol
+  *     distributions φ̂_y for every context y, |y| ≤ L — is distributed
+  *     n-gram counting (`explode` + `groupBy().count()`, map-side combined);
+  *   - the TINY part — ε-synchronization, BFS state discovery, SCC
+  *     restriction — runs on the driver over the ≤|Σ|^L-entry heap;
+  *   - the π̃ transition-count pass is a second distributed sweep with the
+  *     inferred skeleton broadcast.
+  *
+  * Exact numeric parity with the reference's C++ kernel is impossible (binary
+  * absent); acceptance is behavioral — recovering known generators within ε
+  * (SURVEY.md §7.4 items 1-2), checked in GenESeSSSpec.
+  */
+object GenESeSS {
+
+  final case class Params(
+      eps: Double = 0.1,
+      maxL: Int = 8,
+      maxStates: Int = 64,
+      smooth: Double = 0.5)
+
+  /** Context depth L = ⌈log_|Σ|(1/ε)⌉ (tex/ms.tex:299), capped. */
+  def contextLength(alphabetSize: Int, eps: Double, maxL: Int = 8): Int = {
+    val raw = math.ceil(math.log(1.0 / eps) / math.log(alphabetSize.toDouble)).toInt
+    math.min(maxL, math.max(1, raw))
+  }
+
+  // Contexts travel as strings of printable chars — one char per symbol,
+  // good for alphabets up to 90 symbols (the reference's are ≤ a dozen).
+  private val CHAR0 = '!'
+  private def enc(s: Byte): Char = (CHAR0 + s).toChar
+  private[core] def decodeCtx(ctx: String): Array[Byte] =
+    ctx.map(c => (c - CHAR0).toByte).toArray
+
+  /** Distributed derivative-heap counting: for every sequence and position,
+    * emit (context y of length 1..L, next symbol); one groupBy produces the
+    * empirical φ̂_y counts. `seqs` must have `cluster` and `symbols` columns;
+    * output: (cluster, ctx, nxt, cnt). */
+  def ngramCounts(seqs: DataFrame, maxCtxLen: Int): DataFrame = {
+    val emit = udf { symbols: Seq[Byte] =>
+      val arr = symbols.toArray // Seq may be a List — index it and it's O(n²)
+      val d = arr.length
+      val out = new mutable.ArrayBuffer[(String, Int)](d * maxCtxLen)
+      var t = 1
+      while (t < d) {
+        val lmax = math.min(maxCtxLen, t)
+        val sb = new StringBuilder(lmax)
+        var l = 1
+        while (l <= lmax) {
+          sb.insert(0, enc(arr(t - l)))
+          out += ((sb.toString, arr(t).toInt))
+          l += 1
+        }
+        t += 1
+      }
+      out.toSeq
+    }
+    seqs
+      .select(col("cluster"), explode(emit(col("symbols"))).as("e"))
+      .select(col("cluster"), col("e._1").as("ctx"), col("e._2").as("nxt"))
+      .groupBy("cluster", "ctx", "nxt")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Driver-side finish for one cluster: heap → (conn, states, annErr, syn). */
+  private final case class Skeleton(
+      conn: Array[Array[Int]], annErr: Double, synStr: Seq[Int], symFrq: Array[Double])
+
+  private def buildSkeleton(
+      heap: Map[String, (Array[Double], Long)],  // ctx -> (φ̂, freq)
+      alphabetSize: Int, p: Params): Skeleton = {
+    val k = alphabetSize
+    if (heap.isEmpty) // degenerate input (length < 2): 1-state uniform machine
+      return Skeleton(Array(Array.tabulate(k)(_ => 0)), 0.0, Seq.empty,
+        Array.fill(k)(1.0 / k))
+    // overall symbol frequency = length-1 context marginal
+    val totals = new Array[Double](k)
+    heap.foreach { case (ctx, (dist, freq)) =>
+      if (ctx.length == 1) {
+        var s = 0
+        while (s < k) { totals(s) += dist(s) * freq; s += 1 }
+      }
+    }
+    val totMass = totals.sum
+    val symFrq = if (totMass > 0) totals.map(_ / totMass) else Array.fill(k)(1.0 / k)
+
+    def linf(a: Array[Double], b: Array[Double]): Double = {
+      var m = 0.0; var i = 0
+      while (i < k) { m = math.max(m, math.abs(a(i) - b(i))); i += 1 }
+      m
+    }
+
+    // ε-synchronizing prefix: hull-vertex heuristic — the context whose φ̂ is
+    // farthest from the frequency-weighted centroid, max-frequency tiebreak
+    // (tex/ms.tex:304-307; SURVEY.md §7.4 item 1).
+    val centroid = new Array[Double](k)
+    var wsum = 0.0
+    heap.foreach { case (_, (dist, freq)) =>
+      var i = 0
+      while (i < k) { centroid(i) += dist(i) * freq; i += 1 }
+      wsum += freq.toDouble
+    }
+    if (wsum > 0) { var i = 0; while (i < k) { centroid(i) /= wsum; i += 1 } }
+    val x0 = heap.toSeq
+      .map { case (ctx, (dist, freq)) => (ctx, dist, freq, linf(dist, centroid)) }
+      .sortBy { case (ctx, _, freq, d) => (-d, -freq, ctx.length, ctx) }
+      .head._1
+
+    // BFS state discovery: a state is an ε-distinct φ̂; transition on σ
+    // extends the representative context (trimmed to the deepest suffix
+    // present in the heap). New state unless some existing one is ε-close.
+    val stateDist = mutable.ArrayBuffer[Array[Double]]()
+    val stateCtx = mutable.ArrayBuffer[String]()
+    val transitions = mutable.Map[(Int, Int), Int]()
+    var mergeErr = 0.0
+    var mergeCnt = 0
+
+    def lookup(ctx: String): Option[Array[Double]] = {
+      // deepest known suffix of ctx
+      var i = 0
+      while (i < ctx.length) {
+        heap.get(ctx.substring(i)) match {
+          case Some((d, _)) => return Some(d)
+          case None => i += 1
+        }
+      }
+      None
+    }
+
+    def stateFor(dist: Array[Double], ctx: String): Int = {
+      var best = -1
+      var bestD = Double.MaxValue
+      var q = 0
+      while (q < stateDist.length) {
+        val d = linf(dist, stateDist(q))
+        if (d < bestD) { bestD = d; best = q }
+        q += 1
+      }
+      if (best >= 0 && (bestD < p.eps || stateDist.length >= p.maxStates)) {
+        mergeErr += bestD; mergeCnt += 1
+        best
+      } else {
+        stateDist += dist; stateCtx += ctx
+        stateDist.length - 1
+      }
+    }
+
+    val d0 = heap(x0)._1
+    stateFor(d0, x0)
+    val queue = mutable.Queue(0)
+    val visited = mutable.Set(0)
+    while (queue.nonEmpty) {
+      val q = queue.dequeue()
+      var s = 0
+      while (s < k) {
+        val ctx2full = stateCtx(q) + enc(s.toByte)
+        val ctx2 = if (ctx2full.length > 16) ctx2full.takeRight(16) else ctx2full
+        val distOpt = lookup(ctx2).orElse(Some(symFrq))
+        val q2 = stateFor(distOpt.get, ctx2)
+        transitions((q, s)) = q2
+        if (visited.add(q2)) queue.enqueue(q2)
+        s += 1
+      }
+    }
+
+    // Restrict to the recurrent part: Tarjan SCCs of the transition graph,
+    // keep a terminal SCC (no edges leaving it) reachable from the start —
+    // the machine's steady-state component (tex/ms.tex:312-315).
+    val n = stateDist.length
+    val adj = Array.fill(n)(mutable.Set[Int]())
+    transitions.foreach { case ((q, _), q2) => adj(q) += q2 }
+    val sccOf = tarjan(n, adj.map(_.toSeq))
+    val numScc = sccOf.max + 1
+    val sccOut = Array.fill(numScc)(false)
+    for (q <- 0 until n; q2 <- adj(q)) if (sccOf(q) != sccOf(q2)) sccOut(sccOf(q)) = true
+    val terminal = (0 until numScc).filter(!sccOut(_))
+    // pick the terminal SCC with the most states (deterministic tiebreak on id)
+    val chosen = terminal.maxBy(c => (sccOf.count(_ == c), -c))
+    val keep = (0 until n).filter(sccOf(_) == chosen)
+    val remap = keep.zipWithIndex.toMap
+    val m = keep.length
+    val conn = Array.ofDim[Int](m, k)
+    for ((q, qi) <- keep.zipWithIndex; s <- 0 until k) {
+      val q2 = transitions((q, s))
+      // edges leaving the SCC reroute to the ε-closest kept state
+      conn(qi)(s) = remap.getOrElse(q2,
+        remap(keep.minBy(kq => linf(stateDist(q2), stateDist(kq)))))
+    }
+    Skeleton(conn, if (mergeCnt > 0) mergeErr / mergeCnt else 0.0,
+      decodeCtx(x0).map(_.toInt).toSeq, symFrq)
+  }
+
+  /** Iterative Tarjan SCC (driver-side, graph has ≤ maxStates nodes).
+    * Port of the reference's DirectedGraph.find_scc (_utils.py:111-160). */
+  private[core] def tarjan(n: Int, adj: IndexedSeq[Seq[Int]]): Array[Int] = {
+    val index = Array.fill(n)(-1)
+    val low = new Array[Int](n)
+    val onStack = new Array[Boolean](n)
+    val stack = mutable.Stack[Int]()
+    val sccOf = Array.fill(n)(-1)
+    var counter = 0
+    var sccCount = 0
+    for (root <- 0 until n if index(root) == -1) {
+      // explicit work stack: (node, child iterator position)
+      val work = mutable.Stack[(Int, Int)]((root, 0))
+      while (work.nonEmpty) {
+        val (v, ci) = work.pop()
+        if (ci == 0) {
+          index(v) = counter; low(v) = counter; counter += 1
+          stack.push(v); onStack(v) = true
+        }
+        var recurse = false
+        var i = ci
+        val children = adj(v)
+        while (i < children.length && !recurse) {
+          val w = children(i)
+          if (index(w) == -1) {
+            work.push((v, i + 1)); work.push((w, 0)); recurse = true
+          } else {
+            if (onStack(w)) low(v) = math.min(low(v), index(w))
+            i += 1
+          }
+        }
+        if (!recurse) {
+          if (low(v) == index(v)) {
+            var w = -1
+            while (w != v) {
+              w = stack.pop(); onStack(w) = false; sccOf(w) = sccCount
+            }
+            sccCount += 1
+          }
+          if (work.nonEmpty) {
+            val (parent, _) = work.top
+            low(parent) = math.min(low(parent), low(v))
+          }
+        }
+      }
+    }
+    sccOf
+  }
+
+  /** Infer one PFSA per cluster.
+    *
+    * @param seqs DataFrame with `cluster: int` and `symbols: array<tinyint>`
+    * @return cluster id → inferred Pfsa
+    */
+  def inferAll(spark: SparkSession, seqs: DataFrame, alphabetSize: Int,
+               params: Params = Params()): Map[Int, Pfsa] = {
+    val k = alphabetSize
+    val L = contextLength(k, params.eps, params.maxL)
+
+    // ---- distributed heap construction, all clusters in one job
+    val counts = ngramCounts(seqs, L)
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cluster, rows) =>
+        val byCtx = rows.groupBy(_.getString(1)).map { case (ctx, rs) =>
+          val dist = new Array[Double](k)
+          var tot = 0L
+          rs.foreach { r => dist(r.getInt(2)) += r.getLong(3).toDouble; tot += r.getLong(3) }
+          var i = 0
+          while (i < k) { dist(i) /= tot; i += 1 }
+          ctx -> (dist, tot)
+        }
+        cluster -> byCtx
+      }
+
+    // ---- driver finish: skeleton per cluster. Clusters whose sequences are
+    // too short to yield any n-gram still get a (degenerate) machine.
+    val allClusters = seqs.select("cluster").distinct().collect().map(_.getInt(0))
+    val skeletons = allClusters.map { cluster =>
+      cluster -> buildSkeleton(counts.getOrElse(cluster, Map.empty), k, params)
+    }.toMap
+
+    // ---- distributed π̃ estimation: run sequences through the broadcast
+    // skeleton counting (state, symbol) visits (tex/ms.tex:316-318)
+    val bc = spark.sparkContext.broadcast(skeletons.map { case (c, s) => c -> s.conn })
+    val visitUdf = udf { (cluster: Int, symbols: Seq[Byte]) =>
+      val conn = bc.value(cluster)
+      val arr = symbols.toArray // avoid O(n²) List indexing
+      val nq = conn.length
+      val cnt = new Array[Long](nq * k)
+      var q = 0
+      var t = 0
+      val d = arr.length
+      while (t < d) {
+        val s = arr(t).toInt
+        if (s >= 0 && s < k) {
+          cnt(q * k + s) += 1
+          q = conn(q)(s)
+        }
+        t += 1
+      }
+      cnt.toSeq
+    }
+    val visitRows = seqs
+      .select(col("cluster"), posexplode(visitUdf(col("cluster"), col("symbols"))).as(Seq("idx", "c")))
+      .groupBy("cluster", "idx")
+      .agg(sum(col("c")).as("c"))
+      .collect()
+      .groupBy(_.getInt(0))
+
+    skeletons.map { case (cluster, sk) =>
+      val nq = sk.conn.length
+      val counts = Array.fill(nq, k)(params.smooth) // Laplace smoothing: no 0-prob emissions
+      visitRows.getOrElse(cluster, Array.empty).foreach { r =>
+        val idx = r.getInt(1)
+        counts(idx / k)(idx % k) += r.getLong(2).toDouble
+      }
+      val pitilde = counts.map { row =>
+        val tot = row.sum
+        row.map(_ / tot)
+      }
+      cluster -> Pfsa(sk.conn, pitilde, sk.symFrq, sk.annErr, params.eps,
+        Some(sk.synStr).filter(_.nonEmpty))
+    }
+  }
+
+  /** Same kernel on a single sequence (online library growth, reference
+    * detection.py:694-724). */
+  def inferSingle(spark: SparkSession, symbols: Array[Byte], alphabetSize: Int,
+                  params: Params = Params()): Pfsa = {
+    import spark.implicits._
+    val df = Seq((0, symbols.toSeq)).toDF("cluster", "symbols")
+    inferAll(spark, df, alphabetSize, params)(0)
+  }
+}

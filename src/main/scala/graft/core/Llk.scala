@@ -1,0 +1,76 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sequence log-likelihood scoring (reference Alg. 1, tex/ms.tex:261-287;
+  * invoked at detection.py:141,424,486).
+  *
+  * Scale design: sequences stay distributed as `array<tinyint>` cells; the
+  * model library is tiny and rides along as a closure/broadcast. One UDF call
+  * scores a sequence against EVERY library model (O(d·|Q|·k) per sequence,
+  * single pass, no cross join, no shuffle beyond the upstream collect_list).
+  */
+object Llk {
+
+  private val LOG2 = math.log(2.0)
+
+  /** Negative mean log2-likelihood of `pfsa` generating `symbols`.
+    *
+    * Per tex/ms.tex:261-287: start from the stationary distribution p; per
+    * symbol σ: φ = pᵀπ̃ restricted to σ, L -= log2 Σφ, then push p through δ
+    * weighted by π̃ and renormalize. Symbols outside the model's alphabet make
+    * the sequence inexplicable → +∞ (callers pre-filter via
+    * filter_alphabet_compat, reference detection.py:139-140).
+    */
+  def llk(symbols: Array[Byte], pfsa: Pfsa): Double = {
+    val n = pfsa.numStates
+    val k = pfsa.alphabetSize
+    var p = pfsa.stationary.clone()
+    var next = new Array[Double](n)
+    var loss = 0.0
+    var t = 0
+    val d = symbols.length
+    if (d == 0) return 0.0
+    while (t < d) {
+      val s = symbols(t).toInt
+      if (s < 0 || s >= k) return Double.PositiveInfinity
+      var mass = 0.0
+      java.util.Arrays.fill(next, 0.0)
+      var q = 0
+      while (q < n) {
+        val w = p(q) * pfsa.pitilde(q)(s)
+        if (w != 0.0) {
+          mass += w
+          next(pfsa.conn(q)(s)) += w
+        }
+        q += 1
+      }
+      if (mass <= 0.0) return Double.PositiveInfinity
+      loss -= math.log(mass) / LOG2
+      // renormalize and swap buffers
+      var i = 0
+      while (i < n) { next(i) /= mass; i += 1 }
+      val tmp = p; p = next; next = tmp
+      t += 1
+    }
+    loss / d
+  }
+
+  /** Score every sequence against every model in `library`.
+    *
+    * @param seqs DataFrame with `seq_id` and `symbols: array<tinyint>`
+    * @return (seq_id, cluster_id, llk) — long-form cluster_llks matrix
+    *         (reference detection.py:131)
+    */
+  def scoreAll(spark: SparkSession, seqs: DataFrame, library: Seq[Pfsa]): DataFrame = {
+    val bc = spark.sparkContext.broadcast(library.toArray)
+    val scoreUdf = udf { symbols: Seq[Byte] =>
+      val arr = symbols.toArray
+      bc.value.map(m => llk(arr, m))
+    }
+    seqs
+      .withColumn("llks", scoreUdf(col("symbols")))
+      .select(col("seq_id"), posexplode(col("llks")).as(Seq("cluster_id", "llk")))
+  }
+}

@@ -1,0 +1,192 @@
+package graft.pipeline
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch anomaly detection — Spark-native rebuild of the reference's
+  * `AnomalyDetection` (detection.py:12-547).
+  *
+  * fit (detection.py:77-99): quantize → cluster → infer one PFSA per cluster
+  * → per-cluster llk stats. predict (detection.py:102-163): score every
+  * sequence against the broadcast library; anomalous iff llk exceeds
+  * mean + sensitivity·std for EVERY cluster (detection.py:147-149).
+  *
+  * Input is the long/tidy form `(seq_id, t, value)` (SURVEY.md §1.4) rather
+  * than the reference's row-per-sequence wide frame — the representation that
+  * scales: partitioned by seq_id, no wide schemas, models broadcast.
+  */
+object AnomalyDetection {
+
+  final case class Params(
+      anomalySensitivity: Double = 1.0,
+      nClusters: Int = 1,
+      reduceClusters: Boolean = false,
+      quantize: Boolean = true,
+      quantizeType: String = "complex", // simple | simple-second | complex
+      nSymbols: Int = 2,                // bins for the complex quantizer
+      eps: Double = 0.1,
+      kmeansSeed: Long = 42L)
+
+  final case class Model(
+      params: Params,
+      complexModel: Option[Quantize.ComplexModel],
+      alphabetSize: Int,
+      library: IndexedSeq[Pfsa],
+      llkMeans: Array[Double],
+      llkStds: Array[Double]) {
+    /** Per-cluster anomaly bound: mean + sensitivity·std (detection.py:148). */
+    def bounds: Array[Double] =
+      llkMeans.zip(llkStds).map { case (m, s) =>
+        m + params.anomalySensitivity * (if (s.isNaN) 0.0 else s)
+      }
+  }
+
+  /** Quantize the long form according to params (reference __quantize,
+    * detection.py:272-308), reusing a fitted partition when given. */
+  private def quantizeLong(df: DataFrame, params: Params,
+                           fitted: Option[Quantize.ComplexModel]): (DataFrame, Option[Quantize.ComplexModel]) =
+    if (!params.quantize) (Quantize.passthrough(df), None)
+    else params.quantizeType match {
+      case "simple" => (Quantize.simple(df), None)
+      case "simple-second" => (Quantize.simpleSecond(df), None)
+      case "complex" =>
+        val m = fitted.getOrElse(Quantize.fitComplex(df, nBins = params.nSymbols))
+        (Quantize.applyComplex(df, m), Some(m))
+      case other => throw new IllegalArgumentException(s"unknown quantize_type: $other")
+    }
+
+  /** Long quantized form → one row per sequence: (seq_id, symbols). */
+  def toArrays(df: DataFrame): DataFrame =
+    df.groupBy(col("seq_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(t, symbol))), x -> x.symbol)")
+        .as("symbols"))
+
+  def fit(spark: SparkSession, longDf: DataFrame, params: Params = Params()): Model = {
+    val (quantized, complexModel) = quantizeLong(longDf, params, None)
+    val seqs = toArrays(quantized).cache()
+    try {
+      val alphabetSize = math.max(2,
+        seqs.select(max(expr("array_max(symbols)"))).head().getByte(0).toInt + 1)
+      val genParams = GenESeSS.Params(eps = params.eps)
+
+      def inferForK(k: Int): (DataFrame, Map[Int, Pfsa]) = {
+        val labeled = Cluster.assign(spark, seqs, alphabetSize, k, params.kmeansSeed).cache()
+        val lib = GenESeSS.inferAll(spark, labeled, alphabetSize, genParams)
+        (labeled, lib)
+      }
+
+      var k = math.max(1, params.nClusters)
+      var (labeled, lib) = inferForK(k)
+
+      // __reduce_clusters fixpoint (detection.py:401-469): merge clusters whose
+      // PFSAs confuse each other; driver-side SCC on the tiny k×k matrix.
+      if (params.reduceClusters && k > 1) {
+        var iter = 0
+        var converged = false
+        while (!converged && iter < 5) {
+          val ordered = (0 until k).map(lib)
+          val llks = Llk.scoreAll(spark, labeled, ordered)
+          val fracs = Cluster.confusionFractions(llks, labeled.select("seq_id", "cluster"))
+            .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+          val reduced = Cluster.reducedClusterCount(fracs, k)
+          if (reduced < k) {
+            labeled.unpersist()
+            k = reduced
+            val res = inferForK(k)
+            labeled = res._1; lib = res._2
+            iter += 1
+          } else converged = true
+        }
+      }
+
+      // per-cluster llk stats over OWN members (detection.py:472-499), ddof=1
+      val ordered = (0 until k).map(lib)
+      val ownScores = Llk.scoreAll(spark, labeled, ordered)
+        .join(labeled.select(col("seq_id"), col("cluster")), "seq_id")
+        .filter(col("cluster_id") === col("cluster"))
+      val stats = ownScores.groupBy(col("cluster"))
+        .agg(avg(col("llk")).as("m"), stddev_samp(col("llk")).as("s"))
+        .collect().map(r => r.getInt(0) -> (r.getDouble(1), if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
+        .toMap
+      labeled.unpersist()
+
+      Model(params, complexModel, alphabetSize, ordered.toIndexedSeq,
+        (0 until k).map(c => stats.get(c).map(_._1).getOrElse(0.0)).toArray,
+        (0 until k).map(c => stats.get(c).map(_._2).getOrElse(0.0)).toArray)
+    } finally seqs.unpersist()
+  }
+
+  /** Score new long-form data against a fitted model.
+    *
+    * @return (seq_id, is_anomaly, closest, llk) — closest = argmin-llk
+    *         cluster (detection.py:152), llk = that minimum. Sequences no
+    *         model explains (all llk = +∞, e.g. alphabet-incompatible,
+    *         detection.py:139-144) are anomalous with closest = -1.
+    */
+  def predict(spark: SparkSession, model: Model, longDf: DataFrame): DataFrame = {
+    val (quantized, _) = quantizeLong(longDf, model.params, model.complexModel)
+    val seqs = toArrays(quantized)
+    val bcBounds = spark.sparkContext.broadcast(model.bounds)
+    val llks = Llk.scoreAll(spark, seqs, model.library)
+    val boundOf = udf((c: Int) => bcBounds.value(c))
+    llks
+      .withColumn("bound", boundOf(col("cluster_id")))
+      .groupBy(col("seq_id"))
+      .agg(
+        bool_and(col("llk") > col("bound")).as("is_anomaly"),
+        min_by(col("cluster_id"), col("llk")).as("closest_raw"),
+        min(col("llk")).as("llk"))
+      .withColumn("closest",
+        when(col("llk") === lit(Double.PositiveInfinity), lit(-1))
+          .otherwise(col("closest_raw")).cast("int"))
+      .drop("closest_raw")
+      .select(col("seq_id"), col("is_anomaly"), col("closest"), col("llk"))
+  }
+
+  // ------------------------------------------------------------- persistence
+  // JSON replaces the reference's dill pickle (detection.py:166-243):
+  // library.json has one row per cluster PFSA, meta.json one row of params +
+  // fitted stats — readable anywhere, no code-version coupling.
+  private case class LibRow(cluster: Int, conn: Seq[Seq[Int]], pitilde: Seq[Seq[Double]],
+      symFrq: Seq[Double], annErr: Double, mrgEps: Double, synStr: Seq[Int])
+  private case class MetaRow(anomalySensitivity: Double, nClusters: Int,
+      reduceClusters: Boolean, quantize: Boolean, quantizeType: String,
+      nSymbols: Int, eps: Double, kmeansSeed: Long, cutoffs: Seq[Double],
+      detrend: Boolean, hasComplex: Boolean, alphabetSize: Int,
+      llkMeans: Seq[Double], llkStds: Seq[Double])
+
+  def save(spark: SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    val lib = model.library.zipWithIndex.map { case (p, i) =>
+      LibRow(i, p.conn.map(_.toSeq).toSeq, p.pitilde.map(_.toSeq).toSeq,
+        p.symFrq.toSeq, p.annErr, p.mrgEps, p.synStr.getOrElse(Seq.empty))
+    }
+    lib.toDS().coalesce(1).write.mode("overwrite").json(s"$path/library.json")
+    val p = model.params
+    Seq(MetaRow(p.anomalySensitivity, p.nClusters, p.reduceClusters, p.quantize,
+      p.quantizeType, p.nSymbols, p.eps, p.kmeansSeed,
+      model.complexModel.map(_.cutoffs.toSeq).getOrElse(Seq.empty),
+      model.complexModel.exists(_.detrend), model.complexModel.isDefined,
+      model.alphabetSize, model.llkMeans.toSeq, model.llkStds.toSeq))
+      .toDS().coalesce(1).write.mode("overwrite").json(s"$path/meta.json")
+  }
+
+  def load(spark: SparkSession, path: String): Model = {
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    // explicit schemas: JSON inference would widen int → bigint
+    val meta = spark.read.schema(Encoders.product[MetaRow].schema)
+      .json(s"$path/meta.json").as[MetaRow].head()
+    val lib = spark.read.schema(Encoders.product[LibRow].schema)
+      .json(s"$path/library.json").as[LibRow].collect()
+      .sortBy(_.cluster)
+      .map(r => Pfsa(r.conn.map(_.toArray).toArray, r.pitilde.map(_.toArray).toArray,
+        r.symFrq.toArray, r.annErr, r.mrgEps, Some(r.synStr).filter(_.nonEmpty)))
+    Model(
+      Params(meta.anomalySensitivity, meta.nClusters, meta.reduceClusters,
+        meta.quantize, meta.quantizeType, meta.nSymbols, meta.eps, meta.kmeansSeed),
+      if (meta.hasComplex) Some(Quantize.ComplexModel(meta.cutoffs.toArray, meta.detrend)) else None,
+      meta.alphabetSize, lib.toIndexedSeq, meta.llkMeans.toArray, meta.llkStds.toArray)
+  }
+}

@@ -1,0 +1,208 @@
+package graft.relational
+
+import graft.core._
+import graft.pipeline.AnomalyDetection
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 kernel operators (llk_score, pfsa_infer, pfsa_sample,
+  * cluster_*, sink/source, stream_*, …) exposed through the driver contract.
+  * These have no DuckDB equivalent (SURVEY.md §2.10) — the driver records a
+  * rows-only check; real correctness lives in the ScalaTest property/golden
+  * specs (LlkSpec, GenESeSSSpec, AnomalyDetectionSpec).
+  *
+  * All of them run on the events table as the long-form corpus:
+  * seq_id = user_id, symbols = quantize_simple of value (per-user windows,
+  * no global shuffle beyond the per-user sort).
+  */
+object PipelineQueries {
+
+  /** events → (seq_id, symbols: array<tinyint>) via quantize_simple. */
+  private def sequences(s: SparkSession, d: String): DataFrame = {
+    val long = Tables.eventsLong(s, d).withColumnRenamed("user_id", "seq_id")
+    AnomalyDetection.toArrays(Quantize.simple(long))
+  }
+
+  private def fitParams = AnomalyDetection.Params(
+    anomalySensitivity = 2.0, nClusters = 2, quantize = true,
+    quantizeType = "simple", eps = 0.2)
+
+  private def fitOn(s: SparkSession, d: String): (DataFrame, AnomalyDetection.Model) = {
+    val long = Tables.eventsLong(s, d).withColumnRenamed("user_id", "seq_id")
+    (long, AnomalyDetection.fit(s, long, fitParams))
+  }
+
+  /** Flagship: full fit + predict on the events corpus (reference
+    * detection.py:77-163). */
+  def pipelineFitPredict(s: SparkSession, d: String): DataFrame = {
+    val (long, model) = fitOn(s, d)
+    AnomalyDetection.predict(s, model, long).orderBy("seq_id")
+  }
+
+  /** llk_score (reference Alg. 1, detection.py:141): long cluster_llks
+    * matrix of every sequence vs a deterministic model library. */
+  def llkScore(s: SparkSession, d: String): DataFrame =
+    Llk.scoreAll(s, sequences(s, d), Seq(Pfsa.m2, Pfsa.m2u))
+      .orderBy("seq_id", "cluster_id")
+
+  /** pfsa_sample (reference Prun, detection.py:730): seeded sample paths. */
+  def pfsaSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val numRepeats = 100
+    val dataLen = 256
+    s.range(numRepeats)
+      .map { i => (i, Pfsa.m2.sample(dataLen, seed = 42L + i).map(_.toInt).toSeq) }
+      .toDF("path_id", "symbols")
+      .select(col("path_id"), posexplode(col("symbols")).as(Seq("t", "symbol")))
+      .orderBy("path_id", "t")
+  }
+
+  /** pfsa_infer (GenESeSS, detection.py:372-395): one PFSA per event_type
+    * cluster; emitted as long-form (cluster, state, symbol, prob, next). */
+  def pfsaInfer(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val long = Tables.events(s, d)
+      .withColumn("t", (row_number().over(Tables.seqWindow) - 1).cast("long"))
+      .select(col("user_id").as("seq_id"), col("t"), col("value"), col("event_type"))
+    val seqs = Quantize.simple(long, "seq_id", "t", "value")
+      .groupBy(col("seq_id"), col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(t, symbol))), x -> x.symbol)").as("symbols"))
+      .withColumn("cluster", (dense_rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("event_type"))) - 1).cast("int"))
+      .select(col("cluster"), col("symbols"))
+    val lib = GenESeSS.inferAll(s, seqs, alphabetSize = 2, GenESeSS.Params(eps = 0.2))
+    lib.toSeq.sortBy(_._1).flatMap { case (c, p) =>
+      for (q <- p.pitilde.indices; sym <- 0 until p.alphabetSize)
+        yield (c, q, sym, BigDecimal(p.pitilde(q)(sym)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          p.conn(q)(sym))
+    }.toDF("cluster", "state", "symbol", "prob", "next_state")
+      .orderBy("cluster", "state", "symbol")
+  }
+
+  /** pfsa_infer_single (detection.py:694-724): GenESeSS on ONE sequence. */
+  def pfsaInferSingle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val one = sequences(s, d).orderBy("seq_id").limit(1)
+      .select(col("symbols")).as[Seq[Byte]].head()
+    val p = GenESeSS.inferSingle(s, one.toArray, alphabetSize = 2, GenESeSS.Params(eps = 0.2))
+    (for (q <- p.pitilde.indices; sym <- 0 until p.alphabetSize)
+      yield (q, sym, BigDecimal(p.pitilde(q)(sym)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        p.conn(q)(sym)))
+      .toDF("state", "symbol", "prob", "next_state")
+      .orderBy("state", "symbol")
+  }
+
+  /** cluster_kmeans (detection.py:332-339): seeded KMeans on llk features. */
+  def clusterKmeans(s: SparkSession, d: String): DataFrame =
+    Cluster.assign(s, sequences(s, d), alphabetSize = 2, nClusters = 3)
+      .select(col("seq_id"), col("cluster"))
+      .orderBy("seq_id")
+
+  /** cluster_reduce_scc (detection.py:401-469): confusion graph → SCC count. */
+  def clusterReduceScc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val seqs = sequences(s, d)
+    val labeled = Cluster.assign(s, seqs, alphabetSize = 2, nClusters = 3)
+    val lib = GenESeSS.inferAll(s, labeled, alphabetSize = 2, GenESeSS.Params(eps = 0.2))
+    val ordered = lib.toSeq.sortBy(_._1).map(_._2)
+    val llks = Llk.scoreAll(s, labeled, ordered)
+    val fracs = Cluster.confusionFractions(llks, labeled.select("seq_id", "cluster"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+    val reduced = Cluster.reducedClusterCount(fracs, ordered.size)
+    Seq((ordered.size, reduced)).toDF("n_clusters", "n_reduced")
+  }
+
+  /** union_find (reference _utils.py:58-109): component count over the
+    * confusion-style edge list, notebook-workflow parity. */
+  def unionFind(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables.events(s, d)
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val users = edges.map(_._1).distinct.sorted
+    val types = edges.map(_._2).distinct.sorted
+    val idx = (users.map(u => s"u$u") ++ types.map(t => s"t$t")).zipWithIndex.toMap
+    val uf = new Cluster.UnionFind(idx.size)
+    edges.foreach { case (u, t) => uf.union(idx(s"u$u"), idx(s"t$t")) }
+    Seq((idx.size, uf.components)).toDF("n_nodes", "n_components")
+  }
+
+  /** sink_pfsa_file (detection.py:502-547): reference text format, verified
+    * by round-tripping through the codec. */
+  def sinkPfsaFile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lib = Seq(Pfsa.m2, Pfsa.m2u)
+    lib.zipWithIndex.map { case (p, i) =>
+      val txt = p.toText
+      val back = Pfsa.fromText(txt)
+      (i, txt, back.numStates == p.numStates)
+    }.toDF("cluster", "pfsa_text", "roundtrip_ok").orderBy("cluster")
+  }
+
+  /** sink_model_dill + source_model_dill (detection.py:166-243): JSON model
+    * save → load → re-emit library stats (pickle replaced by JSON). */
+  def modelRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (_, model) = fitOn(s, d)
+    val path = s"/tmp/graft_model_${java.util.UUID.randomUUID().toString.take(8)}"
+    AnomalyDetection.save(s, model, path)
+    val loaded = AnomalyDetection.load(s, path)
+    loaded.library.zipWithIndex.map { case (p, i) =>
+      (i, p.numStates, p.alphabetSize,
+        BigDecimal(loaded.llkMeans(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("cluster", "n_states", "alphabet_size", "llk_mean").orderBy("cluster")
+  }
+
+  /** sink_png analog (detection.py:257-269): graphviz DOT source per PFSA
+    * (rendering itself is out of engine scope, SURVEY.md §2.1). */
+  def sinkDot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def dot(p: Pfsa): String = {
+      val edges = for (q <- p.conn.indices; sym <- 0 until p.alphabetSize)
+        yield f"""  q$q -> q${p.conn(q)(sym)} [label="$sym:${p.pitilde(q)(sym)}%.3f"];"""
+      ("digraph PFSA {" +: edges :+ "}").mkString("\n")
+    }
+    Seq(Pfsa.m2, Pfsa.m2u).zipWithIndex.map { case (p, i) => (i, dot(p)) }
+      .toDF("cluster", "dot").orderBy("cluster")
+  }
+
+  /** predict_scalar_or_vec (detection.py:129,160-163): single-sequence
+    * input → single-row (scalar) result. */
+  def predictScalar(s: SparkSession, d: String): DataFrame = {
+    val (long, model) = fitOn(s, d)
+    val first = long.select(min("seq_id")).head().getLong(0)
+    AnomalyDetection.predict(s, model, long.filter(col("seq_id") === first))
+  }
+
+  /** stream_fit_predict (StreamingDetection, detection.py:550-613): one long
+    * stream per user → stride windows → batch fit/predict per window. */
+  def streamFitPredict(s: SparkSession, d: String): DataFrame = {
+    val long = Tables.eventsLong(s, d).withColumnRenamed("user_id", "seq_id")
+    val win = Segment.windows(Quantize.simple(long), size = 20, overlap = 10, "seq_id", "t")
+      .withColumn("wseq", col("seq_id") * 1000000L + col("win_id"))
+      .select(col("wseq").as("seq_id"), col("pos").as("t"), col("symbol").cast("double").as("value"))
+    val params = fitParams.copy(quantize = false, nClusters = 1)
+    val model = AnomalyDetection.fit(s, win, params)
+    AnomalyDetection.predict(s, model, win)
+      .select((col("seq_id") / 1000000L).cast("long").as("stream_id"),
+        pmod(col("seq_id"), lit(1000000L)).as("win_id"),
+        col("is_anomaly"), col("closest"))
+      .orderBy("stream_id", "win_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_fit_predict" -> (pipelineFitPredict _),
+    "llk_score" -> (llkScore _),
+    "pfsa_sample" -> (pfsaSample _),
+    "pfsa_infer" -> (pfsaInfer _),
+    "pfsa_infer_single" -> (pfsaInferSingle _),
+    "cluster_kmeans" -> (clusterKmeans _),
+    "cluster_reduce_scc" -> (clusterReduceScc _),
+    "union_find" -> (unionFind _),
+    "sink_pfsa_file" -> (sinkPfsaFile _),
+    "sink_model_dill" -> (modelRoundtrip _),
+    "sink_dot" -> (sinkDot _),
+    "predict_scalar_or_vec" -> (predictScalar _),
+    "stream_fit_predict" -> (streamFitPredict _),
+  )
+}

@@ -1,0 +1,56 @@
+package graft.core
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral acceptance per SURVEY.md §7.4: GenESeSS must recover known
+  * generators (M2.cfg ground truth) within ε — bit-parity with the absent
+  * C++ kernel is explicitly not the bar. */
+class GenESeSSSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("recovers M2's emission probabilities from sampled data") {
+    val data = Pfsa.m2.sample(200000, seed = 11)
+    val inferred = GenESeSS.inferSingle(spark, data, alphabetSize = 2,
+      GenESeSS.Params(eps = 0.05))
+    // M2 has 2 states with δ(q,σ)=σ: state ≡ last symbol. The inferred
+    // machine must explain the data about as well as the generator itself.
+    val sample2 = Pfsa.m2.sample(50000, seed = 12)
+    val llkTrue = Llk.llk(sample2, Pfsa.m2)
+    val llkInf = Llk.llk(sample2, inferred)
+    assert(llkInf < llkTrue + 0.02, s"inferred $llkInf vs generator $llkTrue")
+    // and must distinguish M2 data from M2_u data
+    val dataU = Pfsa.m2u.sample(50000, seed = 13)
+    assert(Llk.llk(dataU, inferred) > llkInf + 0.05)
+  }
+
+  test("inferAll fans out per cluster in one pass") {
+    val seqs = Seq(
+      (0, Pfsa.m2.sample(30000, 21).toSeq),
+      (0, Pfsa.m2.sample(30000, 22).toSeq),
+      (1, Pfsa.m2u.sample(30000, 23).toSeq),
+      (1, Pfsa.m2u.sample(30000, 24).toSeq)).toDF("cluster", "symbols")
+    val lib = GenESeSS.inferAll(spark, seqs, alphabetSize = 2, GenESeSS.Params(eps = 0.05))
+    assert(lib.keySet == Set(0, 1))
+    val m2data = Pfsa.m2.sample(20000, 25)
+    val m2udata = Pfsa.m2u.sample(20000, 26)
+    assert(Llk.llk(m2data, lib(0)) < Llk.llk(m2data, lib(1)))
+    assert(Llk.llk(m2udata, lib(1)) < Llk.llk(m2udata, lib(0)))
+  }
+
+  test("degenerate input yields a usable 1-state machine") {
+    val p = GenESeSS.inferSingle(spark, Array[Byte](1), alphabetSize = 2)
+    assert(p.numStates == 1)
+    assert(math.abs(p.pitilde(0).sum - 1.0) < 1e-9)
+  }
+
+  test("tarjan SCC matches reference DirectedGraph.find_scc semantics") {
+    // graph: 0→1→2→0 (one SCC), 3→4 (two singleton SCCs), 2→3
+    val adj = IndexedSeq(Seq(1), Seq(2), Seq(0, 3), Seq(4), Seq.empty[Int])
+    val scc = GenESeSS.tarjan(5, adj)
+    assert(scc(0) == scc(1) && scc(1) == scc(2))
+    assert(scc(3) != scc(0) && scc(4) != scc(3))
+    assert(scc.max + 1 == 3)
+  }
+}
