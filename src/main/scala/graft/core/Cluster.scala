@@ -69,14 +69,18 @@ object Cluster {
           .setFeaturesCol("features").setPredictionCol("raw_label")
         km.fit(feat).transform(feat)
       }
-    // frequency relabel: rank labels by descending member count
-    // (reference's double-argsort trick, detection.py:341-347)
-    val countsW = Window.partitionBy(col("raw_label"))
-    val rankW = Window.orderBy(col("cnt").desc, col("raw_label"))
-    val relabeled = labeled
-      .withColumn("cnt", count(lit(1)).over(countsW))
-      .withColumn("cluster", (dense_rank().over(rankW) - 1).cast("int"))
-    val out = relabeled.select(col("seq_id"), col("symbols"), col("cluster"))
+    // frequency relabel: rank labels by descending member count (reference's
+    // double-argsort trick, detection.py:341-347). The rank is computed on
+    // the k-row aggregate collected to the driver (k = nClusters, tiny) and
+    // joined back as a broadcast map — no window over the full data.
+    val rankMap = labeled.groupBy(col("raw_label")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy { case (lbl, cnt) => (-cnt, lbl) }
+      .zipWithIndex.map { case ((lbl, _), rank) => lbl -> rank }.toMap
+    val relabelCol = rankMap.foldLeft(lit(0): org.apache.spark.sql.Column) {
+      case (acc, (lbl, rank)) => when(col("raw_label") === lbl, rank).otherwise(acc)
+    }
+    val out = labeled.select(col("seq_id"), col("symbols"), relabelCol.cast("int").as("cluster"))
     feat.unpersist()
     out
   }

@@ -27,7 +27,16 @@ object GenESeSS {
       eps: Double = 0.1,
       maxL: Int = 8,
       maxStates: Int = 64,
-      smooth: Double = 0.5)
+      smooth: Double = 0.5,
+      /** Contexts observed fewer times than this are dropped before the
+        * driver collect (noise floor; 1 = keep all). */
+      minCtxCount: Long = 1L,
+      /** Hard cap on contexts per cluster shipped to the driver: the heap
+        * keeps only the `maxContexts` most frequent contexts, so the collect
+        * is bounded by k·maxContexts·|Σ| rows regardless of data size or
+        * alphabet (a 12-symbol alphabet at L=8 would otherwise be |Σ|^L ≈
+        * 4.3e8 contexts — a driver bomb at 100-TB scale). */
+      maxContexts: Int = 1 << 16)
 
   /** Context depth L = ⌈log_|Σ|(1/ε)⌉ (tex/ms.tex:299), capped. */
   def contextLength(alphabetSize: Int, eps: Double, maxL: Int = 8): Int = {
@@ -259,8 +268,22 @@ object GenESeSS {
     val k = alphabetSize
     val L = contextLength(k, params.eps, params.maxL)
 
-    // ---- distributed heap construction, all clusters in one job
-    val counts = ngramCounts(seqs, L)
+    // ---- distributed heap construction, all clusters in one job.
+    // The driver-bound side is pruned distributively FIRST: a frequency floor
+    // plus a per-cluster top-`maxContexts` cap (ranked by context mass, ties
+    // on ctx for determinism), so the collect is ≤ k·maxContexts·|Σ| rows.
+    // persist the aggregated counts so the cap pass doesn't re-run the
+    // n-gram explode (spills to disk if the context space is large)
+    val raw = ngramCounts(seqs, L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keptCtx = raw.groupBy(col("cluster"), col("ctx"))
+      .agg(sum(col("cnt")).as("tot"))
+      .filter(col("tot") >= params.minCtxCount)
+      .withColumn("r", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster")).orderBy(col("tot").desc, col("ctx"))))
+      .filter(col("r") <= params.maxContexts)
+      .select(col("cluster"), col("ctx"))
+    val counts = try raw.join(broadcast(keptCtx), Seq("cluster", "ctx"))
       .collect()
       .groupBy(_.getInt(0))
       .map { case (cluster, rows) =>
@@ -274,6 +297,7 @@ object GenESeSS {
         }
         cluster -> byCtx
       }
+    finally raw.unpersist()
 
     // ---- driver finish: skeleton per cluster. Clusters whose sequences are
     // too short to yield any n-gram still get a (degenerate) machine.
@@ -327,11 +351,74 @@ object GenESeSS {
   }
 
   /** Same kernel on a single sequence (online library growth, reference
-    * detection.py:694-724). */
+    * detection.py:694-724). Delegates to the fully-local path — no Spark job
+    * for a single window. */
   def inferSingle(spark: SparkSession, symbols: Array[Byte], alphabetSize: Int,
-                  params: Params = Params()): Pfsa = {
-    import spark.implicits._
-    val df = Seq((0, symbols.toSeq)).toDF("cluster", "symbols")
-    inferAll(spark, df, alphabetSize, params)(0)
+                  params: Params = Params()): Pfsa =
+    inferLocal(symbols, alphabetSize, params)
+
+  /** Local (single-JVM) derivative heap for ONE sequence — same counting as
+    * [[ngramCounts]], for use where inference must run inside an executor /
+    * stream state handler (no nested Spark jobs). Bounded by `maxContexts`
+    * like the distributed path. */
+  private def localHeap(symbols: Array[Byte], k: Int, maxCtxLen: Int,
+                        maxContexts: Int): Map[String, (Array[Double], Long)] = {
+    val counts = mutable.HashMap.empty[String, Array[Long]]
+    val d = symbols.length
+    var t = 1
+    while (t < d) {
+      val lmax = math.min(maxCtxLen, t)
+      val sb = new StringBuilder(lmax)
+      var l = 1
+      while (l <= lmax) {
+        sb.insert(0, enc(symbols(t - l)))
+        val row = counts.getOrElseUpdate(sb.toString, new Array[Long](k))
+        val s = symbols(t).toInt
+        if (s >= 0 && s < k) row(s) += 1
+        l += 1
+      }
+      t += 1
+    }
+    val trimmed: collection.Map[String, Array[Long]] =
+      if (counts.size <= maxContexts) counts
+      else counts.toSeq.sortBy { case (ctx, row) => (-row.sum, ctx) }
+        .take(maxContexts).toMap
+    trimmed.iterator.map { case (ctx, row) =>
+      val tot = row.sum
+      if (tot == 0) ctx -> (Array.fill(k)(1.0 / k), 0L)
+      else ctx -> (row.map(_.toDouble / tot), tot)
+    }.toMap
+  }
+
+  /** Count (state, symbol) visits through `conn` and normalize with Laplace
+    * smoothing → π̃ rows (tex/ms.tex:316-318) — local analog of the
+    * distributed visit pass in [[inferAll]]. */
+  private def pitildeFromVisits(conn: Array[Array[Int]], k: Int, smooth: Double,
+                                seqs: Iterator[Array[Byte]]): Array[Array[Double]] = {
+    val nq = conn.length
+    val cnt = Array.fill(nq, k)(smooth)
+    seqs.foreach { arr =>
+      var q = 0
+      var t = 0
+      while (t < arr.length) {
+        val s = arr(t).toInt
+        if (s >= 0 && s < k) { cnt(q)(s) += 1.0; q = conn(q)(s) }
+        t += 1
+      }
+    }
+    cnt.map { row => val tot = row.sum; row.map(_ / tot) }
+  }
+
+  /** Fully local GenESeSS on one sequence — the online library-growth path
+    * (reference detection.py:694-724) calls this inside the per-stream state
+    * handler. O(d·L) time, heap bounded by maxContexts, zero Spark jobs. */
+  def inferLocal(symbols: Array[Byte], alphabetSize: Int,
+                 params: Params = Params()): Pfsa = {
+    val L = contextLength(alphabetSize, params.eps, params.maxL)
+    val heap = localHeap(symbols, alphabetSize, L, params.maxContexts)
+    val sk = buildSkeleton(heap, alphabetSize, params)
+    Pfsa(sk.conn,
+      pitildeFromVisits(sk.conn, alphabetSize, params.smooth, Iterator.single(symbols)),
+      sk.symFrq, sk.annErr, params.eps, Some(sk.synStr).filter(_.nonEmpty))
   }
 }

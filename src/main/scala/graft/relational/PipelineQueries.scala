@@ -64,11 +64,16 @@ object PipelineQueries {
     val long = Tables.events(s, d)
       .withColumn("t", (row_number().over(Tables.seqWindow) - 1).cast("long"))
       .select(col("user_id").as("seq_id"), col("t"), col("value"), col("event_type"))
+    // event_type → cluster id via a collected distinct map: the type domain is
+    // a small constant (~ a handful of values), so the driver round-trip is
+    // bounded; the map goes back as a broadcast join — no global window.
+    val typeIds = long.select(col("event_type")).distinct().collect()
+      .map(_.getString(0)).sorted.zipWithIndex
+      .map { case (t, i) => (t, i) }.toSeq.toDF("event_type", "cluster")
     val seqs = Quantize.simple(long, "seq_id", "t", "value")
       .groupBy(col("seq_id"), col("event_type"))
       .agg(expr("transform(array_sort(collect_list(struct(t, symbol))), x -> x.symbol)").as("symbols"))
-      .withColumn("cluster", (dense_rank().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("event_type"))) - 1).cast("int"))
+      .join(broadcast(typeIds), Seq("event_type"))
       .select(col("cluster"), col("symbols"))
     val lib = GenESeSS.inferAll(s, seqs, alphabetSize = 2, GenESeSS.Params(eps = 0.2))
     lib.toSeq.sortBy(_._1).flatMap { case (c, p) =>
@@ -113,18 +118,32 @@ object PipelineQueries {
   }
 
   /** union_find (reference _utils.py:58-109): component count over the
-    * confusion-style edge list, notebook-workflow parity. */
+    * bipartite user↔event_type graph, notebook-workflow parity.
+    *
+    * Scale shape: the bipartite components equal the components of the
+    * type–type co-occurrence graph (every user with ≥1 event hangs off its
+    * types' component), so the driver only ever sees (a) two scalar counts
+    * and (b) the distinct type-pair edge list — ≤ |event_type|² rows, a
+    * domain-constant bound — never the data-sized (user, type) edge set. */
   def unionFind(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val edges = Tables.events(s, d)
-      .select(col("user_id"), col("event_type")).distinct()
-      .collect().map(r => (r.getLong(0), r.getString(1)))
-    val users = edges.map(_._1).distinct.sorted
-    val types = edges.map(_._2).distinct.sorted
-    val idx = (users.map(u => s"u$u") ++ types.map(t => s"t$t")).zipWithIndex.toMap
-    val uf = new Cluster.UnionFind(idx.size)
-    edges.foreach { case (u, t) => uf.union(idx(s"u$u"), idx(s"t$t")) }
-    Seq((idx.size, uf.components)).toDF("n_nodes", "n_components")
+    val ev = Tables.events(s, d)
+    val cnts = ev.agg(countDistinct(col("user_id")).as("nu"),
+      countDistinct(col("event_type")).as("nt")).head()
+    val (nUsers, nTypes) = (cnts.getLong(0), cnts.getLong(1))
+    // per user: its (sorted) type set collapses to edges (min_type, t) —
+    // enough to connect the user's clique — then global distinct
+    val typeEdges = ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .select(explode(expr("transform(ts, t -> struct(ts[0] as a, t as b))")).as("e"))
+      .select(col("e.a"), col("e.b")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val types = typeEdges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = types.zipWithIndex.toMap
+    val uf = new Cluster.UnionFind(types.length)
+    typeEdges.foreach { case (a, b) => uf.union(idx(a), idx(b)) }
+    // types never seen in events don't exist here; isolated users don't either
+    Seq((nUsers + nTypes, uf.components.toLong)).toDF("n_nodes", "n_components")
   }
 
   /** sink_pfsa_file (detection.py:502-547): reference text format, verified
@@ -178,14 +197,15 @@ object PipelineQueries {
     * stream per user → stride windows → batch fit/predict per window. */
   def streamFitPredict(s: SparkSession, d: String): DataFrame = {
     val long = Tables.eventsLong(s, d).withColumnRenamed("user_id", "seq_id")
+    // window identity is a STRUCT key (stream_id, win_id) — no packed-integer
+    // key, so no collision however many windows a stream produces.
     val win = Segment.windows(Quantize.simple(long), size = 20, overlap = 10, "seq_id", "t")
-      .withColumn("wseq", col("seq_id") * 1000000L + col("win_id"))
-      .select(col("wseq").as("seq_id"), col("pos").as("t"), col("symbol").cast("double").as("value"))
+      .select(struct(col("seq_id").as("stream_id"), col("win_id")).as("seq_id"),
+        col("pos").as("t"), col("symbol").cast("double").as("value"))
     val params = fitParams.copy(quantize = false, nClusters = 1)
     val model = AnomalyDetection.fit(s, win, params)
     AnomalyDetection.predict(s, model, win)
-      .select((col("seq_id") / 1000000L).cast("long").as("stream_id"),
-        pmod(col("seq_id"), lit(1000000L)).as("win_id"),
+      .select(col("seq_id.stream_id").as("stream_id"), col("seq_id.win_id").as("win_id"),
         col("is_anomaly"), col("closest"))
       .orderBy("stream_id", "win_id")
   }

@@ -118,14 +118,25 @@ object RelationalQueries {
   }
 
   /** reference detection.py:297-306 + tex/ms.tex:293-294: entropy-max
-    * (equal-mass) partition. Oracle variant: exact equal-frequency via ntile.
-    * The engine's scale path (graft.core.Quantize) uses approxQuantile
-    * cutoffs instead of a global sort. */
-  private def quantizeComplex(s: SparkSession, d: String): DataFrame =
-    events(s, d)
-      .select(col("event_id"),
-        (ntile(8).over(Window.orderBy(col("value").asc_nulls_last, col("event_id"))) - 1).cast("long").as("symbol"))
+    * (equal-mass) partition — fitted cutoffs at the (1/8 … 7/8) quantiles,
+    * then symbol = #cutoffs below the value (the reference Quantizer is
+    * cutoff-based too, detection.py:224-226). Scale shape: one aggregation
+    * produces a single 7-value row; the assignment pass is a broadcast
+    * nested-loop join + codegen'd when-chain — no global sort, no
+    * unpartitioned window. */
+  private def quantizeComplex(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val probes = (1 to 7).map(_ / 8.0)
+    val cuts = e.agg(
+      round(expr(s"percentile(value, ${probes.head})"), 6).as("c1"),
+      probes.tail.zipWithIndex.map { case (p, i) =>
+        round(expr(s"percentile(value, $p)"), 6).as(s"c${i + 2}") }: _*)
+    val sym = (1 to 7).map(i => when(col("value") > col(s"c$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    e.crossJoin(broadcast(cuts))
+      .select(col("event_id"), sym.cast("long").as("symbol"))
       .orderBy(col("event_id"))
+  }
 
   /** reference detection.py:279-280: symbols already discrete, cast only. */
   private def quantizePassthrough(s: SparkSession, d: String): DataFrame =
@@ -178,11 +189,16 @@ object RelationalQueries {
     events(s, d).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
-  /** reference detection.py:341-347: relabel clusters by descending size. */
+  /** reference detection.py:341-347: relabel clusters by descending size.
+    * The window runs AFTER the aggregation, over ≤ |event_type| rows (a
+    * domain constant, ~20) — the constant partition key keeps that
+    * provably-tiny relation on one partition without tripping the
+    * unpartitioned-window planner warning. */
   private def aggRankRelabel(s: SparkSession, d: String): DataFrame =
     events(s, d).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       .select(col("event_type"),
-        (row_number().over(Window.orderBy(col("n").desc, col("event_type"))) - 1).cast("long").as("new_label"))
+        (row_number().over(Window.partitionBy(lit(0)).orderBy(col("n").desc, col("event_type"))) - 1)
+          .cast("long").as("new_label"))
       .orderBy(col("new_label"))
 
   /** reference detection.py:152: per sequence, cluster with min llk. */
@@ -196,11 +212,14 @@ object RelationalQueries {
       .orderBy(col("user_id"))
   }
 
-  /** reference detection.py:153-158: cluster → member sequence ids. */
+  /** reference detection.py:153-158: cluster → member sequence ids. The
+    * member list is emitted as a comma-joined string — a canonical scalar the
+    * driver's pandas hash can sort (a raw list column is unhashable there). */
   private def aggGroupbyCollect(s: SparkSession, d: String): DataFrame =
     events(s, d).select(col("event_type"), col("user_id")).distinct()
       .groupBy(col("event_type"))
-      .agg(sort_array(collect_list(col("user_id"))).as("members"))
+      .agg(expr("array_join(transform(sort_array(collect_list(user_id)), x -> cast(x as string)), ',')")
+        .as("members"))
       .orderBy(col("event_type"))
 
   /** reference detection.py:430-442: row-normalized confusion fractions. */
@@ -213,11 +232,14 @@ object RelationalQueries {
       .select(col("o_orderstatus"), col("o_orderpriority"), col("frac"))
       .orderBy(col("o_orderstatus"), col("o_orderpriority"))
 
-  /** SURVEY §2.5 agg_seq_collect: long form → ordered per-sequence array. */
+  /** SURVEY §2.5 agg_seq_collect: long form → ordered per-sequence array,
+    * emitted as a comma-joined decimal(18,6) string (canonical scalar — same
+    * rendering in Spark and DuckDB, hashable by the driver's pandas compare). */
   private def aggSeqCollect(s: SparkSession, d: String): DataFrame =
     events(s, d).groupBy(col("user_id"))
       .agg(array_sort(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("z"))
-      .select(col("user_id"), expr("transform(z, x -> x.value)").as("vals"))
+      .select(col("user_id"),
+        expr("array_join(transform(z, x -> cast(cast(x.value as decimal(18,6)) as string)), ',')").as("vals"))
       .orderBy(col("user_id"))
 
   // ---------------------------------------------------- §2.6 window / segmentation
@@ -348,8 +370,16 @@ object RelationalQueries {
         |FROM b WINDOW w2 AS (PARTITION BY user_id ORDER BY t)
         |ORDER BY user_id, t""".stripMargin,
     "quantize_complex" ->
-      """SELECT event_id, CAST(ntile(8) OVER (ORDER BY value, event_id) - 1 AS BIGINT) AS symbol
-        |FROM events ORDER BY event_id""".stripMargin,
+      """WITH c AS (
+        |  SELECT round(quantile_cont(value, 0.125), 6) AS c1, round(quantile_cont(value, 0.25), 6) AS c2,
+        |         round(quantile_cont(value, 0.375), 6) AS c3, round(quantile_cont(value, 0.5), 6) AS c4,
+        |         round(quantile_cont(value, 0.625), 6) AS c5, round(quantile_cont(value, 0.75), 6) AS c6,
+        |         round(quantile_cont(value, 0.875), 6) AS c7
+        |  FROM events)
+        |SELECT event_id,
+        |       CAST((value > c1)::INT + (value > c2)::INT + (value > c3)::INT + (value > c4)::INT
+        |          + (value > c5)::INT + (value > c6)::INT + (value > c7)::INT AS BIGINT) AS symbol
+        |FROM events, c ORDER BY event_id""".stripMargin,
     "quantize_passthrough" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_linenumber AS TINYINT) AS symbol
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
@@ -383,7 +413,7 @@ object RelationalQueries {
         |             row_number() OVER (PARTITION BY user_id ORDER BY llk, event_type) AS rn FROM s)
         |SELECT user_id, closest, llk FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "agg_groupby_collect" ->
-      """SELECT event_type, list(user_id ORDER BY user_id) AS members
+      """SELECT event_type, string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id) AS members
         |FROM (SELECT DISTINCT event_type, user_id FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_confusion_fractions" ->
@@ -392,7 +422,8 @@ object RelationalQueries {
         |       round(n * 1.0 / sum(n) OVER (PARTITION BY o_orderstatus), 6) AS frac
         |FROM c ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "agg_seq_collect" ->
-      """SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      """SELECT user_id,
+        |       string_agg(CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR), ',' ORDER BY ts, event_id) AS vals
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "window_segment" ->
       """WITH base AS (
