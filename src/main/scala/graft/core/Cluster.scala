@@ -1,5 +1,6 @@
 package graft.core
 
+import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -57,17 +58,26 @@ object Cluster {
     seqs.select(col("seq_id"), col("symbols"), featUdf(col("symbols")).as("features"))
   }
 
-  /** KMeans labels, relabeled so 0 = most frequent (reference
-    * detection.py:332-354). Returns (seq_id, symbols, cluster). */
+  /** Cluster labels, relabeled so 0 = most frequent (reference
+    * detection.py:332-354). Returns (seq_id, symbols, cluster).
+    *
+    * `clusterer` makes the algorithm pluggable like the reference's
+    * `clustering_alg` constructor knob (detection.py:26,332-339;
+    * FeatureAgglomeration in examples/example3.ipynb): pass any MLlib
+    * estimator configured with `setFeaturesCol("features")` and
+    * `setPredictionCol("raw_label")` (e.g. `BisectingKMeans`,
+    * `GaussianMixture`); default is seeded KMeans. */
   def assign(spark: SparkSession, seqs: DataFrame, alphabetSize: Int,
-             nClusters: Int, seed: Long = 42L): DataFrame = {
+             nClusters: Int, seed: Long = 42L,
+             clusterer: Option[Estimator[_ <: Model[_]]] = None): DataFrame = {
     val feat = features(spark, seqs, alphabetSize).cache()
     val labeled =
-      if (nClusters <= 1) feat.withColumn("raw_label", lit(0))
+      if (nClusters <= 1 && clusterer.isEmpty) feat.withColumn("raw_label", lit(0))
       else {
-        val km = new KMeans().setK(nClusters).setSeed(seed)
-          .setFeaturesCol("features").setPredictionCol("raw_label")
-        km.fit(feat).transform(feat)
+        val est = clusterer.getOrElse(
+          new KMeans().setK(nClusters).setSeed(seed)
+            .setFeaturesCol("features").setPredictionCol("raw_label"))
+        est.fit(feat).transform(feat)
       }
     // frequency relabel: rank labels by descending member count (reference's
     // double-argsort trick, detection.py:341-347). The rank is computed on

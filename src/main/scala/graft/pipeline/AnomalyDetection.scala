@@ -62,7 +62,11 @@ object AnomalyDetection {
       .agg(expr("transform(array_sort(collect_list(struct(t, symbol))), x -> x.symbol)")
         .as("symbols"))
 
-  def fit(spark: SparkSession, longDf: DataFrame, params: Params = Params()): Model = {
+  /** @param clusterer optional pluggable clustering estimator (reference
+    *                   `clustering_alg`, detection.py:26) — see
+    *                   [[Cluster.assign]] for the contract */
+  def fit(spark: SparkSession, longDf: DataFrame, params: Params = Params(),
+          clusterer: Option[org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]]] = None): Model = {
     val (quantized, complexModel) = quantizeLong(longDf, params, None)
     val seqs = toArrays(quantized).cache()
     try {
@@ -71,7 +75,7 @@ object AnomalyDetection {
       val genParams = GenESeSS.Params(eps = params.eps)
 
       def inferForK(k: Int): (DataFrame, Map[Int, Pfsa]) = {
-        val labeled = Cluster.assign(spark, seqs, alphabetSize, k, params.kmeansSeed).cache()
+        val labeled = Cluster.assign(spark, seqs, alphabetSize, k, params.kmeansSeed, clusterer).cache()
         val lib = GenESeSS.inferAll(spark, labeled, alphabetSize, genParams)
         (labeled, lib)
       }

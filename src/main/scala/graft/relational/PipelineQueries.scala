@@ -210,8 +210,62 @@ object PipelineQueries {
       .orderBy("stream_id", "win_id")
   }
 
+  /** stream_continuous (ContinuousStreamingDetection, detection.py:616-734):
+    * online per-stream pattern-library growth, batch-replayed. `emerged`
+    * rows are the pattern_emergence_times. */
+  def streamContinuous(s: SparkSession, d: String): DataFrame = {
+    val long = Tables.eventsLong(s, d).withColumnRenamed("user_id", "seq_id")
+    val p = graft.pipeline.ContinuousDetection.Params(
+      windowSize = 20, windowOverlap = 10, anomalySensitivity = 2.0,
+      quantize = true, quantizeType = "simple", eps = 0.2, bootstrapRepeats = 50)
+    graft.pipeline.ContinuousDetection.fitStream(s, long, p)
+      .withColumn("llk", round(col("llk"), 6))
+      .orderBy("seq_id", "win_id")
+  }
+
+  /** multilevel_pipeline (examples/Agitation_multilevel.ipynb cells 1-2):
+    * level-1 StreamingDetection closest-pattern labels become the level-2
+    * input stream, scored with quantize=false. */
+  def multilevelPipeline(s: SparkSession, d: String): DataFrame = {
+    val long = Tables.eventsLong(s, d).withColumnRenamed("user_id", "seq_id")
+    // level 1: stride windows over the raw stream, batch fit/predict,
+    // per-window closest label (same shape as stream_fit_predict)
+    val win1 = Segment.windows(Quantize.simple(long), size = 20, overlap = 10, "seq_id", "t")
+      .select(struct(col("seq_id").as("stream_id"), col("win_id")).as("seq_id"),
+        col("pos").as("t"), col("symbol").cast("double").as("value"))
+    val m1 = AnomalyDetection.fit(s, win1, fitParams.copy(quantize = false, nClusters = 2))
+    val lvl1 = AnomalyDetection.predict(s, m1, win1)
+      .select(col("seq_id.stream_id").as("seq_id"), col("seq_id.win_id").as("t"),
+        col("closest").cast("double").as("value"))
+    // level 2: the label sequence is itself a stream — window it again and
+    // fit/predict with quantize=false (labels are already symbols)
+    val win2 = Segment.windows(lvl1, size = 4, overlap = 2, "seq_id", "t")
+      .select(struct(col("seq_id").as("stream_id"), col("win_id")).as("seq_id"),
+        col("pos").as("t"), col("value"))
+    val m2 = AnomalyDetection.fit(s, win2, fitParams.copy(quantize = false, nClusters = 2))
+    AnomalyDetection.predict(s, m2, win2)
+      .select(col("seq_id.stream_id").as("stream_id"), col("seq_id.win_id").as("win_id"),
+        col("is_anomaly"), col("closest"))
+      .orderBy("stream_id", "win_id")
+  }
+
+  /** cluster_pluggable (reference clustering_alg knob, detection.py:26;
+    * FeatureAgglomeration in examples/example3.ipynb): same pipeline with a
+    * non-default MLlib estimator. */
+  def clusterPluggable(s: SparkSession, d: String): DataFrame = {
+    val est = new org.apache.spark.ml.clustering.BisectingKMeans()
+      .setK(3).setSeed(42L).setFeaturesCol("features").setPredictionCol("raw_label")
+    Cluster.assign(s, sequences(s, d), alphabetSize = 2, nClusters = 3,
+        clusterer = Some(est))
+      .select(col("seq_id"), col("cluster"))
+      .orderBy("seq_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_fit_predict" -> (pipelineFitPredict _),
+    "stream_continuous" -> (streamContinuous _),
+    "multilevel_pipeline" -> (multilevelPipeline _),
+    "cluster_pluggable" -> (clusterPluggable _),
     "llk_score" -> (llkScore _),
     "pfsa_sample" -> (pfsaSample _),
     "pfsa_infer" -> (pfsaInfer _),

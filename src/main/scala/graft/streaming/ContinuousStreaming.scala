@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.pipeline.ContinuousDetection
+import graft.pipeline.ContinuousDetection.{LibEntry, Params, WindowScore}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming form of [[ContinuousDetection]]: the per-stream PFSA
+  * library lives in `flatMapGroupsWithState` keyed state, so the online loop
+  * (reference detection.py:628-691) runs incrementally across triggers —
+  * `fit_stream` on an unbounded source.
+  *
+  * Ordering contract: within a trigger, a stream's windows are folded in
+  * win_id order; ACROSS triggers the source must deliver windows in order
+  * (the reference's stream is synchronous and in-order, SURVEY §2.10 — it has
+  * no late-data semantics either). State is the library only: KBs per stream,
+  * independent of stream length.
+  *
+  * Works identically under batch execution (state starts empty per group),
+  * which is how the spec exercises both paths with one assertion set.
+  */
+object ContinuousStreaming {
+
+  /** @param windows (stream_id, win_id, symbols) — from
+    *                [[ContinuousDetection.segments]] or a streaming source
+    */
+  def scores(windows: Dataset[(Long, Long, Seq[Byte])],
+             p: Params): Dataset[WindowScore] = {
+    import windows.sparkSession.implicits._
+    implicit val stateEnc: Encoder[Vector[LibEntry]] =
+      Encoders.kryo[Vector[LibEntry]]
+    windows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sid: Long, it: Iterator[(Long, Long, Seq[Byte])],
+         state: GroupState[Vector[LibEntry]]) =>
+          var lib = state.getOption.getOrElse(Vector.empty)
+          val out = it.toArray.sortBy(_._2).map { case (_, wid, syms) =>
+            val (next, emerged, llk, closest) =
+              ContinuousDetection.step(lib, syms.toArray, p,
+                seedBase = p.seed + sid * 7919L + wid * 104729L)
+            lib = next
+            WindowScore(sid, wid, emerged, llk, closest, lib.size)
+          }
+          state.update(lib)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import graft.TestSpark
+import graft.core.Pfsa
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden test for the online library-growth loop (reference
+  * ContinuousStreamingDetection, detection.py:616-734; test design per
+  * SURVEY.md §5 item 3): one long M2-generated stream with a contiguous
+  * M2_u segment spliced into the middle. Expected: pattern emergence at
+  * window 0 (library bootstrap, detection.py:653-657) and again when the
+  * stream enters the M2_u regime; windows inside a regime after its pattern
+  * emerged are explained by that pattern. */
+class ContinuousDetectionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val winSize = 1000
+
+  // stream: 10 windows of M2, then 10 of M2_u, then 10 of M2 again
+  private def stream: Array[Byte] =
+    Pfsa.m2.sample(10 * winSize, seed = 7L) ++
+    Pfsa.m2u.sample(10 * winSize, seed = 8L) ++
+    Pfsa.m2.sample(10 * winSize, seed = 9L)
+
+  private def longForm(syms: Array[Byte], sid: Long = 0L) =
+    syms.zipWithIndex.map { case (s, t) => (sid, t.toLong, s.toDouble) }
+      .toSeq.toDF("seq_id", "t", "value")
+
+  private val params = ContinuousDetection.Params(
+    windowSize = winSize, windowOverlap = 0, anomalySensitivity = 3.0,
+    quantize = false, eps = 0.05, bootstrapRepeats = 50)
+
+  test("emergence at window 0 and at the M2→M2_u regime change") {
+    val out = ContinuousDetection.fitStream(spark, longForm(stream), params)
+      .collect()
+      .map(r => (r.getLong(1), r.getBoolean(2), r.getInt(4), r.getInt(5)))
+      .sortBy(_._1)
+    val emergence = out.filter(_._2).map(_._1)
+    assert(emergence.contains(0L), s"no bootstrap emergence: ${emergence.toSeq}")
+    assert(emergence.contains(10L), s"regime change at window 10 missed: ${emergence.toSeq}")
+    // no spurious pattern births inside the leading M2 run
+    assert(emergence.count(w => w > 0 && w < 10) == 0,
+      s"spurious emergence in M2 run: ${emergence.toSeq}")
+    // M2_u windows after emergence are explained by the SECOND pattern,
+    // and the trailing M2 windows fall back to the first
+    val closingM2u = out.filter(r => r._1 > 10 && r._1 < 20)
+    assert(closingM2u.forall(_._3 == 1), s"M2_u windows not on pattern 1: ${closingM2u.toSeq}")
+    val trailing = out.filter(r => r._1 >= 20)
+    assert(trailing.forall(_._3 == 0), s"trailing M2 windows not on pattern 0: ${trailing.toSeq}")
+  }
+
+  test("independent streams grow independent libraries in parallel") {
+    val two = longForm(Pfsa.m2.sample(5 * winSize, seed = 11L), sid = 0L)
+      .union(longForm(Pfsa.m2u.sample(5 * winSize, seed = 12L), sid = 1L))
+    val out = ContinuousDetection.fitStream(spark, two, params).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getInt(5)))
+    // independence: EACH stream's window 0 bootstraps from an EMPTY library
+    // (emerged, library size exactly 1 after it) — a shared library would
+    // leave the second stream's window 0 non-emergent or at size 2
+    Seq(0L, 1L).foreach { sid =>
+      val w0 = out.find(r => r._1 == sid && r._2 == 0L).get
+      assert(w0._3, s"stream $sid window 0 did not bootstrap")
+      assert(w0._4 == 1, s"stream $sid window 0 saw a non-empty library")
+    }
+  }
+
+  test("streaming state handler matches the batch replay") {
+    val wins = ContinuousDetection.segments(longForm(stream), params)
+      .select($"seq_id".cast("long"), $"win_id".cast("long"), $"symbols")
+      .as[(Long, Long, Seq[Byte])]
+    val viaState = graft.streaming.ContinuousStreaming.scores(wins, params)
+      .collect().map(w => (w.win_id, w.emerged, w.closest, w.n_patterns)).sortBy(_._1)
+    val viaBatch = ContinuousDetection.fitStream(spark, longForm(stream), params)
+      .collect().map(r => (r.getLong(1), r.getBoolean(2), r.getInt(4), r.getInt(5))).sortBy(_._1)
+    assert(viaState.toSeq == viaBatch.toSeq)
+  }
+}
