@@ -15,12 +15,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     relational.PipelineQueries.pipelineFitPredict(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * training-data-pipeline family (dedup / similarity / text / multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational.RelationalQueries.queries ++ relational.PipelineQueries.queries
+    relational.RelationalQueries.queries ++ relational.PipelineQueries.queries ++
+      relational.DataPipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    relational.RelationalQueries.oracle
+    relational.RelationalQueries.oracle ++ relational.DataPipelineQueries.oracle
 }

@@ -1,0 +1,361 @@
+package graft.relational
+
+import graft.text.{Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The training-data-pipeline operator family over the `documents` and
+  * `embeddings` tables: deduplication (exact, MinHash-LSH, SimHash, n-gram
+  * Jaccard, embedding cosine), similarity search (brute-force + LSH ANN),
+  * text analysis (language-ID, quality, token stats, fingerprint), and the
+  * multimodal binary column. SQL-expressible ops carry DuckDB oracles; the
+  * signature/LSH kernels are covered by TextOpsSpec / SimilaritySpec /
+  * MultimodalSpec.
+  *
+  * Scale notes inline per query — the common theme: candidate generation is
+  * always a key-partitioned bucket join (never all-pairs), small sides are
+  * broadcast, and per-row kernels are bounded by shingle × hash counts.
+  */
+object DataPipelineQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.tbl(s, d, "documents")
+  private def embeds(s: SparkSession, d: String) = Tables.tbl(s, d, "embeddings")
+
+  // ------------------------------------------------------------------- dedup
+  /** Exact dedup: group by md5 of the normalized text, keep the smallest
+    * doc_id. One hash-partitioned aggregation — the 100-TB path. */
+  private def dedupExact(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .groupBy(md5(TextOps.normalized("text")).as("norm_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** MinHash-LSH near-dup: shingle → 64-hash signature → 16 banded buckets →
+    * candidate pairs only within buckets → exact Jaccard verify on
+    * candidates. Emits one row per doc (never empty): its candidate count
+    * and best-verified duplicate, if any. */
+  private def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .select(col("doc_id"), TextOps.normalized("text").as("norm"))
+      .withColumn("sh", TextOps.charShingles("norm", 5))
+    val sig = base.withColumn("sig", TextOps.minhashSigUdf(64, 42L)(col("sh")))
+    val pairs = TextOps.candidatePairs(
+      TextOps.bandBuckets(sig, "doc_id", "sig", bands = 16, rowsPerBand = 4), "doc_id")
+    val shapes = base.select(col("doc_id"), col("sh"))
+    val verified = pairs
+      .join(shapes.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shapes.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val directed = verified.select(col("id_a").as("doc_id"), col("id_b").as("partner"), col("jaccard"))
+      .union(verified.select(col("id_b").as("doc_id"), col("id_a").as("partner"), col("jaccard")))
+    val nCand = directed.groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
+    val best = directed.filter(col("jaccard") >= 0.5)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("jaccard").desc, col("partner"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("partner").as("dup_of"), col("jaccard"))
+    docs(s, d).select(col("doc_id"))
+      .join(nCand, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("dup_of"), col("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup: 64-bit token-bag fingerprint, 4×16-bit band buckets
+    * (any doc pair within Hamming distance 3 MUST share a band — pigeonhole),
+    * verified with bit_count(xor) ≤ 3. */
+  private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val sh = docs(s, d)
+      .select(col("doc_id"), TextOps.simhashUdf(TextOps.tokens("text")).as("simhash"))
+    // band code = unsigned 16-bit chunk (bit shift, NOT div — truncating
+    // division is not chunk extraction on negative longs)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftrightunsigned(simhash, cast(b * 16 as int)) % 65536)"))
+        .as(Seq("band", "code")))
+    val a = banded.select(col("band"), col("code"), col("doc_id").as("id_a"), col("simhash").as("h_a"))
+    val b = banded.select(col("band"), col("code"), col("doc_id").as("id_b"), col("simhash").as("h_b"))
+    val close = a.join(b, Seq("band", "code"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b")).distinct()
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)"))
+      .filter(col("hamming") <= 3)
+    val directed = close.select(col("id_a").as("doc_id"), col("id_b").as("partner"), col("hamming"))
+      .union(close.select(col("id_b").as("doc_id"), col("id_a").as("partner"), col("hamming")))
+    val best = directed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("hamming").asc, col("partner"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("partner").as("dup_of"), col("hamming"))
+    sh.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"), col("dup_of"), col("hamming"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** n-gram Jaccard within (source, lang) blocks — the fully relational,
+    * oracle-checkable dedup: distinct trigrams as rows, pairs via a
+    * shingle-key join inside blocks (bounded block size bounds the pairs). */
+  private def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = docs(s, d)
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(TextOps.charShingles("text", 3)).as("g"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("source"), col("lang"), col("g"), col("doc_id").as("doc_a"))
+    val b = sh.select(col("source"), col("lang"), col("g"), col("doc_id").as("doc_b"))
+    val inter = a.join(b, Seq("source", "lang", "g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") / (col("n_a") + col("n_b") - col("common")), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding-cosine near-dup: LSH-bucketed candidates, cosine ≥ 0.99 ⇒
+    * duplicate vector. Candidates come from hyperplane buckets — the same
+    * machinery as similarity_ann, never all-pairs. */
+  private def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val e = embeds(s, d)
+    val near = Similarity.annTopK(e, e, k = 1, tables = 8, bits = 8, dim = 64)
+      .filter(col("cosine") >= 0.99)
+      .select(col("qid").as("vec_id"), col("neighbor").as("dup_of"), col("cosine"))
+    e.select(col("vec_id"), col("label"))
+      .join(near, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("dup_of"), col("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
+  // ------------------------------------------------------------- similarity
+  /** Brute-force cosine top-5 for a fixed query subset (vec_id < 10) —
+    * exactness baseline, DuckDB-oracled. */
+  private def similarityTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embeds(s, d)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+      .orderBy(col("qid"), col("neighbor"))
+  }
+
+  /** LSH-bucketed approximate top-5 for the same query subset, with the
+    * per-query candidate count as pruning evidence. Recall vs brute force is
+    * asserted in SimilaritySpec. */
+  private def similarityAnn(s: SparkSession, d: String): DataFrame = {
+    val e = embeds(s, d)
+    Similarity.annTopK(e, e.filter(col("vec_id") < 10), k = 5)
+      .orderBy(col("qid"), col("neighbor"))
+  }
+
+  // ---------------------------------------------------------- text analysis
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and",
+    "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "das",
+    "fr" -> "le", "fr" -> "les", "fr" -> "et", "fr" -> "une",
+    "es" -> "el", "es" -> "los", "es" -> "una", "es" -> "y")
+
+  /** Language-ID by marker-word hits (n-gram-free heuristic): argmax of
+    * per-language marker occurrences, ties to the alphabetically first
+    * language, no hits ⇒ 'und'. */
+  private def textLangId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val markers = langMarkers.toDF("cand_lang", "tok")
+    val toks = docs(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens("text")).as("tok"))
+    val hits = toks.join(broadcast(markers), "tok")
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(count(lit(1)).as("hits"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("cand_lang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang"), col("hits"))
+    docs(s, d).select(col("doc_id"), col("lang"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang").as("tagged_lang"),
+        coalesce(col("cand_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("hits"), lit(0L)).as("marker_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality signals: token count, alpha-char ratio, stopword ratio,
+    * punctuation count, and a bounded composite score — pure rational
+    * arithmetic so the oracle matches bit-for-bit after round(6). */
+  private def textQuality(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("toks", TextOps.tokens("text"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_alpha", length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long"))
+      .withColumn("n_stop", expr(
+        "cast(size(filter(toks, t -> t in ('the', 'a', 'of', 'and', 'in'))) as long)"))
+      .withColumn("n_punct", (length(col("text"))
+        - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("n_alpha").cast("double") / greatest(length(col("text")), lit(1)), 6).as("alpha_ratio"),
+        round(col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1L)), 6).as("stop_ratio"),
+        col("n_punct"),
+        round(least(col("n_tokens"), lit(50L)).cast("double") / 50.0
+          * (lit(1.0) - col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1L))), 6)
+          .as("quality_score"))
+      .orderBy(col("doc_id"))
+
+  /** Token counting: regex tokens (word / number / symbol — BPE-ish
+    * pre-tokenization), whitespace tokens, distinct words. */
+  private def textTokenCount(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(
+        col("doc_id"),
+        expr("cast(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) as long)")
+          .as("n_tokens"),
+        expr("cast(size(split(trim(text), ' +')) as long)").as("n_ws_tokens"),
+        expr("cast(size(array_distinct(regexp_extract_all(lower(text), '[a-z]+', 0))) as long)")
+          .as("n_distinct_words"))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprint: min-hash winnowing over 8-gram shingles — the
+    * minimum md5 is a stable content fingerprint robust to shingle order. */
+  private def textFingerprint(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("sh", TextOps.charShingles("text", 8))
+      .select(col("doc_id"),
+        expr("array_min(transform(sh, x -> md5(x)))").as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  // -------------------------------------------------------------- multimodal
+  /** Binary-column metadata pass: byte length + header bytes, computed on
+    * the opaque payload (the decode-free part every media pipeline runs). */
+  private def multimodalMetadata(s: SparkSession, d: String): DataFrame =
+    Multimodal.asBinaryTable(docs(s, d))
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        substring(hex(col("payload")), 1, 16).as("header_hex"),
+        col("meta.lang").as("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Partition-batched decode via the stub codec (real plumbing, fake
+    * pixels — see Multimodal.decodeStub). */
+  private def multimodalDecode(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeAll(s, Multimodal.asBinaryTable(docs(s, d)))
+      .toDF()
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------------ wiring
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_embedding" -> (dedupEmbedding _),
+    "similarity_topk" -> (similarityTopK _),
+    "similarity_ann" -> (similarityAnn _),
+    "text_lang_id" -> (textLangId _),
+    "text_quality" -> (textQuality _),
+    "text_token_count" -> (textTokenCount _),
+    "text_fingerprint" -> (textFingerprint _),
+    "multimodal_metadata" -> (multimodalMetadata _),
+    "multimodal_decode" -> (multimodalDecode _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_md5,
+        |       min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, source, lang, g FROM (
+        |    SELECT doc_id, source, lang,
+        |           unnest(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+        |                                 i -> substr(text, CAST(i AS INT), 3))) AS g
+        |    FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM sh a JOIN sh b
+        |    ON a.source = b.source AND a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b,
+        |       round(i.common * 1.0 / (sa.n + sb.n - i.common), 6) AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON sa.doc_id = i.doc_a
+        |JOIN sizes sb ON sb.doc_id = i.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "similarity_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.qid, e.vec_id,
+        |         list_sum(list_transform(generate_series(1, len(q.qe)),
+        |                                 i -> q.qe[i]::DOUBLE * e.embedding[i]::DOUBLE)) AS dot,
+        |         list_sum(list_transform(generate_series(1, len(q.qe)),
+        |                                 i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE)) AS n1,
+        |         list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |                                 i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) AS n2
+        |  FROM q, embeddings e WHERE q.qid <> e.vec_id),
+        |r AS (
+        |  SELECT qid, vec_id, round(dot / (sqrt(n1) * sqrt(n2)), 6) AS cosine,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY round(dot / (sqrt(n1) * sqrt(n2)), 6) DESC, vec_id) AS rn
+        |  FROM p)
+        |SELECT qid, vec_id AS neighbor, cosine FROM r WHERE rn <= 5
+        |ORDER BY qid, neighbor""".stripMargin,
+    "text_lang_id" ->
+      """WITH markers(cand_lang, tok) AS (VALUES
+        |  ('en','the'), ('en','a'), ('en','of'), ('en','and'),
+        |  ('de','der'), ('de','die'), ('de','und'), ('de','das'),
+        |  ('fr','le'), ('fr','les'), ('fr','et'), ('fr','une'),
+        |  ('es','el'), ('es','los'), ('es','una'), ('es','y')),
+        |toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, cand_lang, count(*) AS hits,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, cand_lang) AS rn
+        |  FROM toks JOIN markers USING (tok)
+        |  GROUP BY doc_id, cand_lang)
+        |SELECT d.doc_id, d.lang AS tagged_lang,
+        |       coalesce(h.cand_lang, 'und') AS pred_lang,
+        |       coalesce(h.hits, 0) AS marker_hits
+        |FROM documents d LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |         regexp_extract_all(lower(text), '[a-z]+') AS toks,
+        |         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+        |         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, n_alpha, n_punct, len(toks) AS n_tokens,
+        |         len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS n_stop
+        |  FROM b)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       round(n_alpha * 1.0 / greatest(length(text), 1), 6) AS alpha_ratio,
+        |       round(n_stop * 1.0 / greatest(n_tokens, 1), 6) AS stop_ratio,
+        |       CAST(n_punct AS BIGINT) AS n_punct,
+        |       round(least(n_tokens, 50) / 50.0 * (1.0 - n_stop * 1.0 / greatest(n_tokens, 1)), 6)
+        |         AS quality_score
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+        |       CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_ws_tokens,
+        |       CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS n_distinct_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |       list_min(list_transform(
+        |         list_distinct(list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+        |                                      i -> substr(text, CAST(i AS INT), 8))),
+        |         s -> md5(s))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_metadata" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       substr(hex(encode(text)), 1, 16) AS header_hex, lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{UserDefinedFunction, Window}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exactness baseline, random-hyperplane LSH
+  * buckets as the scale path (candidates from bucket joins, exact cosine only
+  * on candidates — never all-pairs at corpus scale).
+  *
+  * The cosine itself is pure built-ins (`zip_with` + `aggregate`) so it stays
+  * inside whole-stage codegen; only the hyperplane signer is a UDF.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<double> columns via codegen'd HOFs. */
+  def cosine(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
+      (sqrt(expr(s"aggregate(zip_with($a, $a, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")) *
+       sqrt(expr(s"aggregate(zip_with($b, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")))
+
+  /** Brute-force top-k: broadcast the (small) query set against the corpus.
+    * One shuffle (the per-query top-k); |queries|·|corpus| comparisons — the
+    * BASELINE to validate ANN recall against, not the 100-TB path. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cosine", round(cosine("qe", "emb"), 6))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"))
+  }
+
+  /** Random-hyperplane signer: per table, a `bits`-bit code of dot-product
+    * signs against Gaussian hyperplanes drawn once from `seed`. Two vectors
+    * at angle θ agree on one bit w.p. 1 − θ/π; `tables` independent tables
+    * trade memory for recall. */
+  def hyperplaneUdf(tables: Int, bits: Int, dim: Int, seed: Long): UserDefinedFunction = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(tables, bits, dim)(rnd.nextGaussian())
+    udf { emb: Seq[Float] =>
+      val arr = emb.toArray
+      (0 until tables).map { t =>
+        var code = 0L
+        var b = 0
+        while (b < bits) {
+          var dot = 0.0
+          var i = 0
+          val n = math.min(dim, arr.length)
+          while (i < n) { dot += planes(t)(b)(i) * arr(i); i += 1 }
+          if (dot >= 0) code |= (1L << b)
+          b += 1
+        }
+        code
+      }
+    }
+  }
+
+  /** (vec_id, table, code) bucket rows for the corpus. */
+  def buckets(df: DataFrame, tables: Int, bits: Int, dim: Int, seed: Long): DataFrame =
+    df.select(col("vec_id"),
+      posexplode(hyperplaneUdf(tables, bits, dim, seed)(col("embedding"))).as(Seq("tbl", "code")))
+
+  /** ANN top-k: candidates = corpus vectors sharing ANY (table, code) bucket
+    * with the query, with Hamming-radius-1 MULTIPROBE on the query side
+    * (each query also probes the `bits` codes one bit-flip away — the
+    * standard recall boost that costs bits+1 probe rows per query, not a
+    * bigger index). Exact cosine only on candidates. Returns one row per
+    * (query, neighbor) plus the per-query candidate count (the pruning
+    * evidence). */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              tables: Int = 8, bits: Int = 8, dim: Int = 64,
+              seed: Long = 42L): DataFrame = {
+    val cb = buckets(corpus, tables, bits, dim, seed)
+    val qb = buckets(queries, tables, bits, dim, seed)
+      .withColumnRenamed("vec_id", "qid")
+      .select(col("qid"), col("tbl"), explode(expr(
+        s"array_union(array(code), transform(sequence(0, ${bits - 1}), " +
+          "i -> code ^ shiftleft(cast(1 as bigint), cast(i as int))))")).as("code"))
+    val cand = qb.join(cb, Seq("tbl", "code"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"))
+      .distinct()
+    val nCand = cand.groupBy(col("qid")).agg(count(lit(1)).as("n_candidates"))
+    val c = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
+    val scored = cand
+      .join(c, "vec_id")
+      .join(broadcast(q), "qid")
+      .withColumn("cosine", round(cosine("qe", "emb"), 6))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .join(nCand, "qid")
+      .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"), col("n_candidates"))
+  }
+}

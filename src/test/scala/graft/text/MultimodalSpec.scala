@@ -1,0 +1,52 @@
+package graft.text
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The multimodal plumbing contract: binary payload + metadata struct in,
+  * fixed decoded schema out, deterministic stub values, partition-batched
+  * execution. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "hello world", "en", "src0", 11L),
+    (1L, "", "en", "src1", 0L),
+    (2L, "ABC", "de", "src2", 3L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("binary table carries payload bytes + typed metadata") {
+    val bt = Multimodal.asBinaryTable(docs)
+    assert(bt.schema("payload").dataType.typeName == "binary")
+    val r = bt.filter(col("doc_id") === 0L).select(octet_length(col("payload")), col("meta.lang")).head()
+    assert(r.getInt(0) == 11 && r.getString(1) == "en")
+  }
+
+  test("decode stub is deterministic and matches a hand computation") {
+    val out = Multimodal.decodeAll(spark, Multimodal.asBinaryTable(docs))
+      .collect().map(d => d.doc_id -> d).toMap
+    // "hello world": h=0x68 → width 16+(0x68%16)*4 = 48; e=0x65 → height 16+5*4=36
+    assert(out(0L).width == 48 && out(0L).height == 36)
+    assert(out(0L).n_bytes == 11)
+    assert(out(0L).header_hex == "68656C6C6F20776F")
+    val mean = "hello world".getBytes.map(_ & 0xff).sum.toDouble / 11
+    assert(math.abs(out(0L).mean_byte - mean) < 1e-6)
+    // empty payload degrades gracefully
+    assert(out(1L).n_bytes == 0 && out(1L).mean_byte == 0.0)
+    // re-run → identical (determinism)
+    val again = Multimodal.decodeAll(spark, Multimodal.asBinaryTable(docs))
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(again == out)
+  }
+
+  test("decode runs per-partition (mapPartitions plumbing survives repartition)") {
+    val many = (0L until 100L).map(i => (i, s"payload number $i", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(7)
+    val out = Multimodal.decodeAll(spark, Multimodal.asBinaryTable(many))
+    assert(out.count() == 100L)
+    assert(out.select(countDistinct(col("doc_id"))).head().getLong(0) == 100L)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.text
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN quality gate: the LSH-bucketed top-k must recall a healthy fraction
+  * of the brute-force top-k on the driver's embeddings fixture, while
+  * provably pruning (candidates ≪ corpus). */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def embeddings = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("brute-force cosine top-k is deterministic and self-consistent") {
+    val e = embeddings
+    val q = e.filter(col("vec_id") < 5)
+    val topk = Similarity.bruteForceTopK(e, q, k = 3).collect()
+    assert(topk.length == 15)
+    // cosine within [-1, 1]; neighbors never the query itself
+    assert(topk.forall(r => math.abs(r.getDouble(2)) <= 1.000001))
+    assert(topk.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
+  test("ANN recalls most of the brute-force top-10 with far fewer comparisons") {
+    val e = embeddings
+    val q = e.filter(col("vec_id") < 20)
+    val n = e.count()
+    val exact = Similarity.bruteForceTopK(e, q, k = 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = Similarity.annTopK(e, q, k = 10).collect()
+    val annSets = approx.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.keys.toSeq.map { qid =>
+      val got = annSets.getOrElse(qid, Set.empty)
+      got.intersect(exact(qid)).size.toDouble / exact(qid).size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.4, s"mean recall@10 = $meanRecall")
+    // pruning evidence: every query examined well under the full corpus
+    val cands = approx.map(_.getLong(3)).max
+    assert(cands < n, s"candidate count $cands did not prune (corpus $n)")
+  }
+
+  test("embedding near-dup: a duplicated vector is found at cosine ~1") {
+    import spark.implicits._
+    // plant an exact duplicate pair in a small synthetic corpus
+    val vecs = (0 until 50).map { i =>
+      val v = Array.tabulate(64)(j => math.sin(i * 64 + j).toFloat)
+      (i.toLong, v.toSeq)
+    } :+ (50L, Array.tabulate(64)(j => math.sin(0 * 64 + j).toFloat).toSeq)
+    val df = vecs.toDF("vec_id", "embedding")
+    val near = Similarity.annTopK(df, df, k = 1)
+      .filter(col("cosine") >= 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.contains((0L, 50L)) && near.contains((50L, 0L)),
+      s"planted duplicate not found: $near")
+  }
+}
