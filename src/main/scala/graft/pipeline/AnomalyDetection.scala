@@ -152,7 +152,11 @@ object AnomalyDetection {
   // JSON replaces the reference's dill pickle (detection.py:166-243):
   // library.json has one row per cluster PFSA, meta.json one row of params +
   // fitted stats — readable anywhere, no code-version coupling.
-  private case class LibRow(cluster: Int, conn: Seq[Seq[Int]], pitilde: Seq[Seq[Double]],
+  // Matrices are stored FLAT (row-major) + dimensions: Spark 4's codegen'd
+  // deserializer for nested Seq[Seq[_]] trips a Janino visibility bug
+  // (falls back to interpreted with a noisy stack trace); flat Seqs don't.
+  private case class LibRow(cluster: Int, nStates: Int, k: Int,
+      connFlat: Seq[Int], pitildeFlat: Seq[Double],
       symFrq: Seq[Double], annErr: Double, mrgEps: Double, synStr: Seq[Int])
   private case class MetaRow(anomalySensitivity: Double, nClusters: Int,
       reduceClusters: Boolean, quantize: Boolean, quantizeType: String,
@@ -163,7 +167,8 @@ object AnomalyDetection {
   def save(spark: SparkSession, model: Model, path: String): Unit = {
     import spark.implicits._
     val lib = model.library.zipWithIndex.map { case (p, i) =>
-      LibRow(i, p.conn.map(_.toSeq).toSeq, p.pitilde.map(_.toSeq).toSeq,
+      LibRow(i, p.numStates, p.alphabetSize,
+        p.conn.flatten.toSeq, p.pitilde.flatten.toSeq,
         p.symFrq.toSeq, p.annErr, p.mrgEps, p.synStr.getOrElse(Seq.empty))
     }
     lib.toDS().coalesce(1).write.mode("overwrite").json(s"$path/library.json")
@@ -185,7 +190,9 @@ object AnomalyDetection {
     val lib = spark.read.schema(Encoders.product[LibRow].schema)
       .json(s"$path/library.json").as[LibRow].collect()
       .sortBy(_.cluster)
-      .map(r => Pfsa(r.conn.map(_.toArray).toArray, r.pitilde.map(_.toArray).toArray,
+      .map(r => Pfsa(
+        r.connFlat.toArray.grouped(r.k).toArray,
+        r.pitildeFlat.toArray.grouped(r.k).toArray,
         r.symFrq.toArray, r.annErr, r.mrgEps, Some(r.synStr).filter(_.nonEmpty)))
     Model(
       Params(meta.anomalySensitivity, meta.nClusters, meta.reduceClusters,

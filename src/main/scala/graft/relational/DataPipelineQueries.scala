@@ -36,20 +36,38 @@ object DataPipelineQueries {
     * candidates. Emits one row per doc (never empty): its candidate count
     * and best-verified duplicate, if any. */
   private def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    // signatures are consumed by banding AND by the verify join below, and
+    // the verified pairs fan out into four branches (both directions ×
+    // candidate-count + best-match) — persist both so the shingle/signature
+    // UDF and the bucket self-join each run exactly once
     val base = docs(s, d)
       .select(col("doc_id"), TextOps.normalized("text").as("norm"))
       .withColumn("sh", TextOps.charShingles("norm", 5))
     val sig = base.withColumn("sig", TextOps.minhashSigUdf(64, 42L)(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = TextOps.candidatePairs(
       TextOps.bandBuckets(sig, "doc_id", "sig", bands = 16, rowsPerBand = 4), "doc_id")
-    val shapes = base.select(col("doc_id"), col("sh"))
-    val verified = pairs
+    // two-stage verify: (1) signature agreement — a 64-long zip, two orders
+    // of magnitude cheaper than intersecting ~300-string shingle sets —
+    // prunes the band noise floor (word-soup corpora share many 5-grams, so
+    // banding alone over-generates); (2) exact Jaccard on the survivors only
+    val sigs = sig.select(col("doc_id"), col("sig"))
+    val estimated = pairs
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("agree", expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
+      .filter(col("agree") >= 24) // est. Jaccard ≥ ~0.375
+      .select(col("id_a"), col("id_b"))
+    val shapes = sig.select(col("doc_id"), col("sh"))
+    val verified = estimated
       .join(shapes.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shapes.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))), 6))
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val directed = verified.select(col("id_a").as("doc_id"), col("id_b").as("partner"), col("jaccard"))
       .union(verified.select(col("id_b").as("doc_id"), col("id_a").as("partner"), col("jaccard")))
     val nCand = directed.groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
