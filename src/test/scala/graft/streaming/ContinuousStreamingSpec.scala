@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.core.Pfsa
+import graft.pipeline.ContinuousDetection
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** True incremental execution of the online loop: the PFSA library lives in
+  * flatMapGroupsWithState keyed state, so a pattern born in trigger 1 must
+  * explain windows arriving in trigger 2 — the property that distinguishes
+  * stateful streaming from per-batch recomputation. */
+class ContinuousStreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("pattern library persists across streaming triggers") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Seq[Byte])]
+    val p = ContinuousDetection.Params(
+      windowSize = 1000, windowOverlap = 0, anomalySensitivity = 3.0,
+      quantize = false, eps = 0.05, bootstrapRepeats = 50)
+    val query = ContinuousStreaming.scores(input.toDS(), p)
+      .writeStream.format("memory").queryName("cont_scores")
+      .outputMode("append").start()
+    try {
+      // trigger 1: three M2 windows → bootstrap at window 0, no more births
+      input.addData((0 until 3).map(i =>
+        (0L, i.toLong, Pfsa.m2.sample(1000, seed = 50 + i).toSeq)): _*)
+      query.processAllAvailable()
+      val t1 = spark.table("cont_scores").collect()
+        .map(r => (r.getLong(1), r.getBoolean(2), r.getInt(4), r.getInt(5))).sortBy(_._1)
+      assert(t1.map(_._1).toSeq == Seq(0L, 1L, 2L))
+      assert(t1.head._2 && t1.head._4 == 1, "window 0 must bootstrap pattern 0")
+      assert(t1.tail.forall(r => !r._2 && r._3 == 0), "M2 windows must ride pattern 0")
+
+      // trigger 2: two M2_u windows → ONE new pattern, born against the
+      // library carried over in state (n_patterns goes 1 → 2, not back to 1)
+      input.addData(
+        (0L, 3L, Pfsa.m2u.sample(1000, seed = 60).toSeq),
+        (0L, 4L, Pfsa.m2u.sample(1000, seed = 61).toSeq))
+      query.processAllAvailable()
+      val t2 = spark.table("cont_scores").collect()
+        .map(r => (r.getLong(1), r.getBoolean(2), r.getInt(4), r.getInt(5))).sortBy(_._1)
+      val w3 = t2.find(_._1 == 3L).get
+      val w4 = t2.find(_._1 == 4L).get
+      assert(w3._2 && w3._4 == 2,
+        s"window 3 must birth pattern 1 against the persisted library: $w3")
+      assert(!w4._2 && w4._3 == 1,
+        s"window 4 must be explained by the pattern born last trigger: $w4")
+    } finally query.stop()
+  }
+}
