@@ -148,6 +148,13 @@ object AnomalyDetection {
       .select(col("seq_id"), col("is_anomaly"), col("closest"), col("llk"))
   }
 
+  /** print_PFSAs parity (reference detection.py:246-254): the fitted
+    * library in the reference text form, one block per cluster. */
+  def describePfsas(model: Model): String =
+    model.library.zipWithIndex.map { case (p, i) =>
+      s"PFSA $i\nMean LLK: ${model.llkMeans(i)}\nStd LLK: ${model.llkStds(i)}\n${p.toText}"
+    }.mkString("\n")
+
   // ------------------------------------------------------------- persistence
   // JSON replaces the reference's dill pickle (detection.py:166-243):
   // library.json has one row per cluster PFSA, meta.json one row of params +
