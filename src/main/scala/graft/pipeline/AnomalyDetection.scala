@@ -159,17 +159,10 @@ object AnomalyDetection {
   // JSON replaces the reference's dill pickle (detection.py:166-243):
   // library.json has one row per cluster PFSA, meta.json one row of params +
   // fitted stats — readable anywhere, no code-version coupling.
-  // Matrices are stored FLAT (row-major) + dimensions: Spark 4's codegen'd
-  // deserializer for nested Seq[Seq[_]] trips a Janino visibility bug
-  // (falls back to interpreted with a noisy stack trace); flat Seqs don't.
-  private case class LibRow(cluster: Int, nStates: Int, k: Int,
-      connFlat: Seq[Int], pitildeFlat: Seq[Double],
-      symFrq: Seq[Double], annErr: Double, mrgEps: Double, synStr: Seq[Int])
-  private case class MetaRow(anomalySensitivity: Double, nClusters: Int,
-      reduceClusters: Boolean, quantize: Boolean, quantizeType: String,
-      nSymbols: Int, eps: Double, kmeansSeed: Long, cutoffs: Seq[Double],
-      detrend: Boolean, hasComplex: Boolean, alphabetSize: Int,
-      llkMeans: Seq[Double], llkStds: Seq[Double])
+  // The row case classes live at package level (ModelRows.scala): codegen'd
+  // encoders generate bytecode OUTSIDE this object, so object-private
+  // classes make Janino fail compilation ("Private member cannot be
+  // accessed") and fall back to interpreted with a noisy stack trace.
 
   def save(spark: SparkSession, model: Model, path: String): Unit = {
     import spark.implicits._
@@ -189,22 +182,36 @@ object AnomalyDetection {
   }
 
   def load(spark: SparkSession, path: String): Model = {
-    import spark.implicits._
-    import org.apache.spark.sql.Encoders
-    // explicit schemas: JSON inference would widen int → bigint
+    import org.apache.spark.sql.{Encoders, Row}
+    // explicit schemas (JSON inference would widen int → bigint); generic
+    // Row collect, NOT .as[caseClass] — the typed deserializer for Seq
+    // fields trips a Janino codegen bug in this Spark build and spams a
+    // fallback stack trace on every load
+    def seqD(r: Row, f: String): Seq[Double] = r.getAs[scala.collection.Seq[Double]](f).toSeq
+    def seqI(r: Row, f: String): Seq[Int] = r.getAs[scala.collection.Seq[Int]](f).toSeq
     val meta = spark.read.schema(Encoders.product[MetaRow].schema)
-      .json(s"$path/meta.json").as[MetaRow].head()
+      .json(s"$path/meta.json").collect().head
     val lib = spark.read.schema(Encoders.product[LibRow].schema)
-      .json(s"$path/library.json").as[LibRow].collect()
-      .sortBy(_.cluster)
-      .map(r => Pfsa(
-        r.connFlat.toArray.grouped(r.k).toArray,
-        r.pitildeFlat.toArray.grouped(r.k).toArray,
-        r.symFrq.toArray, r.annErr, r.mrgEps, Some(r.synStr).filter(_.nonEmpty)))
+      .json(s"$path/library.json").collect()
+      .sortBy(_.getAs[Int]("cluster"))
+      .map { r =>
+        val k = r.getAs[Int]("k")
+        Pfsa(
+          seqI(r, "connFlat").toArray.grouped(k).toArray,
+          seqD(r, "pitildeFlat").toArray.grouped(k).toArray,
+          seqD(r, "symFrq").toArray,
+          r.getAs[Double]("annErr"), r.getAs[Double]("mrgEps"),
+          Some(seqI(r, "synStr")).filter(_.nonEmpty))
+      }
     Model(
-      Params(meta.anomalySensitivity, meta.nClusters, meta.reduceClusters,
-        meta.quantize, meta.quantizeType, meta.nSymbols, meta.eps, meta.kmeansSeed),
-      if (meta.hasComplex) Some(Quantize.ComplexModel(meta.cutoffs.toArray, meta.detrend)) else None,
-      meta.alphabetSize, lib.toIndexedSeq, meta.llkMeans.toArray, meta.llkStds.toArray)
+      Params(meta.getAs[Double]("anomalySensitivity"), meta.getAs[Int]("nClusters"),
+        meta.getAs[Boolean]("reduceClusters"), meta.getAs[Boolean]("quantize"),
+        meta.getAs[String]("quantizeType"), meta.getAs[Int]("nSymbols"),
+        meta.getAs[Double]("eps"), meta.getAs[Long]("kmeansSeed")),
+      if (meta.getAs[Boolean]("hasComplex"))
+        Some(Quantize.ComplexModel(seqD(meta, "cutoffs").toArray, meta.getAs[Boolean]("detrend")))
+      else None,
+      meta.getAs[Int]("alphabetSize"), lib.toIndexedSeq,
+      seqD(meta, "llkMeans").toArray, seqD(meta, "llkStds").toArray)
   }
 }
