@@ -117,7 +117,12 @@ object DataPipelineQueries {
 
   /** n-gram Jaccard within (source, lang) blocks — the fully relational,
     * oracle-checkable dedup: distinct trigrams as rows, pairs via a
-    * shingle-key join inside blocks (bounded block size bounds the pairs). */
+    * shingle-key join inside blocks (bounded block size bounds the pairs).
+    *
+    * Scale note: pairwise-within-block is the VERIFY stage of a dedup
+    * pipeline — it is quadratic in block size, so at 100-TB scale blocks
+    * must come from a candidate generator (dedup_minhash's banded buckets),
+    * not from raw metadata partitions whose size grows with the corpus. */
   private def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = docs(s, d)
       .select(col("doc_id"), col("source"), col("lang"),
@@ -166,6 +171,14 @@ object DataPipelineQueries {
   private def similarityAnn(s: SparkSession, d: String): DataFrame = {
     val e = embeds(s, d)
     Similarity.annTopK(e, e.filter(col("vec_id") < 10), k = 5)
+      .orderBy(col("qid"), col("neighbor"))
+  }
+
+  /** IVF-cell approximate top-5 — the data-adaptive ANN scale path (coarse
+    * KMeans quantizer + nProbe cell probes + exact re-rank). */
+  private def similarityIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embeds(s, d)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5)
       .orderBy(col("qid"), col("neighbor"))
   }
 
@@ -271,6 +284,7 @@ object DataPipelineQueries {
     "dedup_embedding" -> (dedupEmbedding _),
     "similarity_topk" -> (similarityTopK _),
     "similarity_ann" -> (similarityAnn _),
+    "similarity_ivf" -> (similarityIvf _),
     "text_lang_id" -> (textLangId _),
     "text_quality" -> (textQuality _),
     "text_token_count" -> (textTokenCount _),

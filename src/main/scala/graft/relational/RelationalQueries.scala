@@ -190,16 +190,22 @@ object RelationalQueries {
       .orderBy(col("event_type"))
 
   /** reference detection.py:341-347: relabel clusters by descending size.
-    * The window runs AFTER the aggregation, over ≤ |event_type| rows (a
-    * domain constant, ~20) — the constant partition key keeps that
-    * provably-tiny relation on one partition without tripping the
-    * unpartitioned-window planner warning. */
-  private def aggRankRelabel(s: SparkSession, d: String): DataFrame =
+    * The rank runs on the driver over the collected k-row aggregate
+    * (k = |event_type|, a domain constant, ~20 — bounded regardless of data
+    * size), so no single-partition window exchange exists anywhere in the
+    * plan. A constant partition key does NOT work here: Catalyst folds it
+    * away and WindowExec still sees an empty partition spec. */
+  private def aggRankRelabel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     events(s, d).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-      .select(col("event_type"),
-        (row_number().over(Window.partitionBy(lit(0)).orderBy(col("n").desc, col("event_type"))) - 1)
-          .cast("long").as("new_label"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, n) => (-n, t) }
+      .zipWithIndex
+      .map { case ((t, _), i) => (t, i.toLong) }
+      .toSeq.toDF("event_type", "new_label")
       .orderBy(col("new_label"))
+  }
 
   /** reference detection.py:152: per sequence, cluster with min llk. */
   private def aggArgminClosest(s: SparkSession, d: String): DataFrame = {

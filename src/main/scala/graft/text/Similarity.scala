@@ -1,5 +1,7 @@
 package graft.text
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.{UserDefinedFunction, Window}
 import org.apache.spark.sql.functions._
@@ -94,6 +96,52 @@ object Similarity {
       .join(broadcast(q), "qid")
       .withColumn("cosine", round(cosine("qe", "emb"), 6))
     scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .join(nCand, "qid")
+      .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"), col("n_candidates"))
+  }
+
+  /** IVF (inverted-file) ANN — the data-adaptive alternative to hyperplane
+    * LSH: a coarse KMeans quantizer partitions the corpus into `nCells`
+    * cells; each query probes its `nProbe` nearest cells and re-ranks
+    * exactly inside them. At scale the corpus-side assignment is one MLlib
+    * pass, the cell join is key-partitioned, and candidates per query are
+    * ~nProbe·|corpus|/nCells. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+    val toVec = udf { emb: Seq[Float] => Vectors.dense(emb.map(_.toDouble).toArray) }
+    val cf = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("features", toVec(col("embedding")))
+    val km = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(cf)
+    val cells = model.transform(cf).select(col("vec_id"), col("cell"))
+    val centers = model.clusterCenters.map(_.toArray)
+    val bc = corpus.sparkSession.sparkContext.broadcast(centers)
+    val probeUdf = udf { emb: Seq[Float] =>
+      val x = emb.map(_.toDouble).toArray
+      bc.value.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        val n = math.min(c.length, x.length)
+        while (j < n) { val t = c(j) - x(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2).toSeq
+    }
+    val qCells = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("cell", explode(probeUdf(col("qe"))))
+    val cand = qCells.join(cells, "cell")
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id")).distinct()
+    val nCand = cand.groupBy(col("qid")).agg(count(lit(1)).as("n_candidates"))
+    val c = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
+    cand
+      .join(c, "vec_id")
+      .join(broadcast(q), "qid")
+      .withColumn("cosine", round(cosine("qe", "emb"), 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("rn") <= k)

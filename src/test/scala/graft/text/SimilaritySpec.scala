@@ -42,6 +42,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cands < n, s"candidate count $cands did not prune (corpus $n)")
   }
 
+  test("IVF recalls most of the brute-force top-10 with cell-bounded candidates") {
+    val e = embeddings
+    val q = e.filter(col("vec_id") < 20)
+    val n = e.count()
+    val exact = Similarity.bruteForceTopK(e, q, k = 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = Similarity.ivfTopK(e, q, k = 10).collect()
+    val ivfSets = approx.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.keys.toSeq.map { qid =>
+      ivfSets.getOrElse(qid, Set.empty).intersect(exact(qid)).size.toDouble / exact(qid).size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.4, s"IVF mean recall@10 = $meanRecall")
+    assert(approx.map(_.getLong(3)).max < n, "IVF candidates did not prune")
+  }
+
   test("embedding near-dup: a duplicated vector is found at cosine ~1") {
     import spark.implicits._
     // plant an exact duplicate pair in a small synthetic corpus
