@@ -46,4 +46,44 @@ object ContinuousStreaming {
           out.iterator
       }
   }
+
+  /** Same online loop fed by a RAW symbol stream `(stream_id, t, symbol)` —
+    * window assembly happens inside the state handler: per key, symbols are
+    * buffered until `windowSize` accumulate, each completed window runs
+    * [[ContinuousDetection.step]], and the buffer keeps `windowOverlap`
+    * symbols of carry. State = (library, carry buffer ≤ windowSize, next
+    * window id) — bounded per stream regardless of stream length.
+    *
+    * Same ordering contract as [[scores]]: in-order delivery across
+    * triggers, `t` contiguous per stream. */
+  def scoresFromSymbols(symbols: Dataset[(Long, Long, Byte)],
+                        p: Params): Dataset[WindowScore] = {
+    import symbols.sparkSession.implicits._
+    val stride = p.windowSize - p.windowOverlap
+    implicit val stateEnc: Encoder[(Vector[LibEntry], Seq[Byte], Long)] =
+      Encoders.kryo[(Vector[LibEntry], Seq[Byte], Long)]
+    symbols
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sid: Long, it: Iterator[(Long, Long, Byte)],
+         state: GroupState[(Vector[LibEntry], Seq[Byte], Long)]) =>
+          var (lib, carry, nextWin) =
+            state.getOption.getOrElse((Vector.empty[LibEntry], Seq.empty[Byte], 0L))
+          val buf = scala.collection.mutable.ArrayBuffer[Byte](carry: _*)
+          buf ++= it.toArray.sortBy(_._2).map(_._3)
+          val out = scala.collection.mutable.ArrayBuffer[WindowScore]()
+          while (buf.length >= p.windowSize) {
+            val win = buf.take(p.windowSize).toArray
+            val (next, emerged, llk, closest) =
+              ContinuousDetection.step(lib, win, p,
+                seedBase = p.seed + sid * 7919L + nextWin * 104729L)
+            lib = next
+            out += WindowScore(sid, nextWin, emerged, llk, closest, lib.size)
+            nextWin += 1
+            buf.remove(0, stride)
+          }
+          state.update((lib, buf.toSeq, nextWin))
+          out.iterator
+      }
+  }
 }

@@ -50,4 +50,37 @@ class ContinuousStreamingSpec extends AnyFunSuite {
         s"window 4 must be explained by the pattern born last trigger: $w4")
     } finally query.stop()
   }
+
+  test("raw-symbol ingestion assembles windows in state and matches batch replay") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val p = ContinuousDetection.Params(
+      windowSize = 1000, windowOverlap = 200, anomalySensitivity = 3.0,
+      quantize = false, eps = 0.05, bootstrapRepeats = 50)
+    val stream = Pfsa.m2.sample(2600, seed = 21L) ++ Pfsa.m2u.sample(2600, seed = 22L)
+
+    val input = MemoryStream[(Long, Long, Byte)]
+    val query = ContinuousStreaming.scoresFromSymbols(input.toDS(), p)
+      .writeStream.format("memory").queryName("raw_scores")
+      .outputMode("append").start()
+    try {
+      // feed in two triggers split at an awkward mid-window boundary
+      val rows = stream.zipWithIndex.map { case (s, t) => (0L, t.toLong, s) }
+      input.addData(rows.take(1700).toSeq: _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(1700).toSeq: _*)
+      query.processAllAvailable()
+      val got = spark.table("raw_scores").collect()
+        .map(r => (r.getLong(1), r.getBoolean(2), r.getInt(4), r.getInt(5))).sortBy(_._1)
+
+      val long = stream.zipWithIndex
+        .map { case (s, t) => (0L, t.toLong, s.toDouble) }.toSeq
+        .toDF("seq_id", "t", "value")
+      val want = ContinuousDetection.fitStream(spark, long, p).collect()
+        .map(r => (r.getLong(1), r.getBoolean(2), r.getInt(4), r.getInt(5))).sortBy(_._1)
+      assert(got.toSeq == want.toSeq,
+        s"streaming assembly diverged:\n got=${got.toSeq}\nwant=${want.toSeq}")
+      assert(got.nonEmpty)
+    } finally query.stop()
+  }
 }
