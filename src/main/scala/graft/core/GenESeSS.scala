@@ -54,32 +54,25 @@ object GenESeSS {
   /** Distributed derivative-heap counting: for every sequence and position,
     * emit (context y of length 1..L, next symbol); one groupBy produces the
     * empirical φ̂_y counts. `seqs` must have `cluster` and `symbols` columns;
-    * output: (cluster, ctx, nxt, cnt). */
-  def ngramCounts(seqs: DataFrame, maxCtxLen: Int): DataFrame = {
-    val emit = udf { symbols: Seq[Byte] =>
-      val arr = symbols.toArray // Seq may be a List — index it and it's O(n²)
-      val d = arr.length
-      val out = new mutable.ArrayBuffer[(String, Int)](d * maxCtxLen)
-      var t = 1
-      while (t < d) {
-        val lmax = math.min(maxCtxLen, t)
-        val sb = new StringBuilder(lmax)
-        var l = 1
-        while (l <= lmax) {
-          sb.insert(0, enc(arr(t - l)))
-          out += ((sb.toString, arr(t).toInt))
-          l += 1
-        }
-        t += 1
-      }
-      out.toSeq
-    }
+    * output: (cluster, ctx, nxt, cnt).
+    *
+    * The emit is pure built-ins (`sequence`/`transform`/`slice`/`flatten`),
+    * so the hottest stage of inference stays inside whole-stage codegen —
+    * no UDF boxing. Contexts travel as `array<tinyint>` slices and are
+    * re-encoded to the compact string form only at the driver boundary
+    * (inferAll's collect). */
+  def ngramCounts(seqs: DataFrame, maxCtxLen: Int): DataFrame =
     seqs
-      .select(col("cluster"), explode(emit(col("symbols"))).as("e"))
-      .select(col("cluster"), col("e._1").as("ctx"), col("e._2").as("nxt"))
+      // sequence(1, 0) would run DESCENDING — drop <2-symbol sequences first
+      .filter(size(col("symbols")) >= 2)
+      .select(col("cluster"), explode(expr(
+        s"""flatten(transform(sequence(1, size(symbols) - 1), t ->
+           |  transform(sequence(1, least($maxCtxLen, t)), l ->
+           |    struct(slice(symbols, t - l + 1, l) AS ctx,
+           |           element_at(symbols, t + 1) AS nxt))))""".stripMargin)).as("e"))
+      .select(col("cluster"), col("e.ctx").as("ctx"), col("e.nxt").cast("int").as("nxt"))
       .groupBy("cluster", "ctx", "nxt")
       .agg(count(lit(1)).as("cnt"))
-  }
 
   /** Driver-side finish for one cluster: heap → (conn, states, annErr, syn). */
   private final case class Skeleton(
@@ -287,14 +280,16 @@ object GenESeSS {
       .collect()
       .groupBy(_.getInt(0))
       .map { case (cluster, rows) =>
-        val byCtx = rows.groupBy(_.getString(1)).map { case (ctx, rs) =>
-          val dist = new Array[Double](k)
-          var tot = 0L
-          rs.foreach { r => dist(r.getInt(2)) += r.getLong(3).toDouble; tot += r.getLong(3) }
-          var i = 0
-          while (i < k) { dist(i) /= tot; i += 1 }
-          ctx -> (dist, tot)
-        }
+        // driver boundary: array<tinyint> contexts → compact string form
+        val byCtx = rows.groupBy(r => r.getSeq[Byte](1).map(enc).mkString)
+          .map { case (ctx, rs) =>
+            val dist = new Array[Double](k)
+            var tot = 0L
+            rs.foreach { r => dist(r.getInt(2)) += r.getLong(3).toDouble; tot += r.getLong(3) }
+            var i = 0
+            while (i < k) { dist(i) /= tot; i += 1 }
+            ctx -> (dist, tot)
+          }
         cluster -> byCtx
       }
     finally raw.unpersist()
