@@ -82,6 +82,10 @@ object AnomalyDetection {
 
       var k = math.max(1, params.nClusters)
       var (labeled, lib) = inferForK(k)
+      // KMeans may emit fewer distinct labels than requested (duplicate
+      // points); the frequency relabel makes label ids dense, so the
+      // effective k is the library size
+      k = lib.size
 
       // __reduce_clusters fixpoint (detection.py:401-469): merge clusters whose
       // PFSAs confuse each other; driver-side SCC on the tiny k×k matrix.
@@ -96,9 +100,9 @@ object AnomalyDetection {
           val reduced = Cluster.reducedClusterCount(fracs, k)
           if (reduced < k) {
             labeled.unpersist()
-            k = reduced
-            val res = inferForK(k)
+            val res = inferForK(reduced)
             labeled = res._1; lib = res._2
+            k = lib.size
             iter += 1
           } else converged = true
         }

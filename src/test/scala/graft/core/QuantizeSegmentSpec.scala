@@ -39,6 +39,25 @@ class QuantizeSegmentSpec extends AnyFunSuite {
     assert(syms.toSeq == Seq[Byte](0, 1, 2, 3))
   }
 
+  test("complex quantizer detrend: buckets by per-step difference, not level") {
+    // monotone ramp whose STEPS alternate +1 / +10: level-based bucketing
+    // would split low half vs high half; detrend must split small steps vs
+    // big steps regardless of level
+    val steps = (1 to 1000).map(i => if (i % 2 == 1) 1.0 else 10.0)
+    val vals = steps.scanLeft(0.0)(_ + _)
+    val df = longDf(vals)
+    val m = Quantize.fitComplex(df, nBins = 2, detrend = true, relErr = 1e-3)
+    assert(m.cutoffs.length == 1 && m.cutoffs.head >= 1.0 && m.cutoffs.head < 10.0,
+      s"cutoff should separate the step sizes: ${m.cutoffs.toSeq}")
+    val out = Quantize.applyComplex(df, m, "value").orderBy("t")
+      .select("symbol").as[Byte].collect()
+    assert(out(0) == 0) // leading diff coalesces to 0
+    (1 until out.length).foreach { i =>
+      val expect: Byte = if (steps(i - 1) > m.cutoffs.head) 1 else 0
+      assert(out(i) == expect, s"pos $i step ${steps(i - 1)} got ${out(i)}")
+    }
+  }
+
   test("window_segment: stride windows, ragged tail dropped (detection.py:595-613)") {
     // 13 points, size 5, overlap 2 → stride 3 → windows at 0,3,6 (9..13 no: 6+5=11<=13 ok, 9+5=14>13 dropped)
     val df = longDf((0 until 13).map(_.toDouble))

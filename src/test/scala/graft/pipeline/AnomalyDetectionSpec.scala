@@ -81,4 +81,45 @@ class AnomalyDetectionSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(pred.values.forall(!_), "training regime must not be anomalous to itself")
   }
+
+  test("confusion fractions → SCC reduction merges mutually-confused clusters") {
+    import graft.core.Cluster
+    // clusters 0 and 1 split their argmin between models 0/1 BOTH ways
+    // (mutual ≥0.2 edges → one SCC); cluster 2 maps only to itself
+    val llks = Seq(
+      // seq, model0, model1, model2   (cluster 0 members: seqs 0-3)
+      (0L, 0.1, 0.2, 9.0), (1L, 0.1, 0.2, 9.0), (2L, 0.2, 0.1, 9.0), (3L, 0.2, 0.1, 9.0),
+      // cluster 1 members: seqs 4-7, also split between 0 and 1
+      (4L, 0.1, 0.2, 9.0), (5L, 0.2, 0.1, 9.0), (6L, 0.2, 0.1, 9.0), (7L, 0.1, 0.2, 9.0),
+      // cluster 2 members: decisively model 2
+      (8L, 9.0, 9.0, 0.1), (9L, 9.0, 9.0, 0.1))
+      .flatMap { case (s, a, b, c) => Seq((s, 0, a), (s, 1, b), (s, 2, c)) }
+      .toDF("seq_id", "cluster_id", "llk")
+    val members = (Seq.tabulate(4)(i => (i.toLong, 0)) ++
+      Seq.tabulate(4)(i => ((i + 4).toLong, 1)) ++ Seq((8L, 2), (9L, 2)))
+      .toDF("seq_id", "cluster")
+    val fracs = Cluster.confusionFractions(llks, members)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(Cluster.reducedClusterCount(fracs, 3) == 2,
+      s"clusters 0,1 must merge, 2 stays: $fracs")
+  }
+
+  test("fit with reduce_clusters converges and the model explains training data") {
+    // over-clustered two-regime corpus: the fixpoint loop must terminate
+    // with a library no larger than requested and clean training predictions
+    // (whether k actually shrinks depends on how the argmin splits — the
+    // reference's SCC rule only merges MUTUALLY confused clusters)
+    val train = longForm(
+      (0L until 8L).map(i => i -> Pfsa.m2.sample(4000, seed = 700 + i)) ++
+      (8L until 16L).map(i => i -> Pfsa.m2u.sample(4000, seed = 800 + i)))
+    val params = AnomalyDetection.Params(
+      anomalySensitivity = 3.0, nClusters = 4, reduceClusters = true,
+      quantize = false, eps = 0.05)
+    val model = AnomalyDetection.fit(spark, train, params)
+    assert(model.library.size <= 4 && model.library.nonEmpty)
+    assert(model.llkMeans.length == model.library.size)
+    val pred = AnomalyDetection.predict(spark, model, train)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(pred.values.forall(!_), "training data anomalous after reduce loop")
+  }
 }
