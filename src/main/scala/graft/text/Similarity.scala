@@ -91,9 +91,12 @@ object Similarity {
     val nCand = cand.groupBy(col("qid")).agg(count(lit(1)).as("n_candidates"))
     val c = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
+    // no broadcast hint on the query side: callers like embedding self-dedup
+    // pass the WHOLE corpus as queries, where a forced broadcast would be the
+    // scale-killer; AQE broadcasts small query sets on its own
     val scored = cand
       .join(c, "vec_id")
-      .join(broadcast(q), "qid")
+      .join(q, "qid")
       .withColumn("cosine", round(cosine("qe", "emb"), 6))
     scored
       .withColumn("rn", row_number().over(
@@ -140,7 +143,7 @@ object Similarity {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
     cand
       .join(c, "vec_id")
-      .join(broadcast(q), "qid")
+      .join(q, "qid") // no broadcast hint — see annTopK
       .withColumn("cosine", round(cosine("qe", "emb"), 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
