@@ -59,18 +59,26 @@ object Llk {
 
   /** Score every sequence against every model in `library`.
     *
+    * Runs through the native [[graft.functions.LlkScoreAll]] Catalyst
+    * expression — whole-stage-codegen'd, no UDF boxing (SURVEY §4.2 item 1's
+    * upgrade path, done).
+    *
     * @param seqs DataFrame with `seq_id` and `symbols: array<tinyint>`
     * @return (seq_id, cluster_id, llk) — long-form cluster_llks matrix
     *         (reference detection.py:131)
     */
   def scoreAll(spark: SparkSession, seqs: DataFrame, library: Seq[Pfsa]): DataFrame = {
-    val bc = spark.sparkContext.broadcast(library.toArray)
-    val scoreUdf = udf { symbols: Seq[Byte] =>
-      val arr = symbols.toArray
-      bc.value.map(m => llk(arr, m))
-    }
+    import org.apache.spark.sql.graft.ColumnBridge
+    val scores = ColumnBridge.column(
+      graft.functions.LlkScoreAll(ColumnBridge.expression(col("symbols")), library.toArray))
+    // posexplode_OUTER: the plain generate makes InferFiltersFromGenerate
+    // clone the scoring expression into size()/isnotnull filters — the llk
+    // kernel would run 3× per row. Outer generate infers nothing; the
+    // null-guard below is a cheap post-generate filter (only fires for an
+    // empty library, which never happens)
     seqs
-      .withColumn("llks", scoreUdf(col("symbols")))
-      .select(col("seq_id"), posexplode(col("llks")).as(Seq("cluster_id", "llk")))
+      .withColumn("llks", scores)
+      .select(col("seq_id"), posexplode_outer(col("llks")).as(Seq("cluster_id", "llk")))
+      .filter(col("cluster_id").isNotNull)
   }
 }
