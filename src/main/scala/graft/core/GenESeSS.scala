@@ -301,29 +301,20 @@ object GenESeSS {
       cluster -> buildSkeleton(counts.getOrElse(cluster, Map.empty), k, params)
     }.toMap
 
-    // ---- distributed π̃ estimation: run sequences through the broadcast
-    // skeleton counting (state, symbol) visits (tex/ms.tex:316-318)
-    val bc = spark.sparkContext.broadcast(skeletons.map { case (c, s) => c -> s.conn })
-    val visitUdf = udf { (cluster: Int, symbols: Seq[Byte]) =>
-      val conn = bc.value(cluster)
-      val arr = symbols.toArray // avoid O(n²) List indexing
-      val nq = conn.length
-      val cnt = new Array[Long](nq * k)
-      var q = 0
-      var t = 0
-      val d = arr.length
-      while (t < d) {
-        val s = arr(t).toInt
-        if (s >= 0 && s < k) {
-          cnt(q * k + s) += 1
-          q = conn(q)(s)
-        }
-        t += 1
-      }
-      cnt.toSeq
+    // ---- distributed π̃ estimation: run sequences through the embedded
+    // skeletons counting (state, symbol) visits (tex/ms.tex:316-318) — a
+    // native codegen expression, and posexplode_OUTER so the kernel isn't
+    // cloned into inferred generate filters (see Llk.scoreAll)
+    val visits = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.functions.PfsaVisitCounts(
+        ColumnBridge.expression(col("cluster")),
+        ColumnBridge.expression(col("symbols")),
+        skeletons.map { case (c, s) => c -> s.conn }, k))
     }
     val visitRows = seqs
-      .select(col("cluster"), posexplode(visitUdf(col("cluster"), col("symbols"))).as(Seq("idx", "c")))
+      .select(col("cluster"), posexplode_outer(visits).as(Seq("idx", "c")))
+      .filter(col("idx").isNotNull)
       .groupBy("cluster", "idx")
       .agg(sum(col("c")).as("c"))
       .collect()
