@@ -81,4 +81,43 @@ object Llk {
       .select(col("seq_id"), posexplode_outer(col("llks")).as(Seq("cluster_id", "llk")))
       .filter(col("cluster_id").isNotNull)
   }
+
+  /** Score every sequence against every model WITHOUT materializing arrays:
+    * the giant-sequence scale path (SURVEY §2.4 / §4.2 item 1). Folds llk
+    * directly over long-form `(seq_id, t, symbol)` rows through the
+    * [[graft.functions.LlkLongScore]] TypedImperativeAggregate, so per-group
+    * state is O(k·|Q|) — a billion-symbol stream never becomes a 1 GB
+    * `collect_list` cell (the array path's ceiling; reference streams cap at
+    * 500k symbols, examples/M2.cfg:15-17).
+    *
+    * @param presort true (default) hash-partitions by seq_id and sorts by t
+    *                within partitions first: each sequence folds in one
+    *                in-order pass, BIT-EXACT with the array path. false
+    *                skips the row shuffle entirely — per-partition chunks
+    *                collapse map-side to k |Q|×|Q| matrices and only those
+    *                summaries shuffle (the 100-TB shape for sources already
+    *                written in event order); results then agree with the
+    *                array path to fp tolerance (~1e-12), not bit-exactly.
+    * @param longDf long-form with `seq_id`, `t` (sortable; per-partition
+    *               arrival must be t-ascending when presort=false) and
+    *               `symbol` (tinyint)
+    */
+  def scoreAllLong(spark: SparkSession, longDf: DataFrame, library: Seq[Pfsa],
+                   presort: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val agg = ColumnBridge.column(
+      graft.functions.LlkLongScore(
+        ColumnBridge.expression(col("t").cast("long")),
+        ColumnBridge.expression(col("symbol").cast("byte")),
+        library.toArray).toAggregateExpression())
+    val src =
+      if (presort) longDf.repartition(col("seq_id")).sortWithinPartitions(col("seq_id"), col("t"))
+      else longDf
+    // the groupBy reuses the repartition's hashpartitioning (no second
+    // exchange — EnsureRequirements sees the child distribution satisfied)
+    src.groupBy(col("seq_id"))
+      .agg(agg.as("llks"))
+      .select(col("seq_id"), posexplode_outer(col("llks")).as(Seq("cluster_id", "llk")))
+      .filter(col("cluster_id").isNotNull)
+  }
 }

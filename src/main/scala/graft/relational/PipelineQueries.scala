@@ -45,6 +45,27 @@ object PipelineQueries {
     Llk.scoreAll(s, sequences(s, d), Seq(Pfsa.m2, Pfsa.m2u))
       .orderBy("seq_id", "cluster_id")
 
+  /** llk_score_long: the array-free llk scale path ([[Llk.scoreAllLong]],
+    * SURVEY §4.2 item 1) SELF-VERIFIED against the array path inside the
+    * query — emits one row per (seq, model) with `agree` = the two engines
+    * produced the same llk (bit-exact or ≤1e-9; +∞ matches +∞). The DuckDB
+    * oracle enumerates the expected (seq, model) grid with agree=true, so
+    * any divergence, missing row, or extra row hash-fails the driver gate. */
+  def llkScoreLong(s: SparkSession, d: String): DataFrame = {
+    val lib = Seq(Pfsa.m2, Pfsa.m2u)
+    val long = Quantize.simple(
+      Tables.eventsLong(s, d).withColumnRenamed("user_id", "seq_id"))
+    val longScores = Llk.scoreAllLong(s, long, lib)
+    val arrScores = Llk.scoreAll(s, AnomalyDetection.toArrays(long), lib)
+      .withColumnRenamed("llk", "llk_arr")
+    longScores.join(arrScores, Seq("seq_id", "cluster_id"), "full_outer")
+      .select(col("seq_id"), col("cluster_id").cast("long").as("cluster_id"),
+        (col("llk").isNotNull && col("llk_arr").isNotNull &&
+          (col("llk") === col("llk_arr") || abs(col("llk") - col("llk_arr")) <= lit(1e-9)))
+          .as("agree"))
+      .orderBy("seq_id", "cluster_id")
+  }
+
   /** pfsa_sample (reference Prun, detection.py:730): seeded sample paths. */
   def pfsaSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -267,6 +288,7 @@ object PipelineQueries {
     "multilevel_pipeline" -> (multilevelPipeline _),
     "cluster_pluggable" -> (clusterPluggable _),
     "llk_score" -> (llkScore _),
+    "llk_score_long" -> (llkScoreLong _),
     "pfsa_sample" -> (pfsaSample _),
     "pfsa_infer" -> (pfsaInfer _),
     "pfsa_infer_single" -> (pfsaInferSingle _),
@@ -278,5 +300,16 @@ object PipelineQueries {
     "sink_dot" -> (sinkDot _),
     "predict_scalar_or_vec" -> (predictScalar _),
     "stream_fit_predict" -> (streamFitPredict _),
+  )
+
+  /** DuckDB oracles for the self-verifying kernel entries (the kernel math
+    * itself has no SQL equivalent; the query emits a verdict the oracle can
+    * enumerate — see [[llkScoreLong]]). */
+  val oracle: Map[String, String] = Map(
+    "llk_score_long" ->
+      """SELECT u.user_id AS seq_id, c.cluster_id, true AS agree
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |CROSS JOIN (SELECT CAST(unnest([0, 1]) AS BIGINT) AS cluster_id) c
+        |ORDER BY seq_id, cluster_id""".stripMargin,
   )
 }
