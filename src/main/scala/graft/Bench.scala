@@ -10,16 +10,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warm-up: absorb JVM/codegen/netlib/MLlib init so the FIRST
+    // timed query (alphabetically) and the first MLlib user aren't inflated
+    // ~5-10 s — keeps round-over-round deltas attributable to code changes
+    try SparkEntry.queries.get("pipeline_fit_predict").foreach(_(spark, sfDir).count())
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up failed: ${e.getClass.getSimpleName}: ${e.getMessage}") }
+    val errors = scala.collection.mutable.ArrayBuffer[String]()
     // sorted: deterministic execution order makes per-round timings comparable
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a crashing query must read as a FAILURE, not a fast time
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors += s"$name: ${e.getClass.getSimpleName}: ${e.getMessage}"
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

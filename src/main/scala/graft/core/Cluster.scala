@@ -71,6 +71,19 @@ object Cluster {
              nClusters: Int, seed: Long = 42L,
              clusterer: Option[Estimator[_ <: Model[_]]] = None): DataFrame = {
     val feat = features(spark, seqs, alphabetSize).cache()
+    val out = assignFeatures(feat, nClusters, seed, clusterer)
+    feat.unpersist()
+    out
+  }
+
+  /** [[assign]] on a PRECOMPUTED `(seq_id, symbols, features)` frame. The
+    * feature vectors depend only on the sequences and alphabet, so callers
+    * that re-cluster the same data at several k — the reduce-clusters
+    * fixpoint re-invokes inference per candidate k (detection.py:401-469) —
+    * persist the features once and pay the llk sweep once, not per
+    * iteration. */
+  def assignFeatures(feat: DataFrame, nClusters: Int, seed: Long = 42L,
+                     clusterer: Option[Estimator[_ <: Model[_]]] = None): DataFrame = {
     val labeled =
       if (nClusters <= 1 && clusterer.isEmpty) feat.withColumn("raw_label", lit(0))
       else {
@@ -90,9 +103,7 @@ object Cluster {
     val relabelCol = rankMap.foldLeft(lit(0): org.apache.spark.sql.Column) {
       case (acc, (lbl, rank)) => when(col("raw_label") === lbl, rank).otherwise(acc)
     }
-    val out = labeled.select(col("seq_id"), col("symbols"), relabelCol.cast("int").as("cluster"))
-    feat.unpersist()
-    out
+    labeled.select(col("seq_id"), col("symbols"), relabelCol.cast("int").as("cluster"))
   }
 
   /** Row-normalized confusion fractions between fitted clusters (reference

@@ -74,8 +74,14 @@ object AnomalyDetection {
         seqs.select(max(expr("array_max(symbols)"))).head().getByte(0).toInt + 1)
       val genParams = GenESeSS.Params(eps = params.eps)
 
+      // llk features vs the base PFSAs depend only on (sequences, alphabet):
+      // compute them ONCE — the reduce-clusters fixpoint below re-invokes
+      // inferForK per candidate k, and without this the base-model llk sweep
+      // re-ran every iteration
+      val feat = Cluster.features(spark, seqs, alphabetSize).cache()
+
       def inferForK(k: Int): (DataFrame, Map[Int, Pfsa]) = {
-        val labeled = Cluster.assign(spark, seqs, alphabetSize, k, params.kmeansSeed, clusterer).cache()
+        val labeled = Cluster.assignFeatures(feat, k, params.kmeansSeed, clusterer).cache()
         val lib = GenESeSS.inferAll(spark, labeled, alphabetSize, genParams)
         (labeled, lib)
       }
@@ -119,9 +125,11 @@ object AnomalyDetection {
         .toMap
       labeled.unpersist()
 
-      Model(params, complexModel, alphabetSize, ordered.toIndexedSeq,
+      val model = Model(params, complexModel, alphabetSize, ordered.toIndexedSeq,
         (0 until k).map(c => stats.get(c).map(_._1).getOrElse(0.0)).toArray,
         (0 until k).map(c => stats.get(c).map(_._2).getOrElse(0.0)).toArray)
+      feat.unpersist()
+      model
     } finally seqs.unpersist()
   }
 

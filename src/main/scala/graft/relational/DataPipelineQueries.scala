@@ -84,70 +84,84 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** SimHash near-dup: 64-bit token-bag fingerprint, 4×16-bit band buckets
-    * (any doc pair within Hamming distance 3 MUST share a band — pigeonhole),
-    * verified with bit_count(xor) ≤ 3. */
+  /** SimHash near-dup: 64-bit token-bag fingerprint; identical codes (the
+    * hamming-0 swarms — exact dupes land here, token bags being equal) are
+    * collapsed to one representative BEFORE the banded self-join, and the
+    * residual distinct-code buckets are capped (TextOps.simhashCodePairs).
+    * A doc's nearest partner is its own code group's other member when one
+    * exists (hamming 0), else the nearest code's smallest doc. */
   private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val sh = docs(s, d)
       .select(col("doc_id"), TextOps.simhashUdf(TextOps.tokens("text")).as("simhash"))
-    // band code = unsigned 16-bit chunk (bit shift, NOT div — truncating
-    // division is not chunk extraction on negative longs)
-    val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftrightunsigned(simhash, cast(b * 16 as int)) % 65536)"))
-        .as(Seq("band", "code")))
-    val a = banded.select(col("band"), col("code"), col("doc_id").as("id_a"), col("simhash").as("h_a"))
-    val b = banded.select(col("band"), col("code"), col("doc_id").as("id_b"), col("simhash").as("h_b"))
-    val close = a.join(b, Seq("band", "code"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b")).distinct()
-      .withColumn("hamming", expr("bit_count(h_a ^ h_b)"))
-      .filter(col("hamming") <= 3)
-    val directed = close.select(col("id_a").as("doc_id"), col("id_b").as("partner"), col("hamming"))
-      .union(close.select(col("id_b").as("doc_id"), col("id_a").as("partner"), col("hamming")))
-    val best = directed
+    // per-code group: smallest member m1 (the representative), group size,
+    // second-smallest m2 (= m1's own best partner) — three key-partitioned
+    // aggs/joins on the code, never a per-group row collect
+    val g = sh.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("m1"), count(lit(1)).as("grp_n"))
+    val g2 = sh.join(g, "simhash").filter(col("doc_id") =!= col("m1"))
+      .groupBy(col("simhash")).agg(min(col("doc_id")).as("m2"))
+    val close = TextOps.simhashCodePairs(g.select(col("simhash")))
+    // cross-code best per code: nearest other code, ties to the smaller
+    // representative; the k²-sized code-pair relation, not doc-sized
+    val reps = g.select(col("simhash").as("h"), col("m1").as("rep"))
+    val directed = close.select(col("h_a").as("h"), col("h_b").as("other"), col("hamming"))
+      .union(close.select(col("h_b").as("h"), col("h_a").as("other"), col("hamming")))
+      .join(reps.select(col("h").as("other"), col("rep").as("other_rep")), "other")
+    val bestCode = directed
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("hamming").asc, col("partner"))))
+        Window.partitionBy(col("h")).orderBy(col("hamming").asc, col("other_rep"))))
       .filter(col("rn") === 1)
-      .select(col("doc_id"), col("partner").as("dup_of"), col("hamming"))
-    sh.join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("simhash"), col("dup_of"), col("hamming"))
+      .select(col("h").as("simhash"), col("other_rep"), col("hamming").as("x_hamming"))
+    sh.join(g, "simhash")
+      .join(g2, Seq("simhash"), "left")
+      .join(bestCode, Seq("simhash"), "left")
+      .select(col("doc_id"), col("simhash"),
+        when(col("grp_n") > 1,
+          when(col("doc_id") === col("m1"), col("m2")).otherwise(col("m1")))
+          .otherwise(col("other_rep")).as("dup_of"),
+        when(col("grp_n") > 1, lit(0)).otherwise(col("x_hamming")).as("hamming"))
       .orderBy(col("doc_id"))
   }
 
-  /** n-gram Jaccard within (source, lang) blocks — the fully relational,
-    * oracle-checkable dedup: distinct trigrams as rows, pairs via a
-    * shingle-key join inside blocks (bounded block size bounds the pairs).
-    *
-    * Scale note: pairwise-within-block is the VERIFY stage of a dedup
-    * pipeline — it is quadratic in block size, so at 100-TB scale blocks
-    * must come from a candidate generator (dedup_minhash's banded buckets),
-    * not from raw metadata partitions whose size grows with the corpus. */
+  /** n-gram Jaccard near-dups ≥ 0.5 within (source, lang): candidate pairs
+    * come from PREFIX FILTERING over the trigram sets
+    * (TextOps.prefixCandidates) — provably complete at the threshold, so the
+    * DuckDB oracle (all within-block pairs ≥ 0.5, computed relationally)
+    * hash-matches EXACTLY, not just with high probability — then exact
+    * Jaccard runs on candidates only. Candidate volume tracks rare-token
+    * collisions and the true near-dup structure, never corpus²; the
+    * (source, lang) block is a FILTER on verified pairs, not the pair
+    * generator, so block growth cannot re-introduce the quadratic. */
   private def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = docs(s, d)
+    val base = docs(s, d)
       .select(col("doc_id"), col("source"), col("lang"),
-        explode(TextOps.charShingles("text", 3)).as("g"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("source"), col("lang"), col("g"), col("doc_id").as("doc_a"))
-    val b = sh.select(col("source"), col("lang"), col("g"), col("doc_id").as("doc_b"))
-    val inter = a.join(b, Seq("source", "lang", "g"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        round(col("common").cast("double") / (col("n_a") + col("n_b") - col("common")), 6).as("jaccard"))
+        TextOps.charShingles("text", 3).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = TextOps.prefixCandidates(
+      base.select(col("doc_id"), explode(col("sh")).as("g")), "doc_id", t = 0.5)
+    val meta = base.select(col("doc_id"), col("source"), col("lang"), col("sh"))
+    pairs
+      .join(meta.select(col("doc_id").as("id_a"), col("source").as("src_a"),
+        col("lang").as("lang_a"), col("sh").as("sh_a")), "id_a")
+      .join(meta.select(col("doc_id").as("id_b"), col("source").as("src_b"),
+        col("lang").as("lang_b"), col("sh").as("sh_b")), "id_b")
+      .filter(col("src_a") === col("src_b") && col("lang_a") === col("lang_b"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Embedding-cosine near-dup: LSH-bucketed candidates, cosine ≥ 0.99 ⇒
-    * duplicate vector. Candidates come from hyperplane buckets — the same
-    * machinery as similarity_ann, never all-pairs. */
+    * duplicate vector. Candidates come from hyperplane buckets with
+    * corpus-adaptive code width and capped bucket sizes (Similarity.annTopK
+    * defaults) — candidate volume stays ABSOLUTE-bounded per query as the
+    * corpus grows, never a fixed fraction of it. */
   private def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
     val e = embeds(s, d)
-    val near = Similarity.annTopK(e, e, k = 1, tables = 8, bits = 8, dim = 64)
+    val near = Similarity.annTopK(e, e, k = 1, tables = 8, dim = 64)
       .filter(col("cosine") >= 0.99)
       .select(col("qid").as("vec_id"), col("neighbor").as("dup_of"), col("cosine"))
     e.select(col("vec_id"), col("label"))
@@ -316,6 +330,7 @@ object DataPipelineQueries {
         |FROM inter i
         |JOIN sizes sa ON sa.doc_id = i.doc_a
         |JOIN sizes sb ON sb.doc_id = i.doc_b
+        |WHERE round(i.common * 1.0 / (sa.n + sb.n - i.common), 6) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "similarity_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),

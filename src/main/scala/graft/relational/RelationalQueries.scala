@@ -127,6 +127,11 @@ object RelationalQueries {
   private def quantizeComplex(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
     val probes = (1 to 7).map(_ / 8.0)
+    // EXACT `percentile` exists only for hash-exact DuckDB parity on oracle
+    // runs (SURVEY §7.3): its buffer holds one counter per distinct value,
+    // memory-unbounded on high-cardinality doubles. The engine path
+    // (Quantize.fitComplex, used by AnomalyDetection) fits cutoffs with
+    // bounded-memory approxQuantile sketches instead.
     val cuts = e.agg(
       round(expr(s"percentile(value, ${probes.head})"), 6).as("c1"),
       probes.tail.zipWithIndex.map { case (p, i) =>

@@ -68,21 +68,47 @@ object Similarity {
     df.select(col("vec_id"),
       posexplode(hyperplaneUdf(tables, bits, dim, seed)(col("embedding"))).as(Seq("tbl", "code")))
 
+  /** Code width that keeps the expected bucket near `targetBucket` members:
+    * bits ≈ log₂(N / targetBucket), clamped to [4, 24]. Fixed bits are the
+    * classic LSH scale trap — at constant geometry the candidate set is a
+    * constant FRACTION of the corpus (≈ tables·(bits+1)/2^bits), i.e.
+    * asymptotically all-pairs; growing bits with the corpus makes it
+    * tables·(bits+1)·targetBucket ABSOLUTE rows per query instead. */
+  def adaptiveBits(corpusCount: Long, targetBucket: Int = 64): Int = {
+    val raw = math.ceil(math.log(math.max(corpusCount, 1L).toDouble / targetBucket) / math.log(2.0)).toInt
+    math.min(24, math.max(4, raw))
+  }
+
   /** ANN top-k: candidates = corpus vectors sharing ANY (table, code) bucket
     * with the query, with Hamming-radius-1 MULTIPROBE on the query side
     * (each query also probes the `bits` codes one bit-flip away — the
     * standard recall boost that costs bits+1 probe rows per query, not a
     * bigger index). Exact cosine only on candidates. Returns one row per
     * (query, neighbor) plus the per-query candidate count (the pruning
-    * evidence). */
+    * evidence).
+    *
+    * Scale geometry: `bits = 0` (the default) derives the code width from a
+    * corpus count via [[adaptiveBits]] (one cheap count job; pass explicit
+    * bits to skip it), and corpus buckets larger than `maxBucketSize` are
+    * DROPPED before the join — an identical-vector swarm shares every (tbl,
+    * code) bucket, so without the cap the self-query dedup case is O(N²) by
+    * construction (swarm members stay reachable through their other tables
+    * and the exact re-rank; the cap trades that recall for the bound, same
+    * pattern as TextOps.candidatePairs). */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              tables: Int = 8, bits: Int = 8, dim: Int = 64,
-              seed: Long = 42L): DataFrame = {
-    val cb = buckets(corpus, tables, bits, dim, seed)
-    val qb = buckets(queries, tables, bits, dim, seed)
+              tables: Int = 8, bits: Int = 0, dim: Int = 64,
+              seed: Long = 42L, maxBucketSize: Int = 256): DataFrame = {
+    val nBits = if (bits > 0) bits else adaptiveBits(corpus.count())
+    val cb0 = buckets(corpus, tables, nBits, dim, seed)
+    val ok = cb0.groupBy(col("tbl"), col("code"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= maxBucketSize)
+      .select(col("tbl"), col("code"))
+    val cb = cb0.join(ok, Seq("tbl", "code"))
+    val qb = buckets(queries, tables, nBits, dim, seed)
       .withColumnRenamed("vec_id", "qid")
       .select(col("qid"), col("tbl"), explode(expr(
-        s"array_union(array(code), transform(sequence(0, ${bits - 1}), " +
+        s"array_union(array(code), transform(sequence(0, ${nBits - 1}), " +
           "i -> code ^ shiftleft(cast(1 as bigint), cast(i as int))))")).as("code"))
     val cand = qb.join(cb, Seq("tbl", "code"))
       .filter(col("qid") =!= col("vec_id"))
@@ -111,13 +137,21 @@ object Similarity {
     * cells; each query probes its `nProbe` nearest cells and re-ranks
     * exactly inside them. At scale the corpus-side assignment is one MLlib
     * pass, the cell join is key-partitioned, and candidates per query are
-    * ~nProbe·|corpus|/nCells. */
+    * ~nProbe·|corpus|/nCells.
+    *
+    * `nCells = 0` (the default) derives ≈√N cells from a corpus count — the
+    * standard IVF balance point (probe cost ≈ cell cost ≈ √N); a CONSTANT
+    * cell count would make each cell, and so each query's candidate set, a
+    * fixed fraction of the corpus. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+              nCells: Int = 0, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
     val toVec = udf { emb: Seq[Float] => Vectors.dense(emb.map(_.toDouble).toArray) }
     val cf = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("features", toVec(col("embedding")))
-    val km = new KMeans().setK(nCells).setSeed(seed)
+    val cells0 =
+      if (nCells > 0) nCells
+      else math.max(4, math.min(4096, math.ceil(math.sqrt(corpus.count().toDouble)).toInt))
+    val km = new KMeans().setK(cells0).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(cf)
     val cells = model.transform(cf).select(col("vec_id"), col("cell"))

@@ -1,7 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.expressions.{UserDefinedFunction, Window}
 import org.apache.spark.sql.functions._
 
 import scala.util.hashing.MurmurHash3
@@ -93,6 +93,75 @@ object TextOps {
                   bands: Int, rowsPerBand: Int): DataFrame =
     df.select(col(idCol),
       posexplode(bandBucketsUdf(bands, rowsPerBand)(col(sigCol))).as(Seq("band", "bucket")))
+
+  /** EXACT-complete candidate pairs for Jaccard ≥ `t` — prefix filtering
+    * (the AllPairs/PPJoin family), the deterministic alternative to banding:
+    * tokens get a global total order by ascending document frequency (ties
+    * by token); a doc's PREFIX is its first ⌊(1−t)·n⌋+1 tokens in that
+    * order. Any pair with J ≥ t shares ≥ ⌈t·n⌉ tokens, which cannot all fit
+    * in either doc's suffix of length ⌈t·n⌉−1, so the smallest common token
+    * sits in BOTH prefixes — joining on prefix tokens misses nothing
+    * (unlike LSH banding's probabilistic catch).
+    *
+    * Scale shape: prefix join buckets are per-token doc lists, and a token
+    * only enters prefixes when it is among a doc's RAREST (1−t) fraction —
+    * corpus-hot tokens sort last and drop out — so candidate volume tracks
+    * the true near-dup structure, not the corpus size. (A swarm of mutual
+    * near-dups is still quadratic, but there the OUTPUT is quadratic —
+    * no candidate generator can beat its own answer size.)
+    *
+    * @param toks (id, g) rows, one per DISTINCT token per doc
+    */
+  def prefixCandidates(toks: DataFrame, idCol: String, t: Double): DataFrame = {
+    val sizes = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val dfreq = toks.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("g"))
+    val prefix = toks.join(dfreq, "g")
+      .withColumn("rn", row_number().over(w))
+      .join(sizes, idCol)
+      .filter(col("rn") <= floor(lit(1.0 - t) * col("n")) + lit(1))
+      .select(col(idCol), col("g"))
+    val a = prefix.select(col("g"), col(idCol).as("id_a"))
+    val b = prefix.select(col("g"), col(idCol).as("id_b"))
+    a.join(b, Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Near-dup pairs among DISTINCT simhash codes: 4×16-bit band buckets (any
+    * two codes within Hamming distance `maxHamming` ≤ 3 MUST share a band —
+    * pigeonhole over 4 bands), verified with bit_count(xor). The join domain
+    * is distinct codes, NOT docs: an identical-doc swarm (one code shared by
+    * millions of rows) collapses to a single row before banding, so the
+    * quadratic blowup of a code-popularity skew never reaches the join.
+    * Residual hot buckets — many DISTINCT codes sharing a 16-bit band chunk —
+    * are dropped at `maxBucketSize` (trading the pigeonhole guarantee for the
+    * bound on those codes only; they still pair through their other bands).
+    *
+    * @param codes one row per distinct simhash (column `simhash`)
+    * @return (h_a, h_b, hamming), h_a < h_b (signed order — just the
+    *         pair canonicalization)
+    */
+  def simhashCodePairs(codes: DataFrame, maxHamming: Int = 3,
+                       maxBucketSize: Int = 256): DataFrame = {
+    val banded = codes.select(col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftrightunsigned(simhash, cast(b * 16 as int)) % 65536)"))
+        .as(Seq("band", "code")))
+    val ok = banded.groupBy(col("band"), col("code"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= maxBucketSize)
+      .select(col("band"), col("code"))
+    val small = banded.join(ok, Seq("band", "code"))
+    val a = small.select(col("band"), col("code"), col("simhash").as("h_a"))
+    val b = small.select(col("band"), col("code"), col("simhash").as("h_b"))
+    a.join(b, Seq("band", "code"))
+      .filter(col("h_a") < col("h_b"))
+      .select(col("h_a"), col("h_b")).distinct()
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)"))
+      .filter(col("hamming") <= maxHamming)
+  }
 
   /** Distinct candidate pairs (a < b) sharing a band bucket. Buckets larger
     * than `maxBucketSize` are dropped BEFORE the self-join — the bound that

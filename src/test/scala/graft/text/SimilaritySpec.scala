@@ -58,6 +58,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.map(_.getLong(3)).max < n, "IVF candidates did not prune")
   }
 
+  test("identical-vector swarm: bucket cap bounds candidates, geometry adapts") {
+    import spark.implicits._
+    // 500 copies of ONE vector + 40 distinct vectors: without the bucket cap
+    // the swarm shares every (tbl, code) bucket with itself → ~500² candidate
+    // rows; with the cap those buckets are dropped entirely
+    val swarm = (0 until 500).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(j + 1).toFloat).toSeq)
+    }
+    val distinct = (500 until 540).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.cos(i * 16 + j).toFloat).toSeq)
+    }
+    val df = (swarm ++ distinct).toDF("vec_id", "embedding")
+    val tables = 4
+    val res = Similarity.annTopK(df, df, k = 1, tables = tables, dim = 16,
+      maxBucketSize = 64).collect()
+    val bits = Similarity.adaptiveBits(540)
+    // every bucket holding the swarm exceeds the cap and is dropped, so NO
+    // query may see more candidates than tables·(bits+1) probed buckets of
+    // ≤64 members each — far below the 500-strong swarm
+    val worst = res.map(_.getLong(3)).max
+    assert(worst <= tables.toLong * (bits + 1) * 64,
+      s"candidate bound violated: $worst")
+    assert(worst < 500, s"swarm leaked into candidates: $worst")
+  }
+
+  test("adaptiveBits grows with the corpus and stays clamped") {
+    assert(Similarity.adaptiveBits(100) == 4)
+    assert(Similarity.adaptiveBits(64L << 10) == 10)
+    assert(Similarity.adaptiveBits(64L << 30) == 24) // clamp
+    assert(Similarity.adaptiveBits(0) == 4)
+  }
+
   test("embedding near-dup: a duplicated vector is found at cosine ~1") {
     import spark.implicits._
     // plant an exact duplicate pair in a small synthetic corpus

@@ -67,6 +67,59 @@ class TextOpsSpec extends AnyFunSuite {
     assert(TextOps.candidatePairs(buckets, "doc_id", maxBucketSize = 500).count() > 0L)
   }
 
+  test("prefixCandidates: complete at the threshold, prunes shared-vocabulary corpora") {
+    // Zipf-ish corpus: every doc shares a hot 20-token head (the vocabulary
+    // every real document shares) plus 20 tokens from a 2000-token rare
+    // tail; pairwise Jaccard stays well under 0.5. Plus one planted near-dup
+    // pair. Prefix filtering must push the hot head OUT of the prefixes.
+    val rnd = new scala.util.Random(7)
+    val hot = (0 until 15).map(i => f"hot$i%03d")
+    val tail = (0 until 2000).map(i => f"tok$i%04d")
+    val docsSeq = (0L until 60L).map { i =>
+      i -> (hot ++ rnd.shuffle(tail).take(25)).toSet
+    } :+ (60L -> (0 until 40).map(j => f"dup$j%03d").toSet) :+
+      (61L -> ((0 until 36).map(j => f"dup$j%03d").toSet + "x1" + "x2" + "x3" + "x4"))
+    val toks = docsSeq.flatMap { case (id, ts) => ts.map(t => (id, t)) }
+      .toDF("doc_id", "g")
+    def jac(a: Set[String], b: Set[String]) =
+      a.intersect(b).size.toDouble / a.union(b).size
+    val want = (for {
+      (ia, sa) <- docsSeq; (ib, sb) <- docsSeq
+      if ia < ib && jac(sa, sb) >= 0.5
+    } yield (ia, ib)).toSet
+    assert(want.nonEmpty, "fixture must contain a true near-dup pair")
+    val got = TextOps.prefixCandidates(toks, "doc_id", t = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // complete: every true pair is a candidate (prefix filtering is exact)
+    assert(want.subsetOf(got), s"missed true pairs: ${want -- got}")
+    // pruning: nowhere near the 62·61/2 all-pairs count despite the shared pool
+    val allPairs = 62 * 61 / 2
+    assert(got.size < allPairs / 4, s"no pruning: ${got.size} of $allPairs")
+  }
+
+  test("simhashCodePairs: swarm collapses to one code row; pigeonhole pairs survive") {
+    // a million-doc identical swarm reaches the band join as ONE distinct
+    // code; here 3 distinct codes stand in for any swarm sizes behind them
+    val codes = Seq(
+      0x0123456789abcdefL,
+      0x0123456789abcdeeL, // hamming 1 from the first
+      0x7777777777777777L) // far from both
+      .toDF("simhash")
+    val pairs = TextOps.simhashCodePairs(codes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.length == 1, s"expected exactly the hamming-1 pair: ${pairs.toSeq}")
+    assert(pairs.head._3 == 1)
+    // residual hot band buckets (many DISTINCT codes sharing one 16-bit
+    // chunk) are capped: 300 codes identical except in the top band share
+    // bands 0-2 → bucket size 300 > cap → only the top band can pair them,
+    // and there all codes differ → no bucket repeats → no pairs at all
+    val hot = (0L until 300L).map(i => 0x1111111111110000L | i).toDF("simhash")
+    assert(TextOps.simhashCodePairs(hot, maxBucketSize = 100).count() == 0L)
+    // with the cap lifted the within-bucket pairs come back (bounded corpus)
+    assert(TextOps.simhashCodePairs(hot, maxBucketSize = 500)
+      .filter(col("hamming") <= 3).count() > 0L)
+  }
+
   test("simhash: near-dups within small Hamming distance, unrelated far") {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val hs = corpus.select(col("doc_id"), TextOps.simhashUdf(TextOps.tokens("text")).as("h"))
