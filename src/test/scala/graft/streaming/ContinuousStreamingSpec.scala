@@ -51,6 +51,51 @@ class ContinuousStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("library survives a checkpoint restart (stop query, recover, keep growing)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Seq[Byte])]
+    val p = ContinuousDetection.Params(
+      windowSize = 1000, windowOverlap = 0, anomalySensitivity = 3.0,
+      quantize = false, eps = 0.05, bootstrapRepeats = 50)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+    // file sink (the memory sink cannot recover from a checkpoint): the
+    // production shape — append to parquet, state in the checkpointed store
+    def start() = ContinuousStreaming.scores(input.toDS(), p)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    try {
+      input.addData((0 until 3).map(i =>
+        (0L, i.toLong, Pfsa.m2.sample(1000, seed = 50 + i).toSeq)): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart from the SAME checkpoint; the keyed state (the pattern
+    // library) must come back from the state store, not start empty
+    val q2 = start()
+    try {
+      input.addData(
+        (0L, 3L, Pfsa.m2u.sample(1000, seed = 60).toSeq),
+        (0L, 4L, Pfsa.m2u.sample(1000, seed = 61).toSeq))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val rows = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(1), r.getBoolean(2), r.getInt(4), r.getInt(5))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L), rows.toSeq.toString)
+    val w3 = rows.find(_._1 == 3L).get
+    val w4 = rows.find(_._1 == 4L).get
+    assert(w3._2 && w3._4 == 2,
+      s"after restart, window 3 must birth pattern 1 AGAINST the recovered library: $w3")
+    assert(!w4._2 && w4._3 == 1,
+      s"after restart, window 4 must ride the pattern born post-recovery: $w4")
+  }
+
   test("raw-symbol ingestion assembles windows in state and matches batch replay") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
