@@ -120,11 +120,25 @@ object TextOps {
       .withColumn("rn", row_number().over(w))
       .join(sizes, idCol)
       .filter(col("rn") <= floor(lit(1.0 - t) * col("n")) + lit(1))
-      .select(col(idCol), col("g"))
-    val a = prefix.select(col("g"), col(idCol).as("id_a"))
-    val b = prefix.select(col("g"), col(idCol).as("id_b"))
+      .select(col(idCol), col("g"), col("n"), col("rn"))
+    val a = prefix.select(col("g"), col(idCol).as("id_a"), col("n").as("n_a"), col("rn").as("rn_a"))
+    val b = prefix.select(col("g"), col(idCol).as("id_b"), col("n").as("n_b"), col("rn").as("rn_b"))
     a.join(b, Seq("g"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") &&
+        // AllPairs length filter: J ≥ t ⇒ min(n_a,n_b) ≥ t·max(n_a,n_b) —
+        // prunes DURING the join, before the distinct, dropping only pairs
+        // the exact-Jaccard threshold would drop anyway
+        least(col("n_a"), col("n_b")).cast("double") >=
+          lit(t) * greatest(col("n_a"), col("n_b")) &&
+        // PPJoin positional filter: J ≥ t needs overlap α = ⌈t/(1+t)·(n_a+n_b)⌉,
+        // and at the SMALLEST common token (position rn in each doc's order)
+        // every common token sits at position ≥ rn in both docs, so overlap
+        // ≤ 1 + min(n_a−rn_a, n_b−rn_b). The g* row of a qualifying pair
+        // always passes, so completeness survives; the row-level prune runs
+        // BEFORE the distinct shuffle — the expensive stage on low-vocabulary
+        // corpora where the prefix join fans out
+        lit(1) + least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) >=
+          ceil(lit(t / (1.0 + t)) * (col("n_a") + col("n_b"))))
       .select(col("id_a"), col("id_b"))
       .distinct()
   }
