@@ -135,6 +135,13 @@ object AnomalyDetection {
 
   /** Score new long-form data against a fitted model.
     *
+    * Scoring folds llk DIRECTLY over the quantized long form
+    * ([[graft.core.Llk.scoreAllLong]], bit-exact with the array kernel) —
+    * predict never materializes a sequence as one array cell, so stream
+    * length is unbounded (the reference caps at 500k symbols/stream,
+    * examples/M2.cfg:15-17; fit still builds arrays because GenESeSS
+    * consumes whole sequences).
+    *
     * @return (seq_id, is_anomaly, closest, llk) — closest = argmin-llk
     *         cluster (detection.py:152), llk = that minimum. Sequences no
     *         model explains (all llk = +∞, e.g. alphabet-incompatible,
@@ -142,9 +149,8 @@ object AnomalyDetection {
     */
   def predict(spark: SparkSession, model: Model, longDf: DataFrame): DataFrame = {
     val (quantized, _) = quantizeLong(longDf, model.params, model.complexModel)
-    val seqs = toArrays(quantized)
     val bcBounds = spark.sparkContext.broadcast(model.bounds)
-    val llks = Llk.scoreAll(spark, seqs, model.library)
+    val llks = Llk.scoreAllLong(spark, quantized, model.library)
     val boundOf = udf((c: Int) => bcBounds.value(c))
     llks
       .withColumn("bound", boundOf(col("cluster_id")))
