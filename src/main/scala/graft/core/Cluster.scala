@@ -43,6 +43,23 @@ object Cluster {
     Seq(uniform, geomFwd, geomRev, twoState)
   }
 
+  /** LONG-FORM features: llk vector vs base models folded directly over
+    * `(seq_id, t, symbol)` rows ([[Llk.scoreAllLong]], bit-exact with the
+    * array kernel) — the fit path never materializes a sequence as one
+    * array cell. The inner `collect_list` gathers the |bases| per-model
+    * scores (a 4-element array per sequence), NOT symbols. */
+  def featuresLong(spark: SparkSession, longDf: DataFrame, alphabetSize: Int): DataFrame = {
+    val bases = basePfsas(alphabetSize)
+    val toVec = udf { llks: Seq[Double] =>
+      Vectors.dense(llks.map(v => if (v.isInfinite || v.isNaN) 1e6 else v).toArray)
+    }
+    Llk.scoreAllLong(spark, longDf, bases)
+      .groupBy(col("seq_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(cluster_id, llk))), x -> x.llk)")
+        .as("lk"))
+      .select(col("seq_id"), toVec(col("lk")).as("features"))
+  }
+
   /** (seq_id, symbols) → (seq_id, features: Vector) of llks vs base models.
     * +∞ scores (inexplicable) clamp to a large finite value for KMeans. */
   def features(spark: SparkSession, seqs: DataFrame, alphabetSize: Int): DataFrame = {
@@ -103,7 +120,10 @@ object Cluster {
     val relabelCol = rankMap.foldLeft(lit(0): org.apache.spark.sql.Column) {
       case (acc, (lbl, rank)) => when(col("raw_label") === lbl, rank).otherwise(acc)
     }
-    labeled.select(col("seq_id"), col("symbols"), relabelCol.cast("int").as("cluster"))
+    // carry whatever payload columns rode along (symbols on the array path,
+    // nothing extra on the long path) — only the ML bookkeeping is dropped
+    val keep = feat.columns.filterNot(c => c == "features" || c == "raw_label")
+    labeled.select(keep.map(col).toIndexedSeq :+ relabelCol.cast("int").as("cluster"): _*)
   }
 
   /** Row-normalized confusion fractions between fitted clusters (reference

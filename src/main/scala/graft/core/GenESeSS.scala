@@ -74,6 +74,28 @@ object GenESeSS {
       .groupBy("cluster", "ctx", "nxt")
       .agg(count(lit(1)).as("cnt"))
 
+  /** [[ngramCounts]] over LONG-FORM `(seq_id, t, symbol, cluster)` rows — the
+    * array-free heap builder: each row's context suffixes come from `lag`
+    * windows (per-sequence partitioned, never a whole-sequence cell), so the
+    * hottest inference stage has no sequence-length ceiling. Produces counts
+    * IDENTICAL to [[ngramCounts]] on the equivalent arrays (spec-checked). */
+  def ngramCountsLong(longDf: DataFrame, maxCtxLen: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seq_id")).orderBy(col("t"))
+    val lags = (maxCtxLen to 1 by -1).map(j =>
+      lag(col("symbol").cast("byte"), j).over(w))
+    longDf
+      .select(col("cluster"), col("symbol").cast("int").as("nxt"),
+        array(lags: _*).as("hist"),
+        least(row_number().over(w) - 1, lit(maxCtxLen)).as("avail"))
+      .filter(col("avail") >= 1)
+      .select(col("cluster"), explode(expr(
+        s"transform(sequence(1, avail), l -> slice(hist, $maxCtxLen - l + 1, l))")).as("ctx"),
+        col("nxt"))
+      .groupBy("cluster", "ctx", "nxt")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Driver-side finish for one cluster: heap → (conn, states, annErr, syn). */
   private final case class Skeleton(
       conn: Array[Array[Int]], annErr: Double, synStr: Seq[Int], symFrq: Array[Double])
@@ -260,42 +282,7 @@ object GenESeSS {
                params: Params = Params()): Map[Int, Pfsa] = {
     val k = alphabetSize
     val L = contextLength(k, params.eps, params.maxL)
-
-    // ---- distributed heap construction, all clusters in one job.
-    // The driver-bound side is pruned distributively FIRST: a frequency floor
-    // plus a per-cluster top-`maxContexts` cap (ranked by context mass, ties
-    // on ctx for determinism), so the collect is ≤ k·maxContexts·|Σ| rows.
-    // persist the aggregated counts so the cap pass doesn't re-run the
-    // n-gram explode (spills to disk if the context space is large)
-    val raw = ngramCounts(seqs, L)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keptCtx = raw.groupBy(col("cluster"), col("ctx"))
-      .agg(sum(col("cnt")).as("tot"))
-      .filter(col("tot") >= params.minCtxCount)
-      .withColumn("r", row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("cluster")).orderBy(col("tot").desc, col("ctx"))))
-      .filter(col("r") <= params.maxContexts)
-      .select(col("cluster"), col("ctx"))
-    val counts = try raw.join(broadcast(keptCtx), Seq("cluster", "ctx"))
-      .collect()
-      .groupBy(_.getInt(0))
-      .map { case (cluster, rows) =>
-        // driver boundary: array<tinyint> contexts → compact string form
-        val byCtx = rows.groupBy(r => r.getSeq[Byte](1).map(enc).mkString)
-          .map { case (ctx, rs) =>
-            val dist = new Array[Double](k)
-            var tot = 0L
-            rs.foreach { r => dist(r.getInt(2)) += r.getLong(3).toDouble; tot += r.getLong(3) }
-            var i = 0
-            while (i < k) { dist(i) /= tot; i += 1 }
-            ctx -> (dist, tot)
-          }
-        cluster -> byCtx
-      }
-    finally raw.unpersist()
-
-    // ---- driver finish: skeleton per cluster. Clusters whose sequences are
-    // too short to yield any n-gram still get a (degenerate) machine.
+    val counts = collectHeaps(ngramCounts(seqs, L), k, params)
     val allClusters = seqs.select("cluster").distinct().collect().map(_.getInt(0))
     val skeletons = allClusters.map { cluster =>
       cluster -> buildSkeleton(counts.getOrElse(cluster, Map.empty), k, params)
@@ -319,7 +306,85 @@ object GenESeSS {
       .agg(sum(col("c")).as("c"))
       .collect()
       .groupBy(_.getInt(0))
+    assemblePfsas(skeletons, visitRows, k, params)
+  }
 
+  /** [[inferAll]] over LONG-FORM labeled rows `(seq_id, t, symbol, cluster)`
+    * — no sequence is ever one array cell: the heap comes from
+    * [[ngramCountsLong]] lag windows and the π̃ sweep folds through the
+    * [[graft.functions.PfsaVisitLong]] TypedImperativeAggregate (per-group
+    * state O(|Q|·|Σ|)). Produces the same machines as [[inferAll]] on the
+    * equivalent arrays (spec-checked), with no sequence-length ceiling. */
+  def inferAllLong(spark: SparkSession, longLabeled: DataFrame, alphabetSize: Int,
+                   params: Params = Params()): Map[Int, Pfsa] = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val k = alphabetSize
+    val L = contextLength(k, params.eps, params.maxL)
+    val counts = collectHeaps(ngramCountsLong(longLabeled, L), k, params)
+    val allClusters = longLabeled.select("cluster").distinct().collect().map(_.getInt(0))
+    val skeletons = allClusters.map { cluster =>
+      cluster -> buildSkeleton(counts.getOrElse(cluster, Map.empty), k, params)
+    }.toMap
+
+    val visitsAgg = ColumnBridge.column(graft.functions.PfsaVisitLong(
+      ColumnBridge.expression(col("cluster").cast("int")),
+      ColumnBridge.expression(col("t").cast("long")),
+      ColumnBridge.expression(col("symbol").cast("byte")),
+      skeletons.map { case (c, s) => c -> s.conn }, k).toAggregateExpression())
+    val visitRows = longLabeled
+      // one partition per sequence, t-ascending: each group folds in one
+      // in-order head run (the repartition also satisfies the (cluster,
+      // seq_id) grouping — seq_id colocates the pair, no second exchange)
+      .repartition(col("seq_id")).sortWithinPartitions(col("seq_id"), col("t"))
+      .groupBy(col("cluster"), col("seq_id"))
+      .agg(visitsAgg.as("v"))
+      .select(col("cluster").cast("int").as("cluster"),
+        posexplode_outer(col("v")).as(Seq("idx", "c")))
+      .filter(col("idx").isNotNull)
+      .groupBy("cluster", "idx")
+      .agg(sum(col("c")).as("c"))
+      .collect()
+      .groupBy(_.getInt(0))
+    assemblePfsas(skeletons, visitRows, k, params)
+  }
+
+  /** Shared heap collection: prune distributively (frequency floor +
+    * per-cluster top-`maxContexts` by mass), collect ≤ k·maxContexts·|Σ|
+    * rows, re-encode contexts to the compact string form. */
+  private def collectHeaps(ngrams: DataFrame, k: Int,
+                           params: Params): Map[Int, Map[String, (Array[Double], Long)]] = {
+    val raw = ngrams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keptCtx = raw.groupBy(col("cluster"), col("ctx"))
+      .agg(sum(col("cnt")).as("tot"))
+      .filter(col("tot") >= params.minCtxCount)
+      .withColumn("r", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster")).orderBy(col("tot").desc, col("ctx"))))
+      .filter(col("r") <= params.maxContexts)
+      .select(col("cluster"), col("ctx"))
+    try raw.join(broadcast(keptCtx), Seq("cluster", "ctx"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cluster, rows) =>
+        // driver boundary: array<tinyint> contexts → compact string form
+        val byCtx = rows.groupBy(r => r.getSeq[Byte](1).map(enc).mkString)
+          .map { case (ctx, rs) =>
+            val dist = new Array[Double](k)
+            var tot = 0L
+            rs.foreach { r => dist(r.getInt(2)) += r.getLong(3).toDouble; tot += r.getLong(3) }
+            var i = 0
+            while (i < k) { dist(i) /= tot; i += 1 }
+            ctx -> (dist, tot)
+          }
+        cluster -> byCtx
+      }
+    finally raw.unpersist()
+  }
+
+  /** Shared π̃ assembly: smoothed visit counts → row-stochastic emissions. */
+  private def assemblePfsas(
+      skeletons: Map[Int, Skeleton],
+      visitRows: Map[Int, Array[org.apache.spark.sql.Row]],
+      k: Int, params: Params): Map[Int, Pfsa] =
     skeletons.map { case (cluster, sk) =>
       val nq = sk.conn.length
       val counts = Array.fill(nq, k)(params.smooth) // Laplace smoothing: no 0-prob emissions
@@ -334,7 +399,6 @@ object GenESeSS {
       cluster -> Pfsa(sk.conn, pitilde, sk.symFrq, sk.annErr, params.eps,
         Some(sk.synStr).filter(_.nonEmpty))
     }
-  }
 
   /** Same kernel on a single sequence (online library growth, reference
     * detection.py:694-724). Delegates to the fully-local path — no Spark job

@@ -62,32 +62,37 @@ object AnomalyDetection {
       .agg(expr("transform(array_sort(collect_list(struct(t, symbol))), x -> x.symbol)")
         .as("symbols"))
 
-  /** @param clusterer optional pluggable clustering estimator (reference
+  /** Fit works entirely on the LONG form — features, inference heap, π̃
+    * visit sweep and the scoring passes all fold over `(seq_id, t, symbol)`
+    * rows (Llk.scoreAllLong / GenESeSS.inferAllLong), so no stage ever
+    * materializes a sequence as one array cell and training streams have no
+    * length ceiling (the reference caps at 500k symbols, examples/M2.cfg).
+    *
+    * @param clusterer optional pluggable clustering estimator (reference
     *                   `clustering_alg`, detection.py:26) — see
     *                   [[Cluster.assign]] for the contract */
   def fit(spark: SparkSession, longDf: DataFrame, params: Params = Params(),
           clusterer: Option[org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]]] = None): Model = {
     val (quantized, complexModel) = quantizeLong(longDf, params, None)
-    val seqs = toArrays(quantized).cache()
+    val q = quantized.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val alphabetSize = math.max(2,
-        seqs.select(max(expr("array_max(symbols)"))).head().getByte(0).toInt + 1)
+      val alphabetSize = math.max(2, q.agg(max(col("symbol"))).head().getByte(0).toInt + 1)
       val genParams = GenESeSS.Params(eps = params.eps)
 
       // llk features vs the base PFSAs depend only on (sequences, alphabet):
       // compute them ONCE — the reduce-clusters fixpoint below re-invokes
       // inferForK per candidate k, and without this the base-model llk sweep
       // re-ran every iteration
-      val feat = Cluster.features(spark, seqs, alphabetSize).cache()
+      val feat = Cluster.featuresLong(spark, q, alphabetSize).cache()
 
       def inferForK(k: Int): (DataFrame, Map[Int, Pfsa]) = {
-        val labeled = Cluster.assignFeatures(feat, k, params.kmeansSeed, clusterer).cache()
-        val lib = GenESeSS.inferAll(spark, labeled, alphabetSize, genParams)
-        (labeled, lib)
+        val labels = Cluster.assignFeatures(feat, k, params.kmeansSeed, clusterer).cache()
+        val lib = GenESeSS.inferAllLong(spark, q.join(labels, "seq_id"), alphabetSize, genParams)
+        (labels, lib)
       }
 
       var k = math.max(1, params.nClusters)
-      var (labeled, lib) = inferForK(k)
+      var (labels, lib) = inferForK(k)
       // KMeans may emit fewer distinct labels than requested (duplicate
       // points); the frequency relabel makes label ids dense, so the
       // effective k is the library size
@@ -100,14 +105,14 @@ object AnomalyDetection {
         var converged = false
         while (!converged && iter < 5) {
           val ordered = (0 until k).map(lib)
-          val llks = Llk.scoreAll(spark, labeled, ordered)
-          val fracs = Cluster.confusionFractions(llks, labeled.select("seq_id", "cluster"))
+          val llks = Llk.scoreAllLong(spark, q, ordered)
+          val fracs = Cluster.confusionFractions(llks, labels)
             .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
           val reduced = Cluster.reducedClusterCount(fracs, k)
           if (reduced < k) {
-            labeled.unpersist()
+            labels.unpersist()
             val res = inferForK(reduced)
-            labeled = res._1; lib = res._2
+            labels = res._1; lib = res._2
             k = lib.size
             iter += 1
           } else converged = true
@@ -116,21 +121,21 @@ object AnomalyDetection {
 
       // per-cluster llk stats over OWN members (detection.py:472-499), ddof=1
       val ordered = (0 until k).map(lib)
-      val ownScores = Llk.scoreAll(spark, labeled, ordered)
-        .join(labeled.select(col("seq_id"), col("cluster")), "seq_id")
+      val ownScores = Llk.scoreAllLong(spark, q, ordered)
+        .join(labels, "seq_id")
         .filter(col("cluster_id") === col("cluster"))
       val stats = ownScores.groupBy(col("cluster"))
         .agg(avg(col("llk")).as("m"), stddev_samp(col("llk")).as("s"))
         .collect().map(r => r.getInt(0) -> (r.getDouble(1), if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
         .toMap
-      labeled.unpersist()
+      labels.unpersist()
 
       val model = Model(params, complexModel, alphabetSize, ordered.toIndexedSeq,
         (0 until k).map(c => stats.get(c).map(_._1).getOrElse(0.0)).toArray,
         (0 until k).map(c => stats.get(c).map(_._2).getOrElse(0.0)).toArray)
       feat.unpersist()
       model
-    } finally seqs.unpersist()
+    } finally q.unpersist()
   }
 
   /** Score new long-form data against a fitted model.

@@ -39,6 +39,44 @@ class GenESeSSSpec extends AnyFunSuite {
     assert(Llk.llk(m2udata, lib(1)) < Llk.llk(m2udata, lib(0)))
   }
 
+  test("long-form inference matches the array path machine-for-machine") {
+    import org.apache.spark.sql.functions._
+    // same corpus in both shapes: arrays for inferAll, (seq_id, t, symbol,
+    // cluster) rows for inferAllLong — identical heap counts, skeletons,
+    // and visit sweeps must produce IDENTICAL machines
+    val data = Seq(
+      (0L, 0, Pfsa.m2.sample(20000, 31).toSeq),
+      (1L, 0, Pfsa.m2.sample(20000, 32).toSeq),
+      (2L, 1, Pfsa.m2u.sample(20000, 33).toSeq),
+      (3L, 1, Pfsa.m2u.sample(20000, 34).toSeq),
+      (4L, 1, Seq[Byte](1))) // degenerate single-symbol member
+    val seqs = data.map { case (_, c, s) => (c, s) }.toDF("cluster", "symbols")
+    val long = data.flatMap { case (sid, c, s) =>
+      s.zipWithIndex.map { case (sym, t) => (sid, t.toLong, sym, c) }
+    }.toDF("seq_id", "t", "symbol", "cluster")
+    val p = GenESeSS.Params(eps = 0.05)
+
+    val cntArr = GenESeSS.ngramCounts(seqs, 4).collect()
+      .map(r => (r.getInt(0), r.getSeq[Byte](1).toList, r.getInt(2)) -> r.getLong(3)).toMap
+    val cntLong = GenESeSS.ngramCountsLong(long, 4).collect()
+      .map(r => (r.getInt(0), r.getSeq[Byte](1).toList, r.getInt(2)) -> r.getLong(3)).toMap
+    assert(cntArr == cntLong, "n-gram heaps diverged between array and long form")
+
+    val libA = GenESeSS.inferAll(spark, seqs, alphabetSize = 2, p)
+    val libL = GenESeSS.inferAllLong(spark, long, alphabetSize = 2, p)
+    assert(libA.keySet == libL.keySet)
+    for (c <- libA.keySet) {
+      assert(libA(c).conn.map(_.toSeq).toSeq == libL(c).conn.map(_.toSeq).toSeq,
+        s"cluster $c skeleton diverged")
+      assert(libA(c).pitilde.map(_.toSeq).toSeq == libL(c).pitilde.map(_.toSeq).toSeq,
+        s"cluster $c emissions diverged")
+      assert(libA(c).symFrq.toSeq == libL(c).symFrq.toSeq)
+    }
+    // and the plan really is array-free
+    val plan = GenESeSS.ngramCountsLong(long, 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), plan)
+  }
+
   test("degenerate input yields a usable 1-state machine") {
     val p = GenESeSS.inferSingle(spark, Array[Byte](1), alphabetSize = 2)
     assert(p.numStates == 1)
