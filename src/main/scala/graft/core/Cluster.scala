@@ -48,12 +48,13 @@ object Cluster {
     * array kernel) — the fit path never materializes a sequence as one
     * array cell. The inner `collect_list` gathers the |bases| per-model
     * scores (a 4-element array per sequence), NOT symbols. */
-  def featuresLong(spark: SparkSession, longDf: DataFrame, alphabetSize: Int): DataFrame = {
+  def featuresLong(spark: SparkSession, longDf: DataFrame, alphabetSize: Int,
+                   presort: Boolean = true): DataFrame = {
     val bases = basePfsas(alphabetSize)
     val toVec = udf { llks: Seq[Double] =>
       Vectors.dense(llks.map(v => if (v.isInfinite || v.isNaN) 1e6 else v).toArray)
     }
-    Llk.scoreAllLong(spark, longDf, bases)
+    Llk.scoreAllLong(spark, longDf, bases, presort = presort)
       .groupBy(col("seq_id"))
       .agg(expr("transform(array_sort(collect_list(struct(cluster_id, llk))), x -> x.llk)")
         .as("lk"))

@@ -315,8 +315,11 @@ object GenESeSS {
     * [[graft.functions.PfsaVisitLong]] TypedImperativeAggregate (per-group
     * state O(|Q|·|Σ|)). Produces the same machines as [[inferAll]] on the
     * equivalent arrays (spec-checked), with no sequence-length ceiling. */
+  /** @param presort false when the caller already hash-partitioned by seq_id
+    *                 and sorted by (seq_id, t) — e.g. fit's cached frame —
+    *                 so the visit sweep adds no redundant exchange */
   def inferAllLong(spark: SparkSession, longLabeled: DataFrame, alphabetSize: Int,
-                   params: Params = Params()): Map[Int, Pfsa] = {
+                   params: Params = Params(), presort: Boolean = true): Map[Int, Pfsa] = {
     import org.apache.spark.sql.graft.ColumnBridge
     val k = alphabetSize
     val L = contextLength(k, params.eps, params.maxL)
@@ -331,11 +334,14 @@ object GenESeSS {
       ColumnBridge.expression(col("t").cast("long")),
       ColumnBridge.expression(col("symbol").cast("byte")),
       skeletons.map { case (c, s) => c -> s.conn }, k).toAggregateExpression())
-    val visitRows = longLabeled
-      // one partition per sequence, t-ascending: each group folds in one
-      // in-order head run (the repartition also satisfies the (cluster,
-      // seq_id) grouping — seq_id colocates the pair, no second exchange)
-      .repartition(col("seq_id")).sortWithinPartitions(col("seq_id"), col("t"))
+    // one partition per sequence, t-ascending: each group folds in one
+    // in-order head run (the repartition also satisfies the (cluster,
+    // seq_id) grouping — seq_id colocates the pair, no second exchange)
+    val src =
+      if (presort) longLabeled.repartition(col("seq_id"))
+        .sortWithinPartitions(col("seq_id"), col("t"))
+      else longLabeled
+    val visitRows = src
       .groupBy(col("cluster"), col("seq_id"))
       .agg(visitsAgg.as("v"))
       .select(col("cluster").cast("int").as("cluster"),

@@ -74,7 +74,13 @@ object AnomalyDetection {
   def fit(spark: SparkSession, longDf: DataFrame, params: Params = Params(),
           clusterer: Option[org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]]] = None): Model = {
     val (quantized, complexModel) = quantizeLong(longDf, params, None)
-    val q = quantized.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE shuffle + sort for the whole fit: every downstream pass (features,
+    // inference heap, visit sweep, the scoring passes) needs seq_id
+    // partitioning with t-ascending rows, so pay it once into the cache and
+    // run those passes with presort=false
+    val q = quantized.repartition(col("seq_id"))
+      .sortWithinPartitions(col("seq_id"), col("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val alphabetSize = math.max(2, q.agg(max(col("symbol"))).head().getByte(0).toInt + 1)
       val genParams = GenESeSS.Params(eps = params.eps)
@@ -83,11 +89,14 @@ object AnomalyDetection {
       // compute them ONCE — the reduce-clusters fixpoint below re-invokes
       // inferForK per candidate k, and without this the base-model llk sweep
       // re-ran every iteration
-      val feat = Cluster.featuresLong(spark, q, alphabetSize).cache()
+      val feat = Cluster.featuresLong(spark, q, alphabetSize, presort = false).cache()
 
       def inferForK(k: Int): (DataFrame, Map[Int, Pfsa]) = {
         val labels = Cluster.assignFeatures(feat, k, params.kmeansSeed, clusterer).cache()
-        val lib = GenESeSS.inferAllLong(spark, q.join(labels, "seq_id"), alphabetSize, genParams)
+        // the join key is the partitioning key, so labels co-partition in and
+        // the joined frame keeps q's (seq_id, t) order — no re-sort needed
+        val lib = GenESeSS.inferAllLong(spark, q.join(labels, "seq_id"),
+          alphabetSize, genParams, presort = false)
         (labels, lib)
       }
 
@@ -105,7 +114,7 @@ object AnomalyDetection {
         var converged = false
         while (!converged && iter < 5) {
           val ordered = (0 until k).map(lib)
-          val llks = Llk.scoreAllLong(spark, q, ordered)
+          val llks = Llk.scoreAllLong(spark, q, ordered, presort = false)
           val fracs = Cluster.confusionFractions(llks, labels)
             .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
           val reduced = Cluster.reducedClusterCount(fracs, k)
@@ -121,7 +130,7 @@ object AnomalyDetection {
 
       // per-cluster llk stats over OWN members (detection.py:472-499), ddof=1
       val ordered = (0 until k).map(lib)
-      val ownScores = Llk.scoreAllLong(spark, q, ordered)
+      val ownScores = Llk.scoreAllLong(spark, q, ordered, presort = false)
         .join(labels, "seq_id")
         .filter(col("cluster_id") === col("cluster"))
       val stats = ownScores.groupBy(col("cluster"))
