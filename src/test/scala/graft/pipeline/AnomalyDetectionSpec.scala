@@ -104,6 +104,25 @@ class AnomalyDetectionSpec extends AnyFunSuite {
       s"clusters 0,1 must merge, 2 stays: $fracs")
   }
 
+  test("fit + predict handle a 1M-symbol stream (2× the reference's 500k cap)") {
+    import org.apache.spark.sql.functions._
+    // generated DISTRIBUTED — the sequence never exists as one driver array
+    // or one executor cell anywhere in fit or predict
+    val d = 1000000L
+    val long = spark.range(d)
+      .select(lit(0L).as("seq_id"), col("id").as("t"),
+        (col("id") % 7 % 2).cast("double").as("value"))
+    val p = AnomalyDetection.Params(anomalySensitivity = 3.0, nClusters = 1,
+      quantize = false)
+    val model = AnomalyDetection.fit(spark, long, p)
+    assert(model.library.size == 1)
+    assert(model.llkMeans(0) > 0.0 && !model.llkMeans(0).isInfinite)
+    val out = AnomalyDetection.predict(spark, model, long).collect()
+    assert(out.length == 1)
+    assert(!out.head.getBoolean(1), "training stream must explain itself")
+    assert(!out.head.getDouble(3).isInfinite)
+  }
+
   test("fit with reduce_clusters converges and the model explains training data") {
     // over-clustered two-regime corpus: the fixpoint loop must terminate
     // with a library no larger than requested and clean training predictions
