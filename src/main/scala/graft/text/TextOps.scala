@@ -116,15 +116,28 @@ object TextOps {
     val sizes = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val dfreq = toks.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("g"))
-    val prefix = toks.join(dfreq, "g")
+    val ranked = toks.join(dfreq, "g")
       .withColumn("rn", row_number().over(w))
       .join(sizes, idCol)
+    // asymmetric prefixes (PPJoin): the INDEX prefix ⌊(1−t)n⌋+1 is what the
+    // smallest common token of any qualifying pair must fall into on the
+    // LARGER doc; the SMALLER doc a needs overlap α ≥ 2t/(1+t)·n_a (since
+    // α ≥ t/(1+t)(n_a+n_b) and n_b ≥ n_a), so its PROBE prefix shrinks to
+    // ⌊(1−t)/(1+t)·n⌋+1 — n/3 at t=0.5 — and, being the rarest head of the
+    // df order, it collides far less than the full index prefix
+    val index = ranked
       .filter(col("rn") <= floor(lit(1.0 - t) * col("n")) + lit(1))
       .select(col(idCol), col("g"), col("n"), col("rn"))
-    val a = prefix.select(col("g"), col(idCol).as("id_a"), col("n").as("n_a"), col("rn").as("rn_a"))
-    val b = prefix.select(col("g"), col(idCol).as("id_b"), col("n").as("n_b"), col("rn").as("rn_b"))
+    val probe = ranked
+      .filter(col("rn") <= floor(lit((1.0 - t) / (1.0 + t)) * col("n")) + lit(1))
+      .select(col(idCol), col("g"), col("n"), col("rn"))
+    val a = probe.select(col("g"), col(idCol).as("id_a"), col("n").as("n_a"), col("rn").as("rn_a"))
+    val b = index.select(col("g"), col(idCol).as("id_b"), col("n").as("n_b"), col("rn").as("rn_b"))
     a.join(b, Seq("g"))
-      .filter(col("id_a") < col("id_b") &&
+      // a is the smaller side (ties by id): each unordered pair is probed
+      // exactly one way round, completeness per the prefix bounds above
+      .filter((col("n_a") < col("n_b") ||
+          (col("n_a") === col("n_b") && col("id_a") < col("id_b"))) &&
         // AllPairs length filter: J ≥ t ⇒ min(n_a,n_b) ≥ t·max(n_a,n_b) —
         // prunes DURING the join, before the distinct, dropping only pairs
         // the exact-Jaccard threshold would drop anyway
@@ -139,7 +152,9 @@ object TextOps {
         // corpora where the prefix join fans out
         lit(1) + least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) >=
           ceil(lit(t / (1.0 + t)) * (col("n_a") + col("n_b"))))
-      .select(col("id_a"), col("id_b"))
+      // canonical (smaller id first) regardless of which side probed
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
       .distinct()
   }
 
