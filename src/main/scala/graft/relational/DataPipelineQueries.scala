@@ -163,22 +163,25 @@ object DataPipelineQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Embedding-cosine near-dup: LSH-bucketed candidates, cosine ≥ 0.99 ⇒
-    * duplicate vector. Candidates come from hyperplane buckets with
-    * corpus-adaptive code width and capped bucket sizes (Similarity.annTopK
-    * defaults) — candidate volume stays ABSOLUTE-bounded per query as the
-    * corpus grows, never a fixed fraction of it. */
+  /** Embedding-cosine near-dup: cosine ≥ 0.99 ⇒ duplicate vector, found via
+    * the dedup-shaped LSH pipeline (Similarity.nearDupPairs — full-code
+    * bucket self-join with corpus-adaptive code width and capped buckets),
+    * not per-query ANN probes: candidate volume is Σ capped-bucket² per
+    * table, exact duplicates collide with certainty, and each vector's best
+    * partner comes from the verified pair set. */
   private def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
     val e = embeds(s, d)
-    // tables=4 suffices at the 0.99-cosine dup threshold: θ ≈ 8° ⇒ per-bit
-    // agreement ≈ 0.955, so with Hamming-1 multiprobe a 10-bit table catches
-    // ≈ 0.93 of true dups — miss ≈ 0.07⁴ ≈ 2e-5 over 4 tables — at half the
-    // candidate volume of the generic-recall default
-    val near = Similarity.annTopK(e, e, k = 1, tables = 4, dim = 64)
-      .filter(col("cosine") >= 0.99)
-      .select(col("qid").as("vec_id"), col("neighbor").as("dup_of"), col("cosine"))
+    val pairs = Similarity.nearDupPairs(e, minCosine = 0.99, dim = 64)
+    val directed = pairs
+      .select(col("id_a").as("vec_id"), col("id_b").as("partner"), col("cosine"))
+      .union(pairs.select(col("id_b").as("vec_id"), col("id_a").as("partner"), col("cosine")))
+    val best = directed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("partner"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("partner").as("dup_of"), col("cosine"))
     e.select(col("vec_id"), col("label"))
-      .join(near, Seq("vec_id"), "left")
+      .join(best, Seq("vec_id"), "left")
       .select(col("vec_id"), col("label"), col("dup_of"), col("cosine"))
       .orderBy(col("vec_id"))
   }

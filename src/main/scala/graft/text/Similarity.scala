@@ -132,6 +132,45 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"), col("n_candidates"))
   }
 
+  /** Near-duplicate PAIRS over the whole corpus — the dedup-shaped LSH
+    * pipeline (bucket self-join, like MinHash banding), not the search-shaped
+    * one (per-query probes): vectors sharing a FULL per-table code become
+    * candidates, hot buckets are capped, exact cosine ≥ `minCosine` verifies.
+    * At the dedup thresholds this is both cheaper and safer than routing the
+    * corpus through annTopK as its own query set — candidate volume is
+    * Σ bucket² (capped) per table instead of per-query probe fan-out, and
+    * EXACT duplicates always collide (identical vector ⇒ identical code in
+    * every table). A near-but-not-exact dup at cosine c collides per table
+    * w.p. (1−θ/π)^bits (θ = arccos c); at c = 0.99, bits = 10, 4 tables the
+    * miss rate is ≈ (1−0.63)⁴ ≈ 2%.
+    *
+    * @return (id_a, id_b, cosine), id_a < id_b, cosine ≥ minCosine
+    */
+  def nearDupPairs(corpus: DataFrame, minCosine: Double,
+                   tables: Int = 4, bits: Int = 0, dim: Int = 64,
+                   seed: Long = 42L, maxBucketSize: Int = 256): DataFrame = {
+    val nBits = if (bits > 0) bits else adaptiveBits(corpus.count())
+    val cb = buckets(corpus, tables, nBits, dim, seed)
+    val ok = cb.groupBy(col("tbl"), col("code"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= maxBucketSize)
+      .select(col("tbl"), col("code"))
+    val small = cb.join(ok, Seq("tbl", "code"))
+    val a = small.select(col("tbl"), col("code"), col("vec_id").as("id_a"))
+    val b = small.select(col("tbl"), col("code"), col("vec_id").as("id_b"))
+    val cand = a.join(b, Seq("tbl", "code"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val e = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("emb").as("e_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("emb").as("e_b")), "id_b")
+      .withColumn("cosine", round(cosine("e_a", "e_b"), 6))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** IVF (inverted-file) ANN — the data-adaptive alternative to hyperplane
     * LSH: a coarse KMeans quantizer partitions the corpus into `nCells`
     * cells; each query probes its `nProbe` nearest cells and re-ranks

@@ -90,6 +90,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.adaptiveBits(0) == 4)
   }
 
+  test("nearDupPairs: exact dup always collides; swarm buckets stay capped") {
+    import spark.implicits._
+    val base = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 16 + j).toFloat).toSeq)
+    }
+    val withDup = base :+ (50L, base.head._2) // identical vector ⇒ identical codes
+    val pairs = Similarity.nearDupPairs(withDup.toDF("vec_id", "embedding"),
+      minCosine = 0.99, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 50L)), s"planted exact dup not paired: $pairs")
+    // identical-vector swarm: every bucket it fills exceeds the cap and is
+    // dropped BEFORE the self-join — the documented recall-for-bound trade
+    val swarm = (0L until 400L).map(i => (i, base.head._2)).toDF("vec_id", "embedding")
+    assert(Similarity.nearDupPairs(swarm, minCosine = 0.99, dim = 16,
+      maxBucketSize = 100).count() == 0L)
+    assert(Similarity.nearDupPairs(swarm, minCosine = 0.99, dim = 16,
+      maxBucketSize = 500).count() > 0L)
+  }
+
   test("embedding near-dup: a duplicated vector is found at cosine ~1") {
     import spark.implicits._
     // plant an exact duplicate pair in a small synthetic corpus
