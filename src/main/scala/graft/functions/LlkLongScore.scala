@@ -107,6 +107,9 @@ object LlkLongScore {
     var loss: Double = 0.0        // vector mode: accumulated -log2 step mass
     var a: Array[Double] = null   // |Q|×|Q| row-major, sum-normalized
     var lnScale: Double = 0.0     // matrix mode: ln of the normalization pulled out
+    // swap buffer for the per-symbol step — a million-symbol stream must not
+    // allocate a fresh array per symbol (transient: never serialized)
+    var tmp: Array[Double] = null
   }
 
   /** One contiguous arrival-run `[tFirst, tLast]` with `cnt` symbols. */
@@ -143,7 +146,9 @@ object LlkLongScore {
       val n = pfsa.numStates
       if (s < 0 || s >= pfsa.alphabetSize) { mr.dead = true; mr.p = null; mr.a = null; return }
       if (mr.p != null) {
-        val next = new Array[Double](n)
+        if (mr.tmp == null || mr.tmp.length != n) mr.tmp = new Array[Double](n)
+        val next = mr.tmp
+        java.util.Arrays.fill(next, 0.0)
         var mass = 0.0
         var q = 0
         while (q < n) {
@@ -151,13 +156,16 @@ object LlkLongScore {
           if (w != 0.0) { mass += w; next(pfsa.conn(q)(s)) += w }
           q += 1
         }
-        if (mass <= 0.0) { mr.dead = true; mr.p = null; return }
+        if (mass <= 0.0) { mr.dead = true; mr.p = null; mr.tmp = null; return }
         mr.loss -= math.log(mass) / LOG2
         var i = 0
         while (i < n) { next(i) /= mass; i += 1 }
+        mr.tmp = mr.p
         mr.p = next
       } else {
-        val next = new Array[Double](n * n)
+        if (mr.tmp == null || mr.tmp.length != n * n) mr.tmp = new Array[Double](n * n)
+        val next = mr.tmp
+        java.util.Arrays.fill(next, 0.0)
         var total = 0.0
         var i = 0
         while (i < n) {
@@ -170,10 +178,11 @@ object LlkLongScore {
           }
           i += 1
         }
-        if (total <= 0.0) { mr.dead = true; mr.a = null; return }
+        if (total <= 0.0) { mr.dead = true; mr.a = null; mr.tmp = null; return }
         var j = 0
         val nn = n * n
         while (j < nn) { next(j) /= total; j += 1 }
+        mr.tmp = mr.a
         mr.a = next
         mr.lnScale += math.log(total)
       }
