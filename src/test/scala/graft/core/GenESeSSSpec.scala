@@ -77,6 +77,34 @@ class GenESeSSSpec extends AnyFunSuite {
     assert(!plan.contains("collect_list"), plan)
   }
 
+  test("long-form visit sweep survives scattered partitions (serialize + run merge)") {
+    import org.apache.spark.sql.functions._
+    // scatter rows by t-block WITHOUT presorting: partial aggregation folds
+    // per-partition mid runs, buffers SERIALIZE across the exchange, and the
+    // final merge composes transition functions — the distributed shape the
+    // pre-partitioned fit plan never exercises
+    val data = Seq(
+      (0L, 0, Pfsa.m2.sample(5000, 41).toSeq),
+      (1L, 1, Pfsa.m2u.sample(5000, 42).toSeq))
+    val seqs = data.map { case (_, c, s) => (c, s) }.toDF("cluster", "symbols")
+    val long = data.flatMap { case (sid, c, s) =>
+      s.zipWithIndex.map { case (sym, t) => (sid, t.toLong, sym, c) }
+    }.toDF("seq_id", "t", "symbol", "cluster")
+      .repartition(8, expr("cast(t / 100 as int)"))
+      .sortWithinPartitions("seq_id", "t")
+    val p = GenESeSS.Params(eps = 0.05)
+    val libA = GenESeSS.inferAll(spark, seqs, alphabetSize = 2, p)
+    val libL = GenESeSS.inferAllLong(spark, long, alphabetSize = 2, p, presort = false)
+    assert(libA.keySet == libL.keySet)
+    for (c <- libA.keySet) {
+      assert(libA(c).conn.map(_.toSeq).toSeq == libL(c).conn.map(_.toSeq).toSeq)
+      // visit counts are integers, so even via matrix-run composition the
+      // emissions must be EXACTLY equal
+      assert(libA(c).pitilde.map(_.toSeq).toSeq == libL(c).pitilde.map(_.toSeq).toSeq,
+        s"cluster $c emissions diverged under scattered partitions")
+    }
+  }
+
   test("degenerate input yields a usable 1-state machine") {
     val p = GenESeSS.inferSingle(spark, Array[Byte](1), alphabetSize = 2)
     assert(p.numStates == 1)
