@@ -131,9 +131,14 @@ object TextOps {
     val probe = ranked
       .filter(col("rn") <= floor(lit((1.0 - t) / (1.0 + t)) * col("n")) + lit(1))
       .select(col(idCol), col("g"), col("n"), col("rn"))
-    val a = probe.select(col("g"), col(idCol).as("id_a"), col("n").as("n_a"), col("rn").as("rn_a"))
-    val b = index.select(col("g"), col(idCol).as("id_b"), col("n").as("n_b"), col("rn").as("rn_b"))
-    a.join(b, Seq("g"))
+    // join on the 32-bit murmur of the token, not the string: cheaper to
+    // shuffle and compare; a hash collision can only ADD candidates (the
+    // exact-similarity verify downstream discards them), never lose one
+    val a = probe.select(hash(col("g")).as("gh"), col(idCol).as("id_a"),
+      col("n").as("n_a"), col("rn").as("rn_a"))
+    val b = index.select(hash(col("g")).as("gh"), col(idCol).as("id_b"),
+      col("n").as("n_b"), col("rn").as("rn_b"))
+    a.join(b, Seq("gh"))
       // a is the smaller side (ties by id): each unordered pair is probed
       // exactly one way round, completeness per the prefix bounds above
       .filter((col("n_a") < col("n_b") ||
