@@ -91,6 +91,29 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("long-form llk fold ≡ array kernel for arbitrary sequences and scatterings") {
+    import org.apache.spark.sql.functions._
+    val gen = for {
+      len <- Gen.chooseNum(1, 400)
+      syms <- Gen.listOfN(len, Gen.chooseNum(0, 1))
+      block <- Gen.chooseNum(7, 97) // scatter granularity
+    } yield (syms.map(_.toByte), block)
+    forAll(gen, n = 12) { case (syms, block) =>
+      val arr = syms.toArray
+      val long = syms.zipWithIndex.map { case (s, t) => (0L, t.toLong, s) }
+        .toDF("seq_id", "t", "symbol")
+        .repartition(5, expr(s"cast(t / $block as int)"))
+        .sortWithinPartitions("seq_id", "t")
+      val got = Llk.scoreAllLong(spark, long, Seq(Pfsa.m2, Pfsa.m2u), presort = false)
+        .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+      for ((m, ci) <- Seq(Pfsa.m2, Pfsa.m2u).zipWithIndex) {
+        val want = Llk.llk(arr, m)
+        assert(math.abs(got(ci) - want) <= 1e-9 || got(ci) == want,
+          s"len=${arr.length} block=$block model=$ci: ${got(ci)} vs $want")
+      }
+    }
+  }
+
   test("complex quantizer: fitted cutoffs are sorted and strictly increasing") {
     forAll(Gen.zip(Gen.listOfN(200, Gen.chooseNum(-1000.0, 1000.0)), Gen.chooseNum(2, 8))) {
       case (vals, bins) =>
