@@ -91,12 +91,17 @@ object PipelineQueries {
     val typeIds = long.select(col("event_type")).distinct().collect()
       .map(_.getString(0)).sorted.zipWithIndex
       .map { case (t, i) => (t, i) }.toSeq.toDF("event_type", "cluster")
-    val seqs = Quantize.simple(long, "seq_id", "t", "value")
-      .groupBy(col("seq_id"), col("event_type"))
-      .agg(expr("transform(array_sort(collect_list(struct(t, symbol))), x -> x.symbol)").as("symbols"))
+    // long-form inference: a "sequence" is one (user, type) sub-stream; its
+    // global per-user t ranks are re-ranked dense within the pair so the
+    // visit aggregate folds single head runs — no collect_list anywhere
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seq_id"), col("event_type")).orderBy(col("t"))
+    val labeled = Quantize.simple(long, "seq_id", "t", "value")
       .join(broadcast(typeIds), Seq("event_type"))
-      .select(col("cluster"), col("symbols"))
-    val lib = GenESeSS.inferAll(s, seqs, alphabetSize = 2, GenESeSS.Params(eps = 0.2))
+      .select(struct(col("seq_id"), col("event_type")).as("seq_id"),
+        (row_number().over(w) - 1).cast("long").as("t"),
+        col("symbol"), col("cluster"))
+    val lib = GenESeSS.inferAllLong(s, labeled, alphabetSize = 2, GenESeSS.Params(eps = 0.2))
     lib.toSeq.sortBy(_._1).flatMap { case (c, p) =>
       for (q <- p.pitilde.indices; sym <- 0 until p.alphabetSize)
         yield (c, q, sym, BigDecimal(p.pitilde(q)(sym)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
