@@ -123,24 +123,36 @@ object PipelineQueries {
       .orderBy("state", "symbol")
   }
 
-  /** cluster_kmeans (detection.py:332-339): seeded KMeans on llk features. */
+  /** events → quantized long form (seq_id, t, symbol), the array-free input
+    * shape for clustering/inference queries. */
+  private def quantizedLong(s: SparkSession, d: String): DataFrame =
+    Quantize.simple(Tables.eventsLong(s, d).withColumnRenamed("user_id", "seq_id"))
+
+  /** cluster_kmeans (detection.py:332-339): seeded KMeans on llk features,
+    * computed from the long form (no sequence array cells). */
   def clusterKmeans(s: SparkSession, d: String): DataFrame =
-    Cluster.assign(s, sequences(s, d), alphabetSize = 2, nClusters = 3)
+    Cluster.assignFeatures(
+        Cluster.featuresLong(s, quantizedLong(s, d), alphabetSize = 2), nClusters = 3)
       .select(col("seq_id"), col("cluster"))
       .orderBy("seq_id")
 
-  /** cluster_reduce_scc (detection.py:401-469): confusion graph → SCC count. */
+  /** cluster_reduce_scc (detection.py:401-469): confusion graph → SCC count,
+    * every pass (features, inference, scoring) on the long form. */
   def clusterReduceScc(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val seqs = sequences(s, d)
-    val labeled = Cluster.assign(s, seqs, alphabetSize = 2, nClusters = 3)
-    val lib = GenESeSS.inferAll(s, labeled, alphabetSize = 2, GenESeSS.Params(eps = 0.2))
-    val ordered = lib.toSeq.sortBy(_._1).map(_._2)
-    val llks = Llk.scoreAll(s, labeled, ordered)
-    val fracs = Cluster.confusionFractions(llks, labeled.select("seq_id", "cluster"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
-    val reduced = Cluster.reducedClusterCount(fracs, ordered.size)
-    Seq((ordered.size, reduced)).toDF("n_clusters", "n_reduced")
+    val long = quantizedLong(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val labels = Cluster.assignFeatures(
+        Cluster.featuresLong(s, long, alphabetSize = 2), nClusters = 3)
+      val lib = GenESeSS.inferAllLong(s, long.join(labels, "seq_id"),
+        alphabetSize = 2, GenESeSS.Params(eps = 0.2))
+      val ordered = lib.toSeq.sortBy(_._1).map(_._2)
+      val llks = Llk.scoreAllLong(s, long, ordered)
+      val fracs = Cluster.confusionFractions(llks, labels)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+      val reduced = Cluster.reducedClusterCount(fracs, ordered.size)
+      Seq((ordered.size, reduced)).toDF("n_clusters", "n_reduced")
+    } finally long.unpersist()
   }
 
   /** union_find (reference _utils.py:58-109): component count over the
@@ -281,8 +293,9 @@ object PipelineQueries {
   def clusterPluggable(s: SparkSession, d: String): DataFrame = {
     val est = new org.apache.spark.ml.clustering.BisectingKMeans()
       .setK(3).setSeed(42L).setFeaturesCol("features").setPredictionCol("raw_label")
-    Cluster.assign(s, sequences(s, d), alphabetSize = 2, nClusters = 3,
-        clusterer = Some(est))
+    Cluster.assignFeatures(
+        Cluster.featuresLong(s, quantizedLong(s, d), alphabetSize = 2),
+        nClusters = 3, clusterer = Some(est))
       .select(col("seq_id"), col("cluster"))
       .orderBy("seq_id")
   }
