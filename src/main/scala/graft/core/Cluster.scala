@@ -61,23 +61,13 @@ object Cluster {
       .select(col("seq_id"), toVec(col("lk")).as("features"))
   }
 
-  /** (seq_id, symbols) → (seq_id, features: Vector) of llks vs base models.
-    * +∞ scores (inexplicable) clamp to a large finite value for KMeans. */
-  def features(spark: SparkSession, seqs: DataFrame, alphabetSize: Int): DataFrame = {
-    val bases = basePfsas(alphabetSize)
-    val bc = spark.sparkContext.broadcast(bases.toArray)
-    val featUdf = udf { symbols: Seq[Byte] =>
-      val arr = symbols.toArray
-      Vectors.dense(bc.value.map { m =>
-        val v = Llk.llk(arr, m)
-        if (v.isInfinite || v.isNaN) 1e6 else v
-      })
-    }
-    seqs.select(col("seq_id"), col("symbols"), featUdf(col("symbols")).as("features"))
-  }
-
-  /** Cluster labels, relabeled so 0 = most frequent (reference
-    * detection.py:332-354). Returns (seq_id, symbols, cluster).
+  /** Cluster labels from a `(seq_id, …, features)` frame, relabeled so 0 =
+    * most frequent (reference detection.py:332-354). The feature vectors
+    * depend only on the sequences and alphabet, so callers that re-cluster
+    * the same data at several k — the reduce-clusters fixpoint re-invokes
+    * inference per candidate k (detection.py:401-469) — persist the
+    * [[featuresLong]] frame once and pay the llk sweep once, not per
+    * iteration.
     *
     * `clusterer` makes the algorithm pluggable like the reference's
     * `clustering_alg` constructor knob (detection.py:26,332-339;
@@ -85,21 +75,6 @@ object Cluster {
     * estimator configured with `setFeaturesCol("features")` and
     * `setPredictionCol("raw_label")` (e.g. `BisectingKMeans`,
     * `GaussianMixture`); default is seeded KMeans. */
-  def assign(spark: SparkSession, seqs: DataFrame, alphabetSize: Int,
-             nClusters: Int, seed: Long = 42L,
-             clusterer: Option[Estimator[_ <: Model[_]]] = None): DataFrame = {
-    val feat = features(spark, seqs, alphabetSize).cache()
-    val out = assignFeatures(feat, nClusters, seed, clusterer)
-    feat.unpersist()
-    out
-  }
-
-  /** [[assign]] on a PRECOMPUTED `(seq_id, symbols, features)` frame. The
-    * feature vectors depend only on the sequences and alphabet, so callers
-    * that re-cluster the same data at several k — the reduce-clusters
-    * fixpoint re-invokes inference per candidate k (detection.py:401-469) —
-    * persist the features once and pay the llk sweep once, not per
-    * iteration. */
   def assignFeatures(feat: DataFrame, nClusters: Int, seed: Long = 42L,
                      clusterer: Option[Estimator[_ <: Model[_]]] = None): DataFrame = {
     val labeled =

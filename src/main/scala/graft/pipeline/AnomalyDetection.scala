@@ -70,7 +70,7 @@ object AnomalyDetection {
     *
     * @param clusterer optional pluggable clustering estimator (reference
     *                   `clustering_alg`, detection.py:26) — see
-    *                   [[Cluster.assign]] for the contract */
+    *                   [[Cluster.assignFeatures]] for the contract */
   def fit(spark: SparkSession, longDf: DataFrame, params: Params = Params(),
           clusterer: Option[org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]]] = None): Model = {
     val (quantized, complexModel) = quantizeLong(longDf, params, None)
