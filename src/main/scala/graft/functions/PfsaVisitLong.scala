@@ -91,6 +91,9 @@ object PfsaVisitLong {
 
   final class Buffer {
     private var cluster: Int = Int.MinValue
+    // cached machine for this group's cluster (transient, resolved on first
+    // row / first eval — avoids a Map lookup per input row)
+    private var conn: Array[Array[Int]] = null
     private val runs = new java.util.ArrayList[Run](1)
 
     private def newRun(t: Long, conn: Array[Array[Int]], k: Int): Run = {
@@ -124,7 +127,7 @@ object PfsaVisitLong {
     def add(c: Int, t: Long, s: Int,
             conns: Map[Int, Array[Array[Int]]], k: Int): Unit = {
       if (cluster == Int.MinValue) cluster = c
-      val conn = conns(cluster)
+      if (conn == null) conn = conns(cluster)
       val size = runs.size
       if (size > 0) {
         val last = runs.get(size - 1)
@@ -155,7 +158,7 @@ object PfsaVisitLong {
     /** Compose runs in t order from state 0 → total |Q|·|Σ| counts. */
     def result(conns: Map[Int, Array[Array[Int]]], k: Int): Array[Long] = {
       if (cluster == Int.MinValue || runs.isEmpty) return Array.empty[Long]
-      val conn = conns(cluster)
+      if (conn == null) conn = conns(cluster) // deserialized buffers arrive without the cache
       val nq = conn.length
       val out = new Array[Long](nq * k)
       var cur = 0
