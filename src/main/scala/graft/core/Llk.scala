@@ -98,8 +98,10 @@ object Llk {
     *                summaries shuffle (the 100-TB shape for sources already
     *                written in event order); results then agree with the
     *                array path to fp tolerance (~1e-12), not bit-exactly.
-    * @param longDf long-form with `seq_id`, `t` (sortable; per-partition
-    *               arrival must be t-ascending when presort=false) and
+    * @param longDf long-form with `seq_id`, `t` (non-negative; dense 0-based
+    *               per sequence is the efficient encoding — sparse t opens
+    *               one run per gap; per-partition arrival must be t-ascending
+    *               when presort=false; t < 0 is rejected) and
     *               `symbol` (tinyint)
     */
   def scoreAllLong(spark: SparkSession, longDf: DataFrame, library: Seq[Pfsa],

@@ -189,6 +189,12 @@ object LlkLongScore {
     }
 
     def add(t: Long, s: Int, lib: Array[Pfsa]): Unit = {
+      // contract: t >= 0 — the t = 0 row anchors the stationary-start head
+      // run, and result() composes it first BECAUSE nothing sorts below it.
+      // A negative t would sort ahead and be silently discarded there, so
+      // reject it loudly here instead.
+      if (t < 0L) throw new IllegalArgumentException(
+        s"llk_score_long requires t >= 0 per sequence (got t = $t); re-rank t dense from 0")
       val size = runs.size
       if (size > 0) {
         val last = runs.get(size - 1)

@@ -126,6 +126,11 @@ object PfsaVisitLong {
 
     def add(c: Int, t: Long, s: Int,
             conns: Map[Int, Array[Array[Int]]], k: Int): Unit = {
+      // contract: t >= 0 — same head-run-composes-first assumption as
+      // LlkLongScore (the t = 0 run anchors state 0); reject negatives loudly
+      // rather than silently dropping their contribution at result()
+      if (t < 0L) throw new IllegalArgumentException(
+        s"pfsa_visit_long requires t >= 0 per sequence (got t = $t); re-rank t dense from 0")
       if (cluster == Int.MinValue) cluster = c
       if (conn == null) conn = conns(cluster)
       val size = runs.size

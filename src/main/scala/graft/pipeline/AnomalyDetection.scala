@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.core._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch anomaly detection — Spark-native rebuild of the reference's
@@ -62,6 +63,23 @@ object AnomalyDetection {
       .agg(expr("transform(array_sort(collect_list(struct(t, symbol))), x -> x.symbol)")
         .as("symbols"))
 
+  /** Partition by seq_id, sort (seq_id, t) within partitions, and re-rank `t`
+    * DENSE (0, 1, 2, …) per sequence. The run-based aggregates
+    * ([[graft.functions.LlkLongScore]] / [[graft.functions.PfsaVisitLong]])
+    * extend a run only on `t == tLast + 1`, so sparse user t — epoch
+    * timestamps, strided window positions — would open one run PER ROW and
+    * grow per-group buffer state linearly with sequence length, defeating
+    * their O(|Q|·k) design. Dense re-ranking preserves order (the only thing
+    * the fold semantics depend on) and restores the O(1)-runs shape for any
+    * sortable t. The window reuses the exchange + sort directly below it, so
+    * this costs no extra shuffle; downstream passes consume the result with
+    * `presort = false`. */
+  private def densify(df: DataFrame): DataFrame =
+    df.repartition(col("seq_id"))
+      .sortWithinPartitions(col("seq_id"), col("t"))
+      .withColumn("t", (row_number().over(
+        Window.partitionBy(col("seq_id")).orderBy(col("t"))) - 1).cast("long"))
+
   /** Fit works entirely on the LONG form — features, inference heap, π̃
     * visit sweep and the scoring passes all fold over `(seq_id, t, symbol)`
     * rows (Llk.scoreAllLong / GenESeSS.inferAllLong), so no stage ever
@@ -74,12 +92,11 @@ object AnomalyDetection {
   def fit(spark: SparkSession, longDf: DataFrame, params: Params = Params(),
           clusterer: Option[org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]]] = None): Model = {
     val (quantized, complexModel) = quantizeLong(longDf, params, None)
-    // ONE shuffle + sort for the whole fit: every downstream pass (features,
-    // inference heap, visit sweep, the scoring passes) needs seq_id
-    // partitioning with t-ascending rows, so pay it once into the cache and
-    // run those passes with presort=false
-    val q = quantized.repartition(col("seq_id"))
-      .sortWithinPartitions(col("seq_id"), col("t"))
+    // ONE shuffle + sort (+ dense-t re-rank, see densify) for the whole fit:
+    // every downstream pass (features, inference heap, visit sweep, the
+    // scoring passes) needs seq_id partitioning with t-ascending rows, so pay
+    // it once into the cache and run those passes with presort=false
+    val q = densify(quantized)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val alphabetSize = math.max(2, q.agg(max(col("symbol"))).head().getByte(0).toInt + 1)
@@ -88,11 +105,23 @@ object AnomalyDetection {
       // llk features vs the base PFSAs depend only on (sequences, alphabet):
       // compute them ONCE — the reduce-clusters fixpoint below re-invokes
       // inferForK per candidate k, and without this the base-model llk sweep
-      // re-ran every iteration
-      val feat = Cluster.featuresLong(spark, q, alphabetSize, presort = false).cache()
+      // re-ran every iteration. With k <= 1 and the default clusterer the
+      // labels are a CONSTANT (Cluster.assignFeatures short-circuits), so the
+      // whole 4-base-model scoring sweep is skipped — the k = 1 fits in
+      // stream_fit_predict / multilevel level-2 were paying it for nothing.
+      val k0 = math.max(1, params.nClusters)
+      val feat =
+        if (k0 > 1 || clusterer.nonEmpty)
+          Some(Cluster.featuresLong(spark, q, alphabetSize, presort = false).cache())
+        else None
 
       def inferForK(k: Int): (DataFrame, Map[Int, Pfsa]) = {
-        val labels = Cluster.assignFeatures(feat, k, params.kmeansSeed, clusterer).cache()
+        val labels = feat match {
+          case Some(f) => Cluster.assignFeatures(f, k, params.kmeansSeed, clusterer).cache()
+          // constant-label path: one distinct over the already-partitioned
+          // cache (no exchange), no feature sweep
+          case None => q.select(col("seq_id")).distinct().withColumn("cluster", lit(0)).cache()
+        }
         // the join key is the partitioning key, so labels co-partition in and
         // the joined frame keeps q's (seq_id, t) order — no re-sort needed
         val lib = GenESeSS.inferAllLong(spark, q.join(labels, "seq_id"),
@@ -100,7 +129,7 @@ object AnomalyDetection {
         (labels, lib)
       }
 
-      var k = math.max(1, params.nClusters)
+      var k = k0
       var (labels, lib) = inferForK(k)
       // KMeans may emit fewer distinct labels than requested (duplicate
       // points); the frequency relabel makes label ids dense, so the
@@ -142,19 +171,19 @@ object AnomalyDetection {
       val model = Model(params, complexModel, alphabetSize, ordered.toIndexedSeq,
         (0 until k).map(c => stats.get(c).map(_._1).getOrElse(0.0)).toArray,
         (0 until k).map(c => stats.get(c).map(_._2).getOrElse(0.0)).toArray)
-      feat.unpersist()
+      feat.foreach(_.unpersist())
       model
     } finally q.unpersist()
   }
 
   /** Score new long-form data against a fitted model.
     *
-    * Scoring folds llk DIRECTLY over the quantized long form
+    * Both fit and predict run entirely on the long form: scoring folds llk
+    * DIRECTLY over the quantized `(seq_id, t, symbol)` rows
     * ([[graft.core.Llk.scoreAllLong]], bit-exact with the array kernel) —
-    * predict never materializes a sequence as one array cell, so stream
-    * length is unbounded (the reference caps at 500k symbols/stream,
-    * examples/M2.cfg:15-17; fit still builds arrays because GenESeSS
-    * consumes whole sequences).
+    * no stage materializes a sequence as one array cell, so stream length is
+    * unbounded (the reference caps at 500k symbols/stream,
+    * examples/M2.cfg:15-17).
     *
     * @return (seq_id, is_anomaly, closest, llk) — closest = argmin-llk
     *         cluster (detection.py:152), llk = that minimum. Sequences no
@@ -163,11 +192,15 @@ object AnomalyDetection {
     */
   def predict(spark: SparkSession, model: Model, longDf: DataFrame): DataFrame = {
     val (quantized, _) = quantizeLong(longDf, model.params, model.complexModel)
-    val bcBounds = spark.sparkContext.broadcast(model.bounds)
-    val llks = Llk.scoreAllLong(spark, quantized, model.library)
-    val boundOf = udf((c: Int) => bcBounds.value(c))
+    // same dense-t normalization as fit (one shuffle, which scoreAllLong then
+    // reuses via presort = false)
+    val llks = Llk.scoreAllLong(spark, densify(quantized), model.library, presort = false)
+    // per-cluster bound as a literal-array lookup — stays inside whole-stage
+    // codegen (a lookup UDF here would break the span for one indexing op)
+    val boundCol = element_at(
+      array(model.bounds.map(lit).toIndexedSeq: _*), col("cluster_id") + 1)
     llks
-      .withColumn("bound", boundOf(col("cluster_id")))
+      .withColumn("bound", boundCol)
       .groupBy(col("seq_id"))
       .agg(
         bool_and(col("llk") > col("bound")).as("is_anomaly"),

@@ -36,10 +36,9 @@ object DataPipelineQueries {
     * candidates. Emits one row per doc (never empty): its candidate count
     * and best-verified duplicate, if any. */
   private def dedupMinhash(s: SparkSession, d: String): DataFrame = {
-    // signatures are consumed by banding AND by the verify join below, and
-    // the verified pairs fan out into four branches (both directions ×
-    // candidate-count + best-match) — persist both so the shingle/signature
-    // UDF and the bucket self-join each run exactly once
+    // signatures are consumed by banding AND by the verify join below —
+    // persist so the shingle/signature UDF runs exactly once (released again
+    // right after the verified pairs materialize)
     val base = docs(s, d)
       .select(col("doc_id"), TextOps.normalized("text").as("norm"))
       .withColumn("sh", TextOps.charShingles("norm", 5))
@@ -60,6 +59,10 @@ object DataPipelineQueries {
       .filter(col("agree") >= 24) // est. Jaccard ≥ ~0.375
       .select(col("id_a"), col("id_b"))
     val shapes = sig.select(col("doc_id"), col("sh"))
+    // pair-sized: materialize eagerly (the four downstream branches read this
+    // instead of recomputing the bucket join), then release the big
+    // shingle/signature cache — no MEMORY_AND_DISK block outlives the query
+    // beyond this output-sized checkpoint (round-4 verdict #3)
     val verified = estimated
       .join(shapes.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shapes.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -67,7 +70,8 @@ object DataPipelineQueries {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))), 6))
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
+    sig.unpersist()
     val directed = verified.select(col("id_a").as("doc_id"), col("id_b").as("partner"), col("jaccard"))
       .union(verified.select(col("id_b").as("doc_id"), col("id_a").as("partner"), col("jaccard")))
     val nCand = directed.groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
@@ -123,44 +127,95 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** n-gram Jaccard near-dups ≥ 0.5 within (source, lang): candidate pairs
-    * come from PREFIX FILTERING over the trigram sets
-    * (TextOps.prefixCandidates) — provably complete at the threshold, so the
-    * DuckDB oracle (all within-block pairs ≥ 0.5, computed relationally)
-    * hash-matches EXACTLY, not just with high probability — then exact
-    * Jaccard runs on candidates only. Candidate volume tracks rare-token
-    * collisions and the true near-dup structure, never corpus²; the
-    * (source, lang) block is a FILTER on verified pairs, not the pair
-    * generator, so block growth cannot re-introduce the quadratic. */
+  /** n-gram Jaccard near-dups ≥ 0.5 within (source, lang), attacking BOTH
+    * r4 scale hazards without giving up exactness (the relational DuckDB
+    * oracle must hash-match EXACTLY):
+    *
+    *   1. docs COLLAPSE to one representative per distinct (trigram set,
+    *      source, lang) group ([[TextOps.shingleSetKey]]) — an identical-doc
+    *      swarm reaches the join as ONE row; within-group pairs fan back out
+    *      as Jaccard 1.0 and cross-group member pairs inherit their
+    *      representatives' verified score, both OUTPUT-sized fan-outs (no
+    *      generator can beat its own answer size);
+    *   2. the (source, lang) block rides INSIDE the token-join key — sound
+    *      because the output semantics already restrict pairs to a block,
+    *      and decisive on low-vocabulary corpora (this fixture: ~380
+    *      distinct trigrams, every one of them common, so token/prefix
+    *      rarity alone cannot prune — the r4 corpus-wide prefix join
+    *      produced 755M candidate rows at sf0.1; per-block buckets are
+    *      bounded by block size ≤ ~112 instead).
+    *
+    * Completeness survives both: same-set/cross-block pairs are excluded by
+    * the block semantics themselves, and a qualifying cross-set pair shares
+    * ≥ ⌈t·n⌉ trigrams within its block, so it certainly collides in the
+    * block-keyed token join below. */
   private def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d)
       .select(col("doc_id"), col("source"), col("lang"),
         TextOps.charShingles("text", 3).as("sh"))
+      .withColumn("set_key", TextOps.shingleSetKey(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = TextOps.prefixCandidates(
-      base.select(col("doc_id"), explode(col("sh")).as("g")), "doc_id", t = 0.5)
-    // block predicate on the NARROW relation first (the length filter
-    // already ran inside prefixCandidates): only drops pairs the block
-    // semantics exclude, and the wide ~300-string shingle arrays ship only
-    // for survivors
-    val narrow = base.select(col("doc_id"), col("source"), col("lang"))
-    val filtered = pairs
-      .join(narrow.select(col("doc_id").as("id_a"), col("source").as("src_a"),
-        col("lang").as("lang_a")), "id_a")
-      .join(narrow.select(col("doc_id").as("id_b"), col("source").as("src_b"),
-        col("lang").as("lang_b")), "id_b")
-      .filter(col("src_a") === col("src_b") && col("lang_a") === col("lang_b"))
-      .select(col("id_a"), col("id_b"))
-    val shingles = base.select(col("doc_id"), col("sh"))
-    filtered
-      .join(shingles.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(shingles.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(least(col("id_a"), col("id_b")).as("doc_a"),
-        greatest(col("id_a"), col("id_b")).as("doc_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+    val members = base.select(col("doc_id"), col("source"), col("lang"), col("set_key"))
+    // one representative (smallest doc_id) per (distinct shingle set, block);
+    // ANY member's array serves for the set ops below (same set, order free)
+    val grouped = base.groupBy(col("set_key"), col("source"), col("lang"))
+      .agg(min(col("doc_id")).as("rep_id"), first(col("sh")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact within-block Jaccard between representatives, computed
+    // RELATIONALLY: block-keyed token self-join → per-pair common-token
+    // count → |A∪B| = n_a + n_b − common. Complete (J ≥ t ⇒ ≥ 1 shared
+    // trigram in the same block) and all codegen'd join/agg — no per-pair
+    // array hash sets (the r5 first cut spent 14 of 23 s in
+    // array_intersect over ~300-string arrays). Join volume is
+    // Σ_(block,g) bucket², bounded by (max block size) × token rows —
+    // linear in the corpus for bounded blocks. For UNBLOCKED or
+    // huge-single-block corpora this regime inverts: route through
+    // [[TextOps.prefixCandidates]] (kept as the library's generic
+    // exact-complete generator) so hot tokens drop out of the join.
+    val toksRep = grouped.select(col("rep_id"), col("source"), col("lang"),
+      explode(col("sh")).as("g"))
+    val sizes = grouped.select(col("rep_id"), size(col("sh")).as("n"))
+    val common = toksRep.select(col("source"), col("lang"), col("g"), col("rep_id").as("id_a"))
+      .join(toksRep.select(col("source"), col("lang"), col("g"), col("rep_id").as("id_b")),
+        Seq("source", "lang", "g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+    val verified = common
+      .join(sizes.select(col("rep_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("rep_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")), 6))
       .filter(col("jaccard") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // cross-group: each verified representative pair fans out to all member
+    // pairs of its two (set, block) groups — the sides share the block by
+    // construction, so membership lookup joins on (set_key, source, lang)
+    val repKey = grouped.select(col("rep_id"), col("set_key"), col("source"), col("lang"))
+    val cross = verified
+      .join(repKey.select(col("rep_id").as("id_a"), col("set_key").as("k_a"),
+        col("source"), col("lang")), "id_a")
+      .join(repKey.select(col("rep_id").as("id_b"), col("set_key").as("k_b")), "id_b")
+      .join(members.select(col("doc_id").as("da"), col("source"), col("lang"),
+        col("set_key").as("k_a")), Seq("k_a", "source", "lang"))
+      .join(members.select(col("doc_id").as("db"), col("source"), col("lang"),
+        col("set_key").as("k_b")), Seq("k_b", "source", "lang"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+    // within-group: all pairs inside a (set, source, lang) group ARE the
+    // answer for that group — jaccard 1.0 without touching a shingle array
+    val within = members
+      .select(col("set_key"), col("source"), col("lang"), col("doc_id").as("doc_a"))
+      .join(members.select(col("set_key"), col("source"), col("lang"),
+        col("doc_id").as("doc_b")), Seq("set_key", "source", "lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+    // materialize the (output-sized) pair set eagerly so the big shingle and
+    // grouping caches can be released before this returns — no
+    // MEMORY_AND_DISK block outlives the query (round-4 verdict #3)
+    val result = within.union(cross).localCheckpoint(true)
+    base.unpersist()
+    grouped.unpersist()
+    result.orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Embedding-cosine near-dup: cosine ≥ 0.99 ⇒ duplicate vector, found via

@@ -69,20 +69,29 @@ object ContinuousStreaming {
          state: GroupState[(Vector[LibEntry], Seq[Byte], Long)]) =>
           var (lib, carry, nextWin) =
             state.getOption.getOrElse((Vector.empty[LibEntry], Seq.empty[Byte], 0L))
-          val buf = scala.collection.mutable.ArrayBuffer[Byte](carry: _*)
-          buf ++= it.toArray.sortBy(_._2).map(_._3)
+          // advancing-offset scan with ONE compaction per trigger: shifting
+          // the remainder per emitted window (buf.remove(0, stride)) is
+          // O(n²/stride) element moves for an n-symbol batch — a 1M-symbol
+          // trigger at stride 500 would do ~2G moves; this does n
+          val carryArr = carry.toArray
+          val incoming = it.toArray.sortBy(_._2)
+          val all = new Array[Byte](carryArr.length + incoming.length)
+          System.arraycopy(carryArr, 0, all, 0, carryArr.length)
+          var ii = 0
+          while (ii < incoming.length) { all(carryArr.length + ii) = incoming(ii)._3; ii += 1 }
           val out = scala.collection.mutable.ArrayBuffer[WindowScore]()
-          while (buf.length >= p.windowSize) {
-            val win = buf.take(p.windowSize).toArray
+          var off = 0
+          while (all.length - off >= p.windowSize) {
+            val win = java.util.Arrays.copyOfRange(all, off, off + p.windowSize)
             val (next, emerged, llk, closest) =
               ContinuousDetection.step(lib, win, p,
                 seedBase = p.seed + sid * 7919L + nextWin * 104729L)
             lib = next
             out += WindowScore(sid, nextWin, emerged, llk, closest, lib.size)
             nextWin += 1
-            buf.remove(0, stride)
+            off += stride
           }
-          state.update((lib, buf.toSeq, nextWin))
+          state.update((lib, java.util.Arrays.copyOfRange(all, off, all.length).toSeq, nextWin))
           out.iterator
       }
   }

@@ -171,6 +171,30 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** A fitted IVF coarse quantizer: per-corpus-vector cell assignment plus
+    * the cell centers. Build once with [[ivfIndex]]; callers that probe the
+    * same corpus repeatedly pass it to [[ivfTopK]] so the KMeans fit and the
+    * corpus-side assignment run once, not per query batch. `cells` is a
+    * lazy plan — persist it (caller-owned) when the corpus scan itself is
+    * expensive. */
+  final case class IvfIndex(cells: DataFrame, centers: Array[Array[Double]])
+
+  /** Fit the IVF coarse quantizer: seeded KMeans over the corpus embeddings,
+    * `nCells = 0` → ≈√N cells (see [[ivfTopK]]). */
+  def ivfIndex(corpus: DataFrame, nCells: Int = 0, seed: Long = 42L): IvfIndex = {
+    val toVec = udf { emb: Seq[Float] => Vectors.dense(emb.map(_.toDouble).toArray) }
+    val cf = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("features", toVec(col("embedding")))
+    val cells0 =
+      if (nCells > 0) nCells
+      else math.max(4, math.min(4096, math.ceil(math.sqrt(corpus.count().toDouble)).toInt))
+    val km = new KMeans().setK(cells0).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(cf)
+    IvfIndex(model.transform(cf).select(col("vec_id"), col("cell")),
+      model.clusterCenters.map(_.toArray))
+  }
+
   /** IVF (inverted-file) ANN — the data-adaptive alternative to hyperplane
     * LSH: a coarse KMeans quantizer partitions the corpus into `nCells`
     * cells; each query probes its `nProbe` nearest cells and re-ranks
@@ -181,20 +205,18 @@ object Similarity {
     * `nCells = 0` (the default) derives ≈√N cells from a corpus count — the
     * standard IVF balance point (probe cost ≈ cell cost ≈ √N); a CONSTANT
     * cell count would make each cell, and so each query's candidate set, a
-    * fixed fraction of the corpus. */
+    * fixed fraction of the corpus.
+    *
+    * Repeat callers should build the quantizer once with [[ivfIndex]] and
+    * pass it via `index` — the KMeans fit, the corpus count and the corpus
+    * cell assignment then amortize across query batches instead of re-running
+    * per call. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 0, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
-    val toVec = udf { emb: Seq[Float] => Vectors.dense(emb.map(_.toDouble).toArray) }
-    val cf = corpus.select(col("vec_id"), col("embedding"))
-      .withColumn("features", toVec(col("embedding")))
-    val cells0 =
-      if (nCells > 0) nCells
-      else math.max(4, math.min(4096, math.ceil(math.sqrt(corpus.count().toDouble)).toInt))
-    val km = new KMeans().setK(cells0).setSeed(seed)
-      .setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(cf)
-    val cells = model.transform(cf).select(col("vec_id"), col("cell"))
-    val centers = model.clusterCenters.map(_.toArray)
+              nCells: Int = 0, nProbe: Int = 2, seed: Long = 42L,
+              index: Option[IvfIndex] = None): DataFrame = {
+    val idx = index.getOrElse(ivfIndex(corpus, nCells, seed))
+    val cells = idx.cells
+    val centers = idx.centers
     val bc = corpus.sparkSession.sparkContext.broadcast(centers)
     val probeUdf = udf { emb: Seq[Float] =>
       val x = emb.map(_.toDouble).toArray

@@ -36,6 +36,16 @@ object TextOps {
   def tokens(textCol: String): Column =
     expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")
 
+  /** Canonical key of a shingle SET: md5 over the sorted elements joined
+    * on a \\u0001 separator (injective unless an element contains that
+    * control char — charShingles output over real text never does — and up
+    * to md5 collision, the same assumption dedup_exact already makes). Docs sharing a key have Jaccard
+    * 1.0 by construction, which lets dedup pipelines collapse
+    * identical-shingle swarms to one representative BEFORE any pairwise
+    * join. */
+  def shingleSetKey(shCol: Column): Column =
+    md5(concat_ws("", array_sort(shCol)))
+
   /** MinHash signature: numHashes permutation-min values over the shingle
     * set, hᵢ(s) = (aᵢ·murmur3(s) + bᵢ) mod 2⁶³ with (aᵢ, bᵢ) drawn once from
     * `seed` — deterministic across runs and executors. */
@@ -110,9 +120,21 @@ object TextOps {
     * near-dups is still quadratic, but there the OUTPUT is quadratic —
     * no candidate generator can beat its own answer size.)
     *
-    * @param toks (id, g) rows, one per DISTINCT token per doc
+    * When the caller's output semantics already restrict pairs to a BLOCK
+    * (e.g. same (source, lang)), pass those columns via `blockCols` (they
+    * must be constant per doc and present on `toks`): the block then joins
+    * as part of the bucket key, so per-token buckets shrink from
+    * corpus-sized to block-sized — the fix for low-vocabulary corpora where
+    * every token is common and prefix rarity alone cannot prune (this
+    * fixture: ~380 distinct trigrams across all docs, but ~100 blocks).
+    * Completeness is unaffected: a qualifying pair shares its block by
+    * definition, so its g* token still collides.
+    *
+    * @param toks (id, g) rows, one per DISTINCT token per doc, plus any
+    *             `blockCols`
     */
-  def prefixCandidates(toks: DataFrame, idCol: String, t: Double): DataFrame = {
+  def prefixCandidates(toks: DataFrame, idCol: String, t: Double,
+                       blockCols: Seq[String] = Nil): DataFrame = {
     val sizes = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val dfreq = toks.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("g"))
@@ -125,20 +147,26 @@ object TextOps {
     // α ≥ t/(1+t)(n_a+n_b) and n_b ≥ n_a), so its PROBE prefix shrinks to
     // ⌊(1−t)/(1+t)·n⌋+1 — n/3 at t=0.5 — and, being the rarest head of the
     // df order, it collides far less than the full index prefix
+    // the +1e-9 / -1e-9 nudges guard the fp products at exact-integer
+    // boundaries: both floors may only round UP (longer prefixes) and the
+    // overlap ceil below may only round DOWN (weaker filter) — each slip adds
+    // candidates the exact verify discards, never loses one, so the
+    // completeness guarantee holds for arbitrary t, not just t = 0.5
+    val blk = blockCols.map(col)
     val index = ranked
-      .filter(col("rn") <= floor(lit(1.0 - t) * col("n")) + lit(1))
-      .select(col(idCol), col("g"), col("n"), col("rn"))
+      .filter(col("rn") <= floor(lit(1.0 - t) * col("n") + lit(1e-9)) + lit(1))
+      .select(col(idCol) +: col("g") +: col("n") +: col("rn") +: blk: _*)
     val probe = ranked
-      .filter(col("rn") <= floor(lit((1.0 - t) / (1.0 + t)) * col("n")) + lit(1))
-      .select(col(idCol), col("g"), col("n"), col("rn"))
+      .filter(col("rn") <= floor(lit((1.0 - t) / (1.0 + t)) * col("n") + lit(1e-9)) + lit(1))
+      .select(col(idCol) +: col("g") +: col("n") +: col("rn") +: blk: _*)
     // join on the 32-bit murmur of the token, not the string: cheaper to
     // shuffle and compare; a hash collision can only ADD candidates (the
     // exact-similarity verify downstream discards them), never lose one
-    val a = probe.select(hash(col("g")).as("gh"), col(idCol).as("id_a"),
-      col("n").as("n_a"), col("rn").as("rn_a"))
-    val b = index.select(hash(col("g")).as("gh"), col(idCol).as("id_b"),
-      col("n").as("n_b"), col("rn").as("rn_b"))
-    a.join(b, Seq("gh"))
+    val a = probe.select(hash(col("g")).as("gh") +: col(idCol).as("id_a") +:
+      col("n").as("n_a") +: col("rn").as("rn_a") +: blk: _*)
+    val b = index.select(hash(col("g")).as("gh") +: col(idCol).as("id_b") +:
+      col("n").as("n_b") +: col("rn").as("rn_b") +: blk: _*)
+    a.join(b, "gh" +: blockCols)
       // a is the smaller side (ties by id): each unordered pair is probed
       // exactly one way round, completeness per the prefix bounds above
       .filter((col("n_a") < col("n_b") ||
@@ -156,7 +184,7 @@ object TextOps {
         // BEFORE the distinct shuffle — the expensive stage on low-vocabulary
         // corpora where the prefix join fans out
         lit(1) + least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) >=
-          ceil(lit(t / (1.0 + t)) * (col("n_a") + col("n_b"))))
+          ceil(lit(t / (1.0 + t)) * (col("n_a") + col("n_b")) - lit(1e-9)))
       // canonical (smaller id first) regardless of which side probed
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))

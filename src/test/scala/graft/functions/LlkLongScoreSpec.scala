@@ -76,6 +76,19 @@ class LlkLongScoreSpec extends AnyFunSuite {
     for ((_, v) <- got) assert(!v.isInfinite && v > 0.0, got.toString)
   }
 
+  test("negative t is rejected loudly (head-run composition contract)") {
+    // result() composes the t = 0 head run first BECAUSE nothing can sort
+    // below it; a negative t would violate that silently — update() must
+    // throw instead of mis-scoring
+    val bad = Seq((0L, -1L, 1.toByte), (0L, 0L, 0.toByte)).toDF("seq_id", "t", "symbol")
+    val ex = intercept[Throwable] {
+      Llk.scoreAllLong(spark, bad, lib).collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("t >= 0")), msgs.mkString(" | "))
+  }
+
   test("merge handles empty-side buffers and singleton groups") {
     val seqs = Seq(5L -> Array[Byte](1), 6L -> Array.empty[Byte])
     // empty sequence contributes no rows → no group (same as the array path

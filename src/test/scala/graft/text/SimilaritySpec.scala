@@ -58,6 +58,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.map(_.getLong(3)).max < n, "IVF candidates did not prune")
   }
 
+  test("a pre-fitted ivfIndex reproduces the self-contained ivfTopK exactly") {
+    val e = embeddings
+    val q = e.filter(col("vec_id") < 10)
+    val idx = Similarity.ivfIndex(e)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2)).toSeq
+    val direct = rows(Similarity.ivfTopK(e, q, k = 5))
+    val reused = rows(Similarity.ivfTopK(e, q, k = 5, index = Some(idx)))
+    assert(reused == direct, "index-reuse path diverged from the self-contained fit")
+    // and a second batch against the same index (the amortization case)
+    val q2 = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+    assert(rows(Similarity.ivfTopK(e, q2, k = 5, index = Some(idx))).nonEmpty)
+  }
+
   test("identical-vector swarm: bucket cap bounds candidates, geometry adapts") {
     import spark.implicits._
     // 500 copies of ONE vector + 40 distinct vectors: without the bucket cap

@@ -120,6 +120,52 @@ class TextOpsSpec extends AnyFunSuite {
       .filter(col("hamming") <= 3).count() > 0L)
   }
 
+  test("shingle-set collapse: identical-doc swarm never reaches the prefix join") {
+    // 200 identical docs + 1 lang-variant + a near-dup pair + an unrelated
+    // doc: the prefix join must see ONE representative per distinct trigram
+    // set (4 here), while the full query still emits every within-block pair
+    val swarmText = "all work and no play makes jack a dull boy again today"
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val textB = textA + " today"
+    val other = "zebras quietly migrate across vast plains under violet skies"
+    val docsSeq: Seq[(Long, String, String, String)] =
+      (0L until 200L).map(i => (i, "web", "en", swarmText)) ++ Seq(
+        (200L, "web", "en", textA),
+        (201L, "web", "en", textB),
+        (202L, "web", "de", swarmText), // same set, different block → no pairs
+        (203L, "web", "en", other))
+    val docsDf = docsSeq.toDF("doc_id", "source", "lang", "text")
+
+    // structural bound: 5 distinct (set, source, lang) groups ⇒ prefix-join
+    // input is 5 reps (4 in the 'en' block, 1 in 'de'), candidate pairs
+    // ≤ C(4,2) — the 200-doc swarm is invisible to it
+    val baseDf = docsDf.select(col("doc_id"), col("source"), col("lang"),
+        TextOps.charShingles("text", 3).as("sh"))
+      .withColumn("set_key", TextOps.shingleSetKey(col("sh")))
+    val reps = baseDf.groupBy(col("set_key"), col("source"), col("lang"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("sh")).as("sh"))
+    assert(reps.count() == 5L, "collapse must leave one rep per (set, block)")
+    val candCount = TextOps.prefixCandidates(
+      reps.select(col("doc_id"), col("source"), col("lang"), explode(col("sh")).as("g")),
+      "doc_id", t = 0.5, blockCols = Seq("source", "lang")).count()
+    assert(candCount <= 6L, s"prefix join saw more than the en-block rep pairs: $candCount")
+
+    // end-to-end: the registered query (via a temp documents.parquet) must
+    // match the brute-force oracle semantics pair-for-pair
+    val dir = java.nio.file.Files.createTempDirectory("ngram_swarm").toString
+    docsDf.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.relational.DataPipelineQueries.queries("dedup_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def sh3(s: String) = s.sliding(3).toSet
+    def jac(a: Set[String], b: Set[String]) = a.intersect(b).size.toDouble / a.union(b).size
+    val want = (for {
+      (ia, sa, la, ta) <- docsSeq; (ib, sb, lb, tb) <- docsSeq
+      if ia < ib && sa == sb && la == lb && jac(sh3(ta), sh3(tb)) >= 0.5
+    } yield (ia, ib)).toSet
+    assert(want.size == 200 * 199 / 2 + 1, s"fixture arithmetic: ${want.size}")
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("simhash: near-dups within small Hamming distance, unrelated far") {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val hs = corpus.select(col("doc_id"), TextOps.simhashUdf(TextOps.tokens("text")).as("h"))
