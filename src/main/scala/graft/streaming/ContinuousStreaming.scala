@@ -47,6 +47,74 @@ object ContinuousStreaming {
       }
   }
 
+  /** Event-time hardened variant of [[scores]]: windows arrive stamped with
+    * an event time, the stream declares a watermark (`delay`), and
+    * out-of-order delivery WITHIN the allowed lateness is repaired in state —
+    * arrivals buffer in a pending map and fold strictly in `win_id` order
+    * once their predecessors exist, so the library evolves exactly as under
+    * in-order delivery. Arrivals stamped older than the current watermark
+    * are rejected in the handler (Structured Streaming leaves late-data
+    * handling to (flat)MapGroupsWithState users — only aggregations get
+    * automatic filtering), giving the explicit late-data rejection the
+    * reference's synchronous stream never needed (SURVEY §2.10 — a
+    * documented hardening beyond reference parity, not a semantics change
+    * for in-order sources).
+    *
+    * State stays bounded: the pending buffer holds at most `maxPending`
+    * windows; if a missing predecessor stalls the fold past that, the
+    * frontier JUMPS to the oldest pending window (the hole is abandoned the
+    * way a watermark abandons late data, and scoring resumes — liveness
+    * over completeness, the streaming trade).
+    *
+    * @param windows (stream_id, win_id, symbols, event_time)
+    */
+  def scoresWithWatermark(windows: Dataset[(Long, Long, Seq[Byte], java.sql.Timestamp)],
+                          p: Params, delay: String = "10 seconds",
+                          maxPending: Int = 1024): Dataset[WindowScore] = {
+    import windows.sparkSession.implicits._
+    implicit val stateEnc: Encoder[(Vector[LibEntry], Long, Map[Long, Seq[Byte]])] =
+      Encoders.kryo[(Vector[LibEntry], Long, Map[Long, Seq[Byte]])]
+    windows
+      .withWatermark("_4", delay)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sid: Long, it: Iterator[(Long, Long, Seq[Byte], java.sql.Timestamp)],
+         state: GroupState[(Vector[LibEntry], Long, Map[Long, Seq[Byte]])]) =>
+          var (lib, nextWin, pending) =
+            state.getOption.getOrElse(
+              (Vector.empty[LibEntry], 0L, Map.empty[Long, Seq[Byte]]))
+          // -1 when the watermark hasn't advanced yet; batch execution has
+          // no watermark at all (the Try) — both mean "nothing is late"
+          val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(-1L)
+          it.foreach { case (_, wid, syms, ts) =>
+            // beyond-lateness straggler (event time behind the watermark) or
+            // wid < nextWin (duplicate / slot already scored or abandoned):
+            // dropped — the explicit late-data rejection
+            if (ts.getTime >= wm && wid >= nextWin && !pending.contains(wid))
+              pending += wid -> syms
+          }
+          val out = scala.collection.mutable.ArrayBuffer[WindowScore]()
+          var progress = true
+          while (progress) {
+            pending.get(nextWin) match {
+              case Some(syms) =>
+                val (next, emerged, llk, closest) =
+                  ContinuousDetection.step(lib, syms.toArray, p,
+                    seedBase = p.seed + sid * 7919L + nextWin * 104729L)
+                lib = next
+                out += WindowScore(sid, nextWin, emerged, llk, closest, lib.size)
+                pending -= nextWin
+                nextWin += 1
+              case None =>
+                if (pending.size > maxPending) nextWin = pending.keys.min
+                else progress = false
+            }
+          }
+          state.update((lib, nextWin, pending))
+          out.iterator
+      }
+  }
+
   /** Same online loop fed by a RAW symbol stream `(stream_id, t, symbol)` —
     * window assembly happens inside the state handler: per key, symbols are
     * buffered until `windowSize` accumulate, each completed window runs

@@ -96,6 +96,51 @@ class ContinuousStreamingSpec extends AnyFunSuite {
       s"after restart, window 4 must ride the pattern born post-recovery: $w4")
   }
 
+  test("watermark variant repairs out-of-order windows and drops beyond-lateness stragglers") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val p = ContinuousDetection.Params(
+      windowSize = 1000, windowOverlap = 0, anomalySensitivity = 3.0,
+      quantize = false, eps = 0.05, bootstrapRepeats = 50)
+    val t0 = 1700000000000L
+    def ts(sec: Long) = new java.sql.Timestamp(t0 + sec * 1000L)
+    val w = (0 to 3).map(i =>
+      if (i < 3) Pfsa.m2.sample(1000, seed = 50 + i).toSeq
+      else Pfsa.m2u.sample(1000, seed = 60).toSeq)
+
+    val input = MemoryStream[(Long, Long, Seq[Byte], java.sql.Timestamp)]
+    val query = ContinuousStreaming.scoresWithWatermark(input.toDS(), p, delay = "10 seconds")
+      .writeStream.format("memory").queryName("wm_scores")
+      .outputMode("append").start()
+    try {
+      // trigger 1: windows 0 and 2 — the gap at 1 must HOLD window 2 in state
+      input.addData((0L, 0L, w(0), ts(0)), (0L, 2L, w(2), ts(2)))
+      query.processAllAvailable()
+      assert(spark.table("wm_scores").collect().map(_.getLong(1)).toSet == Set(0L),
+        "window 2 must wait for its predecessor")
+
+      // trigger 2: the gap fills (in-lateness out-of-order) + window 3
+      // arrives far ahead in event time, pushing the watermark past t0
+      input.addData((0L, 1L, w(1), ts(1)), (0L, 3L, w(3), ts(100)))
+      query.processAllAvailable()
+      val got = spark.table("wm_scores").collect()
+        .map(r => (r.getLong(1), r.getBoolean(2), r.getInt(4), r.getInt(5))).sortBy(_._1)
+      assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L), got.toSeq.toString)
+      // library evolution identical to fully in-order delivery
+      val want = ContinuousStreaming.scores(
+        (0 to 3).map(i => (0L, i.toLong, w(i))).toDS(), p)
+        .collect().map(r => (r.win_id, r.emerged, r.closest, r.n_patterns)).sortBy(_._1)
+      assert(got.toSeq == want.toSeq, s"out-of-order repair diverged:\n$got\n$want")
+
+      // trigger 3: a straggler for a NEW stream stamped beyond the allowed
+      // lateness (watermark ≈ t0+90s) — filtered before the handler, no rows
+      input.addData((7L, 0L, w(0), ts(0)))
+      query.processAllAvailable()
+      assert(spark.table("wm_scores").collect().forall(_.getLong(0) != 7L),
+        "beyond-lateness straggler must be dropped by the watermark")
+    } finally query.stop()
+  }
+
   test("raw-symbol assembly: a 200k-symbol trigger folds linearly and matches the window path") {
     import spark.implicits._
     // one giant trigger: the advancing-offset scan must do O(n) element
