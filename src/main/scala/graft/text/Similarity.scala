@@ -141,15 +141,20 @@ object Similarity {
     * Σ bucket² (capped) per table instead of per-query probe fan-out, and
     * EXACT duplicates always collide (identical vector ⇒ identical code in
     * every table). A near-but-not-exact dup at cosine c collides per table
-    * w.p. (1−θ/π)^bits (θ = arccos c); at c = 0.99, bits = 10, 4 tables the
-    * miss rate is ≈ (1−0.63)⁴ ≈ 2%.
+    * w.p. (1−θ/π)^bits (θ = arccos c) — at the dedup threshold that
+    * per-bit agreement is high (c = 0.99 ⇒ 0.955/bit), so the default code
+    * width targets ~4-member buckets, MUCH finer than ANN's recall-driven
+    * 64: at N = 2000 that is 9 bits (≈ 99% pair recall at c = 0.99, 4
+    * tables) for ~20× fewer candidate cosines than 64-member buckets; at
+    * the 24-bit clamp recall is ≈ 80% for near-dups while exact dups stay
+    * at 100% by construction.
     *
     * @return (id_a, id_b, cosine), id_a < id_b, cosine ≥ minCosine
     */
   def nearDupPairs(corpus: DataFrame, minCosine: Double,
                    tables: Int = 4, bits: Int = 0, dim: Int = 64,
                    seed: Long = 42L, maxBucketSize: Int = 256): DataFrame = {
-    val nBits = if (bits > 0) bits else adaptiveBits(corpus.count())
+    val nBits = if (bits > 0) bits else adaptiveBits(corpus.count(), targetBucket = 4)
     val cb = buckets(corpus, tables, nBits, dim, seed)
     val ok = cb.groupBy(col("tbl"), col("code"))
       .agg(count(lit(1)).as("sz"))
