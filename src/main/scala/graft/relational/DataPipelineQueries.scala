@@ -32,59 +32,92 @@ object DataPipelineQueries {
       .orderBy(col("keep_id"))
 
   /** MinHash-LSH near-dup: shingle → 64-hash signature → 16 banded buckets →
-    * candidate pairs only within buckets → exact Jaccard verify on
-    * candidates. Emits one row per doc (never empty): its candidate count
-    * and best-verified duplicate, if any. */
+    * candidate pairs only within buckets → two-stage verify (signature
+    * agreement prune, then exact Jaccard). Emits one row per doc (never
+    * empty): its candidate count and best-verified duplicate, if any.
+    *
+    * Like dedup_simhash/dedup_ngram_jaccard, docs first COLLAPSE to one
+    * representative per exact-duplicate group (md5 of the normalized text —
+    * same normalized text ⇒ same shingle set ⇒ same signature, so this is a
+    * sound under-approximation of set-level grouping that skips sorting the
+    * ~350-element 5-gram array): identical docs share the signature, hence
+    * EVERY band bucket, so a swarm above `maxBucketSize` used to lose all
+    * its buckets to the cap — and with them its own duplicate pairs.
+    * Collapsed, the swarm reaches the LSH domain as one row (its
+    * within-group partners are Jaccard 1.0 by construction, no banding
+    * needed) and the signature UDF runs once per distinct text. (A swarm of
+    * set-equal but text-distinct docs — anagram corpora — stays in the LSH
+    * domain; the bucket cap still bounds it, the documented trade.) */
   private def dedupMinhash(s: SparkSession, d: String): DataFrame = {
-    // signatures are consumed by banding AND by the verify join below —
-    // persist so the shingle/signature UDF runs exactly once (released again
-    // right after the verified pairs materialize)
     val base = docs(s, d)
       .select(col("doc_id"), TextOps.normalized("text").as("norm"))
       .withColumn("sh", TextOps.charShingles("norm", 5))
-    val sig = base.withColumn("sig", TextOps.minhashSigUdf(64, 42L)(col("sh")))
+      .withColumn("set_key", md5(col("norm")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = base.groupBy(col("set_key"))
+      .agg(min(col("doc_id")).as("rep_id"), first(col("sh")).as("sh"),
+        count(lit(1)).as("grp_n"))
+      .withColumn("sig", TextOps.minhashSigUdf(64, 42L)(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = TextOps.candidatePairs(
-      TextOps.bandBuckets(sig, "doc_id", "sig", bands = 16, rowsPerBand = 4), "doc_id")
+      TextOps.bandBuckets(sig, "rep_id", "sig", bands = 16, rowsPerBand = 4), "rep_id")
     // two-stage verify: (1) signature agreement — a 64-long zip, two orders
     // of magnitude cheaper than intersecting ~300-string shingle sets —
     // prunes the band noise floor (word-soup corpora share many 5-grams, so
     // banding alone over-generates); (2) exact Jaccard on the survivors only
-    val sigs = sig.select(col("doc_id"), col("sig"))
+    val sigs = sig.select(col("rep_id"), col("sig"))
     val estimated = pairs
-      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .join(sigs.select(col("rep_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("rep_id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("agree", expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
       .filter(col("agree") >= 24) // est. Jaccard ≥ ~0.375
       .select(col("id_a"), col("id_b"))
-    val shapes = sig.select(col("doc_id"), col("sh"))
-    // pair-sized: materialize eagerly (the four downstream branches read this
-    // instead of recomputing the bucket join), then release the big
-    // shingle/signature cache — no MEMORY_AND_DISK block outlives the query
-    // beyond this output-sized checkpoint (round-4 verdict #3)
+    val shapes = sig.select(col("rep_id"), col("sh"))
+    // the three relations every downstream branch reads are all small —
+    // verified rep pairs (output-sized), the set→group info, and the narrow
+    // doc→set membership. Materialize them eagerly, then release the big
+    // shingle/signature caches: no large MEMORY_AND_DISK block outlives the
+    // query (round-4 verdict #3)
     val verified = estimated
-      .join(shapes.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(shapes.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(shapes.select(col("rep_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shapes.select(col("rep_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))), 6))
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .localCheckpoint(true)
+    val groups = sig.select(col("set_key"), col("rep_id"), col("grp_n")).localCheckpoint(true)
+    val members = base.select(col("doc_id"), col("set_key")).localCheckpoint(true)
     sig.unpersist()
-    val directed = verified.select(col("id_a").as("doc_id"), col("id_b").as("partner"), col("jaccard"))
-      .union(verified.select(col("id_b").as("doc_id"), col("id_a").as("partner"), col("jaccard")))
-    val nCand = directed.groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
-    val best = directed.filter(col("jaccard") >= 0.5)
+    base.unpersist()
+    // m2 = second-smallest member per multi-member group (= the rep's own
+    // within-group partner), same key-partitioned trick as dedup_simhash
+    val g2 = members.join(groups, "set_key")
+      .filter(col("doc_id") =!= col("rep_id"))
+      .groupBy(col("set_key")).agg(min(col("doc_id")).as("m2"))
+    val directed = verified.select(col("id_a").as("rep_id"), col("id_b").as("other"), col("jaccard"))
+      .union(verified.select(col("id_b").as("rep_id"), col("id_a").as("other"), col("jaccard")))
+    // cross-group candidate volume per group: every member of a verified
+    // partner group is a candidate for every member of this group
+    val crossN = directed
+      .join(groups.select(col("rep_id").as("other"), col("grp_n").as("o_n")), "other")
+      .groupBy(col("rep_id")).agg(sum(col("o_n")).as("cross_n"))
+    val bestCross = directed.filter(col("jaccard") >= 0.5)
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("jaccard").desc, col("partner"))))
+        Window.partitionBy(col("rep_id")).orderBy(col("jaccard").desc, col("other"))))
       .filter(col("rn") === 1)
-      .select(col("doc_id"), col("partner").as("dup_of"), col("jaccard"))
-    docs(s, d).select(col("doc_id"))
-      .join(nCand, Seq("doc_id"), "left")
-      .join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        col("dup_of"), col("jaccard"))
+      .select(col("rep_id"), col("other").as("cross_partner"), col("jaccard").as("cross_j"))
+    members.join(groups, "set_key")
+      .join(g2, Seq("set_key"), "left")
+      .join(crossN, Seq("rep_id"), "left")
+      .join(bestCross, Seq("rep_id"), "left")
+      .select(col("doc_id"),
+        (col("grp_n") - 1 + coalesce(col("cross_n"), lit(0L))).as("n_candidates"),
+        when(col("grp_n") > 1,
+          when(col("doc_id") === col("rep_id"), col("m2")).otherwise(col("rep_id")))
+          .otherwise(col("cross_partner")).as("dup_of"),
+        when(col("grp_n") > 1, lit(1.0)).otherwise(col("cross_j")).as("jaccard"))
       .orderBy(col("doc_id"))
   }
 

@@ -166,6 +166,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("minhash collapse: identical-doc swarm keeps its duplicates despite the bucket cap") {
+    // 300 identical docs — above the default maxBucketSize of 256. Before
+    // the set-collapse, identical docs shared EVERY band bucket, so the cap
+    // dropped all of them and the swarm lost its own duplicate pairs; now
+    // the swarm reaches banding as one representative and its members pair
+    // within the group at jaccard 1.0
+    val swarmText = "all work and no play makes jack a dull boy again today"
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val textB = textA + " today"
+    val other = "zebras quietly migrate across vast plains under violet skies"
+    val docsSeq: Seq[(Long, String, String, String)] =
+      (0L until 300L).map(i => (i, "web", "en", swarmText)) ++ Seq(
+        (300L, "web", "en", textA),
+        (301L, "web", "en", textB),
+        (302L, "web", "en", other))
+    val dir = java.nio.file.Files.createTempDirectory("minhash_swarm").toString
+    docsSeq.toDF("doc_id", "source", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.relational.DataPipelineQueries.queries("dedup_minhash")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    (0L until 300L).foreach { i =>
+      val (dup, j) = rows(i)
+      assert(dup >= 0 && dup < 300 && dup != i && j == 1.0, s"swarm doc $i lost its dup: ${rows(i)}")
+    }
+    val (dupA, jA) = rows(300L)
+    assert(dupA == 301L && jA >= 0.5, s"near-dup pair missed: ${rows(300L)}")
+    assert(rows(302L)._1 == -1L, s"unrelated doc got a partner: ${rows(302L)}")
+  }
+
   test("simhash: near-dups within small Hamming distance, unrelated far") {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val hs = corpus.select(col("doc_id"), TextOps.simhashUdf(TextOps.tokens("text")).as("h"))
