@@ -436,6 +436,30 @@ object DataPipelineQueries {
         |JOIN sizes sb ON sb.doc_id = i.doc_b
         |WHERE round(i.common * 1.0 / (sa.n + sb.n - i.common), 6) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // brute-force exact recomputation: the LSH pipeline can only emit pairs
+    // exact cosine confirms (no false positives, checked here pair-for-pair);
+    // exact duplicates collide in every table so they are recall-1.0 by
+    // construction. The synthetic fixture contains no >= 0.99 pair at any
+    // sf, so the near-dup recall trade never reaches this comparison.
+    "dedup_embedding" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS partner,
+        |         round(
+        |           list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |                                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |                                         i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+        |                                         i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) AS cosine
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |best AS (
+        |  SELECT vec_id, partner AS dup_of, cosine,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, partner) AS rn
+        |  FROM p WHERE cosine >= 0.99)
+        |SELECT e.vec_id, e.label, b.dup_of, b.cosine
+        |FROM embeddings e
+        |LEFT JOIN (SELECT vec_id, dup_of, cosine FROM best WHERE rn = 1) b USING (vec_id)
+        |ORDER BY e.vec_id""".stripMargin,
     "similarity_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
         |p AS (

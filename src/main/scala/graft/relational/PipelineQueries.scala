@@ -322,12 +322,47 @@ object PipelineQueries {
 
   /** DuckDB oracles for the self-verifying kernel entries (the kernel math
     * itself has no SQL equivalent; the query emits a verdict the oracle can
-    * enumerate — see [[llkScoreLong]]). */
+    * enumerate — see [[llkScoreLong]]), the relationally-recomputable
+    * union_find (connected components via a recursive min-label CTE), and
+    * the data-INDEPENDENT sinks, whose outputs are frozen here as golden
+    * literals (a format drift in the PFSA text codec or the DOT emitter
+    * hash-fails the gate). */
   val oracle: Map[String, String] = Map(
     "llk_score_long" ->
       """SELECT u.user_id AS seq_id, c.cluster_id, true AS agree
         |FROM (SELECT DISTINCT user_id FROM events) u
         |CROSS JOIN (SELECT CAST(unnest([0, 1]) AS BIGINT) AS cluster_id) c
         |ORDER BY seq_id, cluster_id""".stripMargin,
+    // components of the user↔event_type bipartite graph = components of the
+    // type–type co-occurrence graph (every user hangs off its types'
+    // component); min-label propagation over the tiny type domain
+    "union_find" ->
+      """WITH RECURSIVE
+        |nodes AS (SELECT DISTINCT event_type AS t FROM events),
+        |edges AS (
+        |  SELECT DISTINCT a.event_type AS ta, b.event_type AS tb
+        |  FROM events a JOIN events b USING (user_id)),
+        |comp(node, label) AS (
+        |  SELECT t, t FROM nodes
+        |  UNION
+        |  SELECT e.tb, c.label FROM comp c JOIN edges e ON e.ta = c.node
+        |  WHERE c.label < e.tb),
+        |counts AS (
+        |  SELECT count(DISTINCT user_id) AS nu, count(DISTINCT event_type) AS nt
+        |  FROM events)
+        |SELECT nu + nt AS n_nodes,
+        |       (SELECT count(DISTINCT ml)
+        |        FROM (SELECT node, min(label) AS ml FROM comp GROUP BY node)) AS n_components
+        |FROM counts""".stripMargin,
+    "sink_dot" ->
+      """SELECT * FROM (VALUES
+        |  (0, E'digraph PFSA {\n  q0 -> q0 [label="0:0.600"];\n  q0 -> q1 [label="1:0.400"];\n  q1 -> q0 [label="0:0.300"];\n  q1 -> q1 [label="1:0.700"];\n}'),
+        |  (1, E'digraph PFSA {\n  q0 -> q0 [label="0:0.400"];\n  q0 -> q1 [label="1:0.600"];\n  q1 -> q0 [label="0:0.600"];\n  q1 -> q1 [label="1:0.400"];\n}')
+        |) AS t(cluster, dot) ORDER BY cluster""".stripMargin,
+    "sink_pfsa_file" ->
+      """SELECT * FROM (VALUES
+        |  (0, E'%ANN_ERR: 0.0\n%MRG_EPS: 0.0\n%SYN_STR: \n%SYM_FRQ: 0.5 0.5\n%PITILDE:\n#PITILDE\n0.6 0.4\n0.3 0.7\n%CONNX:\n#CONNX\n0 1\n0 1\n', true),
+        |  (1, E'%ANN_ERR: 0.0\n%MRG_EPS: 0.0\n%SYN_STR: \n%SYM_FRQ: 0.5 0.5\n%PITILDE:\n#PITILDE\n0.4 0.6\n0.6 0.4\n%CONNX:\n#CONNX\n0 1\n0 1\n', true)
+        |) AS t(cluster, pfsa_text, roundtrip_ok) ORDER BY cluster""".stripMargin,
   )
 }
