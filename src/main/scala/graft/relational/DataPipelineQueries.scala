@@ -532,5 +532,24 @@ object DataPipelineQueries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       substr(hex(encode(text)), 1, 16) AS header_hex, lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the stub codec is deterministic byte arithmetic over the payload
+    // (fake dimensions from the two header bytes + real byte statistics),
+    // so DuckDB recomputes it exactly — the mapPartitions plumbing, schema
+    // and batching are thereby hash-checked end-to-end even while the codec
+    // body stays a stub (ascii() per char equals the byte value because the
+    // synthetic corpus is pure ASCII; the ingest cast is UTF-8 either way)
+    "multimodal_decode" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |         ascii(substr(text, 1, 1)) AS h0,
+        |         CASE WHEN length(text) > 1 THEN ascii(substr(text, 2, 1)) ELSE 0 END AS h1,
+        |         round(list_sum(list_transform(split(text, ''), c -> ascii(c))) * 1.0
+        |               / greatest(length(text), 1), 6) AS mean_byte,
+        |         substr(hex(encode(text)), 1, 16) AS header_hex
+        |  FROM documents)
+        |SELECT doc_id, n_bytes, 16 + (h0 % 16) * 4 AS width, 16 + (h1 % 16) * 4 AS height,
+        |       mean_byte, header_hex
+        |FROM b ORDER BY doc_id""".stripMargin,
   )
 }
