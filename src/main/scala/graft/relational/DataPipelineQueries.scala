@@ -112,12 +112,18 @@ object DataPipelineQueries {
       .join(g2, Seq("set_key"), "left")
       .join(crossN, Seq("rep_id"), "left")
       .join(bestCross, Seq("rep_id"), "left")
+      // best-partner order stays (jaccard desc, smaller id) across BOTH
+      // sources: a cross-group partner at jaccard 1.0 (set-equal but
+      // text-distinct docs) with a smaller id beats the within-group member
+      .withColumn("within_id", when(col("grp_n") > 1,
+        when(col("doc_id") === col("rep_id"), col("m2")).otherwise(col("rep_id"))))
+      .withColumn("use_within", col("within_id").isNotNull &&
+        (col("cross_j").isNull || col("cross_j") < 1.0 ||
+          (col("cross_j") === 1.0 && col("within_id") < col("cross_partner"))))
       .select(col("doc_id"),
         (col("grp_n") - 1 + coalesce(col("cross_n"), lit(0L))).as("n_candidates"),
-        when(col("grp_n") > 1,
-          when(col("doc_id") === col("rep_id"), col("m2")).otherwise(col("rep_id")))
-          .otherwise(col("cross_partner")).as("dup_of"),
-        when(col("grp_n") > 1, lit(1.0)).otherwise(col("cross_j")).as("jaccard"))
+        when(col("use_within"), col("within_id")).otherwise(col("cross_partner")).as("dup_of"),
+        when(col("use_within"), lit(1.0)).otherwise(col("cross_j")).as("jaccard"))
       .orderBy(col("doc_id"))
   }
 
@@ -255,22 +261,54 @@ object DataPipelineQueries {
     * the dedup-shaped LSH pipeline (Similarity.nearDupPairs — full-code
     * bucket self-join with corpus-adaptive code width and capped buckets),
     * not per-query ANN probes: candidate volume is Σ capped-bucket² per
-    * table, exact duplicates collide with certainty, and each vector's best
-    * partner comes from the verified pair set. */
+    * table and each vector's best partner comes from the verified pair set.
+    *
+    * Like the other dedup ops, BIT-IDENTICAL vectors collapse to one
+    * representative before the LSH self-join: an identical-vector swarm
+    * shares the code in every table, so above `maxBucketSize` it used to
+    * lose every bucket to the cap — and its own cosine-1.0 pairs with them.
+    * Collapsed, within-group partners are exact (cosine 1.0 by identity)
+    * at ANY swarm size, which is what lets the brute-force DuckDB oracle
+    * hold: exact-duplicate recall is 1.0 by construction, not by cap luck.
+    * The best partner is chosen across BOTH candidate sources with the
+    * oracle's exact order (cosine desc, then smaller id) — a colinear
+    * cross-group partner at cosine 1.0 with a smaller id beats the
+    * within-group member. */
   private def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
     val e = embeds(s, d)
-    val pairs = Similarity.nearDupPairs(e, minCosine = 0.99, dim = 64)
+    // bit-exact grouping key: float-array → string is injective per value
+    val base = e.select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("vec_key", md5(concat_ws("\u0001", col("embedding").cast("array<string>"))))
+    val groups = base.groupBy(col("vec_key"))
+      .agg(min(col("vec_id")).as("rep_id"), first(col("embedding")).as("embedding"),
+        count(lit(1)).as("grp_n"))
+    val reps = groups.select(col("rep_id").as("vec_id"), col("embedding"))
+    val pairs = Similarity.nearDupPairs(reps, minCosine = 0.99, dim = 64)
+    val members = base.select(col("vec_id"), col("label"), col("vec_key"))
+    val g2 = members.join(groups.select(col("vec_key"), col("rep_id")), "vec_key")
+      .filter(col("vec_id") =!= col("rep_id"))
+      .groupBy(col("vec_key")).agg(min(col("vec_id")).as("m2"))
     val directed = pairs
-      .select(col("id_a").as("vec_id"), col("id_b").as("partner"), col("cosine"))
-      .union(pairs.select(col("id_b").as("vec_id"), col("id_a").as("partner"), col("cosine")))
-    val best = directed
+      .select(col("id_a").as("rep_id"), col("id_b").as("other"), col("cosine"))
+      .union(pairs.select(col("id_b").as("rep_id"), col("id_a").as("other"), col("cosine")))
+    // best cross-group partner: all members of a partner group share its
+    // vector, so the smallest (= its rep id) wins the oracle's tiebreak
+    val bestCross = directed
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("partner"))))
+        Window.partitionBy(col("rep_id")).orderBy(col("cosine").desc, col("other"))))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("partner").as("dup_of"), col("cosine"))
-    e.select(col("vec_id"), col("label"))
-      .join(best, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("label"), col("dup_of"), col("cosine"))
+      .select(col("rep_id"), col("other").as("cross_partner"), col("cosine").as("cross_c"))
+    members.join(groups.select(col("vec_key"), col("rep_id"), col("grp_n")), "vec_key")
+      .join(g2, Seq("vec_key"), "left")
+      .join(bestCross, Seq("rep_id"), "left")
+      .withColumn("within_id", when(col("grp_n") > 1,
+        when(col("vec_id") === col("rep_id"), col("m2")).otherwise(col("rep_id"))))
+      .withColumn("use_within", col("within_id").isNotNull &&
+        (col("cross_c").isNull || col("cross_c") < 1.0 ||
+          (col("cross_c") === 1.0 && col("within_id") < col("cross_partner"))))
+      .select(col("vec_id"), col("label"),
+        when(col("use_within"), col("within_id")).otherwise(col("cross_partner")).as("dup_of"),
+        when(col("use_within"), lit(1.0)).otherwise(col("cross_c")).as("cosine"))
       .orderBy(col("vec_id"))
   }
 

@@ -60,11 +60,15 @@ object ContinuousStreaming {
     * documented hardening beyond reference parity, not a semantics change
     * for in-order sources).
     *
-    * State stays bounded: the pending buffer holds at most `maxPending`
-    * windows; if a missing predecessor stalls the fold past that, the
-    * frontier JUMPS to the oldest pending window (the hole is abandoned the
-    * way a watermark abandons late data, and scoring resumes — liveness
-    * over completeness, the streaming trade).
+    * State stays bounded AND live: the pending buffer holds at most
+    * `maxPending` windows, and a hole in the win_id sequence is abandoned —
+    * the frontier JUMPS to the oldest pending window — as soon as either
+    * (a) the buffer overflows `maxPending`, or (b) the watermark passes the
+    * oldest BUFFERED window's event time (its missing predecessors carry
+    * earlier event times, so the watermark guarantees they can no longer be
+    * admitted — waiting further cannot help). Without (b) a single
+    * permanently lost window would strand every later window in state
+    * forever. Liveness over completeness, the watermark trade.
     *
     * @param windows (stream_id, win_id, symbols, event_time)
     */
@@ -72,17 +76,17 @@ object ContinuousStreaming {
                           p: Params, delay: String = "10 seconds",
                           maxPending: Int = 1024): Dataset[WindowScore] = {
     import windows.sparkSession.implicits._
-    implicit val stateEnc: Encoder[(Vector[LibEntry], Long, Map[Long, Seq[Byte]])] =
-      Encoders.kryo[(Vector[LibEntry], Long, Map[Long, Seq[Byte]])]
+    implicit val stateEnc: Encoder[(Vector[LibEntry], Long, Map[Long, (Seq[Byte], Long)])] =
+      Encoders.kryo[(Vector[LibEntry], Long, Map[Long, (Seq[Byte], Long)])]
     windows
       .withWatermark("_4", delay)
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (sid: Long, it: Iterator[(Long, Long, Seq[Byte], java.sql.Timestamp)],
-         state: GroupState[(Vector[LibEntry], Long, Map[Long, Seq[Byte]])]) =>
+         state: GroupState[(Vector[LibEntry], Long, Map[Long, (Seq[Byte], Long)])]) =>
           var (lib, nextWin, pending) =
             state.getOption.getOrElse(
-              (Vector.empty[LibEntry], 0L, Map.empty[Long, Seq[Byte]]))
+              (Vector.empty[LibEntry], 0L, Map.empty[Long, (Seq[Byte], Long)]))
           // -1 when the watermark hasn't advanced yet; batch execution has
           // no watermark at all (the Try) — both mean "nothing is late"
           val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(-1L)
@@ -91,13 +95,13 @@ object ContinuousStreaming {
             // wid < nextWin (duplicate / slot already scored or abandoned):
             // dropped — the explicit late-data rejection
             if (ts.getTime >= wm && wid >= nextWin && !pending.contains(wid))
-              pending += wid -> syms
+              pending += wid -> (syms, ts.getTime)
           }
           val out = scala.collection.mutable.ArrayBuffer[WindowScore]()
           var progress = true
           while (progress) {
             pending.get(nextWin) match {
-              case Some(syms) =>
+              case Some((syms, _)) =>
                 val (next, emerged, llk, closest) =
                   ContinuousDetection.step(lib, syms.toArray, p,
                     seedBase = p.seed + sid * 7919L + nextWin * 104729L)
@@ -106,7 +110,10 @@ object ContinuousStreaming {
                 pending -= nextWin
                 nextWin += 1
               case None =>
-                if (pending.size > maxPending) nextWin = pending.keys.min
+                val giveUp = pending.nonEmpty &&
+                  (pending.size > maxPending ||
+                    (wm > 0L && pending.values.map(_._2).min < wm))
+                if (giveUp) nextWin = pending.keys.min
                 else progress = false
             }
           }

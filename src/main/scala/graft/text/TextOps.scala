@@ -44,7 +44,7 @@ object TextOps {
     * identical-shingle swarms to one representative BEFORE any pairwise
     * join. */
   def shingleSetKey(shCol: Column): Column =
-    md5(concat_ws("", array_sort(shCol)))
+    md5(concat_ws("\u0001", array_sort(shCol)))
 
   /** MinHash signature: numHashes permutation-min values over the shingle
     * set, hᵢ(s) = (aᵢ·murmur3(s) + bᵢ) mod 2⁶³ with (aᵢ, bᵢ) drawn once from

@@ -124,12 +124,15 @@ class ContinuousStreamingSpec extends AnyFunSuite {
       input.addData((0L, 1L, w(1), ts(1)), (0L, 3L, w(3), ts(100)))
       query.processAllAvailable()
       val got = spark.table("wm_scores").collect()
-        .map(r => (r.getLong(1), r.getBoolean(2), r.getInt(4), r.getInt(5))).sortBy(_._1)
+        .map(r => (r.getLong(1), r.getBoolean(2), r.getDouble(3), r.getInt(4), r.getInt(5)))
+        .sortBy(_._1)
       assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L), got.toSeq.toString)
-      // library evolution identical to fully in-order delivery
+      // library evolution identical to fully in-order delivery — llk
+      // included: both paths run the same step kernel, so scores must be
+      // bit-equal, not just structurally equal
       val want = ContinuousStreaming.scores(
         (0 to 3).map(i => (0L, i.toLong, w(i))).toDS(), p)
-        .collect().map(r => (r.win_id, r.emerged, r.closest, r.n_patterns)).sortBy(_._1)
+        .collect().map(r => (r.win_id, r.emerged, r.llk, r.closest, r.n_patterns)).sortBy(_._1)
       assert(got.toSeq == want.toSeq, s"out-of-order repair diverged:\n$got\n$want")
 
       // trigger 3: a straggler for a NEW stream stamped beyond the allowed
@@ -153,18 +156,53 @@ class ContinuousStreamingSpec extends AnyFunSuite {
     val syms = Array.tabulate(n)(t => (t % 7 % 2).toByte)
     val rows = (0 until n).map(t => (0L, t.toLong, syms(t)))
     val got = ContinuousStreaming.scoresFromSymbols(rows.toDS(), p)
-      .collect().map(r => (r.win_id, r.emerged, r.closest, r.n_patterns)).sortBy(_._1)
+      .collect().map(r => (r.win_id, r.emerged, r.llk, r.closest, r.n_patterns)).sortBy(_._1)
     val stride = p.windowSize - p.windowOverlap
     val nWin = (n - p.windowSize) / stride + 1
     assert(got.length == nWin, s"expected $nWin windows, got ${got.length}")
     assert(got.map(_._1).toSeq == (0L until nWin.toLong))
-    // same library evolution as the pre-assembled window path
+    // same library evolution as the pre-assembled window path — llk included
+    // (bit-equal scores catch a one-symbol drift in the offset arithmetic
+    // that the structural fields would mask)
     val wins = (0 until nWin).map { w =>
       (0L, w.toLong, syms.slice(w * stride, w * stride + p.windowSize).toSeq)
     }
     val want = ContinuousStreaming.scores(wins.toDS(), p)
-      .collect().map(r => (r.win_id, r.emerged, r.closest, r.n_patterns)).sortBy(_._1)
+      .collect().map(r => (r.win_id, r.emerged, r.llk, r.closest, r.n_patterns)).sortBy(_._1)
     assert(got.toSeq == want.toSeq, "raw-symbol assembly diverged from window path")
+  }
+
+  test("watermark variant abandons a permanently lost window once the watermark passes it") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val p = ContinuousDetection.Params(
+      windowSize = 1000, windowOverlap = 0, anomalySensitivity = 3.0,
+      quantize = false, eps = 0.05, bootstrapRepeats = 50)
+    val t0 = 1700000000000L
+    def ts(sec: Long) = new java.sql.Timestamp(t0 + sec * 1000L)
+    val w = (0 to 4).map(i => Pfsa.m2.sample(1000, seed = 70 + i).toSeq)
+
+    val input = MemoryStream[(Long, Long, Seq[Byte], java.sql.Timestamp)]
+    val query = ContinuousStreaming.scoresWithWatermark(input.toDS(), p, delay = "10 seconds")
+      .writeStream.format("memory").queryName("wm_lost")
+      .outputMode("append").start()
+    try {
+      // window 0 is NEVER delivered: 1 and 2 buffer behind the hole
+      input.addData((0L, 1L, w(1), ts(1)), (0L, 2L, w(2), ts(2)))
+      query.processAllAvailable()
+      assert(spark.table("wm_lost").count() == 0L, "hole must hold the fold at first")
+      // event time jumps far ahead → the NEXT batch's watermark passes ts(1)
+      input.addData((0L, 3L, w(3), ts(100)))
+      query.processAllAvailable()
+      // watermark (≈ ts(100) − 10 s) now exceeds the oldest buffered window's
+      // event time: the hole at 0 can never fill, so this batch must abandon
+      // it and score everything buffered plus the new arrival
+      input.addData((0L, 4L, w(4), ts(101)))
+      query.processAllAvailable()
+      val got = spark.table("wm_lost").collect().map(_.getLong(1)).sorted
+      assert(got.toSeq == Seq(1L, 2L, 3L, 4L),
+        s"lost-window liveness failed: scored windows = ${got.toSeq}")
+    } finally query.stop()
   }
 
   test("raw-symbol ingestion assembles windows in state and matches batch replay") {

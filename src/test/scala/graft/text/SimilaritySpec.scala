@@ -123,6 +123,32 @@ class SimilaritySpec extends AnyFunSuite {
       maxBucketSize = 500).count() > 0L)
   }
 
+  test("embedding dedup query: identical-vector swarm keeps its duplicates despite the cap") {
+    import spark.implicits._
+    // 400 bit-identical vectors — far above nearDupPairs' bucket cap. They
+    // collapse to one representative before the LSH self-join, so every
+    // member keeps a cosine-1.0 partner (pre-collapse, the swarm shared all
+    // its buckets and the cap dropped every pair — the exact failure the
+    // brute-force DuckDB oracle would now catch)
+    val v = Array.tabulate(64)(j => math.sin(j + 1).toFloat).toSeq
+    val rows = (0L until 400L).map(i => (i, v, "swarm")) ++
+      (400 until 440).map(i =>
+        (i.toLong, Array.tabulate(64)(j => math.cos(i * 64 + j).toFloat).toSeq, "x"))
+    val dir = java.nio.file.Files.createTempDirectory("emb_swarm").toString
+    rows.toDF("vec_id", "embedding", "label").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val out = graft.relational.DataPipelineQueries.queries("dedup_embedding")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    (0L until 400L).foreach { i =>
+      val (dup, c) = out(i)
+      assert(dup >= 0 && dup < 400 && dup != i && c == 1.0,
+        s"swarm vec $i lost its duplicate: ${out(i)}")
+    }
+  }
+
   test("embedding near-dup: a duplicated vector is found at cosine ~1") {
     import spark.implicits._
     // plant an exact duplicate pair in a small synthetic corpus
