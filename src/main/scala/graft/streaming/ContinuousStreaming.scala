@@ -70,6 +70,11 @@ object ContinuousStreaming {
     * permanently lost window would strand every later window in state
     * forever. Liveness over completeness, the watermark trade.
     *
+    * The fold anchors at win_id 0 per stream ([[ContinuousDetection]]
+    * numbering); a source that starts mid-stream (first delivered wid > 0)
+    * is treated as having lost its prefix and unsticks through the same
+    * watermark jump once event time advances.
+    *
     * @param windows (stream_id, win_id, symbols, event_time)
     */
   def scoresWithWatermark(windows: Dataset[(Long, Long, Seq[Byte], java.sql.Timestamp)],
