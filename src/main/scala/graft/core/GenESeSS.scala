@@ -376,9 +376,15 @@ object GenESeSS {
           .map { case (ctx, rs) =>
             val dist = new Array[Double](k)
             var tot = 0L
-            rs.foreach { r => dist(r.getInt(2)) += r.getLong(3).toDouble; tot += r.getLong(3) }
+            rs.foreach { r =>
+              // out-of-alphabet next-symbols are skipped, matching localHeap
+              // and the scoring kernels (they tolerate caller-supplied
+              // alphabetSize smaller than the data's true domain)
+              val nxt = r.getInt(2)
+              if (nxt >= 0 && nxt < k) { dist(nxt) += r.getLong(3).toDouble; tot += r.getLong(3) }
+            }
             var i = 0
-            while (i < k) { dist(i) /= tot; i += 1 }
+            while (i < k && tot > 0L) { dist(i) /= tot; i += 1 }
             ctx -> (dist, tot)
           }
         cluster -> byCtx

@@ -98,8 +98,15 @@ object AnomalyDetection {
     // it once into the cache and run those passes with presort=false
     val q = densify(quantized)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // caches released in the finally (not just the happy path): repeated
+    // fit callers in one session must not accumulate blocks when a stage
+    // throws mid-fit
+    var feat: Option[DataFrame] = None
+    var labels: DataFrame = null
     try {
-      val alphabetSize = math.max(2, q.agg(max(col("symbol"))).head().getByte(0).toInt + 1)
+      val maxSym = q.agg(max(col("symbol"))).head()
+      require(!maxSym.isNullAt(0), "AnomalyDetection.fit: input has no rows after quantization")
+      val alphabetSize = math.max(2, maxSym.getByte(0).toInt + 1)
       val genParams = GenESeSS.Params(eps = params.eps)
 
       // llk features vs the base PFSAs depend only on (sequences, alphabet):
@@ -110,13 +117,13 @@ object AnomalyDetection {
       // whole 4-base-model scoring sweep is skipped — the k = 1 fits in
       // stream_fit_predict / multilevel level-2 were paying it for nothing.
       val k0 = math.max(1, params.nClusters)
-      val feat =
+      feat =
         if (k0 > 1 || clusterer.nonEmpty)
           Some(Cluster.featuresLong(spark, q, alphabetSize, presort = false).cache())
         else None
 
       def inferForK(k: Int): (DataFrame, Map[Int, Pfsa]) = {
-        val labels = feat match {
+        val lbl = feat match {
           case Some(f) => Cluster.assignFeatures(f, k, params.kmeansSeed, clusterer).cache()
           // constant-label path: one distinct over the already-partitioned
           // cache (no exchange), no feature sweep
@@ -124,13 +131,15 @@ object AnomalyDetection {
         }
         // the join key is the partitioning key, so labels co-partition in and
         // the joined frame keeps q's (seq_id, t) order — no re-sort needed
-        val lib = GenESeSS.inferAllLong(spark, q.join(labels, "seq_id"),
+        val lib = GenESeSS.inferAllLong(spark, q.join(lbl, "seq_id"),
           alphabetSize, genParams, presort = false)
-        (labels, lib)
+        (lbl, lib)
       }
 
       var k = k0
-      var (labels, lib) = inferForK(k)
+      val r0 = inferForK(k)
+      labels = r0._1
+      var lib = r0._2
       // KMeans may emit fewer distinct labels than requested (duplicate
       // points); the frequency relabel makes label ids dense, so the
       // effective k is the library size
@@ -166,14 +175,15 @@ object AnomalyDetection {
         .agg(avg(col("llk")).as("m"), stddev_samp(col("llk")).as("s"))
         .collect().map(r => r.getInt(0) -> (r.getDouble(1), if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
         .toMap
-      labels.unpersist()
 
-      val model = Model(params, complexModel, alphabetSize, ordered.toIndexedSeq,
+      Model(params, complexModel, alphabetSize, ordered.toIndexedSeq,
         (0 until k).map(c => stats.get(c).map(_._1).getOrElse(0.0)).toArray,
         (0 until k).map(c => stats.get(c).map(_._2).getOrElse(0.0)).toArray)
+    } finally {
+      if (labels != null) labels.unpersist()
       feat.foreach(_.unpersist())
-      model
-    } finally q.unpersist()
+      q.unpersist()
+    }
   }
 
   /** Score new long-form data against a fitted model.

@@ -96,10 +96,11 @@ object ContinuousStreaming {
           // no watermark at all (the Try) — both mean "nothing is late"
           val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(-1L)
           it.foreach { case (_, wid, syms, ts) =>
-            // beyond-lateness straggler (event time behind the watermark) or
-            // wid < nextWin (duplicate / slot already scored or abandoned):
-            // dropped — the explicit late-data rejection
-            if (ts.getTime >= wm && wid >= nextWin && !pending.contains(wid))
+            // beyond-lateness straggler (event time behind an ESTABLISHED
+            // watermark — wm <= 0 means none yet, so pre-epoch stamps are
+            // not mistaken for late data) or wid < nextWin (duplicate /
+            // slot already scored or abandoned): dropped
+            if ((wm <= 0L || ts.getTime >= wm) && wid >= nextWin && !pending.contains(wid))
               pending += wid -> (syms, ts.getTime)
           }
           val out = scala.collection.mutable.ArrayBuffer[WindowScore]()
@@ -115,10 +116,17 @@ object ContinuousStreaming {
                 pending -= nextWin
                 nextWin += 1
               case None =>
+                // single traversal folds both minima (hole checks happen at
+                // most once per hole per trigger; no per-check full rescans)
+                var minWid = Long.MaxValue
+                var minTs = Long.MaxValue
+                pending.foreach { case (k2, (_, t2)) =>
+                  if (k2 < minWid) minWid = k2
+                  if (t2 < minTs) minTs = t2
+                }
                 val giveUp = pending.nonEmpty &&
-                  (pending.size > maxPending ||
-                    (wm > 0L && pending.values.map(_._2).min < wm))
-                if (giveUp) nextWin = pending.keys.min
+                  (pending.size > maxPending || (wm > 0L && minTs < wm))
+                if (giveUp) nextWin = minWid
                 else progress = false
             }
           }
@@ -139,6 +147,11 @@ object ContinuousStreaming {
   def scoresFromSymbols(symbols: Dataset[(Long, Long, Byte)],
                         p: Params): Dataset[WindowScore] = {
     import symbols.sparkSession.implicits._
+    // same contract Segment.windows enforces on the batch path — a stride
+    // <= 0 would spin the state handler forever on the first full window,
+    // and a negative overlap would silently drop symbols
+    require(p.windowOverlap >= 0 && p.windowOverlap < p.windowSize,
+      s"windowOverlap must be in [0, windowSize): ${p.windowOverlap} vs ${p.windowSize}")
     val stride = p.windowSize - p.windowOverlap
     implicit val stateEnc: Encoder[(Vector[LibEntry], Seq[Byte], Long)] =
       Encoders.kryo[(Vector[LibEntry], Seq[Byte], Long)]

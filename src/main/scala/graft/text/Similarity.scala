@@ -16,11 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two array<double> columns via codegen'd HOFs. */
+  /** Cosine similarity of two array<double> columns via codegen'd HOFs.
+    * A zero-norm vector has no direction: its cosine is pinned to -1
+    * (never-a-neighbor) instead of the raw 0/0 = NaN, which Spark orders
+    * ABOVE every real double and would otherwise put a zero embedding at
+    * rank 1 of every top-k. */
   def cosine(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
-      (sqrt(expr(s"aggregate(zip_with($a, $a, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")) *
-       sqrt(expr(s"aggregate(zip_with($b, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")))
+    nanvl(
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
+        (sqrt(expr(s"aggregate(zip_with($a, $a, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")) *
+         sqrt(expr(s"aggregate(zip_with($b, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))),
+      lit(-1.0))
 
   /** Brute-force top-k: broadcast the (small) query set against the corpus.
     * One shuffle (the per-query top-k); |queries|·|corpus| comparisons — the
@@ -99,7 +105,12 @@ object Similarity {
               tables: Int = 8, bits: Int = 0, dim: Int = 64,
               seed: Long = 42L, maxBucketSize: Int = 256): DataFrame = {
     val nBits = if (bits > 0) bits else adaptiveBits(corpus.count())
+    // the signer UDF is O(tables·bits·dim) per row and the bucket frame
+    // feeds both the cap aggregation and the probe join — persist it for
+    // the duration of the candidate join, then release (the candidate set
+    // is the bounded relation that lives on)
     val cb0 = buckets(corpus, tables, nBits, dim, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ok = cb0.groupBy(col("tbl"), col("code"))
       .agg(count(lit(1)).as("sz"))
       .filter(col("sz") <= maxBucketSize)
@@ -114,6 +125,8 @@ object Similarity {
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"))
       .distinct()
+      .localCheckpoint(true)
+    cb0.unpersist()
     val nCand = cand.groupBy(col("qid")).agg(count(lit(1)).as("n_candidates"))
     val c = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
@@ -155,7 +168,10 @@ object Similarity {
                    tables: Int = 4, bits: Int = 0, dim: Int = 64,
                    seed: Long = 42L, maxBucketSize: Int = 256): DataFrame = {
     val nBits = if (bits > 0) bits else adaptiveBits(corpus.count(), targetBucket = 4)
+    // persist the signed buckets for the three consumers (cap agg + both
+    // self-join sides), materialize the capped candidate pairs, release
     val cb = buckets(corpus, tables, nBits, dim, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ok = cb.groupBy(col("tbl"), col("code"))
       .agg(count(lit(1)).as("sz"))
       .filter(col("sz") <= maxBucketSize)
@@ -167,6 +183,8 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+      .localCheckpoint(true)
+    cb.unpersist()
     val e = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     cand
       .join(e.select(col("vec_id").as("id_a"), col("emb").as("e_a")), "id_a")
