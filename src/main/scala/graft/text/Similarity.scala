@@ -18,15 +18,19 @@ object Similarity {
 
   /** Cosine similarity of two array<double> columns via codegen'd HOFs.
     * A zero-norm vector has no direction: its cosine is pinned to -1
-    * (never-a-neighbor) instead of the raw 0/0 = NaN, which Spark orders
-    * ABOVE every real double and would otherwise put a zero embedding at
-    * rank 1 of every top-k. */
-  def cosine(a: String, b: String): Column =
-    nanvl(
-      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
-        (sqrt(expr(s"aggregate(zip_with($a, $a, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")) *
-         sqrt(expr(s"aggregate(zip_with($b, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))),
+    * (never-a-neighbor). Under ANSI mode (Spark 4 default) a plain `/`
+    * THROWS on the zero divisor before any NaN exists, so the guard is
+    * `try_divide` (NULL on zero) + `coalesce`; `nanvl` additionally pins
+    * NaN components smuggled in through the embeddings themselves, since
+    * Spark orders NaN ABOVE every real double and an unguarded NaN would
+    * sit at rank 1 of every top-k. */
+  def cosine(a: String, b: String): Column = {
+    def dot(x: String, y: String): Column =
+      expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (acc, v) -> acc + v)")
+    coalesce(
+      nanvl(try_divide(dot(a, b), sqrt(dot(a, a)) * sqrt(dot(b, b))), lit(-1.0)),
       lit(-1.0))
+  }
 
   /** Brute-force top-k: broadcast the (small) query set against the corpus.
     * One shuffle (the per-query top-k); |queries|·|corpus| comparisons — the

@@ -149,6 +149,16 @@ class AnomalyDetectionSpec extends AnyFunSuite {
     assert(!plan.contains("UDF"), s"UDF crept into predict's plan:\n$plan")
   }
 
+  test("fit on an empty frame fails with a clear message, not an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Double)].toDF("seq_id", "t", "value")
+    val ex = intercept[IllegalArgumentException] {
+      AnomalyDetection.fit(spark, empty,
+        AnomalyDetection.Params(nClusters = 1, quantize = false))
+    }
+    assert(ex.getMessage.contains("no rows"), ex.getMessage)
+  }
+
   test("fit with reduce_clusters converges and the model explains training data") {
     // over-clustered two-regime corpus: the fixpoint loop must terminate
     // with a library no larger than requested and clean training predictions

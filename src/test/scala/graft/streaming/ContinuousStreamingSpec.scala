@@ -205,6 +205,15 @@ class ContinuousStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("raw-symbol ingestion rejects a non-positive stride up front") {
+    import spark.implicits._
+    val bad = ContinuousDetection.Params(windowSize = 100, windowOverlap = 100)
+    val ex = intercept[IllegalArgumentException] {
+      ContinuousStreaming.scoresFromSymbols(Seq.empty[(Long, Long, Byte)].toDS(), bad)
+    }
+    assert(ex.getMessage.contains("windowOverlap"), ex.getMessage)
+  }
+
   test("raw-symbol ingestion assembles windows in state and matches batch replay") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

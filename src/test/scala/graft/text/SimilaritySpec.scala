@@ -97,6 +97,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(worst < 500, s"swarm leaked into candidates: $worst")
   }
 
+  test("a zero-norm embedding is never anyone's neighbor (cosine pinned, not NaN)") {
+    import spark.implicits._
+    // NaN orders above every double in Spark, so an unguarded 0/0 cosine
+    // would put the zero vector at rank 1 of every query's top-k
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 16 + j + 1).toFloat).toSeq)
+    } :+ (20L, Seq.fill(16)(0.0f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, df.filter(col("vec_id") < 5), k = 3).collect()
+    assert(top.forall(r => r.getLong(1) != 20L), "zero vector leaked into a top-k")
+    assert(top.forall(r => !r.getDouble(2).isNaN), "NaN cosine leaked into results")
+    // and the zero vector's own row scores everything at -1, not NaN
+    val own = Similarity.bruteForceTopK(df, df.filter(col("vec_id") === 20L), k = 3).collect()
+    assert(own.forall(r => r.getDouble(2) == -1.0), own.mkString(","))
+  }
+
   test("adaptiveBits grows with the corpus and stays clamped") {
     assert(Similarity.adaptiveBits(100) == 4)
     assert(Similarity.adaptiveBits(64L << 10) == 10)
