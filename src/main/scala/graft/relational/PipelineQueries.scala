@@ -40,9 +40,19 @@ object PipelineQueries {
   }
 
   /** llk_score (reference Alg. 1, detection.py:141): long cluster_llks
-    * matrix of every sequence vs a deterministic model library. */
+    * matrix of every sequence vs a deterministic model library.
+    *
+    * VALUE-LEVEL DuckDB oracle: both fixture machines are symbol-
+    * synchronizing (δ(q,σ)=σ, Pfsa.scala:151-160), so after the first
+    * symbol the Alg.-1 belief state collapses EXACTLY to a one-hot (the
+    * renormalization computes mass/mass = 1.0 in IEEE arithmetic) and the
+    * llk reduces to a first-order Markov sum the oracle recomputes with a
+    * lag window over the quantized stream — the kernel's actual numbers
+    * are hash-checked by an independent engine, not just self-compared. */
   def llkScore(s: SparkSession, d: String): DataFrame =
     Llk.scoreAll(s, sequences(s, d), Seq(Pfsa.m2, Pfsa.m2u))
+      .select(col("seq_id"), col("cluster_id").cast("long").as("cluster_id"),
+        round(col("llk"), 6).as("llk"))
       .orderBy("seq_id", "cluster_id")
 
   /** llk_score_long: the array-free llk scale path ([[Llk.scoreAllLong]],
@@ -110,12 +120,16 @@ object PipelineQueries {
       .orderBy("cluster", "state", "symbol")
   }
 
-  /** pfsa_infer_single (detection.py:694-724): GenESeSS on ONE sequence. */
+  /** pfsa_infer_single (detection.py:694-724): GenESeSS on ONE sequence —
+    * a seeded 4000-symbol M2 sample, so the inference kernel's output is
+    * data-independent and frozen as a golden VALUES oracle (like sink_dot /
+    * sink_pfsa_file): any drift in the GenESeSS numerics hash-fails the
+    * gate. The data-driven multi-sequence path stays exercised by
+    * pfsa_infer; spec-level recovery evidence is GenESeSSSpec. */
   def pfsaInferSingle(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val one = sequences(s, d).orderBy("seq_id").limit(1)
-      .select(col("symbols")).as[Seq[Byte]].head()
-    val p = GenESeSS.inferSingle(s, one.toArray, alphabetSize = 2, GenESeSS.Params(eps = 0.2))
+    val one = Pfsa.m2.sample(4000, seed = 7L)
+    val p = GenESeSS.inferSingle(s, one, alphabetSize = 2, GenESeSS.Params(eps = 0.2))
     (for (q <- p.pitilde.indices; sym <- 0 until p.alphabetSize)
       yield (q, sym, BigDecimal(p.pitilde(q)(sym)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
         p.conn(q)(sym)))
@@ -224,11 +238,26 @@ object PipelineQueries {
   }
 
   /** predict_scalar_or_vec (detection.py:129,160-163): single-sequence
-    * input → single-row (scalar) result. */
+    * input → single-row (scalar) result, SELF-VERIFIED against the vector
+    * path: the scalar prediction must equal the full-corpus prediction
+    * restricted to that sequence (the reference's scalar/vector contract —
+    * per-sequence scores depend only on the model, never on batch
+    * composition). The DuckDB oracle pins the verdict row; a quantizer,
+    * densify, or fold step that leaked cross-sequence state would break
+    * parity and hash-fail the gate. */
   def predictScalar(s: SparkSession, d: String): DataFrame = {
     val (long, model) = fitOn(s, d)
     val first = long.select(min("seq_id")).head().getLong(0)
-    AnomalyDetection.predict(s, model, long.filter(col("seq_id") === first))
+    val one = AnomalyDetection.predict(s, model, long.filter(col("seq_id") === first))
+    val full = AnomalyDetection.predict(s, model, long)
+      .filter(col("seq_id") === first)
+      .select(col("seq_id"), col("is_anomaly").as("v_anom"),
+        col("closest").as("v_closest"), col("llk").as("v_llk"))
+    one.join(full, Seq("seq_id"), "full_outer")
+      .select(col("seq_id"),
+        (col("is_anomaly").isNotNull && col("v_anom").isNotNull &&
+          col("is_anomaly") === col("v_anom") && col("closest") === col("v_closest") &&
+          abs(col("llk") - col("v_llk")) <= lit(1e-9)).as("scalar_matches_full"))
   }
 
   /** stream_fit_predict (StreamingDetection, detection.py:550-613): one long
@@ -328,6 +357,37 @@ object PipelineQueries {
     * literals (a format drift in the PFSA text codec or the DOT emitter
     * hash-fails the gate). */
   val oracle: Map[String, String] = Map(
+    // value-level kernel oracle — see llkScore's scaladoc: δ(q,σ)=σ makes
+    // the Alg.-1 belief walk collapse to a first-order Markov sum after
+    // symbol 0 (exactly, in IEEE arithmetic), so DuckDB recomputes the
+    // kernel's numbers from the quantized stream with a lag window. The
+    // init masses fold the stationary distribution (m2: (3/7, 4/7) from
+    // pM = p with M = pitilde; m2u: (1/2, 1/2)) through each machine's
+    // first-symbol emission.
+    "llk_score" ->
+      """WITH sym AS (
+        |  SELECT user_id, CAST(row_number() OVER w - 1 AS BIGINT) AS t,
+        |         CASE WHEN coalesce(value - lag(value) OVER w, 0) > 0 THEN 1 ELSE 0 END AS symbol
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |m(cluster_id, prev, cur, mass) AS (VALUES
+        |  (0, 0, 0, 0.6), (0, 0, 1, 0.4), (0, 1, 0, 0.3), (0, 1, 1, 0.7),
+        |  (1, 0, 0, 0.4), (1, 0, 1, 0.6), (1, 1, 0, 0.6), (1, 1, 1, 0.4)),
+        |init(cluster_id, cur, mass) AS (VALUES
+        |  (0, 0, 3.0/7.0*0.6 + 4.0/7.0*0.3), (0, 1, 3.0/7.0*0.4 + 4.0/7.0*0.7),
+        |  (1, 0, 0.5*0.4 + 0.5*0.6), (1, 1, 0.5*0.6 + 0.5*0.4)),
+        |steps AS (
+        |  SELECT user_id, t, symbol,
+        |         lag(symbol) OVER (PARTITION BY user_id ORDER BY t) AS prev
+        |  FROM sym)
+        |SELECT s.user_id AS seq_id, CAST(c.cluster_id AS BIGINT) AS cluster_id,
+        |       round(-sum(log2(CASE WHEN s.prev IS NULL THEN i.mass ELSE m.mass END))
+        |             / count(*), 6) AS llk
+        |FROM steps s
+        |CROSS JOIN (SELECT DISTINCT cluster_id FROM m) c
+        |LEFT JOIN m ON m.cluster_id = c.cluster_id AND m.prev = s.prev AND m.cur = s.symbol
+        |LEFT JOIN init i ON i.cluster_id = c.cluster_id AND i.cur = s.symbol
+        |GROUP BY 1, 2
+        |ORDER BY seq_id, cluster_id""".stripMargin,
     "llk_score_long" ->
       """SELECT u.user_id AS seq_id, c.cluster_id, true AS agree
         |FROM (SELECT DISTINCT user_id FROM events) u
@@ -354,6 +414,18 @@ object PipelineQueries {
         |       (SELECT count(DISTINCT ml)
         |        FROM (SELECT node, min(label) AS ml FROM comp GROUP BY node)) AS n_components
         |FROM counts""".stripMargin,
+    // scalar/vector parity verdict — see predictScalar's scaladoc
+    "predict_scalar_or_vec" ->
+      "SELECT min(user_id) AS seq_id, true AS scalar_matches_full FROM events",
+    // golden literal for the data-independent single-sequence inference
+    // (seeded M2 sample, see pfsaInferSingle's scaladoc): freezes the
+    // GenESeSS numerics end-to-end — ε-cover selection, π̃ estimation,
+    // state merging — against kernel drift
+    "pfsa_infer_single" ->
+      """SELECT * FROM (VALUES
+        |  (0, 0, 0.578611, 0), (0, 1, 0.421389, 1),
+        |  (1, 0, 0.292461, 0), (1, 1, 0.707539, 1)
+        |) AS t(state, symbol, prob, next_state) ORDER BY state, symbol""".stripMargin,
     "sink_dot" ->
       """SELECT * FROM (VALUES
         |  (0, E'digraph PFSA {\n  q0 -> q0 [label="0:0.600"];\n  q0 -> q1 [label="1:0.400"];\n  q1 -> q0 [label="0:0.300"];\n  q1 -> q1 [label="1:0.700"];\n}'),

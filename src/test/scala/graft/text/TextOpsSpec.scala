@@ -186,16 +186,22 @@ class TextOpsSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val rows = graft.relational.DataPipelineQueries.queries("dedup_minhash")(spark, dir)
       .collect()
-      .map(r => r.getLong(0) -> (
-        if (r.isNullAt(2)) -1L else r.getLong(2),
-        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     (0L until 300L).foreach { i =>
-      val (dup, j) = rows(i)
-      assert(dup >= 0 && dup < 300 && dup != i && j == 1.0, s"swarm doc $i lost its dup: ${rows(i)}")
+      assert(rows(i) == (300L, true), s"swarm doc $i lost its dup: ${rows(i)}")
     }
-    val (dupA, jA) = rows(300L)
-    assert(dupA == 301L && jA >= 0.5, s"near-dup pair missed: ${rows(300L)}")
-    assert(rows(302L)._1 == -1L, s"unrelated doc got a partner: ${rows(302L)}")
+    assert(rows(300L) == (1L, true) && rows(301L) == (1L, true) && rows(302L) == (1L, true),
+      s"singleton verdicts: ${rows(300L)} ${rows(301L)} ${rows(302L)}")
+    // the near-dup pair itself (distinct texts, jaccard ≥ 0.5) must still
+    // surface through the banding path the query is built on
+    val base = docsSeq.toDF("doc_id", "source", "lang", "text")
+      .select(col("doc_id"), TextOps.normalized("text").as("norm"))
+      .withColumn("sh", TextOps.charShingles("norm", 5))
+      .withColumn("sig", TextOps.minhashSigUdf(64, 42L)(col("sh")))
+    val pairs = TextOps.candidatePairs(
+      TextOps.bandBuckets(base, "doc_id", "sig", bands = 16, rowsPerBand = 4), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((300L, 301L)), "near-dup pair missed by banding")
   }
 
   test("simhash: near-dups within small Hamming distance, unrelated far") {
