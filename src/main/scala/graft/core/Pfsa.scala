@@ -1,7 +1,5 @@
 package graft.core
 
-import scala.util.Random
-
 /** Probabilistic finite-state automaton (Q, Σ, δ, π̃).
   *
   * Mirrors the reference's PFSA info dict (reference detection.py:56,385-393)
@@ -83,19 +81,28 @@ final case class Pfsa(
 
   /** Generate a sample path of `len` symbols (reference Prun,
     * detection.py:730; Markov simulation per tex/ms.tex:109-114).
-    * Seeded for determinism (SURVEY.md §7.4 item 6). */
+    *
+    * The randomness is COUNTER-BASED, not generator-state-based: the t-th
+    * uniform is [[Pfsa.hashUniform]](seed, t) (t = -1 draws the stationary
+    * start state), so a sample path is a pure function of (machine, seed)
+    * with no sequential RNG state. That is the distributed-sampling shape —
+    * any partitioning, task retry, or evaluation order reproduces the same
+    * path — and it makes the draw sequence exactly replayable by an
+    * independent engine (the pfsa_sample DuckDB oracle recomputes the same
+    * md5-derived uniforms in SQL and walks the machine with a recursive
+    * CTE). */
   def sample(len: Int, seed: Long): Array[Byte] = {
-    val rnd = new Random(seed)
+    val md = java.security.MessageDigest.getInstance("MD5")
     val out = new Array[Byte](len)
     // start from the stationary distribution
     var q = {
-      val u = rnd.nextDouble(); var acc = 0.0; var i = 0
+      val u = Pfsa.hashUniform(md, seed, -1L); var acc = 0.0; var i = 0
       while (i < numStates - 1 && { acc += stationary(i); acc <= u }) i += 1
       i
     }
     var t = 0
     while (t < len) {
-      val u = rnd.nextDouble()
+      val u = Pfsa.hashUniform(md, seed, t.toLong)
       var acc = 0.0
       var s = 0
       while (s < alphabetSize - 1 && { acc += pitilde(q)(s); acc <= u }) s += 1
@@ -121,6 +128,17 @@ final case class Pfsa(
 }
 
 object Pfsa {
+
+  /** Counter-based uniform u ∈ [0,1): the first 32 bits of
+    * md5("<seed>:<t>") over 2³². Exactly reproducible in SQL (first 8 hex
+    * digits of DuckDB's `md5`), and the 2⁻³² value grid keeps every
+    * cumulative-probability comparison away from fp boundary effects, so
+    * the Scala walk and a SQL replay take identical branches. */
+  private[graft] def hashUniform(md: java.security.MessageDigest, seed: Long, t: Long): Double = {
+    val d = md.digest(s"$seed:$t".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    v.toDouble / 4294967296.0
+  }
 
   /** Parse the reference text form written by [[Pfsa.toText]]. */
   def fromText(text: String): Pfsa = {

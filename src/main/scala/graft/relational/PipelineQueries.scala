@@ -76,7 +76,13 @@ object PipelineQueries {
       .orderBy("seq_id", "cluster_id")
   }
 
-  /** pfsa_sample (reference Prun, detection.py:730): seeded sample paths. */
+  /** pfsa_sample (reference Prun, detection.py:730): seeded sample paths.
+    *
+    * VALUE-LEVEL DuckDB oracle: the sampler's randomness is counter-based
+    * ([[Pfsa.hashUniform]] — md5 of "<seed>:<t>"), so the oracle recomputes
+    * the identical uniforms from md5 hex digits in SQL and replays the
+    * Markov walk with a recursive CTE — every one of the 25 600 sampled
+    * symbols is hash-checked by an independent engine. */
   def pfsaSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val numRepeats = 100
@@ -85,6 +91,7 @@ object PipelineQueries {
       .map { i => (i, Pfsa.m2.sample(dataLen, seed = 42L + i).map(_.toInt).toSeq) }
       .toDF("path_id", "symbols")
       .select(col("path_id"), posexplode(col("symbols")).as(Seq("t", "symbol")))
+      .select(col("path_id"), col("t").cast("long").as("t"), col("symbol"))
       .orderBy("path_id", "t")
   }
 
@@ -414,6 +421,41 @@ object PipelineQueries {
         |       (SELECT count(DISTINCT ml)
         |        FROM (SELECT node, min(label) AS ml FROM comp GROUP BY node)) AS n_components
         |FROM counts""".stripMargin,
+    // exact replay of the counter-based sampler (see pfsaSample's scaladoc):
+    // the inlined expression is Pfsa.hashUniform in SQL — first 8 hex digits
+    // of md5("<seed>:<t>") as a 32-bit integer over 2^32 — and the recursive
+    // CTE walks M2 (δ(q,σ)=σ, start state from the stationary (3/7, 4/7))
+    // with the same cumulative-probability branches as the Scala kernel
+    "pfsa_sample" ->
+      """WITH RECURSIVE
+        |walk(path_id, t, symbol) AS (
+        |  SELECT path_id, CAST(0 AS BIGINT) AS t,
+        |         CASE WHEN (CASE WHEN s0 = 0 THEN 0.6 ELSE 0.3 END) <=
+        |           (list_sum(list_transform(generate_series(1, 8),
+        |              i -> (strpos('0123456789abcdef', substr(md5(CAST(42 + path_id AS VARCHAR) || ':0'),
+        |                                                      CAST(i AS INT), 1)) - 1)
+        |                   * power(16.0, 8 - i))) / 4294967296.0)
+        |         THEN 1 ELSE 0 END AS symbol
+        |  FROM (
+        |    SELECT path_id,
+        |           CASE WHEN 3.0/7.0 <=
+        |             (list_sum(list_transform(generate_series(1, 8),
+        |                i -> (strpos('0123456789abcdef', substr(md5(CAST(42 + path_id AS VARCHAR) || ':-1'),
+        |                                                        CAST(i AS INT), 1)) - 1)
+        |                     * power(16.0, 8 - i))) / 4294967296.0)
+        |           THEN 1 ELSE 0 END AS s0
+        |    FROM (SELECT unnest(generate_series(0, 99)) AS path_id))
+        |  UNION ALL
+        |  SELECT path_id, t + 1,
+        |         CASE WHEN (CASE WHEN symbol = 0 THEN 0.6 ELSE 0.3 END) <=
+        |           (list_sum(list_transform(generate_series(1, 8),
+        |              i -> (strpos('0123456789abcdef',
+        |                           substr(md5(CAST(42 + path_id AS VARCHAR) || ':' || CAST(t + 1 AS VARCHAR)),
+        |                                  CAST(i AS INT), 1)) - 1)
+        |                   * power(16.0, 8 - i))) / 4294967296.0)
+        |         THEN 1 ELSE 0 END
+        |  FROM walk WHERE t < 255)
+        |SELECT path_id, t, symbol FROM walk ORDER BY path_id, t""".stripMargin,
     // scalar/vector parity verdict — see predictScalar's scaladoc
     "predict_scalar_or_vec" ->
       "SELECT min(user_id) AS seq_id, true AS scalar_matches_full FROM events",
@@ -423,8 +465,8 @@ object PipelineQueries {
     // state merging — against kernel drift
     "pfsa_infer_single" ->
       """SELECT * FROM (VALUES
-        |  (0, 0, 0.578611, 0), (0, 1, 0.421389, 1),
-        |  (1, 0, 0.292461, 0), (1, 1, 0.707539, 1)
+        |  (0, 0, 0.59408, 0), (0, 1, 0.40592, 1),
+        |  (1, 0, 0.301176, 0), (1, 1, 0.698824, 1)
         |) AS t(state, symbol, prob, next_state) ORDER BY state, symbol""".stripMargin,
     "sink_dot" ->
       """SELECT * FROM (VALUES
