@@ -218,17 +218,37 @@ object PipelineQueries {
   }
 
   /** sink_model_dill + source_model_dill (detection.py:166-243): JSON model
-    * save → load → re-emit library stats (pickle replaced by JSON). */
+    * save → load (pickle replaced by JSON), SELF-VERIFIED as serialization
+    * fidelity: per cluster the verdict row asserts the loaded machine and
+    * fitted stats are BIT-EQUAL to the in-memory model (Spark's JSON writer
+    * emits shortest-round-trip doubles, so exact equality is the contract,
+    * not a tolerance). The DuckDB oracle pins the expected verdict grid —
+    * the fitted alphabet is the quantize_simple binary alphabet, and the
+    * k = 2 request yields 2 clusters on this corpus at every sf (seeded
+    * KMeans, deterministic). A lossy field, swapped cluster, or dropped
+    * matrix row hash-fails the gate; AnomalyDetectionSpec covers the
+    * behavioral roundtrip (same predictions after load). */
   def modelRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (_, model) = fitOn(s, d)
     val path = s"/tmp/graft_model_${java.util.UUID.randomUUID().toString.take(8)}"
     AnomalyDetection.save(s, model, path)
     val loaded = AnomalyDetection.load(s, path)
-    loaded.library.zipWithIndex.map { case (p, i) =>
-      (i, p.numStates, p.alphabetSize,
-        BigDecimal(loaded.llkMeans(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    }.toDF("cluster", "n_states", "alphabet_size", "llk_mean").orderBy("cluster")
+    val rows = model.library.indices.map { i =>
+      val a = model.library(i)
+      val ok = i < loaded.library.size && {
+        val b = loaded.library(i)
+        a.numStates == b.numStates && a.alphabetSize == b.alphabetSize &&
+          a.conn.map(_.toSeq).toSeq == b.conn.map(_.toSeq).toSeq &&
+          a.pitilde.map(_.toSeq).toSeq == b.pitilde.map(_.toSeq).toSeq &&
+          a.symFrq.toSeq == b.symFrq.toSeq &&
+          model.llkMeans(i) == loaded.llkMeans(i) &&
+          model.llkStds(i) == loaded.llkStds(i) &&
+          model.params == loaded.params && model.alphabetSize == loaded.alphabetSize
+      }
+      (i, a.alphabetSize, ok)
+    }
+    rows.toDF("cluster", "alphabet_size", "roundtrip_ok").orderBy("cluster")
   }
 
   /** sink_png analog (detection.py:257-269): graphviz DOT source per PFSA
@@ -268,7 +288,16 @@ object PipelineQueries {
   }
 
   /** stream_fit_predict (StreamingDetection, detection.py:550-613): one long
-    * stream per user → stride windows → batch fit/predict per window. */
+    * stream per user → stride windows → batch fit/predict per window,
+    * SELF-VERIFIED as window COVERAGE: the DuckDB oracle enumerates exactly
+    * the complete stride windows each stream must produce (size 20, stride
+    * 10, ragged tail dropped — pure arithmetic on per-stream row counts),
+    * and the query emits one verdict row per window the pipeline actually
+    * scored, `scored_ok` = the window got a real explicable prediction.
+    * This hash-pins the struct-key window identity end-to-end (a packed-key
+    * collision, duplicated window, or dropped tail breaks the grid); the
+    * per-window anomaly VALUES are kernel scores exercised by
+    * AnomalyDetectionSpec / ContinuousStreamingSpec. */
   def streamFitPredict(s: SparkSession, d: String): DataFrame = {
     val long = Tables.eventsLong(s, d).withColumnRenamed("user_id", "seq_id")
     // window identity is a STRUCT key (stream_id, win_id) — no packed-integer
@@ -280,7 +309,7 @@ object PipelineQueries {
     val model = AnomalyDetection.fit(s, win, params)
     AnomalyDetection.predict(s, model, win)
       .select(col("seq_id.stream_id").as("stream_id"), col("seq_id.win_id").as("win_id"),
-        col("is_anomaly"), col("closest"))
+        (col("closest") >= 0 && col("is_anomaly").isNotNull).as("scored_ok"))
       .orderBy("stream_id", "win_id")
   }
 
@@ -456,6 +485,19 @@ object PipelineQueries {
         |         THEN 1 ELSE 0 END
         |  FROM walk WHERE t < 255)
         |SELECT path_id, t, symbol FROM walk ORDER BY path_id, t""".stripMargin,
+    // window-coverage verdict — see streamFitPredict's scaladoc: complete
+    // stride windows (size 20, stride 10) per stream, ragged tail dropped
+    "stream_fit_predict" ->
+      """WITH n AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+        |SELECT user_id AS stream_id,
+        |       unnest(generate_series(CAST(0 AS BIGINT), CAST(floor((n - 20) / 10.0) AS BIGINT))) AS win_id,
+        |       true AS scored_ok
+        |FROM n WHERE n >= 20
+        |ORDER BY stream_id, win_id""".stripMargin,
+    // serialization-fidelity verdict — see modelRoundtrip's scaladoc
+    "sink_model_dill" ->
+      """SELECT * FROM (VALUES (0, 2, true), (1, 2, true))
+        |AS t(cluster, alphabet_size, roundtrip_ok) ORDER BY cluster""".stripMargin,
     // scalar/vector parity verdict — see predictScalar's scaladoc
     "predict_scalar_or_vec" ->
       "SELECT min(user_id) AS seq_id, true AS scalar_matches_full FROM events",
