@@ -125,14 +125,19 @@ object DataPipelineQueries {
         when(col("use_within"), col("within_id")).otherwise(col("cross_partner")))
       .withColumn("jaccard",
         when(col("use_within"), lit(1.0)).otherwise(col("cross_j")))
-      // verdict projection (the oracle-checkable surface): the exact-dup
-      // group size is SQL-recomputable, and `exact_dup_covered` pins THE
-      // dedup recall floor — every doc with an identical-text copy must
-      // come out paired at jaccard 1.0, at any swarm size (this is the
-      // invariant the pre-collapse bucket cap silently broke). The LSH-found
-      // cross-group pairs stay exposed via TextOps.candidatePairs +
-      // TextOpsSpec; their membership is LSH-geometry-dependent, so they
-      // can't be part of a deterministic oracle surface.
+      // verdict projection (the oracle-checkable surface): `n_exact_copies`
+      // is checked against an INDEPENDENT DuckDB recompute of the
+      // normalization + grouping (so the md5(norm) collapse that everything
+      // downstream rides on is value-verified), and `exact_dup_covered`
+      // pins the group-bookkeeping totality — every doc of a multi-member
+      // group must come out paired at jaccard 1.0 (a dropped g2/rep join
+      // row or fan-out bug breaks it). Post-collapse, within-group pairing
+      // is structural rather than LSH-dependent, so the behavioral
+      // swarm-vs-cap recall evidence lives in TextOpsSpec's 300-doc swarm
+      // test, and the LSH-found cross-group pairs stay exposed via
+      // TextOps.candidatePairs + TextOpsSpec; their membership is
+      // LSH-geometry-dependent, so they can't be part of a deterministic
+      // oracle surface.
       .select(col("doc_id"), col("grp_n").as("n_exact_copies"),
         (col("grp_n") <= 1 ||
           (col("dup_of").isNotNull && col("jaccard") === 1.0)).as("exact_dup_covered"))

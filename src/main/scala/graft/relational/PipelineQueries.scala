@@ -234,16 +234,21 @@ object PipelineQueries {
     val path = s"/tmp/graft_model_${java.util.UUID.randomUUID().toString.take(8)}"
     AnomalyDetection.save(s, model, path)
     val loaded = AnomalyDetection.load(s, path)
+    // bit-pattern equality for the stats: a cluster whose own-member llks
+    // include +inf has a NaN sample std, which round-trips faithfully but
+    // fails ==; doubleToLongBits treats it as the equal bits it is
+    def bitEq(x: Double, y: Double): Boolean =
+      java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)
     val rows = model.library.indices.map { i =>
       val a = model.library(i)
-      val ok = i < loaded.library.size && {
+      val ok = model.library.size == loaded.library.size && {
         val b = loaded.library(i)
         a.numStates == b.numStates && a.alphabetSize == b.alphabetSize &&
           a.conn.map(_.toSeq).toSeq == b.conn.map(_.toSeq).toSeq &&
           a.pitilde.map(_.toSeq).toSeq == b.pitilde.map(_.toSeq).toSeq &&
           a.symFrq.toSeq == b.symFrq.toSeq &&
-          model.llkMeans(i) == loaded.llkMeans(i) &&
-          model.llkStds(i) == loaded.llkStds(i) &&
+          bitEq(model.llkMeans(i), loaded.llkMeans(i)) &&
+          bitEq(model.llkStds(i), loaded.llkStds(i)) &&
           model.params == loaded.params && model.alphabetSize == loaded.alphabetSize
       }
       (i, a.alphabetSize, ok)
@@ -507,8 +512,8 @@ object PipelineQueries {
     // state merging — against kernel drift
     "pfsa_infer_single" ->
       """SELECT * FROM (VALUES
-        |  (0, 0, 0.59408, 0), (0, 1, 0.40592, 1),
-        |  (1, 0, 0.301176, 0), (1, 1, 0.698824, 1)
+        |  (0, 0, CAST(0.59408 AS DOUBLE), 0), (0, 1, CAST(0.40592 AS DOUBLE), 1),
+        |  (1, 0, CAST(0.301176 AS DOUBLE), 0), (1, 1, CAST(0.698824 AS DOUBLE), 1)
         |) AS t(state, symbol, prob, next_state) ORDER BY state, symbol""".stripMargin,
     "sink_dot" ->
       """SELECT * FROM (VALUES
