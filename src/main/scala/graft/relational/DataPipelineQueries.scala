@@ -449,6 +449,43 @@ object DataPipelineQueries {
           .as("n_distinct_words"))
       .orderBy(col("doc_id"))
 
+  /** Repetition signals (the Gopher-rule family): fraction of token
+    * occurrences that are repeats, fraction of word-bigram occurrences
+    * taken by the single most frequent bigram, and fraction of duplicated
+    * character 8-grams. All pure relational/codegen'd math (the bigram
+    * mode is a per-doc groupBy, partitioned by doc_id — no global state),
+    * DuckDB-oracled. */
+  private def textRepetition(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .select(col("doc_id"), col("text"), TextOps.tokens("text").as("toks"))
+    // bigram mode per doc, relationally: explode → count → max. The CASE
+    // guards Spark's descending-sequence trap for single-token docs.
+    val bg = base.select(col("doc_id"), explode(expr(
+      "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks) - 2), " +
+        "i -> concat(toks[i], ' ', toks[i + 1])) ELSE array() END")).as("bg"))
+    val top = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
+    base
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_dist", size(expr("array_distinct(toks)")).cast("long"))
+      .withColumn("tot8", greatest(length(col("text")) - 7, lit(1)).cast("long"))
+      .withColumn("dist8", expr(
+        "cast(size(array_distinct(transform(sequence(1, greatest(length(text) - 7, 1)), " +
+          "i -> substring(text, i, 8)))) as long)")
+      )
+      .join(top, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        round(lit(1.0) - col("n_dist").cast("double") / greatest(col("n_toks"), lit(1L)), 6)
+          .as("dup_word_frac"),
+        round(coalesce(col("top_bg").cast("double") / col("n_bg"), lit(0.0)), 6)
+          .as("top_bigram_frac"),
+        round(lit(1.0) - col("dist8").cast("double") / col("tot8"), 6)
+          .as("dup_8gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: min-hash winnowing over 8-gram shingles — the
     * minimum md5 is a stable content fingerprint robust to shingle order. */
   private def textFingerprint(s: SparkSession, d: String): DataFrame =
@@ -489,6 +526,7 @@ object DataPipelineQueries {
     "text_lang_id" -> (textLangId _),
     "text_quality" -> (textQuality _),
     "text_token_count" -> (textTokenCount _),
+    "text_repetition" -> (textRepetition _),
     "text_fingerprint" -> (textFingerprint _),
     "multimodal_metadata" -> (multimodalMetadata _),
     "multimodal_decode" -> (multimodalDecode _),
@@ -622,6 +660,29 @@ object DataPipelineQueries {
         |       CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_ws_tokens,
         |       CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS n_distinct_words
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+        |                               i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM base),
+        |top AS (
+        |  SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM (
+        |    SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |       round(1.0 - len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 6)
+        |         AS dup_word_frac,
+        |       round(coalesce(t.top_bg * 1.0 / t.n_bg, 0.0), 6) AS top_bigram_frac,
+        |       round(1.0 - len(list_distinct(list_transform(
+        |                 generate_series(1, greatest(length(text) - 7, 1)),
+        |                 i -> substr(text, CAST(i AS INT), 8)))) * 1.0
+        |             / greatest(length(text) - 7, 1), 6) AS dup_8gram_frac
+        |FROM base b LEFT JOIN top t USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |       list_min(list_transform(

@@ -204,6 +204,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs.contains((300L, 301L)), "near-dup pair missed by banding")
   }
 
+  test("text_repetition: signals match a hand computation") {
+    // "the cat the cat runs": toks n=5 distinct=3 → dup_word 0.4; bigrams
+    // [the cat, cat the, the cat, cat runs] → top 2/4 = 0.5; length 20 →
+    // 13 8-gram positions, "the cat " repeats (pos 1 and 9) → 1 - 12/13
+    val docsSeq = Seq(
+      (0L, "web", "en", "the cat the cat runs"),
+      (1L, "web", "en", "hello"))
+    val dir = java.nio.file.Files.createTempDirectory("rep").toString
+    docsSeq.toDF("doc_id", "source", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.relational.DataPipelineQueries.queries("text_repetition")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows(0L) == ((0.4, 0.5, BigDecimal(1.0 - 12.0 / 13.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)), rows(0L).toString)
+    assert(rows(1L) == ((0.0, 0.0, 0.0)), rows(1L).toString)
+  }
+
   test("simhash: near-dups within small Hamming distance, unrelated far") {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val hs = corpus.select(col("doc_id"), TextOps.simhashUdf(TextOps.tokens("text")).as("h"))
