@@ -486,6 +486,29 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // PII patterns written in the dialect-portable subset shared by Java
+  // regex (Spark) and RE2 (DuckDB): character classes + bounded repeats,
+  // no backslash escapes ([.] instead of \.), no lookaround, no \b
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private val phoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+  /** PII scrubbing: redact email addresses and phone-shaped digit runs to
+    * placeholder tags — the standard pre-training hygiene pass. Emits the
+    * per-doc match counts plus the md5 of the scrubbed text, so the DuckDB
+    * oracle hash-checks the full transformation (both engines run the same
+    * portable patterns); TextOpsSpec exercises actual redaction on
+    * PII-bearing fixtures. Pure codegen'd row math — the 100-TB shape is a
+    * single scan, no shuffle before the presentation sort. */
+  private def textPiiScrub(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
+      .select(col("doc_id"),
+        expr(s"cast(size(regexp_extract_all(text, '$emailRe', 0)) as long)").as("n_emails"),
+        expr(s"cast(size(regexp_extract_all(text, '$phoneRe', 0)) as long)").as("n_phones"),
+        md5(col("scrubbed")).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+
   /** Document fingerprint: min-hash winnowing over 8-gram shingles — the
     * minimum md5 is a stable content fingerprint robust to shingle order. */
   private def textFingerprint(s: SparkSession, d: String): DataFrame =
@@ -527,6 +550,7 @@ object DataPipelineQueries {
     "text_quality" -> (textQuality _),
     "text_token_count" -> (textTokenCount _),
     "text_repetition" -> (textRepetition _),
+    "text_pii_scrub" -> (textPiiScrub _),
     "text_fingerprint" -> (textFingerprint _),
     "multimodal_metadata" -> (multimodalMetadata _),
     "multimodal_decode" -> (multimodalDecode _),
@@ -659,6 +683,15 @@ object DataPipelineQueries {
         |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
         |       CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_ws_tokens,
         |       CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS n_distinct_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT)
+        |         AS n_emails,
+        |       CAST(len(regexp_extract_all(text, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_phones,
+        |       md5(regexp_replace(regexp_replace(text,
+        |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |             '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH base AS (

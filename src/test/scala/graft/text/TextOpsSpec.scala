@@ -221,6 +221,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows(1L) == ((0.0, 0.0, 0.0)), rows(1L).toString)
   }
 
+  test("text_pii_scrub: redacts emails and phones, counts match, md5 is of the scrubbed text") {
+    val docsSeq = Seq(
+      (0L, "web", "en", "contact bob@example.com or call 555-123-4567 today"),
+      (1L, "web", "en", "no pii here at all"),
+      (2L, "web", "en", "two mails a@b.co c.d@e-f.org and 012.345.6789"))
+    val dir = java.nio.file.Files.createTempDirectory("pii").toString
+    docsSeq.toDF("doc_id", "source", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = graft.relational.DataPipelineQueries.queries("text_pii_scrub")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(rows(0L) == ((1L, 1L,
+      md5hex("contact <EMAIL> or call <PHONE> today"))), rows(0L).toString)
+    assert(rows(1L) == ((0L, 0L, md5hex("no pii here at all"))), rows(1L).toString)
+    assert(rows(2L) == ((2L, 1L,
+      md5hex("two mails <EMAIL> <EMAIL> and <PHONE>"))), rows(2L).toString)
+  }
+
   test("simhash: near-dups within small Hamming distance, unrelated far") {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val hs = corpus.select(col("doc_id"), TextOps.simhashUdf(TextOps.tokens("text")).as("h"))
