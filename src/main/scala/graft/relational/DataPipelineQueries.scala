@@ -470,14 +470,14 @@ object DataPipelineQueries {
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .withColumn("n_dist", size(expr("array_distinct(toks)")).cast("long"))
       .withColumn("tot8", greatest(length(col("text")) - 7, lit(1)).cast("long"))
-      .withColumn("dist8", expr(
-        "cast(size(array_distinct(transform(sequence(1, greatest(length(text) - 7, 1)), " +
-          "i -> substring(text, i, 8)))) as long)")
-      )
+      .withColumn("dist8", size(TextOps.charShingles("text", 8)).cast("long"))
       .join(top, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
-        round(lit(1.0) - col("n_dist").cast("double") / greatest(col("n_toks"), lit(1L)), 6)
+        // a token-free doc (digits/punct only) has NO repeated words — the
+        // zero-divide guard must not invert into "100% duplicates"
+        round(when(col("n_toks") === 0L, lit(0.0))
+          .otherwise(lit(1.0) - col("n_dist").cast("double") / col("n_toks")), 6)
           .as("dup_word_frac"),
         round(coalesce(col("top_bg").cast("double") / col("n_bg"), lit(0.0)), 6)
           .as("top_bigram_frac"),
@@ -501,11 +501,14 @@ object DataPipelineQueries {
     * single scan, no shuffle before the presentation sort. */
   private def textPiiScrub(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .withColumn("scrubbed",
-        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
+      .withColumn("no_mail", regexp_replace(col("text"), emailRe, "<EMAIL>"))
+      .withColumn("scrubbed", regexp_replace(col("no_mail"), phoneRe, "<PHONE>"))
+      // phones are counted on the email-scrubbed intermediate, so the counts
+      // describe the redactions actually performed (a phone-shaped run inside
+      // an email local part is consumed by the email tag, not double-counted)
       .select(col("doc_id"),
         expr(s"cast(size(regexp_extract_all(text, '$emailRe', 0)) as long)").as("n_emails"),
-        expr(s"cast(size(regexp_extract_all(text, '$phoneRe', 0)) as long)").as("n_phones"),
+        expr(s"cast(size(regexp_extract_all(no_mail, '$phoneRe', 0)) as long)").as("n_phones"),
         md5(col("scrubbed")).as("scrubbed_md5"))
       .orderBy(col("doc_id"))
 
@@ -685,14 +688,15 @@ object DataPipelineQueries {
         |       CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS n_distinct_words
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_pii_scrub" ->
-      """SELECT doc_id,
-        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT)
-        |         AS n_emails,
-        |       CAST(len(regexp_extract_all(text, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_phones,
-        |       md5(regexp_replace(regexp_replace(text,
-        |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |             '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""WITH b AS (
+        |  SELECT doc_id, text,
+        |         regexp_replace(text, '$emailRe', '<EMAIL>', 'g') AS no_mail
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(no_mail, '$phoneRe')) AS BIGINT) AS n_phones,
+        |       md5(regexp_replace(no_mail, '$phoneRe', '<PHONE>', 'g')) AS scrubbed_md5
+        |FROM b ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH base AS (
         |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z]+') AS toks
@@ -707,7 +711,8 @@ object DataPipelineQueries {
         |    SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
         |  GROUP BY doc_id)
         |SELECT b.doc_id,
-        |       round(1.0 - len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 6)
+        |       round(CASE WHEN len(toks) = 0 THEN 0.0
+        |                  ELSE 1.0 - len(list_distinct(toks)) * 1.0 / len(toks) END, 6)
         |         AS dup_word_frac,
         |       round(coalesce(t.top_bg * 1.0 / t.n_bg, 0.0), 6) AS top_bigram_frac,
         |       round(1.0 - len(list_distinct(list_transform(

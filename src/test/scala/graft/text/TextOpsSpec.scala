@@ -210,7 +210,8 @@ class TextOpsSpec extends AnyFunSuite {
     // 13 8-gram positions, "the cat " repeats (pos 1 and 9) → 1 - 12/13
     val docsSeq = Seq(
       (0L, "web", "en", "the cat the cat runs"),
-      (1L, "web", "en", "hello"))
+      (1L, "web", "en", "hello"),
+      (2L, "web", "en", "123 456 123 456 789"))
     val dir = java.nio.file.Files.createTempDirectory("rep").toString
     docsSeq.toDF("doc_id", "source", "lang", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -219,13 +220,17 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows(0L) == ((0.4, 0.5, BigDecimal(1.0 - 12.0 / 13.0)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)), rows(0L).toString)
     assert(rows(1L) == ((0.0, 0.0, 0.0)), rows(1L).toString)
+    // token-free doc (digits only): NO duplicate words, not "100% duplicates"
+    assert(rows(2L)._1 == 0.0 && rows(2L)._2 == 0.0, rows(2L).toString)
   }
 
   test("text_pii_scrub: redacts emails and phones, counts match, md5 is of the scrubbed text") {
     val docsSeq = Seq(
       (0L, "web", "en", "contact bob@example.com or call 555-123-4567 today"),
       (1L, "web", "en", "no pii here at all"),
-      (2L, "web", "en", "two mails a@b.co c.d@e-f.org and 012.345.6789"))
+      (2L, "web", "en", "two mails a@b.co c.d@e-f.org and 012.345.6789"),
+      // phone-shaped local part: consumed by the email tag, NOT double-counted
+      (3L, "web", "en", "spam from 123-456-7890@spam.com arrived"))
     val dir = java.nio.file.Files.createTempDirectory("pii").toString
     docsSeq.toDF("doc_id", "source", "lang", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -239,6 +244,8 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows(1L) == ((0L, 0L, md5hex("no pii here at all"))), rows(1L).toString)
     assert(rows(2L) == ((2L, 1L,
       md5hex("two mails <EMAIL> <EMAIL> and <PHONE>"))), rows(2L).toString)
+    assert(rows(3L) == ((1L, 0L,
+      md5hex("spam from <EMAIL> arrived"))), rows(3L).toString)
   }
 
   test("simhash: near-dups within small Hamming distance, unrelated far") {
