@@ -1,7 +1,7 @@
 package graft.relational
 
 import graft.text.{Multimodal, Similarity, TextOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -512,6 +512,134 @@ object DataPipelineQueries {
         md5(col("scrubbed")).as("scrubbed_md5"))
       .orderBy(col("doc_id"))
 
+  /** Distinct word n-grams of a token array column — the unit of the
+    * decontamination / boilerplate passes below. Guarded CASE (not a bare
+    * sequence()): size < n must yield an EMPTY set, and Spark's
+    * sequence(1, 0) runs DESCENDING. */
+  private def wordNgrams(toksCol: String, n: Int): Column =
+    expr(s"CASE WHEN size($toksCol) >= $n THEN array_distinct(transform(" +
+      s"sequence(0, size($toksCol) - $n), i -> concat_ws(' ', slice($toksCol, i + 1, $n)))) " +
+      "ELSE array() END")
+
+  /** Benchmark decontamination — the pass every training corpus runs before
+    * a model ships: flag corpus documents that share any word 8-gram with
+    * the held-out benchmark set (here the deterministic `doc_id % 10 = 0`
+    * slice stands in for the eval suite). Per doc: membership flag, the
+    * number of its distinct 8-grams that appear anywhere in the benchmark,
+    * and the resulting verdict.
+    *
+    * 100-TB shape: the benchmark side is SMALL by definition (eval suites
+    * are thousands of docs, the corpus is billions), so its distinct-gram
+    * set broadcasts and the corpus side stays a single scan + explode +
+    * broadcast-hash semi-join + doc_id-keyed count — no corpus-sized
+    * shuffle of gram strings, no pairwise doc join (contamination needs
+    * only gram EXISTENCE in the benchmark, never which doc it came from). */
+  private def textDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .withColumn("toks", TextOps.tokens("text"))
+      .select(col("doc_id"), wordNgrams("toks", 8).as("grams"))
+      .withColumn("is_benchmark", col("doc_id") % 10 === 0)
+    val benchGrams = base.filter(col("is_benchmark"))
+      .select(explode(col("grams")).as("g")).distinct()
+    val hits = base.filter(!col("is_benchmark"))
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    base.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_benchmark"),
+        coalesce(col("n_hits"), lit(0L)).as("n_contaminated_ngrams"),
+        (coalesce(col("n_hits"), lit(0L)) > 0L).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-frequency boilerplate signals (the CCNet/RefinedWeb move,
+    * adapted to gram level — this corpus has no line structure): a word
+    * 5-gram occurring in ≥ 3 distinct documents is boilerplate; each doc
+    * reports its distinct-gram count, how many of them are boilerplate, and
+    * the fraction.
+    *
+    * 100-TB shape: two gram-keyed exchanges, both map-side combinable — the
+    * document-frequency aggregate and the gram-keyed join back to per-doc
+    * grams (grams are distinct per doc, so df = plain count). No doc×doc
+    * join anywhere: corpus-wide repetition is resolved entirely through the
+    * gram key, which is how the real pipelines do it. */
+  private def textBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .withColumn("toks", TextOps.tokens("text"))
+      .select(col("doc_id"), wordNgrams("toks", 5).as("grams"))
+    val g = base.select(col("doc_id"), explode(col("grams")).as("g"))
+    val df_ = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val per = g.join(df_, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boilerplate"))
+    base.join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"),
+        round(coalesce(col("n_boilerplate").cast("double") / col("n_ngrams"), lit(0.0)), 6)
+          .as("boilerplate_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sequence packing layout — the GPT-style pre-training step that
+    * concatenates documents into fixed-token-budget training rows: within
+    * each (source, lang) shard, docs pack in doc_id order into 256-token
+    * bins; each doc reports its token span and the first/last bin it lands
+    * in (a doc crossing a boundary is split across those bins).
+    *
+    * 100-TB shape: ONE window, partitioned by the shard key — packing is
+    * inherently sequential WITHIN a shard, and sharding is exactly how
+    * distributed pipelines parallelize it (each shard's bins are
+    * independent; no global offset exists to fight over). The window's sort
+    * rides the shard shuffle; everything after the running sum is codegen'd
+    * row math. */
+  private def packSequences(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"), col("lang")).orderBy(col("doc_id"))
+    docs(s, d)
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(TextOps.tokens("text")).cast("long").as("n_tokens"))
+      .withColumn("end_tok", sum(col("n_tokens")).over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+      .withColumn("first_bin", expr("CAST(floor(start_tok / 256.0) AS BIGINT)"))
+      .withColumn("last_bin",
+        expr("CAST(floor(greatest(end_tok - 1, start_tok) / 256.0) AS BIGINT)"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("start_tok"), col("first_bin"), col("last_bin"),
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(col("last_bin") - col("first_bin") + 1L).as("n_bins"))
+      .orderBy(col("doc_id"))
+  }
+
+  // per-language keep rates for the stratified sampler: rebalance the
+  // en-heavy fixture. Deterministic hash sampling — keep iff the first 8
+  // md5 hex digits of the doc_id (a uniform 32-bit draw both engines
+  // compute identically) fall below floor(rate·2³²) in hex
+  private val sampleRates: Seq[(String, Double, String)] = Seq(
+    ("en", 0.25, "40000000"), ("de", 0.5, "80000000"), ("es", 0.5, "80000000"),
+    ("fr", 0.5, "80000000"), ("zh", 0.9, "e6666666"))
+
+  /** Stratified rebalancing — deterministic per-language downsampling, the
+    * corpus-mixing pass of a training pipeline (and the only reproducible
+    * kind at scale: `rand()` resamples on every task retry, a content hash
+    * never does). Emits the full verdict grid (every doc with its stratum
+    * rate and keep decision) so the gate pins the sampler itself, not just
+    * the surviving row count.
+    *
+    * 100-TB shape: the rates table broadcasts; the decision is pure
+    * codegen'd row math on the scan — no shuffle at all before the
+    * presentation sort. */
+  private def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rates = sampleRates.toDF("lang", "rate", "threshold_hex")
+    docs(s, d).select(col("doc_id"), col("lang"), col("source"))
+      .join(broadcast(rates), "lang")
+      .select(col("doc_id"), col("lang"), col("source"), col("rate"),
+        (substring(md5(col("doc_id").cast("string")), 1, 8) < col("threshold_hex"))
+          .as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: min-hash winnowing over 8-gram shingles — the
     * minimum md5 is a stable content fingerprint robust to shingle order. */
   private def textFingerprint(s: SparkSession, d: String): DataFrame =
@@ -554,6 +682,10 @@ object DataPipelineQueries {
     "text_token_count" -> (textTokenCount _),
     "text_repetition" -> (textRepetition _),
     "text_pii_scrub" -> (textPiiScrub _),
+    "text_decontaminate" -> (textDecontaminate _),
+    "text_boilerplate" -> (textBoilerplate _),
+    "pack_sequences" -> (packSequences _),
+    "sample_stratified" -> (sampleStratified _),
     "text_fingerprint" -> (textFingerprint _),
     "multimodal_metadata" -> (multimodalMetadata _),
     "multimodal_decode" -> (multimodalDecode _),
@@ -721,6 +853,74 @@ object DataPipelineQueries {
         |             / greatest(length(text) - 7, 1), 6) AS dup_8gram_frac
         |FROM base b LEFT JOIN top t USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+    "text_decontaminate" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 8
+        |         THEN list_transform(generate_series(1, len(toks) - 7),
+        |                             i -> array_to_string(toks[i:i+7], ' '))
+        |         ELSE [] END)) AS g
+        |  FROM base),
+        |bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n FROM g JOIN bg USING (g)
+        |  WHERE doc_id % 10 <> 0 GROUP BY doc_id)
+        |SELECT b.doc_id, b.doc_id % 10 = 0 AS is_benchmark,
+        |       coalesce(h.n, 0) AS n_contaminated_ngrams,
+        |       coalesce(h.n, 0) > 0 AS contaminated
+        |FROM base b LEFT JOIN hits h USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+    "text_boilerplate" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 5
+        |         THEN list_transform(generate_series(1, len(toks) - 4),
+        |                             i -> array_to_string(toks[i:i+4], ' '))
+        |         ELSE [] END)) AS g
+        |  FROM base),
+        |df AS (SELECT g, count(*) AS df FROM g GROUP BY g),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_ngrams,
+        |         CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate
+        |  FROM g JOIN df USING (g) GROUP BY doc_id)
+        |SELECT b.doc_id, coalesce(p.n_ngrams, 0) AS n_ngrams,
+        |       coalesce(p.n_boilerplate, 0) AS n_boilerplate,
+        |       round(coalesce(p.n_boilerplate * 1.0 / p.n_ngrams, 0.0), 6)
+        |         AS boilerplate_frac
+        |FROM base b LEFT JOIN per p USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH b AS (
+        |  SELECT doc_id, source, lang,
+        |         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, lang, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY source, lang ORDER BY doc_id) AS BIGINT)
+        |           AS end_tok
+        |  FROM b)
+        |SELECT doc_id, source, lang, n_tokens,
+        |       end_tok - n_tokens AS start_tok,
+        |       CAST(floor((end_tok - n_tokens) / 256.0) AS BIGINT) AS first_bin,
+        |       CAST(floor(greatest(end_tok - 1, end_tok - n_tokens) / 256.0) AS BIGINT) AS last_bin,
+        |       CASE WHEN n_tokens = 0 THEN 0
+        |            ELSE CAST(floor(greatest(end_tok - 1, end_tok - n_tokens) / 256.0) AS BIGINT)
+        |               - CAST(floor((end_tok - n_tokens) / 256.0) AS BIGINT) + 1 END AS n_bins
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """WITH rates(lang, rate, threshold_hex) AS (VALUES
+        |  ('en', 0.25, '40000000'), ('de', 0.5, '80000000'), ('es', 0.5, '80000000'),
+        |  ('fr', 0.5, '80000000'), ('zh', 0.9, 'e6666666'))
+        |SELECT d.doc_id, d.lang, d.source, CAST(r.rate AS DOUBLE) AS rate,
+        |       substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < r.threshold_hex AS kept
+        |FROM documents d JOIN rates r USING (lang)
+        |ORDER BY d.doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |       list_min(list_transform(
