@@ -149,7 +149,19 @@ object DataPipelineQueries {
     * collapsed to one representative BEFORE the banded self-join, and the
     * residual distinct-code buckets are capped (TextOps.simhashCodePairs).
     * A doc's nearest partner is its own code group's other member when one
-    * exists (hamming 0), else the nearest code's smallest doc. */
+    * exists (hamming 0), else the nearest code's smallest doc.
+    *
+    * FULL value-level DuckDB oracle (r5): the md5-derived token hash
+    * ([[TextOps.simhashUdf]]) lets SQL recompute every code bit-for-bit
+    * (64 bit-majority votes per doc), re-derive the 4×16-bit band
+    * collisions, and replay the nearest-code choice — so codes, partners
+    * AND hamming distances are all hash-checked, not just a verdict. The
+    * one knob the oracle ignores is `maxBucketSize`: at gate scale the
+    * largest (band, chunk) bucket holds 28 distinct codes vs the cap of
+    * 256 (measured; sf0.001 is smaller still), so the cap is provably a
+    * no-op there — its behavior under synthetic hot buckets is
+    * TextOpsSpec's job. The code is emitted as 16-digit hex (unsigned),
+    * which sidesteps signed-BIGINT mismatches between the engines. */
   private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val sh = docs(s, d)
       .select(col("doc_id"), TextOps.simhashUdf(TextOps.tokens("text")).as("simhash"))
@@ -175,11 +187,11 @@ object DataPipelineQueries {
     sh.join(g, "simhash")
       .join(g2, Seq("simhash"), "left")
       .join(bestCode, Seq("simhash"), "left")
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), format_string("%016x", col("simhash")).as("simhash"),
         when(col("grp_n") > 1,
           when(col("doc_id") === col("m1"), col("m2")).otherwise(col("m1")))
           .otherwise(col("other_rep")).as("dup_of"),
-        when(col("grp_n") > 1, lit(0)).otherwise(col("x_hamming")).as("hamming"))
+        when(col("grp_n") > 1, lit(0)).otherwise(col("x_hamming")).cast("int").as("hamming"))
       .orderBy(col("doc_id"))
   }
 
@@ -704,6 +716,55 @@ object DataPipelineQueries {
         |         AS n_exact_copies,
         |       true AS exact_dup_covered
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // full value-level recompute — md5-derived token hash makes the 64
+    // bit-majority votes, band collisions and nearest-code choice exact SQL
+    // (the bucket cap is a measured no-op at gate scale; see the scaladoc)
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+        |  FROM documents),
+        |votes AS (
+        |  SELECT doc_id, i,
+        |         sum(CASE WHEN ((('0x' || substr(md5(t), 1, 16))::UBIGINT >> i) & 1) = 1
+        |                  THEN 1 ELSE -1 END) AS v
+        |  FROM toks, (SELECT unnest(generate_series(0, 63)) AS i)
+        |  GROUP BY doc_id, i),
+        |code AS (
+        |  SELECT doc_id,
+        |         (sum(CASE WHEN v > 0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END))::UBIGINT AS u
+        |  FROM votes GROUP BY doc_id),
+        |allcode AS (
+        |  SELECT d.doc_id, coalesce(c.u, 0::UBIGINT) AS u
+        |  FROM documents d LEFT JOIN code c USING (doc_id)),
+        |g AS (SELECT u, min(doc_id) AS m1, count(*) AS grp_n FROM allcode GROUP BY u),
+        |g2 AS (
+        |  SELECT a.u, min(a.doc_id) AS m2
+        |  FROM allcode a JOIN g USING (u) WHERE a.doc_id <> g.m1 GROUP BY a.u),
+        |bands AS (
+        |  SELECT u, b, (u >> (16 * b)) & 65535 AS chunk
+        |  FROM g, (SELECT unnest(generate_series(0, 3)) AS b)),
+        |close AS (
+        |  SELECT u_a, u_b, bit_count(xor(u_a, u_b)) AS hamming FROM (
+        |    SELECT DISTINCT a.u AS u_a, o.u AS u_b
+        |    FROM bands a JOIN bands o ON a.b = o.b AND a.chunk = o.chunk AND a.u < o.u)
+        |  WHERE bit_count(xor(u_a, u_b)) <= 3),
+        |directed AS (
+        |  SELECT u_a AS u, u_b AS o, hamming FROM close
+        |  UNION ALL SELECT u_b, u_a, hamming FROM close),
+        |best AS (
+        |  SELECT u, other_rep, hamming FROM (
+        |    SELECT d.u, go.m1 AS other_rep, d.hamming,
+        |           row_number() OVER (PARTITION BY d.u ORDER BY d.hamming, go.m1) AS rn
+        |    FROM directed d JOIN g go ON go.u = d.o)
+        |  WHERE rn = 1)
+        |SELECT a.doc_id, lower(lpad(to_hex(a.u), 16, '0')) AS simhash,
+        |       CASE WHEN g.grp_n > 1
+        |            THEN CASE WHEN a.doc_id = g.m1 THEN g2.m2 ELSE g.m1 END
+        |            ELSE b.other_rep END AS dup_of,
+        |       CAST(CASE WHEN g.grp_n > 1 THEN 0 ELSE b.hamming END AS INTEGER) AS hamming
+        |FROM allcode a
+        |JOIN g USING (u) LEFT JOIN g2 USING (u) LEFT JOIN best b USING (u)
+        |ORDER BY a.doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, source, lang, g FROM (

@@ -78,14 +78,25 @@ object TextOps {
       }
     }
 
-  /** 64-bit SimHash over the token bag: per-token 64-bit murmur votes on
-    * each bit; near-dups differ in few bits (checked via bit_count(xor)). */
+  /** 64-bit SimHash over the token bag: per-token 64-bit hash votes on each
+    * bit; near-dups differ in few bits (checked via bit_count(xor)).
+    *
+    * The token hash is the BIG-ENDIAN first 8 bytes of md5(token) — i.e.
+    * the first 16 hex digits — NOT a JVM-private mixer: like
+    * [[graft.core.Pfsa.hashUniform]], choosing a hash both engines compute
+    * identically is what lets the DuckDB gate recompute the ENTIRE simhash
+    * pipeline (codes, band collisions, hamming distances) value-for-value
+    * in SQL. md5 costs more per token than murmur; the cross-engine
+    * replayability is the trade, and the UDF is already off the 100-TB hot
+    * path (one call per doc, not per pair). */
   def simhashUdf: UserDefinedFunction = udf { tokens: Seq[String] =>
+    val md = java.security.MessageDigest.getInstance("MD5")
     val votes = new Array[Int](64)
     tokens.foreach { t =>
-      val h1 = MurmurHash3.stringHash(t, 0x9747b28c)
-      val h2 = MurmurHash3.stringHash(t, 0x85ebca6b)
-      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      val d = md.digest(t.getBytes("UTF-8")) // digest() resets for the next token
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
       var i = 0
       while (i < 64) {
         if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
