@@ -418,6 +418,52 @@ object DataPipelineQueries {
       .orderBy(col("qid"))
   }
 
+  /** Streaming exact dedup, REALLY executed as a Structured Streaming query
+    * inside the gate (unlike the batch-replayed stream_* entries): the
+    * documents parquet plays an unbounded file source under
+    * `Trigger.AvailableNow`, [[graft.streaming.StreamingDedup.distinctDocs]]
+    * drops every later copy of a hash in the streaming-dedup state store,
+    * and the memory sink collects the emitted rows. WHICH copy of a group
+    * is emitted depends on file-split arrival order, so the oracle-checkable
+    * surface is the verdict grid: per distinct hash, exactly one emitted
+    * row, and that row is a genuine member of the hash group — pinning the
+    * state-store machinery (one emission per key, no drops, no fabrications)
+    * while the arrival-dependent choice stays out of the hash.
+    *
+    * The memory sink is gate plumbing (driver-sized result set by
+    * construction — one row per distinct hash); production streams write
+    * parquet/Kafka sinks. */
+  private def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    // the streaming file source wants a DIRECTORY: the driver fixture is a
+    // single parquet FILE (stream its parent dir, glob-filtered to it),
+    // while writer-produced fixtures are directories (stream directly)
+    val stream =
+      if (new java.io.File(s"$d/documents.parquet").isDirectory)
+        s.readStream.schema(schema).parquet(s"$d/documents.parquet")
+      else
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val qname = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.StreamingDedup.distinctDocs(stream)
+      .select(col("doc_id"), col("norm_md5"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val emitted = s.table(qname)
+    val membership = docs(s, d)
+      .select(col("doc_id"), md5(TextOps.normalized("text")).as("norm_md5"))
+      .withColumn("is_member", lit(true))
+    emitted
+      .join(membership, Seq("doc_id", "norm_md5"), "left")
+      .groupBy(col("norm_md5"))
+      .agg(count(lit(1)).as("n_emitted"),
+        bool_and(coalesce(col("is_member"), lit(false))).as("member_ok"))
+      .orderBy(col("norm_md5"))
+  }
+
   // ---------------------------------------------------------- text analysis
   private val langMarkers: Seq[(String, String)] = Seq(
     "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and",
@@ -709,6 +755,7 @@ object DataPipelineQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "stream_dedup" -> (streamDedup _),
     "similarity_topk" -> (similarityTopK _),
     "similarity_ann" -> (similarityAnn _),
     "similarity_ivf" -> (similarityIvf _),
@@ -833,6 +880,14 @@ object DataPipelineQueries {
         |FROM embeddings e
         |LEFT JOIN (SELECT vec_id, dup_of, cosine FROM best WHERE rn = 1) b USING (vec_id)
         |ORDER BY e.vec_id""".stripMargin,
+    // verdict grid for the REAL streaming execution: one emitted row per
+    // distinct normalized-text hash, each a genuine group member (see the
+    // query scaladoc — the arrival-dependent representative choice is
+    // deliberately outside the hash)
+    "stream_dedup" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_md5,
+        |       CAST(1 AS BIGINT) AS n_emitted, true AS member_ok
+        |FROM documents GROUP BY 1 ORDER BY norm_md5""".stripMargin,
     "similarity_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
         |p AS (
