@@ -341,6 +341,36 @@ object DataPipelineQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Bucketed co-located join through the gate: two projections of the
+    * documents table written as bucketed parquet (same key, same bucket
+    * count) and joined back WITHOUT a shuffle — the ingest-time layout that
+    * turns every later key-equi-join on a 100-TB table into a co-located
+    * scan. The exchange-free plan is asserted in BucketedSpec; here the
+    * DuckDB oracle checks the join's VALUES (trivially a self-join of
+    * documents, which is the point: bucketing must not change semantics).
+    * Tables are materialized eagerly and dropped before returning so
+    * nothing leaks into later queries' catalog or disk. */
+  private def scanBucketed(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val (ta, tb) = (s"graft_bkt_a_$tag", s"graft_bkt_b_$tag")
+    Bucketed.writeBucketed(
+      docs(s, d).select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars")),
+      ta, s"$tmp/a", "doc_id", nBuckets = 8)
+    Bucketed.writeBucketed(
+      docs(s, d).select(col("doc_id"),
+        size(TextOps.tokens("text")).cast("long").as("n_tokens")),
+      tb, s"$tmp/b", "doc_id", nBuckets = 8)
+    val out = Bucketed.coLocatedJoin(s, ta, tb, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    s.sql(s"DROP TABLE $ta")
+    s.sql(s"DROP TABLE $tb")
+    out
+  }
+
   // ------------------------------------------------------------- similarity
   /** Brute-force cosine top-5 for a fixed query subset (vec_id < 10) —
     * exactness baseline, DuckDB-oracled. */
@@ -756,6 +786,7 @@ object DataPipelineQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding" -> (dedupEmbedding _),
     "stream_dedup" -> (streamDedup _),
+    "scan_bucketed" -> (scanBucketed _),
     "similarity_topk" -> (similarityTopK _),
     "similarity_ann" -> (similarityAnn _),
     "similarity_ivf" -> (similarityIvf _),
@@ -880,6 +911,10 @@ object DataPipelineQueries {
         |FROM embeddings e
         |LEFT JOIN (SELECT vec_id, dup_of, cosine FROM best WHERE rn = 1) b USING (vec_id)
         |ORDER BY e.vec_id""".stripMargin,
+    "scan_bucketed" ->
+      """SELECT doc_id, lang, length(text) AS n_chars,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // verdict grid for the REAL streaming execution: one emitted row per
     // distinct normalized-text hash, each a genuine group member (see the
     // query scaladoc — the arrival-dependent representative choice is
