@@ -751,6 +751,54 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The whole corpus-prep pipeline as ONE declarative plan — what a user
+    * of this family actually ships: exact-dedup winners → benchmark
+    * decontamination → quality floor → deterministic stratified sampling →
+    * per-shard sequence packing, composed so Catalyst sees a single DAG
+    * (filters fuse into the scans, the only width-changing stages are the
+    * dedup aggregate, the broadcast gram semi-join and the final shard
+    * window). Every stage is individually deterministic, so the END-TO-END
+    * result is DuckDB-oracled with the same CTE chain — integration
+    * correctness, not just per-operator correctness.
+    *
+    * 100-TB shape: nothing here introduces a stage the component queries
+    * don't have — one doc-keyed dedup aggregate, one broadcast semi-join,
+    * one shard-partitioned window; the quality/sampling predicates are
+    * pure row math that pushes into the scan. */
+  private def corpusPrep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = docs(s, d)
+      .withColumn("toks", TextOps.tokens("text"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("norm_md5", md5(TextOps.normalized("text")))
+      .withColumn("is_benchmark", col("doc_id") % 10 === 0)
+    val keep = base.groupBy(col("norm_md5")).agg(min(col("doc_id")).as("keep_id"))
+    val grams = base.select(col("doc_id"), col("is_benchmark"),
+      explode(wordNgrams("toks", 8)).as("g"))
+    val benchGrams = grams.filter(col("is_benchmark")).select(col("g")).distinct()
+    val contaminated = grams.filter(!col("is_benchmark"))
+      .join(broadcast(benchGrams), "g")
+      .select(col("doc_id")).distinct()
+    val rates = sampleRates.toDF("lang", "rate", "threshold_hex")
+    val survivors = base
+      .join(keep, "norm_md5")
+      .filter(col("doc_id") === col("keep_id"))         // dedup: first copy wins
+      .filter(!col("is_benchmark"))                     // eval slice never trains
+      .join(contaminated.withColumn("bad", lit(true)), Seq("doc_id"), "left")
+      .filter(col("bad").isNull)                        // decontaminate
+      .filter(col("n_tokens") >= 10L)                   // quality floor
+      .join(broadcast(rates), "lang")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 8) < col("threshold_hex"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"))
+    val w = Window.partitionBy(col("source"), col("lang")).orderBy(col("doc_id"))
+    survivors
+      .withColumn("end_tok", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        (col("end_tok") - col("n_tokens")).as("start_tok"),
+        expr("CAST(floor((end_tok - n_tokens) / 256.0) AS BIGINT)").as("first_bin"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: min-hash winnowing over 8-gram shingles — the
     * minimum md5 is a stable content fingerprint robust to shingle order. */
   private def textFingerprint(s: SparkSession, d: String): DataFrame =
@@ -800,6 +848,7 @@ object DataPipelineQueries {
     "text_boilerplate" -> (textBoilerplate _),
     "pack_sequences" -> (packSequences _),
     "sample_stratified" -> (sampleStratified _),
+    "corpus_prep" -> (corpusPrep _),
     "text_fingerprint" -> (textFingerprint _),
     "multimodal_metadata" -> (multimodalMetadata _),
     "multimodal_decode" -> (multimodalDecode _),
@@ -1091,6 +1140,47 @@ object DataPipelineQueries {
         |            ELSE CAST(floor(greatest(end_tok - 1, end_tok - n_tokens) / 256.0) AS BIGINT)
         |               - CAST(floor((end_tok - n_tokens) / 256.0) AS BIGINT) + 1 END AS n_bins
         |FROM c ORDER BY doc_id""".stripMargin,
+    // the end-to-end corpus-prep composition, recomputed as one CTE chain —
+    // integration parity for dedup → decontaminate → quality → sample → pack
+    "corpus_prep" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, lang, text,
+        |         regexp_extract_all(lower(text), '[a-z]+') AS toks,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_md5,
+        |         doc_id % 10 = 0 AS is_benchmark
+        |  FROM documents),
+        |keep AS (SELECT norm_md5, min(doc_id) AS keep_id FROM base GROUP BY 1),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 8
+        |         THEN list_transform(generate_series(1, len(toks) - 7),
+        |                             i -> array_to_string(toks[i:i+7], ' '))
+        |         ELSE [] END)) AS g
+        |  FROM base),
+        |bg AS (SELECT DISTINCT g.g FROM g JOIN base USING (doc_id) WHERE is_benchmark),
+        |bad AS (
+        |  SELECT DISTINCT g.doc_id FROM g JOIN bg USING (g)
+        |  JOIN base USING (doc_id) WHERE NOT is_benchmark),
+        |rates(lang, thr) AS (VALUES
+        |  ('en', '40000000'), ('de', '80000000'), ('es', '80000000'),
+        |  ('fr', '80000000'), ('zh', 'e6666666')),
+        |surv AS (
+        |  SELECT b.doc_id, b.source, b.lang, CAST(len(b.toks) AS BIGINT) AS n_tokens
+        |  FROM base b
+        |  JOIN keep k ON b.norm_md5 = k.norm_md5 AND b.doc_id = k.keep_id
+        |  JOIN rates r ON b.lang = r.lang
+        |  WHERE NOT b.is_benchmark
+        |    AND b.doc_id NOT IN (SELECT doc_id FROM bad)
+        |    AND len(b.toks) >= 10
+        |    AND substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 8) < r.thr),
+        |packed AS (
+        |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source, lang ORDER BY doc_id)
+        |                 AS BIGINT) AS end_tok
+        |  FROM surv)
+        |SELECT doc_id, source, lang, n_tokens,
+        |       end_tok - n_tokens AS start_tok,
+        |       CAST(floor((end_tok - n_tokens) / 256.0) AS BIGINT) AS first_bin
+        |FROM packed ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """WITH rates(lang, rate, threshold_hex) AS (VALUES
         |  ('en', 0.25, '40000000'), ('de', 0.5, '80000000'), ('es', 0.5, '80000000'),

@@ -78,6 +78,52 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(rows(3L) == ((300L, 0L, 0L, 1L, 2L)), rows(3L).toString)
   }
 
+  test("corpus_prep: the composed pipeline equals a reference model of its stages") {
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docsSeq = Seq(
+      (10L, "web", "en", benchText),                                  // benchmark slice
+      (1L, "web", "en", "one two three four five six seven eight nine ten"),
+      (2L, "web", "en", "one  TWO three four five six seven eight nine ten"), // dup of 1
+      (3L, "web", "de", benchText + " extra"),                        // contaminated
+      (4L, "web", "de", "kurz"),                                      // quality fail
+      (5L, "web", "de", "ein zwei drei vier funf sechs sieben acht neun zehn"),
+      (6L, "news", "zh", "yi er san si wu liu qi ba jiu shi yi er san si wu"),
+      (7L, "web", "fr", "un deux trois quatre cinq six sept huit neuf dix"))
+    val dir = writeDocs(docsSeq, "corpus_prep")
+    val got = graft.relational.DataPipelineQueries.queries("corpus_prep")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+
+    // reference model of the five stages, computed independently
+    val thr = Map("en" -> "40000000", "de" -> "80000000", "es" -> "80000000",
+      "fr" -> "80000000", "zh" -> "e6666666")
+    def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    def toks(t: String) = "[a-z]+".r.findAllIn(t.toLowerCase).toSeq
+    def grams8(t: String) = toks(t).sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+    val byNorm = docsSeq.groupBy(x => norm(x._4))
+    val benchG = docsSeq.filter(_._1 % 10 == 0).flatMap(x => grams8(x._4)).toSet
+    val surv = docsSeq.filter { case (id, _, lang, text) =>
+      id % 10 != 0 &&
+        byNorm(norm(text)).map(_._1).min == id &&
+        grams8(text).intersect(benchG).isEmpty &&
+        toks(text).length >= 10 &&
+        md5hex(id.toString).substring(0, 8) < thr(lang)
+    }
+    val want = surv.groupBy(x => (x._2, x._3)).toSeq.flatMap { case (_, ds) =>
+      ds.sortBy(_._1).foldLeft((0L, Seq.empty[(Long, Long, Long, Long)])) {
+        case ((off, acc), (id, _, _, text)) =>
+          val n = toks(text).length.toLong
+          (off + n, acc :+ ((id, n, off, off / 256)))
+      }._2
+    }.sortBy(_._1)
+    assert(got.toSeq == want, s"got=${got.toSeq}\nwant=$want")
+    // the fixture must actually exercise every stage
+    assert(!got.map(_._1).contains(2L), "dedup loser leaked")
+    assert(!got.map(_._1).contains(3L), "contaminated doc leaked")
+    assert(!got.map(_._1).contains(4L), "quality failure leaked")
+    assert(!got.map(_._1).contains(10L), "benchmark doc leaked")
+    assert(got.nonEmpty, "fixture sampled away everything — adjust langs")
+  }
+
   test("sample_stratified: md5-hash keep decision matches a hand computation per stratum") {
     val docsSeq = Seq(
       (0L, "web", "en", "a"), (1L, "web", "en", "b"), (2L, "web", "de", "c"),
