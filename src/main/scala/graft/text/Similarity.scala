@@ -260,7 +260,11 @@ object Similarity {
               dim: Int = 64, seed: Long = 42L): PqIndex = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val subDim = dim / m
+    // the m codebook fits and the encode would otherwise re-scan the
+    // corpus source m + 1 times — pay the scan once into the cache for the
+    // fits, and release it as soon as the codes are materialized
     val base = corpus.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val codebooks = (0 until m).map { s =>
       val toSub = udf { emb: Seq[Float] =>
         Vectors.dense(Array.tabulate(subDim)(j => emb(s * subDim + j).toDouble))
@@ -290,8 +294,13 @@ object Similarity {
         best
       }
     }
-    PqIndex(base.select(col("vec_id"), encodeUdf(col("embedding")).as("codes")),
-      codebooks, m, k, subDim)
+    // codes materialize EAGERLY (localCheckpoint) — they are the hot tier
+    // of the PQ layout by design (8 ints per vector), and materializing
+    // them lets the corpus-sized cache release before this returns
+    val codes = base.select(col("vec_id"), encodeUdf(col("embedding")).as("codes"))
+      .localCheckpoint(true)
+    base.unpersist()
+    PqIndex(codes, codebooks, m, k, subDim)
   }
 
   /** PQ (asymmetric-distance) ANN: queries stay exact, the corpus is its
