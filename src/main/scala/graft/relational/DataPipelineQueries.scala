@@ -828,6 +828,23 @@ object DataPipelineQueries {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** Frame sampling over the binary payload — the video-shaped member of
+    * the multimodal family: the payload reads as fixed-16-byte frames and
+    * every 4th frame is sampled (the decode-free analog of strided
+    * keyframe extraction). One row per sampled frame with its md5; docs
+    * shorter than one frame emit nothing, deterministically. All codegen'd
+    * row math on the binary column (substring/md5 work on binary
+    * natively); the oracle recomputes the identical bytes through the
+    * ASCII text, as multimodal_metadata already does. */
+  private def multimodalFramesample(s: SparkSession, d: String): DataFrame =
+    Multimodal.asBinaryTable(docs(s, d))
+      .withColumn("n_frames", (octet_length(col("payload")) / lit(16)).cast("long"))
+      .withColumn("frame_idx", explode(expr(
+        "CASE WHEN n_frames > 0 THEN sequence(0L, n_frames - 1, 4L) ELSE array() END")))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        md5(expr("substring(payload, cast(frame_idx * 16 + 1 as int), 16)")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   // ------------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
@@ -854,6 +871,7 @@ object DataPipelineQueries {
     "text_fingerprint" -> (textFingerprint _),
     "multimodal_metadata" -> (multimodalMetadata _),
     "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_framesample" -> (multimodalFramesample _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1208,6 +1226,17 @@ object DataPipelineQueries {
     // and batching are thereby hash-checked end-to-end even while the codec
     // body stays a stub (ascii() per char equals the byte value because the
     // synthetic corpus is pure ASCII; the ingest cast is UTF-8 either way)
+    "multimodal_framesample" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, CAST(floor(length(text) / 16) AS BIGINT) AS n_frames
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text, n_frames,
+        |         unnest(generate_series(0, CAST(n_frames - 1 AS INT), 4)) AS frame_idx
+        |  FROM b WHERE n_frames > 0)
+        |SELECT doc_id, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       md5(substr(text, CAST(frame_idx * 16 + 1 AS INT), 16)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "multimodal_decode" ->
       """WITH b AS (
         |  SELECT doc_id,

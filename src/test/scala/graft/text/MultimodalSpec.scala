@@ -49,4 +49,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.count() == 100L)
     assert(out.select(countDistinct(col("doc_id"))).head().getLong(0) == 100L)
   }
+
+  test("frame sampling: every 4th 16-byte frame, short payloads emit nothing") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val t144 = (0 until 9).map(i => ('a' + i).toChar.toString * 16).mkString // 9 frames
+    val t48 = "x" * 48                                                       // 3 frames
+    val docsSeq = Seq(
+      (0L, "web", "en", t144, t144.length.toLong),
+      (1L, "web", "en", t48, 48L),
+      (2L, "web", "en", "short", 5L))                                        // 0 frames
+    val dir = java.nio.file.Files.createTempDirectory("frames").toString
+    docsSeq.toDF("doc_id", "source", "lang", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.relational.DataPipelineQueries.queries("multimodal_framesample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 0: frames 0, 4, 8 of 9; doc 1: frame 0 of 3; doc 2: absent
+    assert(rows.toSeq == Seq(
+      (0L, 9L, 0L, md5hex("a" * 16)),
+      (0L, 9L, 4L, md5hex("e" * 16)),
+      (0L, 9L, 8L, md5hex("i" * 16)),
+      (1L, 3L, 0L, md5hex("x" * 16))), rows.toSeq.toString)
+  }
 }
