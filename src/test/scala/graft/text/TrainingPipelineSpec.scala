@@ -124,6 +124,45 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture sampled away everything — adjust langs")
   }
 
+  test("pack_sequences property: bins tile each shard contiguously from zero") {
+    // random token counts across random shards — spans must tile [0, total)
+    // per shard with no gap or overlap, and bin arithmetic must be exact
+    val rnd = new scala.util.Random(7L)
+    val docsSeq = (0L until 120L).map { i =>
+      val lang = Seq("en", "de", "fr")(rnd.nextInt(3))
+      val n = rnd.nextInt(400) // 0-token docs included
+      (i, s"src${rnd.nextInt(2)}", lang, Seq.fill(n)("w").mkString(" "))
+    }
+    val dir = writeDocs(docsSeq, "pack_prop")
+    val rows = graft.relational.DataPipelineQueries.queries("pack_sequences")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    rows.groupBy(r => (r._2, r._3)).foreach { case (shard, ds) =>
+      val ordered = ds.sortBy(_._1)
+      var expectStart = 0L
+      ordered.foreach { case (id, _, _, n, start, first, last, nBins) =>
+        assert(start == expectStart, s"$shard doc $id: gap/overlap at $start vs $expectStart")
+        assert(first == start / 256, s"$shard doc $id first_bin")
+        val end = start + n
+        assert(last == math.max(end - 1, start) / 256, s"$shard doc $id last_bin")
+        assert(nBins == (if (n == 0) 0L else last - first + 1), s"$shard doc $id n_bins")
+        expectStart = end
+      }
+    }
+  }
+
+  test("pq codes are a pure function of (corpus, seed): two fits agree exactly") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def codesOf(): Map[Long, Seq[Int]] =
+      graft.text.Similarity.pqIndex(e, k = 64).codes.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val a = codesOf()
+    val b = codesOf()
+    assert(a == b, "PQ encode must be deterministic across fits")
+    assert(a.size == e.count(), "every corpus vector must be coded")
+  }
+
   test("sample_stratified: md5-hash keep decision matches a hand computation per stratum") {
     val docsSeq = Seq(
       (0L, "web", "en", "a"), (1L, "web", "en", "b"), (2L, "web", "de", "c"),
