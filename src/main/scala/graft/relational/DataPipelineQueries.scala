@@ -1,6 +1,6 @@
 package graft.relational
 
-import graft.text.{Multimodal, Similarity, TextOps}
+import graft.text.{Components, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -217,7 +217,15 @@ object DataPipelineQueries {
     * the block semantics themselves, and a qualifying cross-set pair shares
     * ≥ ⌈t·n⌉ trigrams within its block, so it certainly collides in the
     * block-keyed token join below. */
-  private def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+  private def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The verified exact-Jaccard pair engine behind dedup_ngram_jaccard
+    * (scaladoc above) — exposed separately so dedup_groups can assemble
+    * connected components from the SAME pair set the gate verifies.
+    * Returns (doc_a, doc_b, jaccard), doc_a < doc_b, eagerly materialized
+    * with every internal cache released. */
+  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d)
       .select(col("doc_id"), col("source"), col("lang"),
         TextOps.charShingles("text", 3).as("sh"))
@@ -283,7 +291,28 @@ object DataPipelineQueries {
     val result = within.union(cross).localCheckpoint(true)
     base.unpersist()
     grouped.unpersist()
-    result.orderBy(col("doc_a"), col("doc_b"))
+    result
+  }
+
+  /** Duplicate-GROUP assembly — the step after pair generation that real
+    * dedup pipelines actually consume: the verified exact-Jaccard pairs
+    * (the dedup_ngram_jaccard engine) become connected components via
+    * distributed min-label propagation ([[Components.minLabel]]), and each
+    * doc reports its group id (the minimum member), whether it is the
+    * canonical keeper, and the group size. Singletons are their own
+    * groups. The oracle recomputes the SAME pair set and closes it with a
+    * recursive min-label CTE (the union_find pattern) — so the propagation
+    * loop, not just the pairs, is value-checked. */
+  private def dedupGroups(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccardPairs(s, d)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val nodes = docs(s, d).select(col("doc_id").as("id"))
+    val comp = Components.minLabel(nodes, pairs)
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("group_size"))
+    comp.join(sizes, "component")
+      .select(col("id").as("doc_id"), col("component").as("group_id"),
+        (col("id") === col("component")).as("is_canonical"), col("group_size"))
+      .orderBy(col("doc_id"))
   }
 
   /** Embedding-cosine near-dup: cosine ≥ 0.99 ⇒ duplicate vector, found via
@@ -851,6 +880,7 @@ object DataPipelineQueries {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_groups" -> (dedupGroups _),
     "dedup_embedding" -> (dedupEmbedding _),
     "stream_dedup" -> (streamDedup _),
     "scan_bucketed" -> (scanBucketed _),
@@ -956,6 +986,39 @@ object DataPipelineQueries {
         |JOIN sizes sb ON sb.doc_id = i.doc_b
         |WHERE round(i.common * 1.0 / (sa.n + sb.n - i.common), 6) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // same pair CTE as dedup_ngram_jaccard, closed into components with a
+    // recursive min-label CTE (the union_find pattern) — checks the
+    // distributed propagation loop itself, not just the pair generation
+    "dedup_groups" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, source, lang, g FROM (
+        |    SELECT doc_id, source, lang,
+        |           unnest(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+        |                                 i -> substr(text, CAST(i AS INT), 3))) AS g
+        |    FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM sh a JOIN sh b
+        |    ON a.source = b.source AND a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i.doc_a, i.doc_b FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.doc_a
+        |  JOIN sizes sb ON sb.doc_id = i.doc_b
+        |  WHERE round(i.common * 1.0 / (sa.n + sb.n - i.common), 6) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |comp(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, c.label FROM comp c JOIN edges e ON e.a = c.node
+        |  WHERE c.label < e.b),
+        |lbl AS (SELECT node AS doc_id, min(label) AS group_id FROM comp GROUP BY node),
+        |gs AS (SELECT group_id, count(*) AS group_size FROM lbl GROUP BY group_id)
+        |SELECT l.doc_id, l.group_id, l.doc_id = l.group_id AS is_canonical, g.group_size
+        |FROM lbl l JOIN gs g USING (group_id)
+        |ORDER BY l.doc_id""".stripMargin,
     // brute-force exact recomputation: the LSH pipeline can only emit pairs
     // exact cosine confirms (no false positives, checked here pair-for-pair);
     // exact duplicates collide in every table so they are recall-1.0 by

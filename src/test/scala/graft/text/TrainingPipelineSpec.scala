@@ -163,6 +163,37 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(a.size == e.count(), "every corpus vector must be coded")
   }
 
+  test("Components.minLabel: chains, cliques and singletons resolve to min-id components") {
+    import spark.implicits._
+    // a 10-node chain (diameter 9 — exercises multi-round propagation),
+    // a 2-clique, and an isolated node
+    val nodes = (0L to 12L).toDF("id")
+    val pairs = ((0L until 9L).map(i => (i, i + 1)) :+ (10L, 11L)).toDF("a", "b")
+    val comp = graft.text.Components.minLabel(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 9L).foreach(i => assert(comp(i) == 0L, s"chain node $i: ${comp(i)}"))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp(12L) == 12L, "singleton must be its own component")
+  }
+
+  test("dedup_groups: swarm, near-dup pair and singleton get correct groups and sizes") {
+    val swarmText = "all work and no play makes jack a dull boy again today"
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val textB = textA + " today"
+    val other = "zebras quietly migrate across vast plains under violet skies"
+    val docsSeq = (0L until 200L).map(i => (i, "web", "en", swarmText)) ++ Seq(
+      (200L, "web", "en", textA), (201L, "web", "en", textB), (202L, "web", "en", other))
+    val dir = writeDocs(docsSeq, "groups")
+    val rows = graft.relational.DataPipelineQueries.queries("dedup_groups")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+    (0L until 200L).foreach { i =>
+      assert(rows(i) == ((0L, i == 0L, 200L)), s"swarm doc $i: ${rows(i)}")
+    }
+    assert(rows(200L) == ((200L, true, 2L)), rows(200L).toString)
+    assert(rows(201L) == ((200L, false, 2L)), rows(201L).toString)
+    assert(rows(202L) == ((202L, true, 1L)), rows(202L).toString)
+  }
+
   test("sample_stratified: md5-hash keep decision matches a hand computation per stratum") {
     val docsSeq = Seq(
       (0L, "web", "en", "a"), (1L, "web", "en", "b"), (2L, "web", "de", "c"),
