@@ -155,13 +155,14 @@ object DataPipelineQueries {
     * ([[TextOps.simhashUdf]]) lets SQL recompute every code bit-for-bit
     * (64 bit-majority votes per doc), re-derive the 4×16-bit band
     * collisions, and replay the nearest-code choice — so codes, partners
-    * AND hamming distances are all hash-checked, not just a verdict. The
-    * one knob the oracle ignores is `maxBucketSize`: at gate scale the
-    * largest (band, chunk) bucket holds 28 distinct codes vs the cap of
-    * 256 (measured; sf0.001 is smaller still), so the cap is provably a
-    * no-op there — its behavior under synthetic hot buckets is
-    * TextOpsSpec's job. The code is emitted as 16-digit hex (unsigned),
-    * which sidesteps signed-BIGINT mismatches between the engines. */
+    * AND hamming distances are all hash-checked, not just a verdict —
+    * INCLUDING the bucket cap: the cap is a deterministic whole-bucket
+    * filter (drop every (band, chunk) with > 256 distinct codes before
+    * the self-join, never an order-dependent truncation), so the oracle's
+    * `ok`/`small` CTEs replicate it exactly and the parity holds at any
+    * scale, capped buckets or not. The code is emitted as 16-digit hex
+    * (unsigned), which sidesteps signed-BIGINT mismatches between the
+    * engines. */
   private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val sh = docs(s, d)
       .select(col("doc_id"), TextOps.simhashUdf(TextOps.tokens("text")).as("simhash"))
@@ -380,24 +381,33 @@ object DataPipelineQueries {
     * Tables are materialized eagerly and dropped before returning so
     * nothing leaks into later queries' catalog or disk. */
   private def scanBucketed(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed")
     val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val (ta, tb) = (s"graft_bkt_a_$tag", s"graft_bkt_b_$tag")
-    Bucketed.writeBucketed(
-      docs(s, d).select(col("doc_id"), col("lang"),
-        length(col("text")).cast("long").as("n_chars")),
-      ta, s"$tmp/a", "doc_id", nBuckets = 8)
-    Bucketed.writeBucketed(
-      docs(s, d).select(col("doc_id"),
-        size(TextOps.tokens("text")).cast("long").as("n_tokens")),
-      tb, s"$tmp/b", "doc_id", nBuckets = 8)
-    val out = Bucketed.coLocatedJoin(s, ta, tb, "doc_id")
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"))
-      .orderBy(col("doc_id"))
-      .localCheckpoint(true)
-    s.sql(s"DROP TABLE $ta")
-    s.sql(s"DROP TABLE $tb")
-    out
+    // the drops AND the on-disk cleanup must run on the failure path too:
+    // DROP TABLE on an EXTERNAL table removes only catalog metadata, so
+    // without the walk the two projected copies of the corpus would leak
+    // to /tmp on every invocation
+    try {
+      Bucketed.writeBucketed(
+        docs(s, d).select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("n_chars")),
+        ta, s"$tmp/a", "doc_id", nBuckets = 8)
+      Bucketed.writeBucketed(
+        docs(s, d).select(col("doc_id"),
+          size(TextOps.tokens("text")).cast("long").as("n_tokens")),
+        tb, s"$tmp/b", "doc_id", nBuckets = 8)
+      Bucketed.coLocatedJoin(s, ta, tb, "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // materialized — safe to drop tables + files
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $ta")
+      s.sql(s"DROP TABLE IF EXISTS $tb")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   // ------------------------------------------------------------- similarity
@@ -513,7 +523,11 @@ object DataPipelineQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val emitted = s.table(qname)
+    // materialize and DROP the memory-sink view: repeated invocations in
+    // one session (specs + gate + bench share a JVM) must not accumulate
+    // driver-resident named result sets
+    val emitted = s.table(qname).localCheckpoint(true)
+    s.catalog.dropTempView(qname)
     val membership = docs(s, d)
       .select(col("doc_id"), md5(TextOps.normalized("text")).as("norm_md5"))
       .withColumn("is_member", lit(true))
@@ -672,10 +686,14 @@ object DataPipelineQueries {
     *
     * 100-TB shape: the benchmark side is SMALL by definition (eval suites
     * are thousands of docs, the corpus is billions), so its distinct-gram
-    * set broadcasts and the corpus side stays a single scan + explode +
+    * set broadcasts and the corpus side is pushed-down scans + explode +
     * broadcast-hash semi-join + doc_id-keyed count — no corpus-sized
     * shuffle of gram strings, no pairwise doc join (contamination needs
-    * only gram EXISTENCE in the benchmark, never which doc it came from). */
+    * only gram EXISTENCE in the benchmark, never which doc it came from).
+    * The corpus is deliberately re-scanned per branch (gram side + final
+    * join) rather than cached: column-pruned parquet scans are cheaper
+    * than materializing wide gram arrays at that scale; callers with fast
+    * storage and spare memory can persist upstream. */
   private def textDecontaminate(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d)
       .withColumn("toks", TextOps.tokens("text"))
@@ -944,10 +962,13 @@ object DataPipelineQueries {
         |bands AS (
         |  SELECT u, b, (u >> (16 * b)) & 65535 AS chunk
         |  FROM g, (SELECT unnest(generate_series(0, 3)) AS b)),
+        |ok AS (
+        |  SELECT b, chunk FROM bands GROUP BY b, chunk HAVING count(*) <= 256),
+        |small AS (SELECT bands.* FROM bands JOIN ok USING (b, chunk)),
         |close AS (
         |  SELECT u_a, u_b, bit_count(xor(u_a, u_b)) AS hamming FROM (
         |    SELECT DISTINCT a.u AS u_a, o.u AS u_b
-        |    FROM bands a JOIN bands o ON a.b = o.b AND a.chunk = o.chunk AND a.u < o.u)
+        |    FROM small a JOIN small o ON a.b = o.b AND a.chunk = o.chunk AND a.u < o.u)
         |  WHERE bit_count(xor(u_a, u_b)) <= 3),
         |directed AS (
         |  SELECT u_a AS u, u_b AS o, hamming FROM close

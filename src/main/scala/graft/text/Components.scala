@@ -33,7 +33,11 @@ object Components {
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
     var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // coalesce: sum over ZERO rows is NULL — an empty node set must
+    // converge immediately (0 == 0), not NPE in getLong
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -46,12 +50,20 @@ object Components {
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .localCheckpoint(true) // cut lineage per round — 20 chained joins
                                // would otherwise replan from the source
-      val s = next.agg(sum(col("label"))).head().getLong(0)
+      val s = labelSum(next)
       converged = s == prevSum
       labels = next
       prevSum = s
       round += 1
     }
+    // an unconverged labeling is WRONG (a component reported as several) —
+    // fail loudly rather than return it; a graph that legitimately needs
+    // more rounds has diameter > maxRounds, which dedup-shaped inputs
+    // don't — raise maxRounds or implement pointer-jumping for those
+    if (!converged)
+      throw new IllegalStateException(
+        s"Components.minLabel did not converge in $maxRounds rounds — " +
+          "component diameter exceeds the cap; raise maxRounds")
     labels.select(col("id"), col("label").as("component"))
   }
 }

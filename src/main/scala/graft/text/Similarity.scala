@@ -431,6 +431,10 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id"))))
       .filter(col("rn") <= k * rerank)
       .select(col("qid"), col("vec_id"))
+    // pruning evidence (the ivfTopK pattern): how many raw vectors the
+    // exact re-rank actually touched — ≤ rerank·k by construction, and
+    // assertable from the outside
+    val nCand = adc.groupBy(col("qid")).agg(count(lit(1)).as("n_candidates"))
     val c = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val qe = queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe2"))
     adc
@@ -440,7 +444,8 @@ object Similarity {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"))
+      .join(nCand, "qid")
+      .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"), col("n_candidates"))
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -70,8 +70,10 @@ class SimilaritySpec extends AnyFunSuite {
     }
     val meanRecall = recalls.sum / recalls.size
     assert(meanRecall >= 0.5, s"PQ mean recall@10 = $meanRecall")
-    // the ADC stage hands the exact re-rank at most rerank·k candidates
-    assert(approx.groupBy(_.getLong(0)).forall(_._2.length <= 10))
+    // the ADC stage hands the exact re-rank at most rerank·k raw vectors —
+    // n_candidates is the re-rank input size, reported per query
+    assert(approx.forall(_.getLong(3) <= 10L * 10L),
+      s"ADC candidate bound broken: ${approx.map(_.getLong(3)).max}")
   }
 
   test("a pre-fitted pqIndex reproduces the self-contained pqTopK exactly") {

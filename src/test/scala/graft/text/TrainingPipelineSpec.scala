@@ -174,6 +174,14 @@ class TrainingPipelineSpec extends AnyFunSuite {
     (0L to 9L).foreach(i => assert(comp(i) == 0L, s"chain node $i: ${comp(i)}"))
     assert(comp(10L) == 10L && comp(11L) == 10L)
     assert(comp(12L) == 12L, "singleton must be its own component")
+    // a round cap below the diameter must FAIL LOUDLY — an unconverged
+    // labeling silently splits one component into several
+    intercept[IllegalStateException] {
+      graft.text.Components.minLabel(nodes, pairs, maxRounds = 3)
+    }
+    // and an empty node set converges immediately instead of NPE-ing
+    assert(graft.text.Components.minLabel(
+      nodes.filter(org.apache.spark.sql.functions.col("id") < 0L), pairs).count() == 0L)
   }
 
   test("dedup_groups: swarm, near-dup pair and singleton get correct groups and sizes") {
