@@ -308,7 +308,10 @@ object DataPipelineQueries {
     val pairs = ngramJaccardPairs(s, d)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val nodes = docs(s, d).select(col("doc_id").as("id"))
-    val comp = Components.minLabel(nodes, pairs)
+    // generous cap: rounds are two cheap exchanges each and the label-sum
+    // check exits at the fixpoint, so headroom costs nothing — but a
+    // pathological chain deeper than this fails LOUDLY (see minLabel)
+    val comp = Components.minLabel(nodes, pairs, maxRounds = 64)
     val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("group_size"))
     comp.join(sizes, "component")
       .select(col("id").as("doc_id"), col("component").as("group_id"),
