@@ -408,8 +408,10 @@ object DataPipelineQueries {
       s.sql(s"DROP TABLE IF EXISTS $ta")
       s.sql(s"DROP TABLE IF EXISTS $tb")
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 
