@@ -304,19 +304,24 @@ object DataPipelineQueries {
     * groups. The oracle recomputes the SAME pair set and closes it with a
     * recursive min-label CTE (the union_find pattern) — so the propagation
     * loop, not just the pairs, is value-checked. */
-  private def dedupGroups(s: SparkSession, d: String): DataFrame = {
-    val pairs = ngramJaccardPairs(s, d)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val nodes = docs(s, d).select(col("doc_id").as("id"))
-    // generous cap: rounds are two cheap exchanges each and the label-sum
-    // check exits at the fixpoint, so headroom costs nothing — but a
-    // pathological chain deeper than this fails LOUDLY (see minLabel)
-    val comp = Components.minLabel(nodes, pairs, maxRounds = 64)
+  private def dedupGroups(s: SparkSession, d: String): DataFrame =
+    groupsFromPairs(docs(s, d).select(col("doc_id")), ngramJaccardPairs(s, d))
+      .orderBy(col("doc_id"))
+
+  /** Group assembly from an EXPLICIT, already-verified pair set — the
+    * amortization surface (the `IvfIndex` pattern): a pipeline that just
+    * ran dedup_ngram_jaccard feeds its pair frame here instead of paying
+    * the pair engine twice. `nodes` needs a `doc_id` column; `pairs`
+    * needs `doc_a`/`doc_b`. Pointer-jumping keeps the component rounds
+    * logarithmic regardless of component diameter ([[Components]]). */
+  def groupsFromPairs(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = Components.minLabel(
+      nodes.select(col("doc_id").as("id")),
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
     val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("group_size"))
     comp.join(sizes, "component")
       .select(col("id").as("doc_id"), col("component").as("group_id"),
         (col("id") === col("component")).as("is_canonical"), col("group_size"))
-      .orderBy(col("doc_id"))
   }
 
   /** Embedding-cosine near-dup: cosine ≥ 0.99 ⇒ duplicate vector, found via

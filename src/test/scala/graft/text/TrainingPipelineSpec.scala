@@ -174,14 +174,48 @@ class TrainingPipelineSpec extends AnyFunSuite {
     (0L to 9L).foreach(i => assert(comp(i) == 0L, s"chain node $i: ${comp(i)}"))
     assert(comp(10L) == 10L && comp(11L) == 10L)
     assert(comp(12L) == 12L, "singleton must be its own component")
-    // a round cap below the diameter must FAIL LOUDLY — an unconverged
-    // labeling silently splits one component into several
+    // a round cap below what convergence needs must FAIL LOUDLY — an
+    // unconverged labeling silently splits one component into several.
+    // With pointer jumping reach after r rounds is 2^r - 1, so 2 rounds
+    // reach 3 < the chain's diameter 9.
     intercept[IllegalStateException] {
-      graft.text.Components.minLabel(nodes, pairs, maxRounds = 3)
+      graft.text.Components.minLabel(nodes, pairs, maxRounds = 2)
     }
     // and an empty node set converges immediately instead of NPE-ing
     assert(graft.text.Components.minLabel(
       nodes.filter(org.apache.spark.sql.functions.col("id") < 0L), pairs).count() == 0L)
+  }
+
+  test("Components: pointer jumping converges a 10k-node path in O(log n) rounds") {
+    import spark.implicits._
+    val n = 10000L
+    val nodes = spark.range(n).toDF("id")
+    val pairs = spark.range(n - 1).select($"id".as("a"), ($"id" + 1L).as("b"))
+    val (comp, rounds) = graft.text.Components.minLabelWithRounds(nodes, pairs)
+    // reach after r rounds is 2^r - 1 ⇒ diameter 9999 needs 13 rounds plus
+    // one convergence-detection round; anything near-linear (the old
+    // per-round neighbor-min) would blow far past this bound
+    assert(rounds <= 15, s"10k path took $rounds rounds — pointer jumping regressed")
+    val bad = comp.filter(org.apache.spark.sql.functions.col("component") =!= 0L).count()
+    assert(bad == 0L, s"$bad path nodes not labeled 0")
+  }
+
+  test("dedup_groups from a precomputed pair set matches groups-from-recompute") {
+    val swarmText = "all work and no play makes jack a dull boy again today"
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val docsSeq = (0L until 20L).map(i => (i, "web", "en", swarmText)) ++ Seq(
+      (20L, "web", "en", textA), (21L, "web", "en", textA + " today"),
+      (22L, "web", "en", "zebras quietly migrate across vast plains under violet skies"))
+    val dir = writeDocs(docsSeq, "groupspairs")
+    val q = graft.relational.DataPipelineQueries.queries
+    val precomputed = q("dedup_ngram_jaccard")(spark, dir).localCheckpoint(true)
+    val nodes = spark.read.parquet(s"$dir/documents.parquet").select($"doc_id")
+    val fromGiven = graft.relational.DataPipelineQueries
+      .groupsFromPairs(nodes, precomputed)
+      .orderBy($"doc_id").collect().map(_.toSeq)
+    val fromRecompute = q("dedup_groups")(spark, dir).collect().map(_.toSeq)
+    assert(fromGiven.toSeq == fromRecompute.toSeq,
+      "groups from a supplied pair frame must equal groups from the internal engine")
   }
 
   test("dedup_groups: swarm, near-dup pair and singleton get correct groups and sizes") {
