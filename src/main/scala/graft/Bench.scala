@@ -1,8 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // /proc/loadavg snapshot — makes a run on a loaded box SELF-IDENTIFYING:
+  // round 5's driver artifact was 10-55x a quiet-box re-run of the same
+  // commit and nothing in the JSON revealed it. "unavailable" off-Linux.
+  private def loadavg(): String =
+    try scala.util.Using.resource(scala.io.Source.fromFile("/proc/loadavg"))(
+      _.mkString.trim)
+    catch { case _: Throwable => "unavailable" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadBefore = loadavg()
+    val startedAtMs = System.currentTimeMillis()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,7 +43,9 @@ object Bench {
     val errJson = errors.map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val env = s""""load_before":"$loadBefore","load_after":"${loadavg()}",""" +
+      s""""started_at_ms":$startedAtMs,"finished_at_ms":${System.currentTimeMillis()}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,$env,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

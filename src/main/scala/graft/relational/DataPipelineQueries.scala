@@ -885,6 +885,25 @@ object DataPipelineQueries {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** REAL image decode end-to-end: each doc_id becomes a deterministic
+    * synthetic 24-bit BMP (dims and pixels are closed-form functions of
+    * doc_id — Multimodal.syntheticBmp), the partition-batched
+    * javax.imageio path decodes it back, and the oracle recomputes
+    * width/height/mean-pixel from the SAME closed form — so a wrong
+    * header, row order, padding or channel read shows up as a hash
+    * mismatch. Generation is mapPartitions too: payloads never transit
+    * the driver, exactly as a real media scan wouldn't. */
+  private def multimodalDecodeReal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val withBmp = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 2 + (id % 7).toInt
+        val h = 2 + (id % 5).toInt
+        (id, Multimodal.syntheticBmp(id, w, h))
+      }).toDF("doc_id", "payload")
+    Multimodal.decodeAllReal(s, withBmp).toDF().orderBy(col("doc_id"))
+  }
+
   /** Frame sampling over the binary payload — the video-shaped member of
     * the multimodal family: the payload reads as fixed-16-byte frames and
     * every 4th frame is sampled (the decode-free analog of strided
@@ -929,6 +948,7 @@ object DataPipelineQueries {
     "text_fingerprint" -> (textFingerprint _),
     "multimodal_metadata" -> (multimodalMetadata _),
     "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_decode_real" -> (multimodalDecodeReal _),
     "multimodal_framesample" -> (multimodalFramesample _),
   )
 
@@ -1331,6 +1351,24 @@ object DataPipelineQueries {
         |SELECT doc_id, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
         |       md5(substr(text, CAST(frame_idx * 16 + 1 AS INT), 16)) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // the REAL ImageIO path: dims and every pixel are closed-form in
+    // doc_id, so DuckDB recomputes what the codec must read back —
+    // 3*s / (3.0*w*h) mirrors the Scala all-channel mean bit-for-bit
+    // (all operands are exactly representable integers)
+    "multimodal_decode_real" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(2 + doc_id % 7 AS INT) AS width,
+        |         CAST(2 + doc_id % 5 AS INT) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, width, height,
+        |         list_sum(list_transform(generate_series(0, width * height - 1),
+        |                                 i -> (doc_id * 31 + i) % 256)) AS s
+        |  FROM dims)
+        |SELECT doc_id, width, height, CAST(width * height AS INT) AS n_pixels,
+        |       round(3 * s * 1.0 / (3.0 * width * height), 6) AS mean_pixel
+        |FROM px ORDER BY doc_id""".stripMargin,
     "multimodal_decode" ->
       """WITH b AS (
         |  SELECT doc_id,

@@ -8,12 +8,17 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` (the JVM analog of `mapInPandas` — one partition = one
   * batch, codec state amortized across the batch).
   *
-  * The actual codec is a STUB: no image/audio library ships in this
-  * container, so [[decodeStub]] derives a deterministic fake
-  * (width/height/per-byte stats) from the header bytes. The Spark-side
-  * contract — binary column, metadata struct, partition-batched decode,
-  * fixed output schema — is the real, tested part; swapping the stub for
-  * javax.imageio / a JNI codec changes only the function body.
+  * Two codec tiers, same plumbing:
+  *  - [[decodeStub]]: a deterministic fake (width/height/per-byte stats
+  *    from the header bytes) standing in for ffmpeg-class audio/video
+  *    codecs that genuinely aren't in this container;
+  *  - [[decodeImage]]: a REAL still-image decoder via `javax.imageio`
+  *    (BMP/PNG/JPEG/GIF ship with the JDK), exercised end-to-end by
+  *    `multimodal_decode_real` over deterministic synthetic BMPs whose
+  *    pixels a SQL oracle recomputes in closed form.
+  * The Spark-side contract — binary column, metadata struct,
+  * partition-batched decode, fixed output schema — is identical for both;
+  * a JNI video codec would change only the function body.
   */
 object Multimodal {
 
@@ -59,6 +64,86 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition codec init would go here (stubbed)
         it.map { case (id, bytes) => decodeStub(id, bytes) }
+      }
+  }
+
+  // ------------------------------------------------------- REAL codec (JDK)
+  // javax.imageio ships with every JDK (BMP/PNG/JPEG/GIF readers), so the
+  // "no media libs in this container" constraint only rules out ffmpeg-class
+  // codecs — still-image decode below is the real thing, not a stub.
+
+  final case class DecodedImage(
+      doc_id: Long, width: Int, height: Int, n_pixels: Int, mean_pixel: Double)
+
+  /** Deterministic 24-bit grayscale BMP: pixel (x, y) has all three
+    * channels equal to `(docId * 31 + y * width + x) % 256` — a closed
+    * form a SQL oracle can recompute without touching the codec. Rows are
+    * written bottom-up with 4-byte padding per the BMP spec. */
+  def syntheticBmp(docId: Long, width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val rowSize = (width * 3 + 3) / 4 * 4
+    val fileSize = 54 + rowSize * height
+    val buf = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putInt(0).putInt(54) // reserved, pixel-data offset
+    buf.putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER
+      .putShort(1).putShort(24)                 // planes, bpp
+      .putInt(0).putInt(rowSize * height)       // no compression
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette unused
+    var y = height - 1 // BMP stores rows bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val v = ((docId * 31 + y.toLong * width + x) % 256).toInt
+        buf.put(v.toByte).put(v.toByte).put(v.toByte) // B, G, R
+        x += 1
+      }
+      var pad = width * 3
+      while (pad < rowSize) { buf.put(0.toByte); pad += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** REAL decode: `javax.imageio.ImageIO.read` over the payload bytes.
+    * `mean_pixel` averages ALL channel samples (R+G+B over 3·n pixels), so
+    * on a grayscale image it equals the mean gray value. Fails loudly on
+    * an undecodable payload — silently skipping corrupt media is how
+    * training sets rot. */
+  def decodeImage(docId: Long, bytes: Array[Byte]): DecodedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"doc $docId: payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val mean = sum.toDouble / (3.0 * w * h)
+    DecodedImage(docId, w, h, w * h,
+      BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  /** Partition-batched REAL decode — same plumbing as [[decodeAll]], with
+    * the in-memory codec configured once per partition (`setUseCache
+    * (false)` keeps ImageIO off executor local disk: decode stays a pure
+    * CPU pass over the shuffled/scanned bytes, no temp-file I/O). */
+  def decodeAllReal(spark: SparkSession, binaryTable: DataFrame): Dataset[DecodedImage] = {
+    import spark.implicits._
+    binaryTable
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        it.map { case (id, bytes) => decodeImage(id, bytes) }
       }
   }
 }
