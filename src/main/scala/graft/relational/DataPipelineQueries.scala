@@ -549,6 +549,51 @@ object DataPipelineQueries {
       .orderBy(col("norm_md5"))
   }
 
+  /** The WATERMARKED streaming dedup — the mode actually deployable at
+    * 100 TB (full-history state grows forever; horizon-bounded state is
+    * capped by the horizon's arrival volume) — run as a REAL Structured
+    * Streaming query like stream_dedup. Event time is synthesized
+    * deterministically from doc_id (epoch + doc_id % 900 seconds, a
+    * 15-minute span) and the 2-hour horizon strictly contains it, so NO
+    * eviction can occur regardless of how the source splits micro-batches:
+    * the deterministic, oracle-checkable contract is "exactly one emission
+    * per hash, each a genuine member", exercising the watermark +
+    * dropDuplicatesWithinWatermark state machinery under the hash gate.
+    * Eviction itself (re-emission after the horizon) is trigger-order-
+    * dependent by design and stays pinned by StreamingDedupSpec, where
+    * micro-batches are controlled. */
+  private def streamDedupWatermark(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val stream =
+      if (new java.io.File(s"$d/documents.parquet").isDirectory)
+        s.readStream.schema(schema).parquet(s"$d/documents.parquet")
+      else
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val withTs = stream.withColumn("event_ts",
+      timestamp_seconds(lit(1700000000L) + col("doc_id") % 900))
+    val qname = "stream_dedup_wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.StreamingDedup
+      .distinctDocsWithinWatermark(withTs, "event_ts", "2 hours")
+      .select(col("doc_id"), col("norm_md5"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val emitted = s.table(qname).localCheckpoint(true)
+    s.catalog.dropTempView(qname)
+    val membership = docs(s, d)
+      .select(col("doc_id"), md5(TextOps.normalized("text")).as("norm_md5"))
+      .withColumn("is_member", lit(true))
+    emitted
+      .join(membership, Seq("doc_id", "norm_md5"), "left")
+      .groupBy(col("norm_md5"))
+      .agg(count(lit(1)).as("n_emitted"),
+        bool_and(coalesce(col("is_member"), lit(false))).as("member_ok"))
+      .orderBy(col("norm_md5"))
+  }
+
   // ---------------------------------------------------------- text analysis
   private val langMarkers: Seq[(String, String)] = Seq(
     "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and",
@@ -930,6 +975,7 @@ object DataPipelineQueries {
     "dedup_groups" -> (dedupGroups _),
     "dedup_embedding" -> (dedupEmbedding _),
     "stream_dedup" -> (streamDedup _),
+    "stream_dedup_watermark" -> (streamDedupWatermark _),
     "scan_bucketed" -> (scanBucketed _),
     "similarity_topk" -> (similarityTopK _),
     "similarity_ann" -> (similarityAnn _),
@@ -1103,6 +1149,13 @@ object DataPipelineQueries {
     // query scaladoc — the arrival-dependent representative choice is
     // deliberately outside the hash)
     "stream_dedup" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_md5,
+        |       CAST(1 AS BIGINT) AS n_emitted, true AS member_ok
+        |FROM documents GROUP BY 1 ORDER BY norm_md5""".stripMargin,
+    // the horizon (2 h) strictly contains the synthesized event-time span
+    // (15 min), so no eviction is reachable and the watermarked operator
+    // must behave exactly like full-history dedup: one emission per hash
+    "stream_dedup_watermark" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_md5,
         |       CAST(1 AS BIGINT) AS n_emitted, true AS member_ok
         |FROM documents GROUP BY 1 ORDER BY norm_md5""".stripMargin,

@@ -109,8 +109,13 @@ class AnomalyDetectionSpec extends AnyFunSuite {
     // generated DISTRIBUTED — the sequence never exists as one driver array
     // or one executor cell anywhere in fit or predict
     val d = 1000000L
+    // seq_id must be NON-FOLDABLE: a literal 0 gets constant-folded out of
+    // every Window.partitionBy(seq_id) downstream, tripping the
+    // unpartitioned-window warning we deliberately keep loud as the
+    // mechanical audit of the always-partitioned invariant. least(0, id)
+    // is 0 on every row but opaque to the optimizer — like real data.
     val long = spark.range(d)
-      .select(lit(0L).as("seq_id"), col("id").as("t"),
+      .select(least(lit(0L), col("id")).as("seq_id"), col("id").as("t"),
         (col("id") % 7 % 2).cast("double").as("value"))
     val p = AnomalyDetection.Params(anomalySensitivity = 3.0, nClusters = 1,
       quantize = false)

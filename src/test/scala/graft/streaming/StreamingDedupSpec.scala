@@ -78,4 +78,20 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(rows.length == 2, s"expected one row per distinct hash: ${rows.toSeq}")
     assert(rows.forall(r => r._2 == 1L && r._3), s"verdict grid broken: ${rows.toSeq}")
   }
+
+  test("registered stream_dedup_watermark query: horizon contains the span, so one emission per hash") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sdedup_wm_q").toString
+    // doc_ids straddling the 900 s event-time modulus: 0/900 share an event
+    // time, 1/901 share a hash at different event times — both dedup to one
+    Seq((0L, "web", "en", "same text"), (900L, "web", "en", "same   TEXT"),
+      (1L, "web", "en", "other text"), (901L, "web", "en", "OTHER  text"),
+      (2L, "web", "en", "third text"))
+      .toDF("doc_id", "source", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.relational.DataPipelineQueries.queries("stream_dedup_watermark")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == 3, s"expected one row per distinct hash: ${rows.toSeq}")
+    assert(rows.forall(r => r._2 == 1L && r._3), s"verdict grid broken: ${rows.toSeq}")
+  }
 }
