@@ -474,6 +474,33 @@ object DataPipelineQueries {
       .orderBy(col("qid"))
   }
 
+  /** IVF+PQ composed approximate top-5 — the billion-vector layout (FAISS
+    * IVFPQ): compute pruned by cell probes AND memory pruned by residual
+    * PQ codes; plain similarity_pq's full-corpus compressed scan was the
+    * remaining per-query O(N). Verdict grid: found_true_neighbor with the
+    * similarity_ivf floor (cell-probe recall dominates; ADC + exact
+    * re-rank recovers the in-cell ordering), and scan_pruned — the ADC
+    * stage touched at most 60% of the corpus codes (the honest bound at
+    * gate scale: ~√N cells, nProbe 6, KMeans imbalance; the fraction
+    * FALLS as nCells grows with √N — 2.7% at sf0.1). */
+  private def similarityIvfpq(s: SparkSession, d: String): DataFrame = {
+    val e = embeds(s, d)
+    val q = e.filter(col("vec_id") < 10)
+    val n = e.count()
+    val ivfpq = Similarity.ivfpqTopK(e, q, k = 5, nProbe = 6,
+      nCentroids = 64, rerank = 20)
+    val exact = Similarity.bruteForceTopK(e, q, k = 5).select(col("qid"), col("neighbor"))
+    val hits = exact.join(ivfpq.select(col("qid"), col("neighbor")), Seq("qid", "neighbor"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    ivfpq.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_returned"), max(col("n_scanned")).as("n_scanned"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_returned"),
+        (coalesce(col("n_hits"), lit(0L)) >= 1L).as("found_true_neighbor"),
+        (col("n_scanned") * 10 <= lit(n) * 6).as("scan_pruned"))
+      .orderBy(col("qid"))
+  }
+
   /** PQ (product-quantization) approximate top-5 — the MEMORY-bound ANN
     * scale path (the corpus scans as 8-nibble code words, raw vectors are
     * fetched only for the bounded re-rank set) — with the same
@@ -980,6 +1007,7 @@ object DataPipelineQueries {
     "similarity_topk" -> (similarityTopK _),
     "similarity_ann" -> (similarityAnn _),
     "similarity_ivf" -> (similarityIvf _),
+    "similarity_ivfpq" -> (similarityIvfpq _),
     "similarity_pq" -> (similarityPq _),
     "text_lang_id" -> (textLangId _),
     "text_quality" -> (textQuality _),
@@ -1186,6 +1214,10 @@ object DataPipelineQueries {
         |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin,
     "similarity_ivf" ->
       """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned, true AS found_true_neighbor
+        |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin,
+    "similarity_ivfpq" ->
+      """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned,
+        |       true AS found_true_neighbor, true AS scan_pruned
         |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin,
     "similarity_pq" ->
       """SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_returned, true AS recall_ok

@@ -448,6 +448,190 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"), col("n_candidates"))
   }
 
+  /** A fitted IVF+PQ index — the composed billion-vector layout (FAISS
+    * IVFPQ): every corpus vector is its cell id plus the PQ code of its
+    * RESIDUAL against the cell center. `coded` (vec_id, cell, codes) is
+    * eagerly materialized like [[PqIndex.codes]] — it IS the hot tier. */
+  final case class IvfPqIndex(coded: DataFrame,
+                              centers: Array[Array[Double]],
+                              codebooks: Array[Array[Array[Double]]],
+                              m: Int, k: Int, subDim: Int)
+
+  /** Fit the composed index: the IVF coarse quantizer assigns cells, then
+    * per-subspace codebooks train on a bounded deterministic sample of
+    * RESIDUALS (pooled across cells, the standard IVFPQ move — residuals
+    * are centered near zero so one codebook set serves every cell) and
+    * every corpus vector's residual is encoded. Corpus-sized work = the
+    * one cell-assignment pass plus the one encode scan. */
+  def ivfPqIndex(corpus: DataFrame, nCells: Int = 0, m: Int = 8, k: Int = 16,
+                 dim: Int = 64, seed: Long = 42L,
+                 sampleSize: Int = 4096): IvfPqIndex = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subDim = dim / m
+    val ivf = ivfIndex(corpus, nCells, seed)
+    val bcC = corpus.sparkSession.sparkContext.broadcast(ivf.centers)
+    val residualUdf = udf { (emb: Seq[Float], cell: Int) =>
+      val c = bcC.value(cell)
+      Array.tabulate(c.length)(i => emb(i).toDouble - c(i))
+    }
+    val withRes = corpus.select(col("vec_id"), col("embedding"))
+      .join(ivf.cells, "vec_id")
+      .withColumn("residual", residualUdf(col("embedding"), col("cell")))
+    // deterministic bounded sample of residuals (see pqIndex)
+    val sample = withRes
+      .select(col("vec_id"), col("residual"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(sampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "ivfPqIndex: empty corpus")
+    val codebooks = Array.tabulate(m) { s =>
+      val pts = sample.map(e => Array.tabulate(subDim)(j => e(s * subDim + j)))
+      localKMeans(pts, math.min(k, pts.length), new scala.util.Random(seed + s))
+    }
+    val bcB = corpus.sparkSession.sparkContext.broadcast(codebooks)
+    val encodeUdf = udf { res: Seq[Double] =>
+      val cbs = bcB.value
+      Array.tabulate(cbs.length) { s =>
+        val cb = cbs(s)
+        var best = 0
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < cb.length) {
+          var d = 0.0
+          var i = 0
+          while (i < cb(j).length) {
+            val t = cb(j)(i) - res(s * cb(j).length + i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        best
+      }
+    }
+    val coded = withRes
+      .select(col("vec_id"), col("cell"), encodeUdf(col("residual")).as("codes"))
+      .localCheckpoint(true)
+    IvfPqIndex(coded, ivf.centers, codebooks, m, k, subDim)
+  }
+
+  /** IVF+PQ ANN — the composed scan: each query probes its `nProbe`
+    * nearest cells and ADC-scores ONLY the code rows of those cells (a
+    * key-partitioned join on `cell` against the broadcast-small probe
+    * set — compute pruned by IVF), over codes 32× smaller than the raw
+    * embeddings (memory pruned by PQ). The plain-PQ full-corpus
+    * compressed scan ([[pqTopK]]) was the last per-query O(N); here the
+    * scanned fraction is ~nProbe/nCells, surfaced per query as
+    * `n_scanned` so pruning is assertable from the outside.
+    *
+    * ADC decomposition per candidate x ≈ c + r̃: <q, x> = <q, c> (per
+    * probed cell, on the tiny query side) + Σ_s t[s][code_s] (the m
+    * lookups), and |x̃|² = |c|² + 2Σ_s <c_s, cb_s(code_s)> + Σ_s
+    * |cb_s(code_s)|² — exact for the reconstruction because subspaces
+    * are disjoint coordinates. Top `rerank·k` by ADC re-rank EXACTLY
+    * against the raw embeddings, fetched only for that bounded set. */
+  def ivfpqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCells: Int = 0, nProbe: Int = 2, m: Int = 8,
+                nCentroids: Int = 16, dim: Int = 64, seed: Long = 42L,
+                rerank: Int = 4, index: Option[IvfPqIndex] = None): DataFrame = {
+    val idx = index.getOrElse(ivfPqIndex(corpus, nCells, m, nCentroids, dim, seed))
+    val sc = corpus.sparkSession.sparkContext
+    val bcC = sc.broadcast(idx.centers)
+    val bcB = sc.broadcast(idx.codebooks)
+    val probeUdf = udf { emb: Seq[Float] =>
+      val x = emb.map(_.toDouble).toArray
+      bcC.value.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        val n = math.min(c.length, x.length)
+        while (j < n) { val t = c(j) - x(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2).toSeq
+    }
+    val tableUdf = udf { qe: Seq[Float] =>
+      val cbs = bcB.value
+      val kk = cbs(0).length
+      val t = new Array[Double](cbs.length * kk)
+      var s = 0
+      while (s < cbs.length) {
+        var j = 0
+        while (j < kk) {
+          var ip = 0.0
+          var i = 0
+          while (i < cbs(s)(j).length) {
+            ip += cbs(s)(j)(i) * qe(s * cbs(s)(j).length + i); i += 1
+          }
+          t(s * kk + j) = ip
+          j += 1
+        }
+        s += 1
+      }
+      t
+    }
+    val qcUdf = udf { (qe: Seq[Float], cell: Int) =>
+      val c = bcC.value(cell)
+      var ip = 0.0
+      var i = 0
+      val n = math.min(c.length, qe.length)
+      while (i < n) { ip += c(i) * qe(i); i += 1 }
+      ip
+    }
+    // reconstructed |x̃| from (cell, codes) — m lookups + the cached |c|²
+    val xnUdf = udf { (cell: Int, codes: Seq[Int]) =>
+      val c = bcC.value(cell)
+      val cbs = bcB.value
+      var n2 = 0.0
+      var i = 0
+      while (i < c.length) { n2 += c(i) * c(i); i += 1 }
+      var s = 0
+      while (s < cbs.length) {
+        val e = cbs(s)(codes(s))
+        var j = 0
+        val off = s * e.length
+        while (j < e.length) { n2 += e(j) * e(j) + 2.0 * c(off + j) * e(j); j += 1 }
+        s += 1
+      }
+      math.sqrt(math.max(n2, 0.0))
+    }
+    val adcUdf = udf { (t: Seq[Double], codes: Seq[Int]) =>
+      val kk = bcB.value(0).length
+      var ip = 0.0
+      var s = 0
+      while (s < codes.length) { ip += t(s * kk + codes(s)); s += 1 }
+      ip
+    }
+    val qNorm = expr("sqrt(aggregate(zip_with(qe, qe, (p, q) -> double(p) * double(q)), 0D, (acc, v) -> acc + v))")
+    val qCells = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("tbl", tableUdf(col("qe")))
+      .withColumn("qn", qNorm)
+      .withColumn("cell", explode(probeUdf(col("qe"))))
+      .withColumn("qc", qcUdf(col("qe"), col("cell")))
+    // the composed scan: probe set is broadcast-tiny, codes join on cell
+    val scanned = idx.coded.join(broadcast(qCells), "cell")
+      .filter(col("qid") =!= col("vec_id"))
+    val nScanned = scanned.groupBy(col("qid")).agg(count(lit(1)).as("n_scanned"))
+    val adc = scanned
+      .withColumn("adc", (col("qc") + adcUdf(col("tbl"), col("codes"))) /
+        greatest(col("qn") * xnUdf(col("cell"), col("codes")), lit(1e-12)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id"))))
+      .filter(col("rn") <= k * rerank)
+      .select(col("qid"), col("vec_id"))
+    val nCand = adc.groupBy(col("qid")).agg(count(lit(1)).as("n_candidates"))
+    val c = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val qe = queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe2"))
+    adc
+      .join(c, "vec_id")
+      .join(qe, "qid")
+      .withColumn("cosine", round(cosine("qe2", "emb"), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .join(nCand, "qid")
+      .join(nScanned, "qid")
+      .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"),
+        col("n_candidates"), col("n_scanned"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 0, nProbe: Int = 2, seed: Long = 42L,
               index: Option[IvfIndex] = None): DataFrame = {

@@ -105,6 +105,69 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(Similarity.ivfTopK(e, q2, k = 5, index = Some(idx))).nonEmpty)
   }
 
+  test("IVF+PQ recalls most of the brute-force top-10 scanning only probed cells") {
+    val e = embeddings
+    val q = e.filter(col("vec_id") < 20)
+    val n = e.count()
+    val exact = Similarity.bruteForceTopK(e, q, k = 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = Similarity.ivfpqTopK(e, q, k = 10, nProbe = 6,
+      nCentroids = 64, rerank = 10).collect()
+    val sets = approx.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.keys.toSeq.map { qid =>
+      sets.getOrElse(qid, Set.empty).intersect(exact(qid)).size.toDouble / exact(qid).size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.3, s"IVF+PQ mean recall@10 = $meanRecall")
+    // composed pruning: the re-rank input is ADC-bounded AND the ADC scan
+    // itself is cell-bounded (strictly under the corpus)
+    assert(approx.forall(_.getLong(3) <= 10L * 10L),
+      s"re-rank bound broken: ${approx.map(_.getLong(3)).max}")
+    assert(approx.map(_.getLong(4)).max < n,
+      s"ADC scan did not prune: ${approx.map(_.getLong(4)).max} of $n")
+  }
+
+  test("IVF+PQ scanned code rows stay within the nProbe/nCells fraction") {
+    import spark.implicits._
+    // 8 well-separated clusters of 100 vectors each: the coarse quantizer
+    // recovers them, so with nCells = 8, nProbe = 2 each query's ADC scan
+    // must touch ~2/8 of the corpus — assert ≤ 1.5x that fraction (KMeans
+    // may split one cluster and merge two others; separation keeps the
+    // deviation small)
+    val rnd = new scala.util.Random(7)
+    val centers = Array.tabulate(8, 16)((c, j) => math.sin(c * 37 + j) * 10.0)
+    val vecs = (0 until 800).map { i =>
+      val c = i % 8
+      (i.toLong, Array.tabulate(16)(j => (centers(c)(j) + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 8)
+    val res = Similarity.ivfpqTopK(df, q, k = 3, nCells = 8, nProbe = 2,
+      m = 8, nCentroids = 16, dim = 16).collect()
+    val maxScanned = res.map(_.getLong(4)).max
+    val bound = (800.0 * 2 / 8 * 1.5).toLong
+    assert(maxScanned <= bound, s"scanned $maxScanned > bound $bound (nProbe/nCells broken)")
+    // and the probe finds the right cluster: each query's top-1 is a member
+    // of its own cluster (ids ≡ qid mod 8)
+    val top1 = res.groupBy(_.getLong(0)).view.mapValues(_.minBy(-_.getDouble(2))).toMap
+    top1.foreach { case (qid, r) =>
+      assert(r.getLong(1) % 8 == qid % 8, s"query $qid top-1 ${r.getLong(1)} left its cluster")
+    }
+  }
+
+  test("a pre-fitted ivfPqIndex reproduces the self-contained ivfpqTopK exactly") {
+    val e = embeddings
+    val q = e.filter(col("vec_id") < 10)
+    val idx = Similarity.ivfPqIndex(e, k = 64)
+    val codes = idx.coded.collect()
+    assert(codes.forall(_.getSeq[Int](2).forall(c => c >= 0 && c < 64)))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2)).toSeq
+    val direct = rows(Similarity.ivfpqTopK(e, q, k = 5, nCentroids = 64))
+    val reused = rows(Similarity.ivfpqTopK(e, q, k = 5, nCentroids = 64, index = Some(idx)))
+    assert(reused == direct, "index-reuse path diverged from the self-contained fit")
+  }
+
   test("identical-vector swarm: bucket cap bounds candidates, geometry adapts") {
     import spark.implicits._
     // 500 copies of ONE vector + 40 distinct vectors: without the bucket cap
