@@ -621,6 +621,65 @@ object DataPipelineQueries {
       .orderBy(col("norm_md5"))
   }
 
+  /** Streaming NEAR-dup detection (incremental MinHash banding via
+    * `transformWithState` keyed band-bucket state), run as a real
+    * Structured Streaming query like stream_dedup. Which organic near-dup
+    * pairs surface depends on hash geometry DuckDB cannot replay, so the
+    * gate synthesizes a deterministic recall floor: every `doc_id % 10 = 0`
+    * document is re-emitted with doc_id + 1,000,000 and IDENTICAL text
+    * (same normalized form ⇒ same signature ⇒ same bucket in every band),
+    * and the oracle-checkable contract is "each synthesized pair is
+    * detected, at estimate exactly 1.0" — pinning the keyed state store,
+    * the banding, and the estimator while organic pairs stay outside the
+    * grid (they are spec-pinned in StreamingNearDupSpec where triggers are
+    * controlled). `transformWithState` requires the RocksDB state store
+    * provider; the previous provider is restored after the run. */
+  private def streamNearDup(s: SparkSession, d: String): DataFrame = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey, graft.streaming.StreamingNearDup.RocksDbProvider)
+    try {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val stream =
+        if (new java.io.File(s"$d/documents.parquet").isDirectory)
+          s.readStream.schema(schema).parquet(s"$d/documents.parquet")
+        else
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet").parquet(d)
+      // the synthesized copy rides the SAME input row (explode), so both
+      // members of a pair always share a micro-batch — arrival order can
+      // never split them across the cap
+      val withCopies = stream.select(
+        explode(when(col("doc_id") % 10 === 0,
+            array(col("doc_id"), col("doc_id") + lit(1000000L)))
+          .otherwise(array(col("doc_id")))).as("doc_id"),
+        col("text"))
+      val qname = "stream_neardup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamingNearDup.nearDupPairs(withCopies)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val emitted = s.table(qname)
+        .select(col("id_a"), col("id_b"), col("est_jaccard"))
+        .distinct().localCheckpoint(true)
+      s.catalog.dropTempView(qname)
+      val expected = docs(s, d).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("orig_id"))
+      expected
+        .join(emitted, expected("orig_id") === emitted("id_a") &&
+          emitted("id_b") === expected("orig_id") + lit(1000000L), "left")
+        .groupBy(col("orig_id"))
+        .agg((count(col("id_a")) >= 1L).as("found"),
+          bool_and(coalesce(col("est_jaccard") === 1.0, lit(false))).as("est_one"))
+        .orderBy(col("orig_id"))
+    } finally prev match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+  }
+
   // ---------------------------------------------------------- text analysis
   private val langMarkers: Seq[(String, String)] = Seq(
     "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and",
@@ -1003,6 +1062,7 @@ object DataPipelineQueries {
     "dedup_embedding" -> (dedupEmbedding _),
     "stream_dedup" -> (streamDedup _),
     "stream_dedup_watermark" -> (streamDedupWatermark _),
+    "stream_neardup" -> (streamNearDup _),
     "scan_bucketed" -> (scanBucketed _),
     "similarity_topk" -> (similarityTopK _),
     "similarity_ann" -> (similarityAnn _),
@@ -1187,6 +1247,11 @@ object DataPipelineQueries {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_md5,
         |       CAST(1 AS BIGINT) AS n_emitted, true AS member_ok
         |FROM documents GROUP BY 1 ORDER BY norm_md5""".stripMargin,
+    // the synthesized exact-dup recall floor: every doc_id % 10 = 0 doc is
+    // re-streamed with identical text, so its pair MUST be found at est 1.0
+    "stream_neardup" ->
+      """SELECT doc_id AS orig_id, true AS found, true AS est_one
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY orig_id""".stripMargin,
     "similarity_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
         |p AS (

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+
+/** One stored occupant of an LSH band bucket: the doc and its full MinHash
+  * signature (the signature is what lets a later arrival ESTIMATE Jaccard
+  * against it without ever fetching the document text). */
+final case class BucketMember(doc_id: Long, sig: Seq[Long])
+
+/** A banded input row: doc + signature + the (band, bucket) key it landed
+  * in. One doc produces exactly `bands` of these. */
+final case class BandedSig(doc_id: Long, sig: Seq[Long], band: Int, bucket: Long)
+
+/** An emitted near-dup candidate: canonical (id_a < id_b), the signature-
+  * agreement Jaccard estimate, and the band that caught it (the same pair
+  * may surface from several bands — consumers `distinct` on (id_a, id_b)). */
+final case class NearDupHit(id_a: Long, id_b: Long, est_jaccard: Double, band: Int)
+
+/** Incremental MinHash near-dup detection over an unbounded document
+  * stream — the streaming counterpart of the batch `dedup_minhash` pass
+  * (shingle → 64-perm MinHash → 16-band LSH), with the band-bucket
+  * self-JOIN replaced by band-bucket keyed STATE: each (band, bucket) key
+  * holds the members seen so far, and a new arrival compares only against
+  * its own bucket's occupants, across triggers.
+  *
+  * Scale design:
+  *   - State is keyed by (band, bucket) — hash-partitioned across
+  *     executors like any keyed state — and each bucket's occupant list is
+  *     capped at `maxBucketSize`: a degenerate swarm (thousands of
+  *     near-identical docs sharing a bucket) stores and compares against
+  *     at most the cap, never going quadratic. A doc joins exactly `bands`
+  *     buckets, so TOTAL state is bounded by
+  *     `bands × min(N_docs, n_buckets × maxBucketSize)` members of
+  *     `8 + 8·numHashes` bytes (~0.5 KB each at 64 hashes): ≈ 8 KB per
+  *     distinct doc worst-case, living in the state store (RocksDB at
+  *     scale — `transformWithState` requires the RocksDB provider, which
+  *     keeps it off-heap), not on the heap.
+  *   - Per-arrival work is bounded by `bands × maxBucketSize` signature
+  *     comparisons (64-long vector each) — independent of corpus size.
+  *   - An optional `ttl` expires bucket occupants not re-written within
+  *     the duration (processing-time TTL on the state store), the
+  *     horizon-bounded regime of `dropDuplicatesWithinWatermark`: state
+  *     then tracks the horizon's arrival volume instead of all history,
+  *     trading away detection of pairs that straddle the horizon.
+  *
+  * Emission semantics: when a doc lands in a bucket it emits one
+  * [[NearDupHit]] per stored occupant whose signature-agreement estimate
+  * (`|{i : sig_a[i] = sig_b[i]}| / numHashes`, the unbiased MinHash
+  * Jaccard estimator) is ≥ `threshold`; it is then stored itself iff the
+  * bucket is under cap. Pairs colliding in several bands are emitted once
+  * per band (same estimate each time) — `distinct` on (id_a, id_b)
+  * downstream. Within a micro-batch, arrivals are processed in doc_id
+  * order, so which docs of an over-cap swarm get stored is deterministic.
+  */
+object StreamingNearDup {
+
+  /** The RocksDB provider `transformWithState` requires (Spark 4.x). */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private class NearDupProcessor(threshold: Double, numHashes: Int, cap: Int,
+                                 ttl: Option[java.time.Duration])
+      extends StatefulProcessor[(Int, Long), BandedSig, NearDupHit] {
+    @transient private var members: ListState[BucketMember] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[BucketMember](
+        "members", Encoders.product[BucketMember],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BandedSig],
+                                 timers: TimerValues): Iterator[NearDupHit] = {
+      val stored = scala.collection.mutable.ArrayBuffer.empty[BucketMember]
+      if (members.exists()) stored ++= members.get()
+      val out = Seq.newBuilder[NearDupHit]
+      var appended = false
+      // doc_id order: deterministic storage choice when the cap binds
+      rows.toArray.sortBy(_.doc_id).foreach { r =>
+        val sig = r.sig
+        stored.foreach { m =>
+          if (m.doc_id != r.doc_id) {
+            var agree = 0
+            var i = 0
+            while (i < numHashes) {
+              if (m.sig(i) == sig(i)) agree += 1
+              i += 1
+            }
+            val est = agree.toDouble / numHashes
+            if (est >= threshold)
+              out += NearDupHit(math.min(m.doc_id, r.doc_id),
+                math.max(m.doc_id, r.doc_id), est, key._1)
+          }
+        }
+        if (stored.size < cap) {
+          stored += BucketMember(r.doc_id, sig)
+          appended = true
+        }
+      }
+      if (appended) members.put(stored.toArray)
+      out.result().iterator
+    }
+  }
+
+  /** Near-dup candidate pairs over a streaming `docs` frame with `doc_id`
+    * and `text` columns (append mode; parameters mirror the batch
+    * `dedup_minhash`: 5-gram char shingles of the normalized text, 64
+    * permutations, 16 bands of 4). The session must run the RocksDB state
+    * store provider ([[RocksDbProvider]]). */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5,
+                   numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5,
+                   maxBucketSize: Int = 256, seed: Long = 42L,
+                   ttl: Option[java.time.Duration] = None): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes $numHashes must split into $bands bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = docs
+      .withColumn("norm", TextOps.normalized("text"))
+      .withColumn("sig", TextOps.minhashSigUdf(numHashes, seed)(
+        TextOps.charShingles("norm", shingleK)))
+      .select(col("doc_id"), col("sig"),
+        posexplode(TextOps.bandBucketsUdf(bands, numHashes / bands)(col("sig")))
+          .as(Seq("band", "bucket")))
+      .as[BandedSig]
+    banded
+      .groupByKey(r => (r.band, r.bucket))
+      .transformWithState(
+        new NearDupProcessor(threshold, numHashes, maxBucketSize, ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+  }
+}

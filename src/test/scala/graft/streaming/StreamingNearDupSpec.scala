@@ -1,0 +1,130 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental MinHash near-dup: a doc seen in trigger 1 must pair with
+  * its near-duplicate arriving in trigger 2 (the keyed band-bucket state
+  * property the batch pass has no counterpart for), and an over-cap swarm
+  * must stay bounded — state stores at most the cap per bucket. */
+class StreamingNearDupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Runs `body` with the RocksDB state store provider transformWithState
+    * requires, restoring the previous provider afterwards (the suite's
+    * session is shared with specs using the default provider). */
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, StreamingNearDup.RocksDbProvider)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private val baseText =
+    "the quick brown fox jumps over the lazy dog while the cat watches " +
+      "from the warm windowsill and the birds sing in the garden outside"
+
+  test("a near-dup arriving a trigger later pairs with the stored original") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[(Long, String)]
+      val docs = input.toDS().toDF("doc_id", "text")
+      val query = StreamingNearDup.nearDupPairs(docs)
+        .writeStream.format("memory").queryName("sneardup")
+        .outputMode("append").start()
+      try {
+        input.addData((0L, baseText))
+        query.processAllAvailable()
+        assert(spark.table("sneardup").isEmpty, "a lone doc has no partner")
+
+        // trigger 2: a light edit of doc 0 plus an unrelated doc — only the
+        // near-dup may pair, and only against STATE from trigger 1
+        input.addData((1L, baseText + " tonight"),
+          (2L, "completely different content about spark structured streaming"))
+        query.processAllAvailable()
+        val pairs = spark.table("sneardup").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).distinct.toSeq
+        assert(pairs.map(p => (p._1, p._2)) == Seq((0L, 1L)),
+          s"expected exactly the cross-trigger near-dup pair: $pairs")
+        assert(pairs.head._3 >= 0.5 && pairs.head._3 < 1.0,
+          s"estimate should be high but not exact: ${pairs.head._3}")
+      } finally query.stop()
+    }
+  }
+
+  test("an exact duplicate pairs at estimate 1.0 in every band it shares") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[(Long, String)]
+      val query = StreamingNearDup.nearDupPairs(input.toDS().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName("sneardup_exact")
+        .outputMode("append").start()
+      try {
+        input.addData((10L, baseText))
+        query.processAllAvailable()
+        input.addData((11L, "  " + baseText.toUpperCase + "  ")) // normalizes equal
+        query.processAllAvailable()
+        val hits = spark.table("sneardup_exact").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        // identical signatures collide in ALL 16 bands, est exactly 1.0
+        assert(hits.length == 16, s"expected one hit per band: ${hits.length}")
+        assert(hits.forall(h => h._1 == 10L && h._2 == 11L && h._3 == 1.0))
+        assert(hits.map(_._4).sorted.toSeq == (0 until 16), "one hit per distinct band")
+      } finally query.stop()
+    }
+  }
+
+  test("registered stream_neardup query: every synthesized copy pair found at est 1.0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sneardup_q").toString
+    Seq((0L, "web", "en", baseText),
+      (1L, "web", "en", "some unrelated text about entirely different things"),
+      (2L, "web", "en", "yet another distinct document body with its own words"),
+      (10L, "web", "en", baseText + " with a tail making it a distinct near-dup"))
+      .toDF("doc_id", "source", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.relational.DataPipelineQueries.queries("stream_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSeq
+    assert(rows == Seq((0L, true, true), (10L, true, true)),
+      s"synthesized-pair verdict grid broken: $rows")
+  }
+
+  test("an over-cap identical swarm stores only the cap; emissions stay bounded") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[(Long, String)]
+      val query = StreamingNearDup.nearDupPairs(
+        input.toDS().toDF("doc_id", "text"), maxBucketSize = 2)
+        .writeStream.format("memory").queryName("sneardup_cap")
+        .outputMode("append").start()
+      try {
+        input.addData((0L, baseText), (1L, baseText), (2L, baseText), (3L, baseText))
+        query.processAllAvailable()
+        val pairs = spark.table("sneardup_cap").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq.sorted
+        // docs 0 and 1 fill every bucket (doc_id order); 2 and 3 compare
+        // against the stored two but are NOT stored, so (2,3) never forms —
+        // the documented bound, identical in every band
+        assert(pairs == Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L)),
+          s"cap-bounded pair set broken: $pairs")
+
+        // and the swarm's state really is capped: a LATER arrival still
+        // pairs only against the stored members
+        input.addData((4L, baseText))
+        query.processAllAvailable()
+        val later = spark.table("sneardup_cap").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq.sorted
+        assert(later == Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (1L, 2L), (1L, 3L), (1L, 4L)),
+          s"late arrival must pair with stored members only: $later")
+      } finally query.stop()
+    }
+  }
+}
