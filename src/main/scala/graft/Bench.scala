@@ -9,9 +9,23 @@ object Bench {
       _.mkString.trim)
     catch { case _: Throwable => "unavailable" }
 
+  // cumulative guest jiffies from /proc/stat's "cpu" line: (busy, steal).
+  // Steal is the taint loadavg CANNOT see — on a shared host the guest's
+  // runnable threads simply run slowly, load stays low, and job-count-heavy
+  // queries (MLlib iteration loops) inflate 10-50x. The JSON reports the
+  // run's steal fraction so such a run is self-identifying too.
+  private def cpuJiffies(): (Long, Long) =
+    try {
+      val cols = scala.util.Using.resource(scala.io.Source.fromFile("/proc/stat"))(
+        _.getLines().next()).trim.split("\\s+").drop(1).map(_.toLong)
+      // user nice system idle iowait irq softirq steal ...
+      (cols.take(3).sum + cols.drop(5).take(2).sum, if (cols.length > 7) cols(7) else 0L)
+    } catch { case _: Throwable => (-1L, -1L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val loadBefore = loadavg()
+    val (busy0, steal0) = cpuJiffies()
     val startedAtMs = System.currentTimeMillis()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -26,9 +40,18 @@ object Bench {
     try SparkEntry.queries.get("pipeline_fit_predict").foreach(_(spark, sfDir).count())
     catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed: ${e.getClass.getSimpleName}: ${e.getMessage}") }
+    // optional arg (dev only; the driver passes none): comma-separated query
+    // names to bench alone — spot-timing without the full-run interference
+    val only = args.headOption.map(_.split(',').toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
+    }
     val errors = scala.collection.mutable.ArrayBuffer[String]()
     // sorted: deterministic execution order makes per-round timings comparable
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a crashing query must read as a FAILURE, not a fast time
       try { fn(spark, sfDir).count() } catch {
@@ -36,14 +59,27 @@ object Bench {
           errors += s"$name: ${e.getClass.getSimpleName}: ${e.getMessage}"
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Registered queries are standalone by contract, so nothing persisted
+      // may outlive its query — but eager localCheckpoint RDDs stay in the
+      // block manager until a driver GC lets ContextCleaner find them, so
+      // across 70+ queries heap-resident blocks accumulate. Released here,
+      // OUTSIDE the timed window: bench harness hygiene, not query cost,
+      // and it keeps a query's time independent of what ran before it.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val (busy1, steal1) = cpuJiffies()
+    val stealPct =
+      if (busy0 < 0 || busy1 <= busy0) -1.0
+      else 100.0 * (steal1 - steal0) / (busy1 - busy0 + steal1 - steal0)
     val env = s""""load_before":"$loadBefore","load_after":"${loadavg()}",""" +
+      s""""steal_pct":${"%.2f".format(stealPct)},""" +
       s""""started_at_ms":$startedAtMs,"finished_at_ms":${System.currentTimeMillis()}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,$env,"sf":"$sfDir"}""")
     spark.stop()

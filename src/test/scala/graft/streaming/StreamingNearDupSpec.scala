@@ -81,6 +81,48 @@ class StreamingNearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("TTL mode: an occupant past its TTL no longer pairs; a fresh one does") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[(Long, String)]
+      val query = StreamingNearDup.nearDupPairs(
+        input.toDS().toDF("doc_id", "text"),
+        ttl = Some(java.time.Duration.ofMillis(500)))
+        .writeStream.format("memory").queryName("sneardup_ttl")
+        .outputMode("append").start()
+      try {
+        input.addData((0L, baseText))
+        query.processAllAvailable()
+        // within the TTL the stored original still pairs
+        input.addData((1L, baseText))
+        query.processAllAvailable()
+        val early = spark.table("sneardup_ttl").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq
+        assert(early == Seq((0L, 1L)), s"in-TTL pair missing: $early")
+
+        // let every stored entry expire, then replay: the horizon-bounded
+        // trade — an aged-out occupant is invisible, the late copy pairs
+        // with nothing and becomes the bucket's fresh occupant...
+        Thread.sleep(1500)
+        input.addData((2L, baseText))
+        query.processAllAvailable()
+        val afterExpiry = spark.table("sneardup_ttl").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq
+        assert(afterExpiry == Seq((0L, 1L)),
+          s"expired occupants must not pair: $afterExpiry")
+
+        // ...and an immediate follower pairs with THAT fresh occupant
+        input.addData((3L, baseText))
+        query.processAllAvailable()
+        val late = spark.table("sneardup_ttl").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq.sorted
+        assert(late == Seq((0L, 1L), (2L, 3L)),
+          s"fresh occupant must pair within its TTL: $late")
+      } finally query.stop()
+    }
+  }
+
   test("registered stream_neardup query: every synthesized copy pair found at est 1.0") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sneardup_q").toString
