@@ -81,44 +81,41 @@ class StreamingNearDupSpec extends AnyFunSuite {
     }
   }
 
-  test("TTL mode: an occupant past its TTL no longer pairs; a fresh one does") {
+  test("TTL mode: occupants past their TTL no longer pair; fresh ones do") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     withRocksDb {
       val input = MemoryStream[(Long, String)]
       val query = StreamingNearDup.nearDupPairs(
         input.toDS().toDF("doc_id", "text"),
-        ttl = Some(java.time.Duration.ofMillis(500)))
+        ttl = Some(java.time.Duration.ofSeconds(2)))
         .writeStream.format("memory").queryName("sneardup_ttl")
         .outputMode("append").start()
+      // processing-time mode keeps running no-data cleanup batches, so
+      // processAllAvailable never settles — poll the sink instead
+      def pairsNow() = spark.table("sneardup_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq.sorted
+      def waitFor(expect: Seq[(Long, Long)] => Boolean, what: String): Unit = {
+        val deadline = System.currentTimeMillis() + 60000
+        while (!expect(pairsNow())) {
+          assert(System.currentTimeMillis() < deadline,
+            s"timed out waiting for $what; pairs = ${pairsNow()}")
+          Thread.sleep(250)
+        }
+      }
       try {
-        input.addData((0L, baseText))
-        query.processAllAvailable()
-        // within the TTL the stored original still pairs
-        input.addData((1L, baseText))
-        query.processAllAvailable()
-        val early = spark.table("sneardup_ttl").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq
-        assert(early == Seq((0L, 1L)), s"in-TTL pair missing: $early")
+        // one batch, two identical docs: both are inside the TTL → pair
+        input.addData((0L, baseText), (1L, baseText))
+        waitFor(_.contains((0L, 1L)), "the in-TTL pair (0,1)")
 
-        // let every stored entry expire, then replay: the horizon-bounded
-        // trade — an aged-out occupant is invisible, the late copy pairs
-        // with nothing and becomes the bucket's fresh occupant...
-        Thread.sleep(1500)
-        input.addData((2L, baseText))
-        query.processAllAvailable()
-        val afterExpiry = spark.table("sneardup_ttl").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq
-        assert(afterExpiry == Seq((0L, 1L)),
-          s"expired occupants must not pair: $afterExpiry")
-
-        // ...and an immediate follower pairs with THAT fresh occupant
-        input.addData((3L, baseText))
-        query.processAllAvailable()
-        val late = spark.table("sneardup_ttl").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq.sorted
-        assert(late == Seq((0L, 1L), (2L, 3L)),
-          s"fresh occupant must pair within its TTL: $late")
+        // let every stored entry expire, then replay the text: the
+        // horizon-bounded trade — aged-out occupants are invisible, so the
+        // two fresh copies pair only with EACH OTHER
+        Thread.sleep(6000)
+        input.addData((2L, baseText), (3L, baseText))
+        waitFor(_.contains((2L, 3L)), "the post-expiry pair (2,3)")
+        assert(pairsNow() == Seq((0L, 1L), (2L, 3L)),
+          s"expired occupants must not pair with fresh arrivals: ${pairsNow()}")
       } finally query.stop()
     }
   }
