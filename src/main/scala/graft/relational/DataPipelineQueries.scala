@@ -998,6 +998,53 @@ object DataPipelineQueries {
         expr("array_min(transform(sh, x -> md5(x)))").as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** Corpus-trained character-bigram LM quality score — the LM-perplexity
+    * filter shape (CCNet scores docs by a reference-LM perplexity; here
+    * the LM is a char-bigram model trained ON the corpus itself, so the
+    * whole pipeline stays self-contained and the oracle can recompute it):
+    * per doc, the mean log of the add-one-smoothed transition probability
+    * P(c₂|c₁) = (count(c₁c₂) + 1) / (count(c₁·) + |V|) over the normalized
+    * text's bigrams. Gibberish/atypical docs score low; boilerplate-like
+    * repetitive text scores high — the standard LM quality axis.
+    *
+    * 100-TB shape: the model is bounded by |alphabet|² rows BY CONSTRUCTION
+    * (one map-side-combinable bigram-count aggregate trains it), so it
+    * always broadcasts; scoring is one more map-local bigram explode +
+    * broadcast join + doc_id-keyed aggregate. Two corpus passes total —
+    * the irreducible train-then-score structure — and nothing data-sized
+    * ever shuffles except the per-doc aggregate. |V| counts distinct chars
+    * in bigram positions (a char appearing only as a 1-char doc is not a
+    * transition participant). Docs with < 2 chars have no bigrams: they
+    * report n_bigrams 0, score 0.0. */
+  private def textLmScore(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), TextOps.normalized("text").as("norm"))
+    val bgs = base.select(col("doc_id"),
+      explode(when(length(col("norm")) >= 2,
+          expr("transform(sequence(1, length(norm) - 1), i -> substring(norm, i, 2))"))
+        .otherwise(array())).as("bg"))
+    // one corpus pass trains the model; eager-checkpointed because three
+    // tiny derivations (firsts, vocab, model) read it
+    val counts = bgs.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      .withColumn("c1", substring(col("bg"), 1, 1))
+      .localCheckpoint(true)
+    val firsts = counts.groupBy(col("c1")).agg(sum(col("c2")).as("c1n"))
+    val vocab = counts.select(col("c1").as("ch"))
+      .union(counts.select(substring(col("bg"), 2, 1).as("ch")))
+      .distinct().count() // bounded by the alphabet — a scalar, not data
+    val model = counts.join(firsts, "c1")
+      .select(col("bg"),
+        log((col("c2") + lit(1)).cast("double") / (col("c1n") + lit(vocab)).cast("double"))
+          .as("logp"))
+    val scored = bgs.join(broadcast(model), "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("logp")), 6).as("lm_logp"))
+    base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_logp"), lit(0.0)).as("lm_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------------- multimodal
   /** Binary-column metadata pass: byte length + header bytes, computed on
     * the opaque payload (the decode-free part every media pipeline runs). */
@@ -1080,6 +1127,7 @@ object DataPipelineQueries {
     "sample_stratified" -> (sampleStratified _),
     "corpus_prep" -> (corpusPrep _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_lm_score" -> (textLmScore _),
     "multimodal_metadata" -> (multimodalMetadata _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_decode_real" -> (multimodalDecodeReal _),
@@ -1480,6 +1528,33 @@ object DataPipelineQueries {
         |                                      i -> substr(text, CAST(i AS INT), 8))),
         |         s -> md5(s))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the full train-then-score recompute: same normalization, same add-one
+    // smoothing, same |V| definition; CAST(... AS DOUBLE) division and ln()
+    // keep both engines in IEEE doubles (DuckDB log() is log10)
+    "text_lm_score" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(CASE WHEN length(norm) >= 2
+        |      THEN list_transform(generate_series(1, length(norm) - 1),
+        |                          i -> substr(norm, CAST(i AS INT), 2))
+        |      ELSE [] END) AS bg
+        |  FROM n),
+        |counts AS (SELECT bg, substr(bg, 1, 1) AS c1, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |firsts AS (SELECT c1, sum(c2) AS c1n FROM counts GROUP BY 1),
+        |vocab AS (SELECT count(*) AS v FROM (
+        |  SELECT c1 AS ch FROM counts UNION SELECT substr(bg, 2, 1) FROM counts) t),
+        |model AS (
+        |  SELECT bg, ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1n + v AS DOUBLE)) AS logp
+        |  FROM counts JOIN firsts USING (c1) CROSS JOIN vocab),
+        |scored AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         round(avg(logp), 6) AS lm_logp
+        |  FROM bg JOIN model USING (bg) GROUP BY doc_id)
+        |SELECT n.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(coalesce(s.lm_logp, 0.0) AS DOUBLE) AS lm_logp
+        |FROM n LEFT JOIN scored s USING (doc_id) ORDER BY n.doc_id""".stripMargin,
     "multimodal_metadata" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       substr(hex(encode(text)), 1, 16) AS header_hex, lang

@@ -258,4 +258,34 @@ class TrainingPipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
     assert(again == rows.map { case (k, v) => k -> v._3 }, "sampler must be deterministic")
   }
+
+  test("text_lm_score: hand-computed bigram model on a 3-doc corpus") {
+    // corpus norm texts: "ab", "abab", "" → bigram counts ab:3, ba:1;
+    // first-char totals a:3, b:1; vocab {a, b} = 2; add-one smoothing:
+    //   P(b|a) = (3+1)/(3+2) = 0.8        P(a|b) = (1+1)/(1+2) = 2/3
+    val dir = writeDocs(Seq(
+      (0L, "web", "en", "ab"),
+      (1L, "web", "en", " ABAB "), // normalizes to "abab"
+      (2L, "web", "en", "")), "lmscore")
+    val rows = graft.relational.DataPipelineQueries.queries("text_lm_score")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lnAb = math.log(0.8)
+    val lnBa = math.log(2.0 / 3.0)
+    assert(rows == Seq(
+      (0L, 1L, r6(lnAb)),
+      (1L, 3L, r6((2 * lnAb + lnBa) / 3)),
+      (2L, 0L, 0.0)), s"hand computation diverged: $rows")
+
+    // the quality axis points the right way: a gibberish doc scores below
+    // a doc made of the corpus's common transitions
+    val dir2 = writeDocs(Seq(
+      (0L, "web", "en", "the cat sat on the mat with the hat"),
+      (1L, "web", "en", "the mat sat on the cat with the hat"),
+      (2L, "web", "en", "zqxj kvwp qzxv jwkq")), "lmscore2")
+    val scores = graft.relational.DataPipelineQueries.queries("text_lm_score")(spark, dir2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(2L) < scores(0L) && scores(2L) < scores(1L),
+      s"gibberish must score lowest: $scores")
+  }
 }
