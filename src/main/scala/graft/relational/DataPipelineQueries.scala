@@ -998,6 +998,43 @@ object DataPipelineQueries {
         expr("array_min(transform(sh, x -> md5(x)))").as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** N-gram language-ID — the profile-based heuristic (Cavnar–Trenkle
+    * shape): per-language character-TRIGRAM profiles (top-50 by frequency,
+    * ties by trigram) train on the corpus's tagged `lang`, and each doc is
+    * classified to the profile its trigram stream hits most (ties to the
+    * alphabetically first language; no hits ⇒ 'und'). Complements
+    * `text_lang_id`'s marker-word heuristic with the distributional one.
+    *
+    * 100-TB shape: profiles are langs × 50 rows — broadcast by
+    * construction after one map-side-combinable (lang, trigram) count;
+    * classification is a map-local trigram explode + broadcast join + one
+    * doc_id-keyed aggregate + a doc_id-partitioned argmax window. All
+    * integer arithmetic — no fp parity risk in the oracle. */
+  private def textLangIdNgram(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("lang"), TextOps.normalized("text").as("norm"))
+    val tris = base.select(col("doc_id"), col("lang"),
+      explode(when(length(col("norm")) >= 3,
+          expr("transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))"))
+        .otherwise(array())).as("tri"))
+    val profile = tris.groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tri"))))
+      .filter(col("rn") <= 50)
+      .select(col("lang").as("cand_lang"), col("tri"))
+    val best = tris.select(col("doc_id"), col("tri"))
+      .join(broadcast(profile), "tri")
+      .groupBy(col("doc_id"), col("cand_lang")).agg(count(lit(1)).as("hits"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("cand_lang"))))
+      .filter(col("rn") === 1)
+    base.select(col("doc_id"), col("lang"))
+      .join(best.select(col("doc_id"), col("cand_lang"), col("hits")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang").as("tagged_lang"),
+        coalesce(col("cand_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("hits"), lit(0L)).as("profile_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-trained character-bigram LM quality score — the LM-perplexity
     * filter shape (CCNet scores docs by a reference-LM perplexity; here
     * the LM is a char-bigram model trained ON the corpus itself, so the
@@ -1128,6 +1165,7 @@ object DataPipelineQueries {
     "corpus_prep" -> (corpusPrep _),
     "text_fingerprint" -> (textFingerprint _),
     "text_lm_score" -> (textLmScore _),
+    "text_lang_id_ngram" -> (textLangIdNgram _),
     "multimodal_metadata" -> (multimodalMetadata _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_decode_real" -> (multimodalDecodeReal _),
@@ -1528,6 +1566,36 @@ object DataPipelineQueries {
         |                                      i -> substr(text, CAST(i AS INT), 8))),
         |         s -> md5(s))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the full train-then-classify recompute: same trigram stream, same
+    // top-50 tie-break (n desc, trigram asc), same argmax tie-break
+    // (hits desc, lang asc) — all integer arithmetic
+    "text_lang_id_ngram" ->
+      """WITH n AS (
+        |  SELECT doc_id, lang, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, lang, unnest(CASE WHEN length(norm) >= 3
+        |      THEN list_transform(generate_series(1, length(norm) - 2),
+        |                          i -> substr(norm, CAST(i AS INT), 3))
+        |      ELSE [] END) AS tri
+        |  FROM n),
+        |freq AS (SELECT lang, tri, count(*) AS cnt FROM tri GROUP BY 1, 2),
+        |profile AS (
+        |  SELECT lang AS cand_lang, tri FROM (
+        |    SELECT lang, tri,
+        |           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tri) AS rn
+        |    FROM freq) WHERE rn <= 50),
+        |best AS (
+        |  SELECT doc_id, cand_lang, hits FROM (
+        |    SELECT doc_id, cand_lang, CAST(count(*) AS BIGINT) AS hits,
+        |           row_number() OVER (PARTITION BY doc_id
+        |                              ORDER BY count(*) DESC, cand_lang) AS rn
+        |    FROM tri JOIN profile USING (tri) GROUP BY doc_id, cand_lang)
+        |  WHERE rn = 1)
+        |SELECT n.doc_id, n.lang AS tagged_lang,
+        |       coalesce(b.cand_lang, 'und') AS pred_lang,
+        |       CAST(coalesce(b.hits, 0) AS BIGINT) AS profile_hits
+        |FROM n LEFT JOIN best b USING (doc_id) ORDER BY n.doc_id""".stripMargin,
     // the full train-then-score recompute: same normalization, same add-one
     // smoothing, same |V| definition; CAST(... AS DOUBLE) division and ln()
     // keep both engines in IEEE doubles (DuckDB log() is log10)
