@@ -282,6 +282,82 @@ object RelationalQueries {
       .select(col("user_id"), col("win_id"), col("value").as("first_val"))
       .orderBy(col("user_id"), col("win_id"))
 
+  // ------------------------------------------------- temporal joins (r6 extensions)
+  /** AS-OF join — each event picks the most recent reference row at or
+    * before its timestamp, per key (here: every 50th event plays a
+    * per-type "threshold update" stream). Spark has no native ASOF, and
+    * the naive key-join + inequality filter is a non-equi join Catalyst
+    * can only nest-loop; the distributed shape is UNION the two tagged
+    * streams and carry the last reference forward with one
+    * `last(ignoreNulls)` window — ONE shuffle on the join key, one sort,
+    * zero row blow-up, dense or sparse reference streams alike. At equal
+    * timestamps references sort first, giving the inclusive `event_ts >=
+    * ref_ts` semantics DuckDB's ASOF JOIN defines; references are
+    * pre-deduped to one per (key, ts) (max event_id) so "latest" is
+    * well-defined on both engines.
+    *
+    * Scale note: the window partitions by the join KEY, so a
+    * low-cardinality key set serializes per key — for that regime,
+    * sub-bucket time into the partition key and stitch bucket boundaries
+    * with a tiny per-bucket last-ref pass, or broadcast the reference
+    * table when it is dimension-sized and take max-below per event. */
+  private def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_id"), col("event_type"),
+      expr("ts div 1000").as("ts_us"))
+    val refs = e.filter(col("event_id") % 50 === 0)
+      .groupBy(col("event_type"), col("ts_us")).agg(max(col("event_id")).as("ref_id"))
+    val tagged = e.select(col("event_type"), col("ts_us"), lit(0).as("is_ref"),
+        col("event_id"), lit(null).cast("long").as("ref_id"),
+        lit(null).cast("long").as("ref_ts_us"))
+      .unionByName(refs.select(col("event_type"), col("ts_us"), lit(1).as("is_ref"),
+        lit(null).cast("long").as("event_id"), col("ref_id"),
+        col("ts_us").as("ref_ts_us")))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us"), col("is_ref").desc, col("event_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("r_id", last(col("ref_id"), ignoreNulls = true).over(w))
+      .withColumn("r_ts", last(col("ref_ts_us"), ignoreNulls = true).over(w))
+      .filter(col("is_ref") === 0)
+      .select(col("event_id"), col("event_type"), col("ts_us"),
+        col("r_id").as("ref_id"), col("r_ts").as("ref_ts_us"),
+        (col("ts_us") - col("r_ts")).as("lag_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** RANGE (interval-containment) join — events against per-type intervals
+    * (every 50th event opens a 1-hour window), aggregated per interval.
+    * The naive `ts BETWEEN start AND end` join is a non-equi join Spark
+    * nest-loops; the distributed shape BUCKETIZES time: intervals explode
+    * to the hour-buckets they cover (≤ 2 rows each when bucket width =
+    * interval length), events map to their single bucket, and the join is
+    * a plain (key, bucket) EQUI-join with the exact containment predicate
+    * as a post-filter — shuffle volume is data-sized, never cartesian.
+    * Bucket width trades fan-out (interval side) against false candidates
+    * (event side); matching it to the interval length caps both. */
+  private def joinRange(s: SparkSession, d: String): DataFrame = {
+    val bucketUs = 3600L * 1000000L
+    val e = events(s, d).select(col("event_id"), col("event_type"),
+      expr("ts div 1000").as("ts_us"))
+    val iv = e.filter(col("event_id") % 50 === 0)
+      .select(col("event_id").as("interval_id"), col("event_type"),
+        col("ts_us").as("start_us"), (col("ts_us") + lit(bucketUs)).as("end_us"))
+    val eb = e.withColumn("bucket", expr(s"ts_us div $bucketUs"))
+    val ib = iv.withColumn("bucket",
+      explode(expr(s"sequence(start_us div $bucketUs, end_us div $bucketUs)")))
+    val matched = ib.join(eb, Seq("event_type", "bucket"))
+      .filter(col("ts_us") >= col("start_us") && col("ts_us") <= col("end_us"))
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_id"),
+        max(col("event_id")).as("last_id"))
+    iv.select(col("interval_id"), col("event_type"))
+      .join(matched, Seq("interval_id"), "left")
+      .select(col("interval_id"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("first_id"), col("last_id"))
+      .orderBy(col("interval_id"))
+  }
+
   // -------------------------------------------------------- §2.9 anomaly decision
   /** reference detection.py:147-149: anomalous iff llk_i > mean_i + k·std_i
     * for EVERY cluster i (sensitivity k = 1); missing (seq,cluster) scores
@@ -329,10 +405,37 @@ object RelationalQueries {
     "agg_seq_collect" -> (aggSeqCollect _),
     "window_segment" -> (windowSegment _),
     "window_first_val" -> (windowFirstVal _),
+    "join_asof" -> (joinAsof _),
+    "join_range" -> (joinRange _),
     "predict_anomaly" -> (predictAnomaly _),
   )
 
   val oracle: Map[String, String] = Map(
+    // DuckDB's NATIVE ASOF JOIN is the oracle for the union+window
+    // implementation — inclusive match (e.ts >= r.ts), refs pre-deduped to
+    // one per (type, ts) on both engines so "latest" is well-defined
+    "join_asof" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |refs AS (SELECT event_type, ts_us, max(event_id) AS ref_id
+        |         FROM e WHERE event_id % 50 = 0 GROUP BY 1, 2)
+        |SELECT e.event_id, e.event_type, e.ts_us, r.ref_id, r.ts_us AS ref_ts_us,
+        |       e.ts_us - r.ts_us AS lag_us
+        |FROM e ASOF LEFT JOIN refs r
+        |  ON e.event_type = r.event_type AND e.ts_us >= r.ts_us
+        |ORDER BY e.event_id""".stripMargin,
+    // the inequality join DuckDB runs directly is the oracle for the
+    // bucketized equi-join implementation
+    "join_range" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |iv AS (SELECT event_id AS interval_id, event_type, ts_us AS start_us,
+        |              ts_us + 3600000000 AS end_us
+        |       FROM e WHERE event_id % 50 = 0)
+        |SELECT i.interval_id, i.event_type,
+        |       CAST(count(e.event_id) AS BIGINT) AS n_events,
+        |       min(e.event_id) AS first_id, max(e.event_id) AS last_id
+        |FROM iv i LEFT JOIN e ON e.event_type = i.event_type
+        |                     AND e.ts_us BETWEEN i.start_us AND i.end_us
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "scan_csv_headerless" ->
       "SELECT event_id, user_id, value FROM events WHERE value IS NOT NULL ORDER BY event_id",
     "scan_csv_headered" ->

@@ -1,0 +1,71 @@
+package graft.relational
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed fixtures for the temporal joins: as-of picks the most
+  * recent reference at-or-before each event per key (inclusive, dedup to
+  * max ref id at equal timestamps), range aggregates events falling inside
+  * each interval — including events landing in a different hour-bucket
+  * than the interval's start. */
+class TemporalJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** (event_id, event_type, ts_us) → an events.parquet with ts as LONG
+    * nanoseconds (the same shape Tables.events surfaces for the driver's
+    * TIMESTAMP(NANOS) fixtures). */
+  private def writeEvents(rows: Seq[(Long, String, Long)], tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(tag).toString
+    rows.map { case (id, tp, tsUs) => (id, tsUs * 1000L, id, tp, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  // refs are the event_id % 50 == 0 rows: 0 and 50 for type a; 100 and 150
+  // both at ts 9999 for type b (the dedup-to-max-id tie case)
+  private val fixture = Seq(
+    (0L, "a", 1000L), (1L, "a", 500L), (2L, "a", 1000L), (3L, "a", 5000L),
+    (4L, "a", 6500L), (50L, "a", 6000L),
+    (5L, "b", 9999L), (100L, "b", 9999L), (150L, "b", 9999L))
+
+  test("join_asof: inclusive latest-ref semantics, ref dedup, unmatched -> null") {
+    val dir = writeEvents(fixture, "asof")
+    val rows = graft.relational.RelationalQueries.queries("join_asof")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    val expected = Seq(
+      0L -> (Some(0L), Some(0L)),     // ref at the SAME ts matches (inclusive)
+      1L -> (None, None),             // before the first ref
+      2L -> (Some(0L), Some(0L)),
+      3L -> (Some(0L), Some(4000L)),
+      4L -> (Some(50L), Some(500L)),  // the LATER ref wins
+      5L -> (Some(150L), Some(0L)),   // equal-ts refs dedup to max id
+      50L -> (Some(50L), Some(0L)),
+      100L -> (Some(150L), Some(0L)),
+      150L -> (Some(150L), Some(0L)))
+    assert(rows == expected.map { case (id, (ref, lag)) => (id, ref, lag) },
+      s"as-of mismatch: $rows")
+  }
+
+  test("join_range: per-interval membership counts, cross-bucket events included") {
+    // type-c interval starting 100 us before an hour boundary: its event at
+    // +200 us sits in the NEXT hour bucket — the interval's second exploded
+    // bucket row must still catch it
+    val hourUs = 3600L * 1000000L
+    val dir = writeEvents(fixture ++ Seq(
+      (200L, "c", hourUs - 100L), (6L, "c", hourUs + 100L)), "range")
+    val rows = graft.relational.RelationalQueries.queries("join_range")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(rows == Seq(
+      (0L, "a", 5L, 0L, 50L),     // a-events in [1000, 1h+1000]
+      (50L, "a", 2L, 4L, 50L),    // only ts >= 6000 remain
+      (100L, "b", 3L, 5L, 150L),
+      (150L, "b", 3L, 5L, 150L),
+      (200L, "c", 2L, 6L, 200L)), // catches the event across the hour boundary
+      s"range mismatch: $rows")
+  }
+}
