@@ -358,6 +358,30 @@ object RelationalQueries {
       .orderBy(col("interval_id"))
   }
 
+  /** Gap-based sessionization — the log-pipeline primitive: a user's
+    * events split into sessions wherever the gap from the previous event
+    * exceeds 30 minutes, then aggregate per session. ONE user-partitioned
+    * window (lag → session-start flags → running sum = session index) plus
+    * one (user, session)-keyed aggregate; all integer µs arithmetic.
+    * Parallelism unit = the user, the natural key for clickstream-scale
+    * data (billions of users, bounded per-user history). */
+  private def windowSessionize(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 30L * 60L * 1000000L
+    val e = events(s, d).select(col("user_id"), col("event_id"),
+      expr("ts div 1000").as("ts_us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val prev = lag(col("ts_us"), 1).over(w)
+    e.withColumn("new_s",
+        when(prev.isNull || col("ts_us") - prev > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   // -------------------------------------------------------- §2.9 anomaly decision
   /** reference detection.py:147-149: anomalous iff llk_i > mean_i + k·std_i
     * for EVERY cluster i (sensitivity k = 1); missing (seq,cluster) scores
@@ -407,6 +431,7 @@ object RelationalQueries {
     "window_first_val" -> (windowFirstVal _),
     "join_asof" -> (joinAsof _),
     "join_range" -> (joinRange _),
+    "window_sessionize" -> (windowSessionize _),
     "predict_anomaly" -> (predictAnomaly _),
   )
 
@@ -423,6 +448,21 @@ object RelationalQueries {
         |FROM e ASOF LEFT JOIN refs r
         |  ON e.event_type = r.event_type AND e.ts_us >= r.ts_us
         |ORDER BY e.event_id""".stripMargin,
+    "window_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |m AS (SELECT user_id, event_id, ts_us,
+        |        CASE WHEN lag(ts_us) OVER w IS NULL
+        |               OR ts_us - lag(ts_us) OVER w > 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |x AS (SELECT user_id, ts_us,
+        |        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |             - 1 AS BIGINT) AS session_idx
+        |      FROM m)
+        |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+        |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |       max(ts_us) - min(ts_us) AS duration_us
+        |FROM x GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
     // the inequality join DuckDB runs directly is the oracle for the
     // bucketized equi-join implementation
     "join_range" ->

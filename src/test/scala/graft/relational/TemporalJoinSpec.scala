@@ -68,4 +68,24 @@ class TemporalJoinSpec extends AnyFunSuite {
       (200L, "c", 2L, 6L, 200L)), // catches the event across the hour boundary
       s"range mismatch: $rows")
   }
+
+  test("window_sessionize: multi-event users split exactly at the gap threshold") {
+    import spark.implicits._
+    val m30 = 30L * 60L * 1000000L
+    val dir = java.nio.file.Files.createTempDirectory("sess2").toString
+    // user 7: events at 0, 100, m30+100 (gap exactly m30 → SAME session),
+    // then 2*m30+101 (gap m30+1 → NEW session); user 8: one event
+    Seq((0L, 0L, 7L), (1L, 100L, 7L), (2L, 100L + m30, 7L),
+      (3L, 101L + 2 * m30, 7L), (4L, 42L, 8L))
+      .map { case (id, tsUs, u) => (id, tsUs * 1000L, u, "a", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = graft.relational.RelationalQueries.queries("window_sessionize")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(rows == Seq(
+      (7L, 0L, 3L, 0L, 100L + m30, 100L + m30),
+      (7L, 1L, 1L, 101L + 2 * m30, 101L + 2 * m30, 0L),
+      (8L, 0L, 1L, 42L, 42L, 0L)), s"sessionize mismatch: $rows")
+  }
 }
