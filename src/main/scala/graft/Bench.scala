@@ -71,15 +71,29 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errJson = errors.map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("[", ",", "]")
+    // full JSON string escape (Verify.q's rule): a Spark AnalysisException
+    // message is routinely multi-line — a raw \n inside the quoted string
+    // would corrupt the output exactly on the runs where errors matter
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errJson = errors.map(q).mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val (busy1, steal1) = cpuJiffies()
     val stealPct =
       if (busy0 < 0 || busy1 <= busy0) -1.0
       else 100.0 * (steal1 - steal0) / (busy1 - busy0 + steal1 - steal0)
+    // Locale.ROOT: default-locale "%.2f" writes a comma decimal separator
+    // on many boxes, which is invalid JSON
+    val stealStr = String.format(java.util.Locale.ROOT, "%.2f", Double.box(stealPct))
     val env = s""""load_before":"$loadBefore","load_after":"${loadavg()}",""" +
-      s""""steal_pct":${"%.2f".format(stealPct)},""" +
+      s""""steal_pct":$stealStr,""" +
       s""""started_at_ms":$startedAtMs,"finished_at_ms":${System.currentTimeMillis()}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,$env,"sf":"$sfDir"}""")
     spark.stop()

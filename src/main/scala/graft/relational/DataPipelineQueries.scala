@@ -541,20 +541,25 @@ object DataPipelineQueries {
     * The memory sink is gate plumbing (driver-sized result set by
     * construction — one row per distinct hash); production streams write
     * parquet/Kafka sinks. */
-  private def streamDedup(s: SparkSession, d: String): DataFrame = {
+  /** The streaming file source wants a DIRECTORY: the driver fixture is a
+    * single parquet FILE (stream its parent dir, glob-filtered to it),
+    * while writer-produced fixtures are directories (stream directly). */
+  private def streamDocs(s: SparkSession, d: String): DataFrame = {
     val schema = s.read.parquet(s"$d/documents.parquet").schema
-    // the streaming file source wants a DIRECTORY: the driver fixture is a
-    // single parquet FILE (stream its parent dir, glob-filtered to it),
-    // while writer-produced fixtures are directories (stream directly)
-    val stream =
-      if (new java.io.File(s"$d/documents.parquet").isDirectory)
-        s.readStream.schema(schema).parquet(s"$d/documents.parquet")
-      else
-        s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(d)
-    val qname = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = graft.streaming.StreamingDedup.distinctDocs(stream)
-      .select(col("doc_id"), col("norm_md5"))
+    if (new java.io.File(s"$d/documents.parquet").isDirectory)
+      s.readStream.schema(schema).parquet(s"$d/documents.parquet")
+    else
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+  }
+
+  /** Runs a (doc_id, norm_md5)-producing stream as a real AvailableNow
+    * query into a memory sink and grades the shared dedup verdict grid:
+    * one emission per hash, each a genuine member of its hash group. */
+  private def streamDedupVerdict(s: SparkSession, d: String, qprefix: String,
+                                 streamed: DataFrame): DataFrame = {
+    val qname = qprefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = streamed.select(col("doc_id"), col("norm_md5"))
       .writeStream.format("memory").queryName(qname)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -576,6 +581,10 @@ object DataPipelineQueries {
       .orderBy(col("norm_md5"))
   }
 
+  private def streamDedup(s: SparkSession, d: String): DataFrame =
+    streamDedupVerdict(s, d, "stream_dedup_",
+      graft.streaming.StreamingDedup.distinctDocs(streamDocs(s, d)))
+
   /** The WATERMARKED streaming dedup — the mode actually deployable at
     * 100 TB (full-history state grows forever; horizon-bounded state is
     * capped by the horizon's arrival volume) — run as a REAL Structured
@@ -590,35 +599,11 @@ object DataPipelineQueries {
     * dependent by design and stays pinned by StreamingDedupSpec, where
     * micro-batches are controlled. */
   private def streamDedupWatermark(s: SparkSession, d: String): DataFrame = {
-    val schema = s.read.parquet(s"$d/documents.parquet").schema
-    val stream =
-      if (new java.io.File(s"$d/documents.parquet").isDirectory)
-        s.readStream.schema(schema).parquet(s"$d/documents.parquet")
-      else
-        s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(d)
-    val withTs = stream.withColumn("event_ts",
+    val withTs = streamDocs(s, d).withColumn("event_ts",
       timestamp_seconds(lit(1700000000L) + col("doc_id") % 900))
-    val qname = "stream_dedup_wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = graft.streaming.StreamingDedup
-      .distinctDocsWithinWatermark(withTs, "event_ts", "2 hours")
-      .select(col("doc_id"), col("norm_md5"))
-      .writeStream.format("memory").queryName(qname)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val emitted = s.table(qname).localCheckpoint(true)
-    s.catalog.dropTempView(qname)
-    val membership = docs(s, d)
-      .select(col("doc_id"), md5(TextOps.normalized("text")).as("norm_md5"))
-      .withColumn("is_member", lit(true))
-    emitted
-      .join(membership, Seq("doc_id", "norm_md5"), "left")
-      .groupBy(col("norm_md5"))
-      .agg(count(lit(1)).as("n_emitted"),
-        bool_and(coalesce(col("is_member"), lit(false))).as("member_ok"))
-      .orderBy(col("norm_md5"))
+    streamDedupVerdict(s, d, "stream_dedup_wm_",
+      graft.streaming.StreamingDedup
+        .distinctDocsWithinWatermark(withTs, "event_ts", "2 hours"))
   }
 
   /** Streaming NEAR-dup detection (incremental MinHash banding via
@@ -626,32 +611,34 @@ object DataPipelineQueries {
     * Structured Streaming query like stream_dedup. Which organic near-dup
     * pairs surface depends on hash geometry DuckDB cannot replay, so the
     * gate synthesizes a deterministic recall floor: every `doc_id % 10 = 0`
-    * document is re-emitted with doc_id + 1,000,000 and IDENTICAL text
-    * (same normalized form ⇒ same signature ⇒ same bucket in every band),
-    * and the oracle-checkable contract is "each synthesized pair is
-    * detected, at estimate exactly 1.0" — pinning the keyed state store,
-    * the banding, and the estimator while organic pairs stay outside the
-    * grid (they are spec-pinned in StreamingNearDupSpec where triggers are
-    * controlled). `transformWithState` requires the RocksDB state store
+    * document is re-emitted with IDENTICAL text under copy id
+    * `-doc_id - 1` — negative, so copy ids can NEVER collide with real
+    * corpus ids at any scale (identical normalized form ⇒ same signature ⇒
+    * same bucket in every band), and the oracle-checkable contract is
+    * "each synthesized pair is detected, at estimate exactly 1.0" —
+    * pinning the keyed state store, the banding, and the estimator while
+    * organic pairs stay outside the grid (spec-pinned in
+    * StreamingNearDupSpec where triggers are controlled).
+    *
+    * The contract is honest about the bucket cap: docs whose identical-
+    * text swarm exceeds half the 256-member cap are EXCLUDED from the
+    * grid on both engines (swarm size is md5-computable in SQL) — an
+    * over-cap swarm can evict an original from its buckets before its
+    * copy arrives, which is the cap working as designed, not a detection
+    * failure. The residual assumption (a bucket filled by near-dups that
+    * are not exact dups) is the same one dedup_minhash's recall floor
+    * makes. `transformWithState` requires the RocksDB state store
     * provider; the previous provider is restored after the run. */
   private def streamNearDup(s: SparkSession, d: String): DataFrame = {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(provKey)
     s.conf.set(provKey, graft.streaming.StreamingNearDup.RocksDbProvider)
     try {
-      val schema = s.read.parquet(s"$d/documents.parquet").schema
-      val stream =
-        if (new java.io.File(s"$d/documents.parquet").isDirectory)
-          s.readStream.schema(schema).parquet(s"$d/documents.parquet")
-        else
-          s.readStream.schema(schema)
-            .option("pathGlobFilter", "documents.parquet").parquet(d)
       // the synthesized copy rides the SAME input row (explode), so both
-      // members of a pair always share a micro-batch — arrival order can
-      // never split them across the cap
-      val withCopies = stream.select(
+      // members of a pair always share a micro-batch
+      val withCopies = streamDocs(s, d).select(
         explode(when(col("doc_id") % 10 === 0,
-            array(col("doc_id"), col("doc_id") + lit(1000000L)))
+            array(col("doc_id"), -col("doc_id") - lit(1L)))
           .otherwise(array(col("doc_id")))).as("doc_id"),
         col("text"))
       val qname = "stream_neardup_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -665,11 +652,15 @@ object DataPipelineQueries {
         .select(col("id_a"), col("id_b"), col("est_jaccard"))
         .distinct().localCheckpoint(true)
       s.catalog.dropTempView(qname)
-      val expected = docs(s, d).filter(col("doc_id") % 10 === 0)
+      val swarmW = Window.partitionBy(md5(TextOps.normalized("text")))
+      val expected = docs(s, d)
+        .withColumn("swarm", count(lit(1)).over(swarmW))
+        .filter(col("doc_id") % 10 === 0 && col("swarm") <= 128)
         .select(col("doc_id").as("orig_id"))
+      // the pair canonicalizes to (copy, orig): the copy id is negative
       expected
-        .join(emitted, expected("orig_id") === emitted("id_a") &&
-          emitted("id_b") === expected("orig_id") + lit(1000000L), "left")
+        .join(emitted, emitted("id_a") === -expected("orig_id") - lit(1L) &&
+          emitted("id_b") === expected("orig_id"), "left")
         .groupBy(col("orig_id"))
         .agg((count(col("id_a")) >= 1L).as("found"),
           bool_and(coalesce(col("est_jaccard") === 1.0, lit(false))).as("est_one"))
@@ -1334,10 +1325,17 @@ object DataPipelineQueries {
         |       CAST(1 AS BIGINT) AS n_emitted, true AS member_ok
         |FROM documents GROUP BY 1 ORDER BY norm_md5""".stripMargin,
     // the synthesized exact-dup recall floor: every doc_id % 10 = 0 doc is
-    // re-streamed with identical text, so its pair MUST be found at est 1.0
+    // re-streamed with identical text under copy id -doc_id-1, so its pair
+    // MUST be found at est 1.0 — except docs whose identical-text swarm
+    // exceeds half the bucket cap (the cap may evict them by design)
     "stream_neardup" ->
-      """SELECT doc_id AS orig_id, true AS found, true AS est_one
-        |FROM documents WHERE doc_id % 10 = 0 ORDER BY orig_id""".stripMargin,
+      """WITH sw AS (
+        |  SELECT doc_id,
+        |         count(*) OVER (PARTITION BY
+        |           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS swarm
+        |  FROM documents)
+        |SELECT doc_id AS orig_id, true AS found, true AS est_one
+        |FROM sw WHERE doc_id % 10 = 0 AND swarm <= 128 ORDER BY orig_id""".stripMargin,
     "similarity_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
         |p AS (

@@ -83,9 +83,10 @@ class StreamingDedupSpec extends AnyFunSuite {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sdedup_wm_q").toString
     // doc_ids straddling the 900 s event-time modulus: 0/900 share an event
-    // time, 1/901 share a hash at different event times — both dedup to one
+    // time (900 % 900 = 0), 1/451 share a hash at DISTINCT event times
+    // (1 s vs 451 s, both inside the 2 h horizon) — both pairs dedup to one
     Seq((0L, "web", "en", "same text"), (900L, "web", "en", "same   TEXT"),
-      (1L, "web", "en", "other text"), (901L, "web", "en", "OTHER  text"),
+      (1L, "web", "en", "other text"), (451L, "web", "en", "OTHER  text"),
       (2L, "web", "en", "third text"))
       .toDF("doc_id", "source", "lang", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
