@@ -642,11 +642,26 @@ object DataPipelineQueries {
           .otherwise(array(col("doc_id")))).as("doc_id"),
         col("text"))
       val qname = "stream_neardup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = graft.streaming.StreamingNearDup.nearDupPairs(withCopies)
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // State partition count is fixed at stream start from
+      // spark.sql.shuffle.partitions, and each partition is a RocksDB
+      // instance with per-batch open/commit overhead — the dominant cost
+      // when state is small. Size partitions to the DATA (≥ ~10k banded
+      // state rows each, floor 8), capped at the session's setting, which
+      // a production deployment sizes to its cluster: at gate scale this
+      // is 8 (measured ~20% off the query), at corpus scale it returns to
+      // the session value. Restored after start for the batch verdict side.
+      val partKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partKey)
+      val stateRows = docs(s, d).count() * 16L // bands per doc
+      val parts = math.max(8L, math.min(prevParts.toLong, stateRows / 10000L))
+      s.conf.set(partKey, parts.toString)
+      val q =
+        try graft.streaming.StreamingNearDup.nearDupPairs(withCopies)
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        finally s.conf.set(partKey, prevParts)
       q.awaitTermination()
       val emitted = s.table(qname)
         .select(col("id_a"), col("id_b"), col("est_jaccard"))
