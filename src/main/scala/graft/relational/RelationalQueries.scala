@@ -283,45 +283,86 @@ object RelationalQueries {
       .orderBy(col("user_id"), col("win_id"))
 
   // ------------------------------------------------- temporal joins (r6 extensions)
-  /** AS-OF join — each event picks the most recent reference row at or
-    * before its timestamp, per key (here: every 50th event plays a
-    * per-type "threshold update" stream). Spark has no native ASOF, and
-    * the naive key-join + inequality filter is a non-equi join Catalyst
-    * can only nest-loop; the distributed shape is UNION the two tagged
-    * streams and carry the last reference forward with one
-    * `last(ignoreNulls)` window — ONE shuffle on the join key, one sort,
-    * zero row blow-up, dense or sparse reference streams alike. At equal
-    * timestamps references sort first, giving the inclusive `event_ts >=
-    * ref_ts` semantics DuckDB's ASOF JOIN defines; references are
-    * pre-deduped to one per (key, ts) (max event_id) so "latest" is
-    * well-defined on both engines.
+  /** Scale-safe AS-OF join core — each event row picks the most recent
+    * reference row at or before its timestamp, per key. Spark has no
+    * native ASOF, and the naive key-join + inequality filter is a
+    * non-equi join Catalyst can only nest-loop; the distributed shape is
+    * UNION the two tagged streams and carry the last reference forward
+    * with one `last(ignoreNulls)` window.
     *
-    * Scale note: the window partitions by the join KEY, so a
-    * low-cardinality key set serializes per key — for that regime,
-    * sub-bucket time into the partition key and stitch bucket boundaries
-    * with a tiny per-bucket last-ref pass, or broadcast the reference
-    * table when it is dimension-sized and take max-below per event. */
+    * A window partitioned by the join KEY alone serializes each key into
+    * one task's sort — a scale-killer when keys are low-cardinality (the
+    * fixture's `event_type` has 5 values; at 100 TB that is ~20 TB per
+    * task). So the window partitions by `(key, ts_bucket)` where
+    * `ts_bucket = ts div bucketUs`: partition count scales with the time
+    * span, task size with data density per bucket (shrink `bucketUs` as
+    * density grows; width ≈ span · targetRowsPerTask / N keeps tasks
+    * bounded at any corpus size). Bucket heads are then stitched with a
+    * BUCKET-COUNT-sized carry pass: per (key, bucket) take the last
+    * in-bucket reference, cumulative-max it over the bucket sequence
+    * (strictly earlier buckets only), and join the carried reference back
+    * on (key, bucket) — that frame has one row per occupied bucket,
+    * independent of row density, so AQE broadcasts it at any realistic
+    * span.
+    *
+    * Semantics (pinned against DuckDB's native ASOF JOIN): inclusive
+    * match (`event_ts >= ref_ts` — at equal timestamps in-bucket
+    * references sort first); callers pre-dedup references to one per
+    * (key, ts) so "latest" is well-defined.
+    *
+    * @param e    events: (event_id, key, ts_us)
+    * @param refs references: (key, ts_us, ref_id), deduped per (key, ts)
+    */
+  private[graft] def asofBucketed(e: DataFrame, refs: DataFrame, key: String,
+                                  bucketUs: Long): DataFrame = {
+    val eb = e.withColumn("ts_bucket", expr(s"ts_us div $bucketUs"))
+    val rb = refs.withColumn("ts_bucket", expr(s"ts_us div $bucketUs"))
+    val tagged = eb.select(col(key), col("ts_bucket"), col("ts_us"),
+        lit(0).as("is_ref"), col("event_id"),
+        lit(null).cast("long").as("ref_id"), lit(null).cast("long").as("ref_ts_us"))
+      .unionByName(rb.select(col(key), col("ts_bucket"), col("ts_us"),
+        lit(1).as("is_ref"), lit(null).cast("long").as("event_id"),
+        col("ref_id"), col("ts_us").as("ref_ts_us")))
+    val w = Window.partitionBy(col(key), col("ts_bucket"))
+      .orderBy(col("ts_us"), col("is_ref").desc, col("event_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = tagged
+      .withColumn("r_id_in", last(col("ref_id"), ignoreNulls = true).over(w))
+      .withColumn("r_ts_in", last(col("ref_ts_us"), ignoreNulls = true).over(w))
+      .filter(col("is_ref") === 0)
+    // boundary stitch: latest reference strictly BEFORE each occupied
+    // bucket, computed on a frame with one row per (key, bucket) — later
+    // buckets hold strictly later timestamps, so max(struct(ts, id)) over
+    // preceding rows IS the carried-in reference; max ignores the nulls
+    // contributed by ref-free buckets
+    val perBucket = rb.groupBy(col(key), col("ts_bucket"))
+      .agg(max(struct(col("ts_us"), col("ref_id"))).as("lastref"))
+    val cw = Window.partitionBy(col(key)).orderBy(col("ts_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = tagged.select(col(key), col("ts_bucket")).distinct()
+      .join(perBucket, Seq(key, "ts_bucket"), "left")
+      .withColumn("carried", max(col("lastref")).over(cw))
+      .select(col(key), col("ts_bucket"),
+        col("carried.ref_id").as("c_id"), col("carried.ts_us").as("c_ts"))
+    inBucket.join(carry, Seq(key, "ts_bucket"), "left")
+      .withColumn("r_id", coalesce(col("r_id_in"), col("c_id")))
+      .withColumn("r_ts", coalesce(col("r_ts_in"), col("c_ts")))
+      .select(col("event_id"), col(key), col("ts_us"),
+        col("r_id").as("ref_id"), col("r_ts").as("ref_ts_us"),
+        (col("ts_us") - col("r_ts")).as("lag_us"))
+  }
+
+  /** AS-OF join gate query — every 50th event plays a per-type "threshold
+    * update" stream; each event picks the latest update at or before it.
+    * Rides [[asofBucketed]] with 1-hour buckets (the fixture spans ~30
+    * days → ~720 buckets × 5 types ≈ 3,600 window partitions, vs 5 for
+    * the key-only plan this replaces). */
   private def joinAsof(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).select(col("event_id"), col("event_type"),
       expr("ts div 1000").as("ts_us"))
     val refs = e.filter(col("event_id") % 50 === 0)
       .groupBy(col("event_type"), col("ts_us")).agg(max(col("event_id")).as("ref_id"))
-    val tagged = e.select(col("event_type"), col("ts_us"), lit(0).as("is_ref"),
-        col("event_id"), lit(null).cast("long").as("ref_id"),
-        lit(null).cast("long").as("ref_ts_us"))
-      .unionByName(refs.select(col("event_type"), col("ts_us"), lit(1).as("is_ref"),
-        lit(null).cast("long").as("event_id"), col("ref_id"),
-        col("ts_us").as("ref_ts_us")))
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts_us"), col("is_ref").desc, col("event_id").asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged
-      .withColumn("r_id", last(col("ref_id"), ignoreNulls = true).over(w))
-      .withColumn("r_ts", last(col("ref_ts_us"), ignoreNulls = true).over(w))
-      .filter(col("is_ref") === 0)
-      .select(col("event_id"), col("event_type"), col("ts_us"),
-        col("r_id").as("ref_id"), col("r_ts").as("ref_ts_us"),
-        (col("ts_us") - col("r_ts")).as("lag_us"))
+    asofBucketed(e, refs, "event_type", 3600L * 1000000L)
       .orderBy(col("event_id"))
   }
 

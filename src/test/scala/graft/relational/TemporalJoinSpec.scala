@@ -50,6 +50,53 @@ class TemporalJoinSpec extends AnyFunSuite {
       s"as-of mismatch: $rows")
   }
 
+  test("join_asof: ref/event pairs straddling hour-bucket boundaries stitch correctly") {
+    val hourUs = 3600L * 1000000L
+    // type a: ref 0 in bucket 0; events 2 and 5 in ref-free buckets that
+    // must take the CARRIED reference; ref 50 exactly ON the bucket-3
+    // boundary (event 3 at the same ts matches inclusively, event 4 one
+    // µs earlier in bucket 2 must NOT see it); type b isolates keys
+    val dir = writeEvents(Seq(
+      (0L, "a", 1000L), (1L, "a", 500L),
+      (2L, "a", 2 * hourUs + 5L),
+      (50L, "a", 3 * hourUs), (3L, "a", 3 * hourUs), (4L, "a", 3 * hourUs - 1L),
+      (5L, "a", 5 * hourUs + 7L),
+      (100L, "b", 10 * hourUs), (6L, "b", 12 * hourUs), (7L, "b", 0L)), "asofstraddle")
+    val df = graft.relational.RelationalQueries.queries("join_asof")(spark, dir)
+    val rows = df.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)),
+      if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    val expected = Seq(
+      0L -> (Some(0L), Some(0L)),
+      1L -> (None, None),                          // before the first ref
+      2L -> (Some(0L), Some(2 * hourUs - 995L)),   // carried across 2 buckets
+      3L -> (Some(50L), Some(0L)),                 // boundary ref, inclusive
+      4L -> (Some(0L), Some(3 * hourUs - 1001L)),  // 1 µs before the boundary ref
+      5L -> (Some(50L), Some(2 * hourUs + 7L)),    // carried across a ref-free bucket
+      6L -> (Some(100L), Some(2 * hourUs)),        // keys don't bleed
+      7L -> (None, None),
+      50L -> (Some(50L), Some(0L)),
+      100L -> (Some(100L), Some(0L)))
+    assert(rows == expected.map { case (id, (ref, lag)) => (id, ref, lag) },
+      s"straddle mismatch: $rows")
+  }
+
+  test("join_asof: the as-of window partitions by (key, ts_bucket), not the key alone") {
+    val hourUs = 3600L * 1000000L
+    val dir = writeEvents(
+      (0L to 200L).map(i => (i, "a", i * hourUs / 10)), "asofplan")
+    val df = graft.relational.RelationalQueries.queries("join_asof")(spark, dir)
+    val winLines = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    // the per-row as-of window (the one computing last(ref_id)) must carry
+    // ts_bucket in its partition spec — that is what makes partition count
+    // scale with the time span instead of the key cardinality
+    val asofWin = winLines.filter(_.contains("ref_id"))
+    assert(asofWin.nonEmpty, s"no as-of window found in:\n$winLines")
+    assert(asofWin.forall(_.contains("ts_bucket")),
+      s"as-of window not bucket-partitioned:\n$asofWin")
+  }
+
   test("join_range: per-interval membership counts, cross-bucket events included") {
     // type-c interval starting 100 us before an hour boundary: its event at
     // +200 us sits in the NEXT hour bucket — the interval's second exploded
