@@ -52,6 +52,12 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // per-query steal attribution: round 6's artifact had 2.25% AVERAGE
+      // steal yet individual queries 13-53x their isolated cost — bursts
+      // land on job-count-heavy queries and the run-level number hides
+      // them. Jiffies sampled around each query let the gate discard the
+      // TAINTED ROWS instead of the whole run.
+      val (qBusy0, qSteal0) = cpuJiffies()
       val t0 = System.nanoTime()
       // a crashing query must read as a FAILURE, not a fast time
       try { fn(spark, sfDir).count() } catch {
@@ -60,6 +66,10 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      val (qBusy1, qSteal1) = cpuJiffies()
+      val qSteal =
+        if (qBusy0 < 0 || qBusy1 + qSteal1 <= qBusy0 + qSteal0) -1.0
+        else 100.0 * (qSteal1 - qSteal0) / (qBusy1 - qBusy0 + qSteal1 - qSteal0)
       // Registered queries are standalone by contract, so nothing persisted
       // may outlive its query — but eager localCheckpoint RDDs stay in the
       // block manager until a driver GC lets ContextCleaner find them, so
@@ -67,9 +77,12 @@ object Bench {
       // OUTSIDE the timed window: bench harness hygiene, not query cost,
       // and it keeps a query's time independent of what ran before it.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      name -> elapsed
+      (name, elapsed, qSteal)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def pct(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsSteal = results.map { case (k, _, s) => s"\"" + k + "\":" + pct(s) }
       .mkString("{", ",", "}")
     // full JSON string escape (Verify.q's rule): a Spark AnalysisException
     // message is routinely multi-line — a raw \n inside the quoted string
@@ -89,11 +102,14 @@ object Bench {
     val stealPct =
       if (busy0 < 0 || busy1 <= busy0) -1.0
       else 100.0 * (steal1 - steal0) / (busy1 - busy0 + steal1 - steal0)
-    // Locale.ROOT: default-locale "%.2f" writes a comma decimal separator
-    // on many boxes, which is invalid JSON
-    val stealStr = String.format(java.util.Locale.ROOT, "%.2f", Double.box(stealPct))
-    val env = s""""load_before":"$loadBefore","load_after":"${loadavg()}",""" +
-      s""""steal_pct":$stealStr,""" +
+    // loadavg strings go through q() like the error strings: /proc/loadavg
+    // content is benign today, but the "unavailable" fallback path could
+    // grow an exception message, and raw interpolation would corrupt the
+    // JSON on exactly the runs where the metadata matters.
+    // (pct uses Locale.ROOT: default-locale "%.2f" writes a comma decimal
+    // separator on many boxes, which is invalid JSON)
+    val env = s""""load_before":${q(loadBefore)},"load_after":${q(loadavg())},""" +
+      s""""steal_pct":${pct(stealPct)},"query_steal_pct":$qsSteal,""" +
       s""""started_at_ms":$startedAtMs,"finished_at_ms":${System.currentTimeMillis()}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,$env,"sf":"$sfDir"}""")
     spark.stop()

@@ -141,12 +141,19 @@ object Similarity {
       .join(c, "vec_id")
       .join(q, "qid")
       .withColumn("cosine", round(cosine("qe", "emb"), 6))
-    scored
+    val ranked = scored
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("rn") <= k)
-      .join(nCand, "qid")
-      .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"), col("n_candidates"))
+      .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"))
+    // every query id appears even when its probes found nothing (empty
+    // buckets / all candidates capped away): null neighbor, 0 candidates —
+    // NOT silent row loss (library callers diff query sets against outputs)
+    queries.select(col("vec_id").as("qid"))
+      .join(ranked, Seq("qid"), "left")
+      .join(nCand, Seq("qid"), "left")
+      .select(col("qid"), col("neighbor"), col("cosine"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
   }
 
   /** Near-duplicate PAIRS over the whole corpus — the dedup-shaped LSH
@@ -437,15 +444,20 @@ object Similarity {
     val nCand = adc.groupBy(col("qid")).agg(count(lit(1)).as("n_candidates"))
     val c = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val qe = queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe2"))
-    adc
+    val ranked = adc
       .join(c, "vec_id")
       .join(qe, "qid")
       .withColumn("cosine", round(cosine("qe2", "emb"), 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("rn") <= k)
-      .join(nCand, "qid")
-      .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"), col("n_candidates"))
+      .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"))
+    // no silent row loss for empty-candidate queries — see annTopK
+    queries.select(col("vec_id").as("qid"))
+      .join(ranked, Seq("qid"), "left")
+      .join(nCand, Seq("qid"), "left")
+      .select(col("qid"), col("neighbor"), col("cosine"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
   }
 
   /** A fitted IVF+PQ index — the composed billion-vector layout (FAISS
@@ -619,17 +631,22 @@ object Similarity {
     val nCand = adc.groupBy(col("qid")).agg(count(lit(1)).as("n_candidates"))
     val c = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val qe = queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe2"))
-    adc
+    val ranked = adc
       .join(c, "vec_id")
       .join(qe, "qid")
       .withColumn("cosine", round(cosine("qe2", "emb"), 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("rn") <= k)
-      .join(nCand, "qid")
-      .join(nScanned, "qid")
-      .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"),
-        col("n_candidates"), col("n_scanned"))
+      .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"))
+    // no silent row loss for empty-probe queries — see annTopK
+    queries.select(col("vec_id").as("qid"))
+      .join(ranked, Seq("qid"), "left")
+      .join(nCand, Seq("qid"), "left")
+      .join(nScanned, Seq("qid"), "left")
+      .select(col("qid"), col("neighbor"), col("cosine"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_scanned"), lit(0L)).as("n_scanned"))
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -657,14 +674,19 @@ object Similarity {
     val nCand = cand.groupBy(col("qid")).agg(count(lit(1)).as("n_candidates"))
     val c = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
-    cand
+    val ranked = cand
       .join(c, "vec_id")
       .join(q, "qid") // no broadcast hint — see annTopK
       .withColumn("cosine", round(cosine("qe", "emb"), 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("rn") <= k)
-      .join(nCand, "qid")
-      .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"), col("n_candidates"))
+      .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"))
+    // no silent row loss for empty-probe queries — see annTopK
+    queries.select(col("vec_id").as("qid"))
+      .join(ranked, Seq("qid"), "left")
+      .join(nCand, Seq("qid"), "left")
+      .select(col("qid"), col("neighbor"), col("cosine"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
   }
 }

@@ -261,6 +261,49 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("empty-probe queries keep their row: null neighbor, zero candidates") {
+    import spark.implicits._
+    // a 1-vector corpus queried by itself: every candidate is the self-row
+    // and gets filtered — before the left-join fix these queries vanished
+    // from the output entirely (silent row loss for library callers)
+    val emb = Array.tabulate(64)(j => math.sin(j + 1).toFloat).toSeq
+    val v = Seq((0L, emb)).toDF("vec_id", "embedding")
+    def assertKept(df: org.apache.spark.sql.DataFrame): Unit = {
+      val r = df.collect()
+      assert(r.length == 1, s"query row lost or duplicated: ${r.mkString(",")}")
+      assert(r(0).getLong(0) == 0L && r(0).isNullAt(1) && r(0).isNullAt(2)
+        && r(0).getLong(3) == 0L, s"unexpected empty-probe row: ${r(0)}")
+    }
+    assertKept(Similarity.annTopK(v, v, k = 3))
+    assertKept(Similarity.pqTopK(v, v, k = 3))
+    // the IVF family needs MLlib's k >= 2: two antipodal vectors land in
+    // their own cells, so vec 0 probing ONLY its own cell (nProbe = 1)
+    // still self-filters to an empty candidate set
+    val v2 = Seq((0L, emb), (1L, emb.map(-_))).toDF("vec_id", "embedding")
+    val q0 = v2.filter(col("vec_id") === 0L)
+    assertKept(Similarity.ivfTopK(v2, q0, k = 3, nCells = 2, nProbe = 1))
+    val ivfpq = Similarity.ivfpqTopK(v2, q0, k = 3, nCells = 2, nProbe = 1)
+    assertKept(ivfpq)
+    assert(ivfpq.collect()(0).getLong(4) == 0L, "n_scanned must be 0")
+  }
+
+  test("similarity_index_reuse: serve batches run no KMeans and cost less than the fit") {
+    // the registered gate query carries its own scheduler evidence — the
+    // verdict booleans ARE the no-re-fit assertion (VERDICT r6 ask #7)
+    val rows = graft.relational.DataPipelineQueries
+      .queries("similarity_index_reuse")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 10, s"expected 10 batch-2 query rows, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(1) == 5L, s"n_returned: $r")
+      assert(r.getBoolean(2), s"found_true_neighbor: $r")
+      assert(r.getBoolean(3), s"fit_ran_kmeans (probe broken): $r")
+      assert(r.getBoolean(4), s"serve_no_kmeans (re-fit happened): $r")
+      assert(r.getBoolean(5), s"serve_cheaper_than_fit: $r")
+      assert(r.getBoolean(6), s"batch1_complete: $r")
+    }
+  }
+
   test("embedding near-dup: a duplicated vector is found at cosine ~1") {
     import spark.implicits._
     // plant an exact duplicate pair in a small synthetic corpus
