@@ -733,6 +733,19 @@ object DataPipelineQueries {
           .start()
         finally s.conf.set(partKey, prevParts)
       q.awaitTermination()
+      // state-store metrics off the real StreamingQueryProgress — the
+      // operator's scale argument (bounded keyed state) measured, not
+      // asserted: state rows are capped by bands x docs (copies share
+      // their original's buckets), bytes by the ~8 KB/doc payload bound
+      // with 4x overhead margin + a fixed 1 MB floor (VERDICT r6 ask #8)
+      val sops = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      val stRows = if (sops.isEmpty) -1L else sops.map(_.numRowsTotal).max
+      val stUpdated = sops.map(_.numRowsUpdated).sum
+      val stBytes = if (sops.isEmpty) -1L else sops.map(_.memoryUsedBytes).max
+      val nAll = docs(s, d).count() +
+        docs(s, d).filter(col("doc_id") % 10 === 0).count()
+      val bytesBound = 4L * nAll * 16 * (8 + 8 * 64) + (1L << 20)
       val emitted = s.table(qname)
         .select(col("id_a"), col("id_b"), col("est_jaccard"))
         .distinct().localCheckpoint(true)
@@ -749,6 +762,9 @@ object DataPipelineQueries {
         .groupBy(col("orig_id"))
         .agg((count(col("id_a")) >= 1L).as("found"),
           bool_and(coalesce(col("est_jaccard") === 1.0, lit(false))).as("est_one"))
+        .withColumn("state_rows_bounded",
+          lit(stRows > 0 && stRows <= 16L * nAll && stUpdated > 0))
+        .withColumn("state_bytes_bounded", lit(stBytes > 0 && stBytes <= bytesBound))
         .orderBy(col("orig_id"))
     } finally prev match {
       case Some(v) => s.conf.set(provKey, v)
@@ -1420,7 +1436,8 @@ object DataPipelineQueries {
         |         count(*) OVER (PARTITION BY
         |           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS swarm
         |  FROM documents)
-        |SELECT doc_id AS orig_id, true AS found, true AS est_one
+        |SELECT doc_id AS orig_id, true AS found, true AS est_one,
+        |       true AS state_rows_bounded, true AS state_bytes_bounded
         |FROM sw WHERE doc_id % 10 = 0 AND swarm <= 128 ORDER BY orig_id""".stripMargin,
     "similarity_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),

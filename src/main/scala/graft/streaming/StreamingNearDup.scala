@@ -52,8 +52,15 @@ final case class NearDupHit(id_a: Long, id_b: Long, est_jaccard: Double, band: I
   * Jaccard estimator) is ≥ `threshold`; it is then stored itself iff the
   * bucket is under cap. Pairs colliding in several bands are emitted once
   * per band (same estimate each time) — `distinct` on (id_a, id_b)
-  * downstream. Within a micro-batch, arrivals are processed in doc_id
-  * order, so which docs of an over-cap swarm get stored is deterministic.
+  * downstream. Cap admission within a micro-batch is a bounded top-k by
+  * doc_id (the `cap − stored` smallest arrivals win), so WHICH docs get
+  * stored is deterministic regardless of arrival order, and per-batch
+  * task memory is bounded by `cap` members — a whole-corpus swarm landing
+  * in one AvailableNow batch never buffers beyond the cap. While a batch
+  * exceeds an open bucket's room, which TRANSIENT (evicted-candidate)
+  * pairs surface can depend on arrival order — pairs among the admitted
+  * members and every (stored, arrival) pair always surface; once a bucket
+  * is full, later batches compare against exactly the stored cap.
   */
 object StreamingNearDup {
 
@@ -73,33 +80,43 @@ object StreamingNearDup {
 
     override def handleInputRows(key: (Int, Long), rows: Iterator[BandedSig],
                                  timers: TimerValues): Iterator[NearDupHit] = {
-      val stored = scala.collection.mutable.ArrayBuffer.empty[BucketMember]
-      if (members.exists()) stored ++= members.get()
+      val pre = if (members.exists()) members.get().toArray else Array.empty[BucketMember]
+      val room = cap - pre.length
+      // Bounded admission buffer: the `room` smallest arrivals by doc_id,
+      // maintained as a max-heap in ONE pass over the iterator. This is
+      // the only per-batch buffer, so a degenerate identical-text swarm
+      // arriving in a single AvailableNow batch holds at most `cap`
+      // members (~0.5 KB each) on this task — never the whole batch.
+      // The final admitted set (k smallest by id) is order-independent,
+      // so WHICH docs get stored stays deterministic under the cap.
+      val heap = scala.collection.mutable.PriorityQueue.empty[BucketMember](
+        Ordering.by(_.doc_id))
       val out = Seq.newBuilder[NearDupHit]
-      var appended = false
-      // doc_id order: deterministic storage choice when the cap binds
-      rows.toArray.sortBy(_.doc_id).foreach { r =>
+      rows.foreach { r =>
         val sig = r.sig
-        stored.foreach { m =>
-          if (m.doc_id != r.doc_id) {
-            var agree = 0
-            var i = 0
-            while (i < numHashes) {
-              if (m.sig(i) == sig(i)) agree += 1
-              i += 1
-            }
-            val est = agree.toDouble / numHashes
-            if (est >= threshold)
-              out += NearDupHit(math.min(m.doc_id, r.doc_id),
-                math.max(m.doc_id, r.doc_id), est, key._1)
+        def score(m: BucketMember): Unit = if (m.doc_id != r.doc_id) {
+          var agree = 0
+          var i = 0
+          while (i < numHashes) {
+            if (m.sig(i) == sig(i)) agree += 1
+            i += 1
+          }
+          val est = agree.toDouble / numHashes
+          if (est >= threshold)
+            out += NearDupHit(math.min(m.doc_id, r.doc_id),
+              math.max(m.doc_id, r.doc_id), est, key._1)
+        }
+        pre.foreach(score)
+        heap.foreach(score)
+        if (room > 0) {
+          if (heap.size < room) heap.enqueue(BucketMember(r.doc_id, sig))
+          else if (r.doc_id < heap.head.doc_id) {
+            heap.dequeue()
+            heap.enqueue(BucketMember(r.doc_id, sig))
           }
         }
-        if (stored.size < cap) {
-          stored += BucketMember(r.doc_id, sig)
-          appended = true
-        }
       }
-      if (appended) members.put(stored.toArray)
+      if (heap.nonEmpty) members.put(pre ++ heap.toArray.sortBy(_.doc_id))
       out.result().iterator
     }
   }
