@@ -366,27 +366,71 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Tier count for [[rangeBuckets]]/[[rangeEventProbes]]: the smallest T
+    * such that `baseUs · 4^(T−1)` covers `maxLenUs` — T grows as
+    * log₄(maxLen/base), so even a year-long interval over a 15-minute
+    * base costs 9 tiers. */
+  private[graft] def rangeTiers(baseUs: Long, maxLenUs: Long): Int = {
+    var t = 1
+    while (baseUs * (1L << (2 * (t - 1))) < maxLenUs && t < 31) t += 1
+    t
+  }
+
+  /** Interval side of the tiered range join: each interval is assigned the
+    * SMALLEST tier whose bucket width (`baseUs · 4^tier`) covers its
+    * length, so it explodes to AT MOST 2 bucket rows — the capped
+    * per-interval fan-out a heavy-tailed length distribution needs (a
+    * single-width bucketization explodes a long interval to len/width
+    * rows). */
+  private[graft] def rangeBuckets(iv: DataFrame, baseUs: Long, tiers: Int): DataFrame = {
+    val len = col("end_us") - col("start_us")
+    val tierCol = (0 until tiers - 1).foldRight(lit(tiers - 1)) { (t, rest) =>
+      when(len <= lit(baseUs * (1L << (2 * t))), lit(t)).otherwise(rest)
+    }
+    iv.withColumn("tier", tierCol)
+      .withColumn("width", expr(s"shiftleft(CAST($baseUs AS BIGINT), 2 * tier)"))
+      .withColumn("bucket", explode(array_distinct(
+        array(expr("start_us div width"), expr("end_us div width")))))
+      .drop("width")
+  }
+
+  /** Event side: one probe row per tier (bucket = ts at that tier's
+    * width) — per-event fan-out is the tier count, logarithmic in the
+    * length spread, never data-sized. */
+  private[graft] def rangeEventProbes(e: DataFrame, baseUs: Long, tiers: Int): DataFrame =
+    e.withColumn("tier", explode(lit((0 until tiers).toArray)))
+      .withColumn("bucket",
+        expr(s"ts_us div shiftleft(CAST($baseUs AS BIGINT), 2 * tier)"))
+
   /** RANGE (interval-containment) join — events against per-type intervals
-    * (every 50th event opens a 1-hour window), aggregated per interval.
-    * The naive `ts BETWEEN start AND end` join is a non-equi join Spark
-    * nest-loops; the distributed shape BUCKETIZES time: intervals explode
-    * to the hour-buckets they cover (≤ 2 rows each when bucket width =
-    * interval length), events map to their single bucket, and the join is
-    * a plain (key, bucket) EQUI-join with the exact containment predicate
-    * as a post-filter — shuffle volume is data-sized, never cartesian.
-    * Bucket width trades fan-out (interval side) against false candidates
-    * (event side); matching it to the interval length caps both. */
+    * of MIXED lengths (every 50th event opens a window of 15 min – 4 h,
+    * deterministically from its id), aggregated per interval. The naive
+    * `ts BETWEEN start AND end` join is a non-equi join Spark nest-loops;
+    * the distributed shape bucketizes time in TIERS of geometric widths
+    * (base 15 min, ×4 per tier): an interval lands in the smallest tier
+    * covering its length (≤ 2 bucket rows — [[rangeBuckets]]), an event
+    * probes one bucket per tier ([[rangeEventProbes]]), and the join is a
+    * plain (key, tier, bucket) EQUI-join with exact containment as a
+    * post-filter. Shuffle volume is O(2·intervals + tiers·events) — both
+    * caps hold under heavy-tailed interval lengths, where a single-width
+    * scheme pays len/width rows per long interval. A (interval, event)
+    * pair meets in at most one (tier, bucket), so no dedup is needed. */
   private def joinRange(s: SparkSession, d: String): DataFrame = {
-    val bucketUs = 3600L * 1000000L
+    val baseUs = 900L * 1000000L // 15 min
     val e = events(s, d).select(col("event_id"), col("event_type"),
       expr("ts div 1000").as("ts_us"))
     val iv = e.filter(col("event_id") % 50 === 0)
       .select(col("event_id").as("interval_id"), col("event_type"),
-        col("ts_us").as("start_us"), (col("ts_us") + lit(bucketUs)).as("end_us"))
-    val eb = e.withColumn("bucket", expr(s"ts_us div $bucketUs"))
-    val ib = iv.withColumn("bucket",
-      explode(expr(s"sequence(start_us div $bucketUs, end_us div $bucketUs)")))
-    val matched = ib.join(eb, Seq("event_type", "bucket"))
+        col("ts_us").as("start_us"),
+        expr(s"ts_us + (1 + (event_id div 50) % 16) * $baseUs").as("end_us"))
+    // one 1-row agg sizes the tier ladder to the actual length spread
+    val maxLen = iv.agg(max(col("end_us") - col("start_us"))).head() match {
+      case r if r.isNullAt(0) => baseUs
+      case r => r.getLong(0)
+    }
+    val tiers = rangeTiers(baseUs, maxLen)
+    val matched = rangeBuckets(iv, baseUs, tiers)
+      .join(rangeEventProbes(e, baseUs, tiers), Seq("event_type", "tier", "bucket"))
       .filter(col("ts_us") >= col("start_us") && col("ts_us") <= col("end_us"))
       .groupBy(col("interval_id"))
       .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_id"),
@@ -509,7 +553,7 @@ object RelationalQueries {
     "join_range" ->
       """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |iv AS (SELECT event_id AS interval_id, event_type, ts_us AS start_us,
-        |              ts_us + 3600000000 AS end_us
+        |              ts_us + (1 + (event_id // 50) % 16) * 900000000 AS end_us
         |       FROM e WHERE event_id % 50 = 0)
         |SELECT i.interval_id, i.event_type,
         |       CAST(count(e.event_id) AS BIGINT) AS n_events,

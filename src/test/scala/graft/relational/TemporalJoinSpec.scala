@@ -1,6 +1,7 @@
 package graft.relational
 
 import graft.TestSpark
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Hand-computed fixtures for the temporal joins: as-of picks the most
@@ -98,9 +99,11 @@ class TemporalJoinSpec extends AnyFunSuite {
   }
 
   test("join_range: per-interval membership counts, cross-bucket events included") {
-    // type-c interval starting 100 us before an hour boundary: its event at
-    // +200 us sits in the NEXT hour bucket — the interval's second exploded
-    // bucket row must still catch it
+    // interval lengths are now id-dependent (15 min x (1 + id/50 % 16)):
+    // 0 -> 15 min, 50 -> 30 min, 100 -> 45 min, 150 -> 60 min, 200 -> 75 min.
+    // The type-c interval starts 100 us before an hour boundary; its event
+    // at +100 us sits past that boundary — the tiered bucketization's
+    // second exploded row must still catch it
     val hourUs = 3600L * 1000000L
     val dir = writeEvents(fixture ++ Seq(
       (200L, "c", hourUs - 100L), (6L, "c", hourUs + 100L)), "range")
@@ -114,6 +117,42 @@ class TemporalJoinSpec extends AnyFunSuite {
       (150L, "b", 3L, 5L, 150L),
       (200L, "c", 2L, 6L, 200L)), // catches the event across the hour boundary
       s"range mismatch: $rows")
+  }
+
+  test("join_range: heavy-tailed interval lengths keep tier fan-out bounded and results exact") {
+    import spark.implicits._
+    val base = 900L * 1000000L
+    val rnd = new scala.util.Random(11)
+    def r(bound: Long): Long = math.floorMod(rnd.nextLong(), bound)
+    // lengths from 1x to ~1000x the base (squared-uniform: heavy tail)
+    val iv = (0 until 40).map { i =>
+      val start = r(100L * base)
+      val u = rnd.nextDouble()
+      (i.toLong, "t" + (i % 3), start, start + ((u * u * 999 + 1) * base).toLong)
+    }.toDF("interval_id", "event_type", "start_us", "end_us")
+    val ev = (0 until 500).map { j =>
+      (1000L + j, "t" + (j % 3), r(1100L * base))
+    }.toDF("event_id", "event_type", "ts_us")
+    val maxLen = iv.agg(max(col("end_us") - col("start_us"))).head().getLong(0)
+    val tiers = RelationalQueries.rangeTiers(base, maxLen)
+    assert(tiers <= 6, s"tier ladder too tall for a 1000x spread: $tiers")
+    val ib = RelationalQueries.rangeBuckets(iv, base, tiers)
+    assert(ib.count() <= 2L * 40,
+      "interval fan-out exceeded 2 bucket rows per interval")
+    val probes = RelationalQueries.rangeEventProbes(ev, base, tiers)
+    assert(probes.count() == tiers.toLong * 500, "event probes != tiers x events")
+    val cand = ib.join(probes, Seq("event_type", "tier", "bucket"))
+      .filter(col("ts_us") >= col("start_us") && col("ts_us") <= col("end_us"))
+      .select(col("interval_id"), col("event_id"))
+    val got = cand.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    val want = iv.join(ev, Seq("event_type"))
+      .filter(col("ts_us") >= col("start_us") && col("ts_us") <= col("end_us"))
+      .select(col("interval_id"), col("event_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got.toSet == want,
+      s"tiered join diverged: missing=${(want -- got.toSet).take(5)} extra=${(got.toSet -- want).take(5)}")
+    // a pair meets in exactly one (tier, bucket): no dedup stage needed
+    assert(got.size == want.size, s"duplicate candidate pairs: ${got.size} vs ${want.size}")
   }
 
   test("window_sessionize: multi-event users split exactly at the gap threshold") {
