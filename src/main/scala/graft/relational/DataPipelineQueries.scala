@@ -1211,6 +1211,52 @@ object DataPipelineQueries {
     Multimodal.decodeAllReal(s, withBmp).toDF().orderBy(col("doc_id"))
   }
 
+  /** REAL PNG decode: the multimodal_decode_real pipeline with payloads
+    * from the JDK's LOSSLESS PNG encoder instead of the hand-built BMP
+    * bytes (Multimodal.syntheticImage) — PNG round-trips exactly, so the
+    * identical closed-form oracle recomputes the pixels. What a real
+    * corpus mostly contains is PNG/JPEG, not BMP; this pins the PNG
+    * reader path through the same partition-batched plumbing. */
+  private def multimodalDecodePng(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val withPng = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 2 + (id % 7).toInt
+        val h = 2 + (id % 5).toInt
+        (id, Multimodal.syntheticImage(id, w, h, "png"))
+      }).toDF("doc_id", "payload")
+    Multimodal.decodeAllReal(s, withPng).toDF().orderBy(col("doc_id"))
+  }
+
+  /** REAL JPEG decode — the lossy member: dimensions decode exactly,
+    * pixels only approximately. The verdict grid asserts width/height
+    * against the closed form and the channel mean within ±3 gray levels
+    * of it (the synthetic ramp is DCT-friendly; measured deviation is
+    * well under 1 at these sizes — the wrap edge adds ringing locally,
+    * not to the mean). Dims start at 8 so every image has at least one
+    * full 8x8 DCT block. */
+  private def multimodalDecodeJpeg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gen = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 8 + (id % 7).toInt
+        val h = 8 + (id % 5).toInt
+        val n = w * h
+        var sum = 0L
+        var i = 0
+        while (i < n) { sum += (id * 31 + i) % 256; i += 1 }
+        (id, Multimodal.syntheticImage(id, w, h, "jpg"), w, h, sum.toDouble / n)
+      }).toDF("doc_id", "payload", "exp_w", "exp_h", "exp_mean")
+      .localCheckpoint(true) // generate ONCE: decode side + verdict side
+    val dec = Multimodal.decodeAllReal(s, gen.select(col("doc_id"), col("payload"))).toDF()
+    dec.join(gen.drop("payload"), "doc_id")
+      .select(col("doc_id"),
+        (col("width") === col("exp_w")).as("width_ok"),
+        (col("height") === col("exp_h")).as("height_ok"),
+        (abs(col("mean_pixel") - col("exp_mean")) <= lit(3.0)).as("mean_close"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Frame sampling over the binary payload — the video-shaped member of
     * the multimodal family: the payload reads as fixed-16-byte frames and
     * every 4th frame is sampled (the decode-free analog of strided
@@ -1262,6 +1308,8 @@ object DataPipelineQueries {
     "multimodal_metadata" -> (multimodalMetadata _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_decode_real" -> (multimodalDecodeReal _),
+    "multimodal_decode_png" -> (multimodalDecodePng _),
+    "multimodal_decode_jpeg" -> (multimodalDecodeJpeg _),
     "multimodal_framesample" -> (multimodalFramesample _),
   )
 
@@ -1772,6 +1820,26 @@ object DataPipelineQueries {
         |SELECT doc_id, width, height, CAST(width * height AS INT) AS n_pixels,
         |       round(3 * s * 1.0 / (3.0 * width * height), 6) AS mean_pixel
         |FROM px ORDER BY doc_id""".stripMargin,
+    // PNG is lossless: the decode returns the exact closed form, so the
+    // oracle is the multimodal_decode_real recompute verbatim
+    "multimodal_decode_png" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(2 + doc_id % 7 AS INT) AS width,
+        |         CAST(2 + doc_id % 5 AS INT) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, width, height,
+        |         list_sum(list_transform(generate_series(0, width * height - 1),
+        |                                 i -> (doc_id * 31 + i) % 256)) AS s
+        |  FROM dims)
+        |SELECT doc_id, width, height, CAST(width * height AS INT) AS n_pixels,
+        |       round(3 * s * 1.0 / (3.0 * width * height), 6) AS mean_pixel
+        |FROM px ORDER BY doc_id""".stripMargin,
+    // JPEG is lossy: dims exact, mean within tolerance — verdict grid
+    "multimodal_decode_jpeg" ->
+      """SELECT doc_id, true AS width_ok, true AS height_ok, true AS mean_close
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_decode" ->
       """WITH b AS (
         |  SELECT doc_id,

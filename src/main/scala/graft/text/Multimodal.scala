@@ -106,6 +106,33 @@ object Multimodal {
     buf.array()
   }
 
+  /** Deterministic grayscale image via the JDK's OWN encoders: the same
+    * closed-form pixels as [[syntheticBmp]] (`(docId·31 + y·w + x) % 256`
+    * in every channel), written through `ImageIO.write` in `format`
+    * ("png", "jpg", ...). PNG is lossless — decode returns the exact
+    * closed form, so the BMP oracle applies verbatim; JPEG is lossy —
+    * callers assert dims exactly and the mean within a tolerance. */
+  def syntheticImage(docId: Long, width: Int, height: Int, format: String): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = ((docId * 31 + y.toLong * width + x) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"no ImageIO writer for format $format")
+    bos.toByteArray()
+  }
+
   /** REAL decode: `javax.imageio.ImageIO.read` over the payload bytes.
     * `mean_pixel` averages ALL channel samples (R+G+B over 3·n pixels), so
     * on a grayscale image it equals the mean gray value. Fails loudly on

@@ -111,6 +111,45 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real codec: PNG round-trips the closed form exactly (lossless)") {
+    Seq(0L, 3L, 13L, 255L, 9999L).foreach { id =>
+      val w = 2 + (id % 7).toInt
+      val h = 2 + (id % 5).toInt
+      val d = Multimodal.decodeImage(id, Multimodal.syntheticImage(id, w, h, "png"))
+      assert(d.width == w && d.height == h && d.n_pixels == w * h, s"doc $id dims")
+      val s = (0 until w * h).map(i => ((id * 31 + i) % 256).toInt).sum
+      val expect = BigDecimal(3.0 * s / (3.0 * w * h))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(d.mean_pixel == expect, s"doc $id PNG mean ${d.mean_pixel} vs $expect")
+    }
+  }
+
+  test("real codec: JPEG decodes exact dims and a near-exact mean (lossy)") {
+    Seq(0L, 7L, 100L, 4242L).foreach { id =>
+      val w = 8 + (id % 7).toInt
+      val h = 8 + (id % 5).toInt
+      val d = Multimodal.decodeImage(id, Multimodal.syntheticImage(id, w, h, "jpg"))
+      assert(d.width == w && d.height == h, s"doc $id JPEG dims ${d.width}x${d.height}")
+      val exp = (0 until w * h).map(i => ((id * 31 + i) % 256).toInt).sum.toDouble / (w * h)
+      assert(math.abs(d.mean_pixel - exp) <= 3.0,
+        s"doc $id JPEG mean ${d.mean_pixel} strays from $exp")
+    }
+  }
+
+  test("multimodal_decode_jpeg: verdict grid all-true over a temp documents table") {
+    val docsSeq = (0L until 30L).map(i => (i, "web", "en", s"doc $i"))
+    val dir = java.nio.file.Files.createTempDirectory("jpegq").toString
+    docsSeq.toDF("doc_id", "source", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.relational.DataPipelineQueries.queries("multimodal_decode_jpeg")(spark, dir)
+      .collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3),
+        s"jpeg verdict broken for doc ${r.getLong(0)}: $r")
+    }
+  }
+
   test("frame sampling: every 4th 16-byte frame, short payloads emit nothing") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
