@@ -772,6 +772,63 @@ object DataPipelineQueries {
     }
   }
 
+  /** `events` as a file stream (ts surfaces as long nanos, like
+    * [[Tables.events]]). The fixture is a single parquet file, so
+    * AvailableNow delivers it in ONE micro-batch — the sentinel trick in
+    * [[streamSessionize]] depends on that (see its scaladoc). */
+  private def streamEvents(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    if (new java.io.File(s"$d/events.parquet").isDirectory)
+      s.readStream.schema(schema).parquet(s"$d/events.parquet")
+    else
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+  }
+
+  /** Streaming gap-sessionization over the events stream — the built-in
+    * `session_window` state machinery run as a REAL streaming query, under
+    * the full hash gate against a DuckDB recompute of the session rule.
+    *
+    * Append mode only emits a session once the watermark passes its end,
+    * so a bounded replay would normally hold back the tail sessions
+    * forever. A SENTINEL row (user_id −1, event time +100 years) advances
+    * the global watermark past every real session in the final no-data
+    * batch; it is filtered from the verdict. The sentinel shares the
+    * single micro-batch with all real rows (single-file source, see
+    * [[streamEvents]]), so the 40-day lateness budget never drops data
+    * mid-run. A production deployment keeps the same query minus the
+    * sentinel: sessions then finalize `delay` behind the live edge, state
+    * stays O(active users), and the lateness budget is sized to the
+    * source's real disorder, not to a replay. */
+  private def streamSessionize(s: SparkSession, d: String): DataFrame = {
+    val raw = streamEvents(s, d).select(col("user_id"), col("event_id"),
+      expr("ts div 1000").as("ts_us"))
+    val real = raw.select(col("user_id"), col("ts_us"),
+      timestamp_micros(col("ts_us")).as("event_ts"))
+    val sentinel = raw.filter(col("event_id") % 1000 === 0)
+      .select(lit(-1L).as("user_id"), col("ts_us"),
+        timestamp_micros(col("ts_us") + lit(3155760000000000L)).as("event_ts"))
+    val qname = "stream_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.StreamingSessionize
+      .sessions(real.unionByName(sentinel), "30 minutes", "40 days")
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val emitted = s.table(qname).localCheckpoint(true)
+    s.catalog.dropTempView(qname)
+    // batch post-pass over the emitted (finalized) sessions only: number
+    // them per user in start order to match the batch-shaped contract
+    emitted.filter(col("user_id") =!= -1L)
+      .withColumn("session_idx", (row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("start_us"))) - 1).cast("long"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("start_us"), col("end_us"), col("duration_us"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   // ---------------------------------------------------------- text analysis
   private val langMarkers: Seq[(String, String)] = Seq(
     "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and",
@@ -1285,6 +1342,7 @@ object DataPipelineQueries {
     "stream_dedup" -> (streamDedup _),
     "stream_dedup_watermark" -> (streamDedupWatermark _),
     "stream_neardup" -> (streamNearDup _),
+    "stream_sessionize" -> (streamSessionize _),
     "scan_bucketed" -> (scanBucketed _),
     "similarity_topk" -> (similarityTopK _),
     "similarity_ann" -> (similarityAnn _),
@@ -1487,6 +1545,25 @@ object DataPipelineQueries {
         |SELECT doc_id AS orig_id, true AS found, true AS est_one,
         |       true AS state_rows_bounded, true AS state_bytes_bounded
         |FROM sw WHERE doc_id % 10 = 0 AND swarm <= 128 ORDER BY orig_id""".stripMargin,
+    // full recompute of the SESSION_WINDOW rule: an event merges into the
+    // open session when it lands AT OR BEFORE the session end (end
+    // boundary inclusive, spec-pinned), so a new session opens at
+    // inter-event gap > 30 min — the SAME rule as batch window_sessionize
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |m AS (SELECT user_id, event_id, ts_us,
+        |        CASE WHEN lag(ts_us) OVER w IS NULL
+        |               OR ts_us - lag(ts_us) OVER w > 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |x AS (SELECT user_id, ts_us,
+        |        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |             - 1 AS BIGINT) AS session_idx
+        |      FROM m)
+        |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+        |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |       max(ts_us) - min(ts_us) AS duration_us
+        |FROM x GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
     "similarity_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
         |p AS (
