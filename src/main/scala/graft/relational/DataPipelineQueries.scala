@@ -379,6 +379,39 @@ object DataPipelineQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** JSONL ingest round-trip — the interchange format LLM corpora actually
+    * ship in (one JSON object per line). The corpus is written as JSON
+    * Lines and read back with an EXPLICIT schema: at 100 TB, schema
+    * inference is a full extra pass over the data, so the read path a
+    * pipeline deploys is always schema-first. The JSON source is
+    * line-splittable (parallel scan without a pre-pass) and supports
+    * column pruning; the hash gate pins value-exact round-trip of every
+    * column against the parquet original, including the escaping of the
+    * text body. Temp output is deleted on all paths after an eager
+    * materialize, like [[scanBucketed]]. */
+  private def scanJsonl(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    try {
+      docs(s, d).write.mode("overwrite").json(s"$tmp/documents")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema).json(s"$tmp/documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("text"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   /** Bucketed co-located join through the gate: two projections of the
     * documents table written as bucketed parquet (same key, same bucket
     * count) and joined back WITHOUT a shuffle — the ingest-time layout that
@@ -1090,6 +1123,62 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic GLOBAL training-order shuffle — the pass that fixes the
+    * example order a training run consumes, reproducibly: shuffle key =
+    * md5 over an epoch salt + doc_id (content-addressed, so task retries
+    * and re-runs land identically, unlike `rand()`), then a TOTAL order
+    * with consecutive positions computed distributively:
+    *
+    *   1. range-repartition + in-partition sort on the key (the classic
+    *      distributed total sort — sampled boundaries, no single-task
+    *      sort anywhere);
+    *   2. per-partition counts (numPartitions rows) collected, prefix-
+    *      summed on the driver, broadcast back;
+    *   3. position = partition offset + in-partition rank, the rank from
+    *      a PARTITION-LOCAL window (each window partition is one range
+    *      partition — bounded by the partition budget, never the corpus).
+    *
+    * The eager materialize between the passes pins the range partitioning
+    * so both passes see identical splits. 100-TB shape: two data passes
+    * (count + number) over a data-sized range exchange — the honest cost
+    * of consecutive global numbering; positions are exact, so downstream
+    * epoch sharding is `position div shard_size`. */
+  private def shuffleGlobal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val parts = 32 // sized to the corpus / partition budget at scale
+    val sorted = docs(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(":", lit("epoch0"), col("doc_id"))).as("shuffle_key"))
+      .repartitionByRange(parts, col("shuffle_key"))
+      .sortWithinPartitions(col("shuffle_key"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    // numPartitions rows to the driver — the prefix sum, never the data
+    val counts = sorted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offDf = counts.scanLeft(0L)(_ + _._2).zip(counts)
+      .map { case (off, (pid, _)) => (pid, off) }.toSeq.toDF("pid", "off")
+    sorted.join(broadcast(offDf), "pid")
+      .withColumn("position",
+        (col("off") + row_number().over(
+          Window.partitionBy(col("pid")).orderBy(col("shuffle_key"))) - 1).cast("long"))
+      .select(col("shuffle_key"), col("doc_id"), col("position"))
+      .orderBy(col("position"))
+  }
+
+  /** Top-K corpus vocabulary — the word-frequency pass every tokenizer
+    * training / corpus QA run starts from: one map-side-combinable token
+    * count (the explode never leaves its input partition before the
+    * partial agg) followed by a bounded TakeOrdered top-K — no full sort
+    * of the vocabulary, no window. Ties break lexicographically so the
+    * cut is deterministic. */
+  private def textVocab(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(explode(TextOps.tokens("text")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(200)
+
   /** The whole corpus-prep pipeline as ONE declarative plan — what a user
     * of this family actually ships: exact-dedup winners → benchmark
     * decontamination → quality floor → deterministic stratified sampling →
@@ -1344,6 +1433,9 @@ object DataPipelineQueries {
     "stream_neardup" -> (streamNearDup _),
     "stream_sessionize" -> (streamSessionize _),
     "scan_bucketed" -> (scanBucketed _),
+    "scan_jsonl" -> (scanJsonl _),
+    "shuffle_global" -> (shuffleGlobal _),
+    "text_vocab" -> (textVocab _),
     "similarity_topk" -> (similarityTopK _),
     "similarity_ann" -> (similarityAnn _),
     "similarity_ivf" -> (similarityIvf _),
@@ -1517,6 +1609,26 @@ object DataPipelineQueries {
       """SELECT doc_id, lang, length(text) AS n_chars,
         |       CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // round-trip identity: the JSONL write+schema-first read must hand back
+    // the parquet original value-for-value
+    "scan_jsonl" ->
+      """SELECT doc_id, lang, source, n_chars, text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the distributed offset+rank numbering must equal a global
+    // row_number over the same md5 order — position-exact, not just a
+    // permutation
+    "shuffle_global" ->
+      """WITH k AS (
+        |  SELECT md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key, doc_id
+        |  FROM documents)
+        |SELECT shuffle_key, doc_id,
+        |       CAST(row_number() OVER (ORDER BY shuffle_key) - 1 AS BIGINT) AS position
+        |FROM k ORDER BY position""".stripMargin,
+    "text_vocab" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 200""".stripMargin,
     // verdict grid for the REAL streaming execution: one emitted row per
     // distinct normalized-text hash, each a genuine group member (see the
     // query scaladoc — the arrival-dependent representative choice is
