@@ -1179,6 +1179,130 @@ object DataPipelineQueries {
       .orderBy(col("cnt").desc, col("token"))
       .limit(200)
 
+  /** Number of BPE merge steps the gate trains/oracles. */
+  private val BpeSteps = 12
+
+  /** Distributed BPE tokenizer training (the Sennrich et al. word-level
+    * algorithm): collapse the corpus to its distinct-WORD table once (the
+    * classic trick — after that, every merge iteration runs over the word
+    * vocabulary, orders of magnitude smaller than the corpus), then
+    * repeat: count adjacent token pairs weighted by word frequency
+    * (overlapping occurrences count, per the reference algorithm), take
+    * the most frequent pair (ties broken by (left, right) so the trained
+    * merge list is deterministic), and merge it greedily left-to-right in
+    * every word via a codegen'd `aggregate` fold (the fold is equivalent
+    * to the scan rule because a merged token `l||r` can never equal `l`).
+    * Emits the merge table `(step, left_tok, right_tok, pair_count)` —
+    * every row depends on the complete previous state, so the hash gate
+    * pins the whole training trajectory against a DuckDB recompute that
+    * applies the same merge rule via a run-parity window (one generated
+    * CTE block per step, see [[bpeOracleSql]]).
+    *
+    * 100-TB shape: one corpus-sized shuffle (the word count); after that,
+    * each step is a vocab-sized map-side-combinable pair agg + a 1-row
+    * TakeOrdered collect + a map-only fold, over an eagerly
+    * checkpointed-and-released vocab. The driver holds one (l, r, c) row
+    * per step, never data. */
+  private def tokenizeBpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    var vocab = docs(s, d)
+      .select(explode(TextOps.tokens("text")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("toks", expr("regexp_extract_all(word, '[a-z]', 0)"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (k <- 1 to BpeSteps) {
+      // sequence(1, 0) would run DESCENDING — keep 1-token words out
+      val best = vocab.filter(size(col("toks")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(toks) - 1), i ->
+            |  struct(element_at(toks, i) AS l, element_at(toks, i + 1) AS r))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((k, l, r, c))
+        // tokens are [a-z]+ by construction, so inlining them in the
+        // lambda is quote-safe
+        val next = vocab.withColumn("toks", expr(
+          s"""aggregate(toks, cast(array() as array<string>),
+             |  (acc, x) -> CASE WHEN size(acc) > 0
+             |                    AND element_at(acc, -1) = '$l' AND x = '$r'
+             |              THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
+             |              ELSE concat(acc, array(x)) END)""".stripMargin))
+          .localCheckpoint(true)
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq.toDF("step", "left_tok", "right_tok", "pair_count")
+      .orderBy(col("step"))
+  }
+
+  /** Generates the DuckDB recompute of [[tokenizeBpeTrain]]: one CTE block
+    * per merge step. Greedy left-to-right merging is replayed with a
+    * RUN-PARITY window rule — a position is merge-eligible when it starts
+    * the chosen pair; within each maximal run of CONSECUTIVE eligible
+    * positions (runs longer than 1 only arise for doubled-symbol pairs),
+    * exactly the even offsets merge, which is what a left-to-right scan
+    * does; the position after a merge is consumed. Empty-vocab steps (no
+    * pairs left) degrade to identity via the null-safe scalar subqueries. */
+  private def bpeOracleSql(n: Int): String = {
+    val steps = (1 to n).map { k =>
+      val j = k - 1
+      s"""e$k AS (
+         |  SELECT word, freq, toks, unnest(generate_series(1, len(toks))) AS pos
+         |  FROM t$j),
+         |x$k AS MATERIALIZED (
+         |  SELECT word, freq, pos, toks[pos] AS tok,
+         |         CASE WHEN pos < len(toks) THEN toks[pos + 1] END AS nxt
+         |  FROM e$k),
+         |p$k AS (
+         |  SELECT tok AS l, nxt AS r, sum(freq) AS c
+         |  FROM x$k WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+         |g$k AS (
+         |  SELECT word, freq, pos, tok, nxt,
+         |         coalesce(tok = (SELECT l FROM b$k)
+         |                  AND nxt = (SELECT r FROM b$k), false) AS elig
+         |  FROM x$k),
+         |rn$k AS (
+         |  SELECT *, CASE WHEN elig THEN pos - row_number()
+         |    OVER (PARTITION BY word, elig ORDER BY pos) END AS runk
+         |  FROM g$k),
+         |mg$k AS (
+         |  SELECT *, elig AND ((row_number()
+         |    OVER (PARTITION BY word, runk ORDER BY pos) - 1) % 2 = 0) AS do_merge
+         |  FROM rn$k),
+         |ke$k AS (
+         |  SELECT word, freq, pos,
+         |         CASE WHEN do_merge THEN tok || nxt ELSE tok END AS ntok,
+         |         coalesce(lag(do_merge) OVER (PARTITION BY word ORDER BY pos),
+         |                  false) AS consumed
+         |  FROM mg$k),
+         |t$k AS MATERIALIZED (
+         |  SELECT word, freq, list(ntok ORDER BY pos) AS toks
+         |  FROM ke$k WHERE NOT consumed GROUP BY word, freq),
+         |o$k AS (SELECT $k AS step, l AS left_tok, r AS right_tok, c FROM b$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    val union = (1 to n).map(k => s"SELECT * FROM o$k").mkString(" UNION ALL ")
+    s"""WITH w AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents),
+       |t0 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+       |         regexp_extract_all(word, '[a-z]') AS toks
+       |  FROM w GROUP BY word),
+       |$steps
+       |SELECT step, left_tok, right_tok, CAST(c AS BIGINT) AS pair_count
+       |FROM ($union) ORDER BY step""".stripMargin
+  }
+
   /** The whole corpus-prep pipeline as ONE declarative plan — what a user
     * of this family actually ships: exact-dedup winners → benchmark
     * decontamination → quality floor → deterministic stratified sampling →
@@ -1436,6 +1560,7 @@ object DataPipelineQueries {
     "scan_jsonl" -> (scanJsonl _),
     "shuffle_global" -> (shuffleGlobal _),
     "text_vocab" -> (textVocab _),
+    "tokenize_bpe_train" -> (tokenizeBpeTrain _),
     "similarity_topk" -> (similarityTopK _),
     "similarity_ann" -> (similarityAnn _),
     "similarity_ivf" -> (similarityIvf _),
@@ -1629,6 +1754,7 @@ object DataPipelineQueries {
         |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 200""".stripMargin,
+    "tokenize_bpe_train" -> bpeOracleSql(BpeSteps),
     // verdict grid for the REAL streaming execution: one emitted row per
     // distinct normalized-text hash, each a genuine group member (see the
     // query scaladoc — the arrival-dependent representative choice is
