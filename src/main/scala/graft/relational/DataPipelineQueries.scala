@@ -412,6 +412,32 @@ object DataPipelineQueries {
     }
   }
 
+  /** Partitioned parquet sink + partition-pruned read-back — the OTHER
+    * ingest-time layout (besides bucketing) that makes a 100-TB corpus
+    * queryable: writing partitioned by a low-cardinality column turns
+    * every later filter on it into directory pruning — the non-matching
+    * partitions are never opened, not merely filtered. The gate pins the
+    * round-trip values of one partition; SinkPartitionedSpec asserts the
+    * read plan actually prunes (PartitionFilters, one directory scanned).
+    * Temp output is deleted on all paths after an eager materialize. */
+  private def sinkPartitioned(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part")
+    try {
+      docs(s, d).write.mode("overwrite").partitionBy("lang").parquet(s"$tmp/docs")
+      s.read.parquet(s"$tmp/docs")
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   /** Bucketed co-located join through the gate: two projections of the
     * documents table written as bucketed parquet (same key, same bucket
     * count) and joined back WITHOUT a shuffle — the ingest-time layout that
@@ -1205,6 +1231,16 @@ object DataPipelineQueries {
     * per step, never data. */
   private def tokenizeBpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val (vocab, merges) = bpeTrain(s, d)
+    vocab.unpersist()
+    merges.toDF("step", "left_tok", "right_tok", "pair_count")
+      .orderBy(col("step"))
+  }
+
+  /** The shared training loop: returns the FINAL word→tokens vocabulary
+    * (eagerly checkpointed — caller unpersists) and the merge table. */
+  private def bpeTrain(s: SparkSession, d: String)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
     var vocab = docs(s, d)
       .select(explode(TextOps.tokens("text")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
@@ -1238,9 +1274,33 @@ object DataPipelineQueries {
         vocab = next
       }
     }
+    (vocab, merges.toSeq)
+  }
+
+  /** Apply the trained tokenizer to the whole corpus — the pass that turns
+    * a merge list into training-data statistics (token budgets, packing
+    * inputs): train (vocab-sized iterations, see [[tokenizeBpeTrain]]),
+    * then ONE corpus pass — per-doc words explode into a broadcast join
+    * against the final word→tokens vocabulary (the vocab is
+    * dimension-sized by construction: distinct words, not documents) and a
+    * doc-keyed agg. Docs with no words keep a row at 0 via the left join. */
+  private def tokenizeBpeApply(s: SparkSession, d: String): DataFrame = {
+    val (vocab, _) = bpeTrain(s, d)
+    val perWord = vocab.select(col("word"), size(col("toks")).cast("long").as("w_toks"))
+    val perDoc = docs(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens("text")).as("word"))
+      .join(broadcast(perWord), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("w_toks")).as("n_bpe_tokens"))
+    val out = docs(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
     vocab.unpersist()
-    merges.toSeq.toDF("step", "left_tok", "right_tok", "pair_count")
-      .orderBy(col("step"))
+    out
   }
 
   /** Generates the DuckDB recompute of [[tokenizeBpeTrain]]: one CTE block
@@ -1252,6 +1312,29 @@ object DataPipelineQueries {
     * does; the position after a merge is consumed. Empty-vocab steps (no
     * pairs left) degrade to identity via the null-safe scalar subqueries. */
   private def bpeOracleSql(n: Int): String = {
+    val union = (1 to n).map(k => s"SELECT * FROM o$k").mkString(" UNION ALL ")
+    s"""WITH ${bpeChainSql(n)}
+       |SELECT step, left_tok, right_tok, CAST(c AS BIGINT) AS pair_count
+       |FROM ($union) ORDER BY step""".stripMargin
+  }
+
+  /** DuckDB recompute of [[tokenizeBpeApply]]: the same training chain,
+    * then one word-level join of the corpus against the final vocab. */
+  private def bpeApplyOracleSql(n: Int): String =
+    s"""WITH ${bpeChainSql(n)},
+       |wd AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents),
+       |a AS (
+       |  SELECT wd.doc_id, count(*) AS n_words, sum(len(t$n.toks)) AS n_bpe
+       |  FROM wd JOIN t$n USING (word) GROUP BY wd.doc_id)
+       |SELECT d.doc_id, CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       |       CAST(coalesce(a.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** The shared per-step CTE chain (t0 … t`n`, o1 … o`n`) both BPE oracles
+    * open their WITH clause with. */
+  private def bpeChainSql(n: Int): String = {
     val steps = (1 to n).map { k =>
       val j = k - 1
       s"""e$k AS (
@@ -1290,17 +1373,14 @@ object DataPipelineQueries {
          |o$k AS (SELECT $k AS step, l AS left_tok, r AS right_tok, c FROM b$k)"""
         .stripMargin
     }.mkString(",\n")
-    val union = (1 to n).map(k => s"SELECT * FROM o$k").mkString(" UNION ALL ")
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
        |  FROM documents),
        |t0 AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
        |         regexp_extract_all(word, '[a-z]') AS toks
        |  FROM w GROUP BY word),
-       |$steps
-       |SELECT step, left_tok, right_tok, CAST(c AS BIGINT) AS pair_count
-       |FROM ($union) ORDER BY step""".stripMargin
+       |$steps""".stripMargin
   }
 
   /** The whole corpus-prep pipeline as ONE declarative plan — what a user
@@ -1561,6 +1641,8 @@ object DataPipelineQueries {
     "shuffle_global" -> (shuffleGlobal _),
     "text_vocab" -> (textVocab _),
     "tokenize_bpe_train" -> (tokenizeBpeTrain _),
+    "tokenize_bpe_apply" -> (tokenizeBpeApply _),
+    "sink_partitioned" -> (sinkPartitioned _),
     "similarity_topk" -> (similarityTopK _),
     "similarity_ann" -> (similarityAnn _),
     "similarity_ivf" -> (similarityIvf _),
@@ -1755,6 +1837,11 @@ object DataPipelineQueries {
         |      FROM documents)
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 200""".stripMargin,
     "tokenize_bpe_train" -> bpeOracleSql(BpeSteps),
+    "tokenize_bpe_apply" -> bpeApplyOracleSql(BpeSteps),
+    // one partition of the round-trip, value-exact
+    "sink_partitioned" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
     // verdict grid for the REAL streaming execution: one emitted row per
     // distinct normalized-text hash, each a genuine group member (see the
     // query scaladoc — the arrival-dependent representative choice is
