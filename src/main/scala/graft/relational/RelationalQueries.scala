@@ -366,6 +366,29 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** FORWARD as-of join — each event picks the EARLIEST reference at or
+    * after it (the "next scheduled update" shape). Pure reuse: forward
+    * as-of over `ts` IS backward as-of over `-ts` (truncating integer
+    * division stays monotone on negatives, so bucket order still follows
+    * time order), and the backward plan's `lag_us = ts - ref_ts` computed
+    * on negated inputs is exactly the forward `lead_us = ref_ts - ts`.
+    * Same one-shuffle scale shape as [[joinAsof]]; pinned against
+    * DuckDB's native forward ASOF JOIN (`e.ts_us <= r.ts_us`). */
+  private def joinAsofForward(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_id"), col("event_type"),
+      expr("ts div 1000").as("ts_us"))
+    val refs = e.filter(col("event_id") % 50 === 0)
+      .groupBy(col("event_type"), col("ts_us")).agg(max(col("event_id")).as("ref_id"))
+    asofBucketed(
+      e.withColumn("ts_us", -col("ts_us")),
+      refs.withColumn("ts_us", -col("ts_us")),
+      "event_type", 3600L * 1000000L)
+      .select(col("event_id"), col("event_type"), (-col("ts_us")).as("ts_us"),
+        col("ref_id"), (-col("ref_ts_us")).as("ref_ts_us"),
+        col("lag_us").as("lead_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Tier count for [[rangeBuckets]]/[[rangeEventProbes]]: the smallest T
     * such that `baseUs · 4^(T−1)` covers `maxLenUs` — T grows as
     * log₄(maxLen/base), so even a year-long interval over a 15-minute
@@ -515,6 +538,7 @@ object RelationalQueries {
     "window_segment" -> (windowSegment _),
     "window_first_val" -> (windowFirstVal _),
     "join_asof" -> (joinAsof _),
+    "join_asof_forward" -> (joinAsofForward _),
     "join_range" -> (joinRange _),
     "window_sessionize" -> (windowSessionize _),
     "predict_anomaly" -> (predictAnomaly _),
@@ -532,6 +556,16 @@ object RelationalQueries {
         |       e.ts_us - r.ts_us AS lag_us
         |FROM e ASOF LEFT JOIN refs r
         |  ON e.event_type = r.event_type AND e.ts_us >= r.ts_us
+        |ORDER BY e.event_id""".stripMargin,
+    // the forward direction, against DuckDB's native forward ASOF (<=)
+    "join_asof_forward" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |refs AS (SELECT event_type, ts_us, max(event_id) AS ref_id
+        |         FROM e WHERE event_id % 50 = 0 GROUP BY 1, 2)
+        |SELECT e.event_id, e.event_type, e.ts_us, r.ref_id, r.ts_us AS ref_ts_us,
+        |       r.ts_us - e.ts_us AS lead_us
+        |FROM e ASOF LEFT JOIN refs r
+        |  ON e.event_type = r.event_type AND e.ts_us <= r.ts_us
         |ORDER BY e.event_id""".stripMargin,
     "window_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),

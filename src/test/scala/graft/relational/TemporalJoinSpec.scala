@@ -51,6 +51,26 @@ class TemporalJoinSpec extends AnyFunSuite {
       s"as-of mismatch: $rows")
   }
 
+  test("join_asof_forward: earliest-ref-at-or-after via the negated backward plan") {
+    val dir = writeEvents(fixture, "asoffwd")
+    val rows = graft.relational.RelationalQueries.queries("join_asof_forward")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    val expected = Seq(
+      0L -> (Some(0L), Some(0L)),      // ref at the SAME ts matches (inclusive)
+      1L -> (Some(0L), Some(500L)),    // next ref is ahead
+      2L -> (Some(0L), Some(0L)),
+      3L -> (Some(50L), Some(1000L)),  // the EARLIER upcoming ref wins
+      4L -> (None, None),              // after the last ref
+      5L -> (Some(150L), Some(0L)),    // equal-ts refs dedup to max id
+      50L -> (Some(50L), Some(0L)),
+      100L -> (Some(150L), Some(0L)),
+      150L -> (Some(150L), Some(0L)))
+    assert(rows == expected.map { case (id, (ref, lead)) => (id, ref, lead) },
+      s"forward as-of mismatch: $rows")
+  }
+
   test("join_asof: ref/event pairs straddling hour-bucket boundaries stitch correctly") {
     val hourUs = 3600L * 1000000L
     // type a: ref 0 in bucket 0; events 2 and 5 in ref-free buckets that
