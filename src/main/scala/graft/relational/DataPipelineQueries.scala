@@ -1159,16 +1159,19 @@ object DataPipelineQueries {
     *      distributed total sort — sampled boundaries, no single-task
     *      sort anywhere);
     *   2. per-partition counts (numPartitions rows) collected, prefix-
-    *      summed on the driver, broadcast back;
-    *   3. position = partition offset + in-partition rank, the rank from
-    *      a PARTITION-LOCAL window (each window partition is one range
-    *      partition — bounded by the partition budget, never the corpus).
+    *      summed on the driver;
+    *   3. position = partition offset + in-partition index, stamped in a
+    *      PARTITION-LOCAL `mapPartitions` pass with the tiny offset array
+    *      in the task closure — NO second shuffle (a window on the
+    *      partition id would re-exchange the already-partitioned data just
+    *      to prove a partitioning the checkpoint layout guarantees).
     *
     * The eager materialize between the passes pins the range partitioning
-    * so both passes see identical splits. 100-TB shape: two data passes
-    * (count + number) over a data-sized range exchange — the honest cost
+    * so both passes see identical splits. 100-TB shape: one data-sized
+    * range exchange + two data passes (count + stamp) — the honest cost
     * of consecutive global numbering; positions are exact, so downstream
-    * epoch sharding is `position div shard_size`. */
+    * epoch sharding is `position div shard_size`. The trailing orderBy is
+    * gate presentation only — deployments consume the stamped layout. */
   private def shuffleGlobal(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val parts = 32 // sized to the corpus / partition budget at scale
@@ -1182,13 +1185,18 @@ object DataPipelineQueries {
     // numPartitions rows to the driver — the prefix sum, never the data
     val counts = sorted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offDf = counts.scanLeft(0L)(_ + _._2).zip(counts)
-      .map { case (off, (pid, _)) => (pid, off) }.toSeq.toDF("pid", "off")
-    sorted.join(broadcast(offDf), "pid")
-      .withColumn("position",
-        (col("off") + row_number().over(
-          Window.partitionBy(col("pid")).orderBy(col("shuffle_key"))) - 1).cast("long"))
-      .select(col("shuffle_key"), col("doc_id"), col("position"))
+    val offs: Map[Int, Long] = counts.scanLeft(0L)(_ + _._2).zip(counts)
+      .map { case (off, (pid, _)) => pid -> off }.toMap
+    sorted.select(col("shuffle_key"), col("doc_id"), col("pid")).as[(String, Long, Int)]
+      .mapPartitions { it =>
+        var i = 0L
+        it.map { case (key, id, pid) =>
+          val pos = offs(pid) + i
+          i += 1
+          (key, id, pos)
+        }
+      }
+      .toDF("shuffle_key", "doc_id", "position")
       .orderBy(col("position"))
   }
 
