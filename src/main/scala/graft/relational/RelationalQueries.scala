@@ -366,6 +366,22 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Per-key EXACT percentiles over the event stream — the distribution
+    * summary every monitoring/QA pass computes. `percentile` (exact, with
+    * linear interpolation — same rule as DuckDB's `quantile_cont`, which
+    * quantize_complex already pins for fp parity) is a single
+    * sort-based aggregate per group; at 100 TB the same query swaps in
+    * `approx_percentile` (bounded-memory KLL-style sketch, map-side
+    * combinable) — the exact form is registered because it is the
+    * oracle-checkable one, the approximate form is the same plan shape. */
+  private def aggQuantiles(s: SparkSession, d: String): DataFrame =
+    events(s, d).groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        count(col("value")).as("n"))
+      .orderBy(col("event_type"))
+
   /** FORWARD as-of join — each event picks the EARLIEST reference at or
     * after it (the "next scheduled update" shape). Pure reuse: forward
     * as-of over `ts` IS backward as-of over `-ts` (truncating integer
@@ -537,6 +553,7 @@ object RelationalQueries {
     "agg_seq_collect" -> (aggSeqCollect _),
     "window_segment" -> (windowSegment _),
     "window_first_val" -> (windowFirstVal _),
+    "agg_quantiles" -> (aggQuantiles _),
     "join_asof" -> (joinAsof _),
     "join_asof_forward" -> (joinAsofForward _),
     "join_range" -> (joinRange _),
@@ -557,6 +574,14 @@ object RelationalQueries {
         |FROM e ASOF LEFT JOIN refs r
         |  ON e.event_type = r.event_type AND e.ts_us >= r.ts_us
         |ORDER BY e.event_id""".stripMargin,
+    // same interpolation rule both engines; round(…, 6) as quantize_complex
+    "agg_quantiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.9), 6) AS p90,
+        |       round(quantile_cont(value, 0.99), 6) AS p99,
+        |       CAST(count(value) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the forward direction, against DuckDB's native forward ASOF (<=)
     "join_asof_forward" ->
       """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events),
