@@ -1,0 +1,69 @@
+package graft
+
+import graft.core.Pfsa
+import graft.functions.{LlkLongScore, LlkScoreAll}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for the native kernels, registered the idiomatic Spark way:
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`) makes the
+  * scoring expressions callable from PLAIN SQL — the entry point a
+  * SQL-first deployment (Thrift server, notebooks, dbt-style pipelines)
+  * actually uses, with no Scala in sight:
+  *
+  * {{{
+  *   SELECT seq_id, graft_llk_score(symbols, '<model text>') FROM seqs
+  *   SELECT seq_id, graft_llk_score_long(t, symbol, '<model text>')
+  *   FROM long_form GROUP BY seq_id
+  * }}}
+  *
+  * Models travel as FOLDABLE string literals in the reference's own
+  * `%ANN_ERR/%PITILDE/%CONNX` text codec ([[Pfsa.fromText]] — the format
+  * `sink_pfsa_file` writes), parsed ONCE at analysis time into the same
+  * embedded-library expressions the Scala API plans
+  * ([[LlkScoreAll]] codegen'd, [[LlkLongScore]] map-side-combinable), so
+  * the SQL route pays zero per-row parsing and plans identically. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.llkScore)
+    ext.injectFunction(GraftExtensions.llkScoreLong)
+  }
+}
+
+object GraftExtensions {
+
+  private def parseLib(models: Seq[Expression], fn: String): Array[Pfsa] = {
+    require(models.nonEmpty, s"$fn: at least one model text argument required")
+    models.map { e =>
+      require(e.foldable, s"$fn: model arguments must be string literals")
+      val txt = e.eval()
+      require(txt != null, s"$fn: model argument must not be null")
+      Pfsa.fromText(txt.toString)
+    }.toArray
+  }
+
+  /** graft_llk_score(symbols array<tinyint>, model_text+) → array<double> */
+  private[graft] val llkScore = (
+    FunctionIdentifier("graft_llk_score"),
+    new ExpressionInfo(classOf[LlkScoreAll].getName, "graft_llk_score"),
+    (args: Seq[Expression]) => {
+      require(args.length >= 2,
+        "graft_llk_score(symbols, model_text [, model_text ...])")
+      LlkScoreAll(args.head, parseLib(args.tail, "graft_llk_score")): Expression
+    })
+
+  /** graft_llk_score_long(t bigint, symbol tinyint, model_text+) —
+    * aggregate over long-form rows, one score array per group. */
+  private[graft] val llkScoreLong = (
+    FunctionIdentifier("graft_llk_score_long"),
+    new ExpressionInfo(classOf[LlkLongScore].getName, "graft_llk_score_long"),
+    (args: Seq[Expression]) => {
+      require(args.length >= 3,
+        "graft_llk_score_long(t, symbol, model_text [, model_text ...])")
+      LlkLongScore(args(0), args(1),
+        parseLib(args.drop(2), "graft_llk_score_long")): Expression
+    })
+}
