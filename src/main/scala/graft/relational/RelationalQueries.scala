@@ -382,6 +382,26 @@ object RelationalQueries {
         count(col("value")).as("n"))
       .orderBy(col("event_type"))
 
+  /** Top-3 events by value per event type — via the bounded
+    * [[graft.functions.TopKRows]] aggregate, NOT a rank window: the
+    * fixture's 5 event types make `row_number() OVER (PARTITION BY
+    * event_type ...)` serialize ~1/5 of the corpus into one task's sort at
+    * any scale, while the aggregate keeps O(k) state per group and
+    * combines map-side — each input partition contributes ≤ k candidate
+    * rows to the shuffle, independent of corpus size. */
+  private def aggTopkPerKey(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val agg = ColumnBridge.column(graft.functions.TopKRows(3,
+      ColumnBridge.expression(col("value").cast("double")),
+      ColumnBridge.expression(col("event_id").cast("long")))
+      .toAggregateExpression())
+    events(s, d).groupBy(col("event_type")).agg(agg.as("tk"))
+      .select(col("event_type"), posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col("event_type"), (col("i") + 1).cast("long").as("rank"),
+        col("e.id").as("event_id"), col("e.value").as("value"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
   /** FORWARD as-of join — each event picks the EARLIEST reference at or
     * after it (the "next scheduled update" shape). Pure reuse: forward
     * as-of over `ts` IS backward as-of over `-ts` (truncating integer
@@ -554,6 +574,7 @@ object RelationalQueries {
     "window_segment" -> (windowSegment _),
     "window_first_val" -> (windowFirstVal _),
     "agg_quantiles" -> (aggQuantiles _),
+    "agg_topk_per_key" -> (aggTopkPerKey _),
     "join_asof" -> (joinAsof _),
     "join_asof_forward" -> (joinAsofForward _),
     "join_range" -> (joinRange _),
@@ -582,6 +603,15 @@ object RelationalQueries {
         |       round(quantile_cont(value, 0.99), 6) AS p99,
         |       CAST(count(value) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // value comparisons only (no arithmetic), so stored doubles hash
+    // exactly; ties pinned by event_id
+    "agg_topk_per_key" ->
+      """SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id, value
+        |FROM (SELECT event_type, event_id, value,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY value DESC, event_id) AS rank
+        |      FROM events WHERE value IS NOT NULL)
+        |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
     // the forward direction, against DuckDB's native forward ASOF (<=)
     "join_asof_forward" ->
       """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events),
