@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.llkScore)
     ext.injectFunction(GraftExtensions.llkScoreLong)
+    ext.injectFunction(GraftExtensions.topKRows)
   }
 }
 
@@ -53,6 +54,24 @@ object GraftExtensions {
       require(args.length >= 2,
         "graft_llk_score(symbols, model_text [, model_text ...])")
       LlkScoreAll(args.head, parseLib(args.tail, "graft_llk_score")): Expression
+    })
+
+  /** graft_top_k_rows(k, value double, id bigint) — bounded top-k-per-group
+    * aggregate (O(k) state, map-side combinable); k must be a foldable
+    * integer literal. */
+  private[graft] val topKRows = (
+    FunctionIdentifier("graft_top_k_rows"),
+    new ExpressionInfo(classOf[graft.functions.TopKRows].getName, "graft_top_k_rows"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3, "graft_top_k_rows(k, value, id)")
+      require(args.head.foldable, "graft_top_k_rows: k must be an integer literal")
+      val k = args.head.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_top_k_rows: k must be integral, got $other")
+      }
+      graft.functions.TopKRows(k, args(1), args(2)): Expression
     })
 
   /** graft_llk_score_long(t bigint, symbol tinyint, model_text+) —

@@ -66,6 +66,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
           s"seq ${r.getLong(0)} diverged via the SQL aggregate")
       }
 
+      // the bounded top-k aggregate from SQL
+      Seq(("a", 3.0, 1L), ("a", 5.0, 2L), ("a", 4.0, 3L), ("b", 1.0, 4L))
+        .toDF("key", "value", "id").createOrReplaceTempView("graft_ext_topk")
+      val tk = s.sql(
+        """SELECT key, e.value, e.id
+          |FROM (SELECT key, graft_top_k_rows(2, value, id) AS tk
+          |      FROM graft_ext_topk GROUP BY key)
+          |LATERAL VIEW explode(tk) AS e
+          |ORDER BY key, e.value DESC""".stripMargin).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      assert(tk.toSeq == Seq(("a", 5.0, 2L), ("a", 4.0, 3L), ("b", 1.0, 4L)),
+        s"SQL top-k diverged: ${tk.toSeq}")
+
       // misuse fails at analysis, not at runtime on an executor
       val ex = intercept[Throwable] {
         s.sql("SELECT graft_llk_score(symbols, seq_id) FROM graft_ext_seqs").collect()
