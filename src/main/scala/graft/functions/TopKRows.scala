@@ -86,9 +86,19 @@ object TopKRows {
     StructField("value", DoubleType, nullable = false),
     StructField("id", LongType, nullable = false)))
 
-  /** `(a_v, a_id)` beats `(b_v, b_id)`: higher value, ties to smaller id. */
-  private def beats(aV: Double, aId: Long, bV: Double, bId: Long): Boolean =
-    aV > bV || (aV == bV && aId < bId)
+  /** `(a_v, a_id)` beats `(b_v, b_id)`: higher value, ties to smaller id.
+    * NaN ranks GREATER than everything (both engines' ORDER BY … DESC put
+    * NaN first, and DuckDB's rank oracle must agree) — raw IEEE `>` would
+    * instead make NaN incomparable, letting one NaN entry block the heap
+    * root from ever evicting and silently drop genuinely top rows. `-0.0`
+    * ties `0.0` (IEEE `==`), matching SQL equality, so ties still break
+    * by id. */
+  private def beats(aV: Double, aId: Long, bV: Double, bId: Long): Boolean = {
+    val aNan = java.lang.Double.isNaN(aV)
+    val bNan = java.lang.Double.isNaN(bV)
+    if (aNan || bNan) (aNan && !bNan) || (aNan && bNan && aId < bId)
+    else aV > bV || (aV == bV && aId < bId)
+  }
 
   /** Bounded buffer: a k-slot min-heap keyed by the SAME total order used
     * for ranking (heap root = current worst kept entry), so offer() is

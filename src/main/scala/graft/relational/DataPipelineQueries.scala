@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
 object DataPipelineQueries {
 
   private def docs(s: SparkSession, d: String) = Tables.tbl(s, d, "documents")
+  /** Depth-first temp-dir cleanup shared by every write-then-read query
+    * (external-table DROP removes only catalog metadata). */
+  private def deleteRecursively(tmp: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(tmp)
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
   private def embeds(s: SparkSession, d: String) = Tables.tbl(s, d, "embeddings")
 
   // ------------------------------------------------------------------- dedup
@@ -403,13 +413,7 @@ object DataPipelineQueries {
           col("text"))
         .orderBy(col("doc_id"))
         .localCheckpoint(true)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(tmp)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    } finally deleteRecursively(tmp)
   }
 
   /** Partitioned parquet sink + partition-pruned read-back — the OTHER
@@ -429,13 +433,7 @@ object DataPipelineQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
         .localCheckpoint(true)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(tmp)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    } finally deleteRecursively(tmp)
   }
 
   /** Bucketed co-located join through the gate: two projections of the
@@ -471,11 +469,7 @@ object DataPipelineQueries {
     } finally {
       s.sql(s"DROP TABLE IF EXISTS $ta")
       s.sql(s"DROP TABLE IF EXISTS $tb")
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(tmp)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      deleteRecursively(tmp)
     }
   }
 
@@ -613,15 +607,12 @@ object DataPipelineQueries {
       sc.setJobGroup(g, g, interruptOnCancel = false)
       try body finally sc.clearJobGroup()
     }
-    // listener delivery is async — poll the tallies until two consecutive
-    // 100 ms snapshots agree (bounded at 10 s; the bus drains in ms here)
-    def settle(): Unit = {
-      var prev = ""
-      var waited = 0
-      while (waited < 10000 && { val cur = jobCounts.toString; val same = cur == prev; prev = cur; !same }) {
-        Thread.sleep(100); waited += 100
-      }
-    }
+    // listener delivery is async — use the bus's own drain barrier rather
+    // than snapshot-polling the tallies (a bus stall longer than the poll
+    // interval would freeze stale counts into the verdict)
+    def settle(): Unit =
+      try org.apache.spark.sql.graft.ColumnBridge.waitListenerBusEmpty(sc, 30000L)
+      catch { case _: java.util.concurrent.TimeoutException => () }
     sc.addSparkListener(listener)
     try {
       val q1 = e.filter(col("vec_id") < 10)
@@ -781,7 +772,13 @@ object DataPipelineQueries {
       // the session value. Restored after start for the batch verdict side.
       val partKey = "spark.sql.shuffle.partitions"
       val prevParts = s.conf.get(partKey)
-      val stateRows = docs(s, d).count() * 16L // bands per doc
+      import graft.streaming.StreamingNearDup.{DefaultBands, DefaultNumHashes}
+      // ONE corpus scan for all harness bookkeeping (doc count + synthetic
+      // copy count) — these jobs run inside the timed query
+      val cnts = docs(s, d).agg(count(lit(1)),
+        sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L))).collect()(0)
+      val (nDocs, nCopies) = (cnts.getLong(0), cnts.getLong(1))
+      val stateRows = nDocs * DefaultBands
       val parts = math.max(8L, math.min(prevParts.toLong, stateRows / 10000L))
       s.conf.set(partKey, parts.toString)
       val q =
@@ -802,9 +799,9 @@ object DataPipelineQueries {
       val stRows = if (sops.isEmpty) -1L else sops.map(_.numRowsTotal).max
       val stUpdated = sops.map(_.numRowsUpdated).sum
       val stBytes = if (sops.isEmpty) -1L else sops.map(_.memoryUsedBytes).max
-      val nAll = docs(s, d).count() +
-        docs(s, d).filter(col("doc_id") % 10 === 0).count()
-      val bytesBound = 4L * nAll * 16 * (8 + 8 * 64) + (1L << 20)
+      val nAll = nDocs + nCopies
+      val bytesBound =
+        4L * nAll * DefaultBands * (8L + 8L * DefaultNumHashes) + (1L << 20)
       val emitted = s.table(qname)
         .select(col("id_a"), col("id_b"), col("est_jaccard"))
         .distinct().localCheckpoint(true)
@@ -822,7 +819,7 @@ object DataPipelineQueries {
         .agg((count(col("id_a")) >= 1L).as("found"),
           bool_and(coalesce(col("est_jaccard") === 1.0, lit(false))).as("est_one"))
         .withColumn("state_rows_bounded",
-          lit(stRows > 0 && stRows <= 16L * nAll && stUpdated > 0))
+          lit(stRows > 0 && stRows <= DefaultBands.toLong * nAll && stUpdated > 0))
         .withColumn("state_bytes_bounded", lit(stBytes > 0 && stBytes <= bytesBound))
         .orderBy(col("orig_id"))
     } finally prev match {

@@ -126,9 +126,16 @@ object StreamingNearDup {
     * `dedup_minhash`: 5-gram char shingles of the normalized text, 64
     * permutations, 16 bands of 4). The session must run the RocksDB state
     * store provider ([[RocksDbProvider]]). */
+  /** Defaults shared with harness code that sizes state bounds — keep the
+    * bound arithmetic tied to these, not re-derived literals. */
+  val DefaultNumHashes = 64
+  val DefaultBands = 16
+  val DefaultMaxBucketSize = 256
+
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.5,
-                   numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5,
-                   maxBucketSize: Int = 256, seed: Long = 42L,
+                   numHashes: Int = DefaultNumHashes, bands: Int = DefaultBands,
+                   shingleK: Int = 5,
+                   maxBucketSize: Int = DefaultMaxBucketSize, seed: Long = 42L,
                    ttl: Option[java.time.Duration] = None): DataFrame = {
     require(numHashes % bands == 0, s"numHashes $numHashes must split into $bands bands")
     val spark = docs.sparkSession

@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Block until the async listener bus has DELIVERED every queued event
+    * (`LiveListenerBus.waitUntilEmpty`, `private[spark]`) — the exact
+    * drain barrier listener-tallying harness code needs; snapshot-polling
+    * the tallies instead can declare victory during a bus stall and read
+    * stale counts. */
+  def waitListenerBusEmpty(sc: org.apache.spark.SparkContext, timeoutMs: Long): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMs)
 }

@@ -59,6 +59,18 @@ class TopKRowsSpec extends AnyFunSuite {
     assert(got == Seq(("a", 3.0, 3L), ("a", 1.0, 1L)), got.toString)
   }
 
+  test("NaN ranks greatest and can never wedge the buffer") {
+    // IEEE > would make NaN incomparable: it would fill a slot, sit at
+    // the heap root, and reject every later value. The ordering ranks
+    // NaN greatest (both engines' ORDER BY DESC agree), id-tied among NaNs
+    val rows = Seq(
+      ("a", Double.NaN, 9L), ("a", 3.0, 2L), ("a", 10.0, 3L), ("a", 7.0, 4L),
+      ("a", Double.NaN, 1L))
+    val got = topk(rows.toDF("key", "value", "id").repartition(3), 3)
+    assert(got.map(_._3) == Seq(1L, 9L, 3L), s"NaN handling broken: $got")
+    assert(got(0)._2.isNaN && got(1)._2.isNaN && got(2)._2 == 10.0)
+  }
+
   test("the registered query beats the window shape: partial aggregation in-plan") {
     val dir = java.nio.file.Files.createTempDirectory("topkspec").toString
     (0L until 200L).map(i => (i, i * 1000000L, i % 3, s"t${i % 5}", i.toDouble % 17, "{}"))
