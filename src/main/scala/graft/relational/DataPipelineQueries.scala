@@ -1438,6 +1438,30 @@ object DataPipelineQueries {
 
   /** Document fingerprint: min-hash winnowing over 8-gram shingles — the
     * minimum md5 is a stable content fingerprint robust to shingle order. */
+  /** Per-document character Shannon entropy (bits) over the normalized
+    * text — the classic low-information filter (gibberish and
+    * template/repeat spam sit at the distribution's tails where token
+    * heuristics miss). One explode to (doc, char) rows, a map-side-
+    * combinable count, and codegen'd `log2` row math; rounds to 6 like
+    * text_lm_score (whose gate already pins Spark↔DuckDB ln/avg fp
+    * parity at this precision). Empty docs keep a 0.0 row. */
+  private def textEntropy(s: SparkSession, d: String): DataFrame = {
+    val n = docs(s, d).select(col("doc_id"), TextOps.normalized("text").as("norm"))
+    val ch = n.filter(length(col("norm")) >= 1)
+      .select(col("doc_id"), length(col("norm")).cast("long").as("len"),
+        explode(expr(
+          "transform(sequence(1, length(norm)), i -> substring(norm, i, 1))")).as("ch"))
+    val ent = ch.groupBy(col("doc_id"), col("len"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(expr("-(c / len) * log2(c / len)")), 6).as("entropy"))
+    n.select(col("doc_id"), length(col("norm")).cast("long").as("n_chars"))
+      .join(ent, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("entropy"), lit(0.0)).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   private def textFingerprint(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .withColumn("sh", TextOps.charShingles("text", 8))
@@ -1665,6 +1689,7 @@ object DataPipelineQueries {
     "sample_stratified" -> (sampleStratified _),
     "corpus_prep" -> (corpusPrep _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_entropy" -> (textEntropy _),
     "text_lm_score" -> (textLmScore _),
     "text_lang_id_ngram" -> (textLangIdNgram _),
     "multimodal_metadata" -> (multimodalMetadata _),
@@ -2164,6 +2189,24 @@ object DataPipelineQueries {
     // the full train-then-score recompute: same normalization, same add-one
     // smoothing, same |V| definition; CAST(... AS DOUBLE) division and ln()
     // keep both engines in IEEE doubles (DuckDB log() is log10)
+    // same normalization, same round(6) fp-parity regime as text_lm_score
+    "text_entropy" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, length(norm) AS len,
+        |         unnest(list_transform(generate_series(1, length(norm)),
+        |                               i -> substr(norm, CAST(i AS INT), 1))) AS ch
+        |  FROM n WHERE length(norm) >= 1),
+        |cc AS (SELECT doc_id, len, ch, count(*) AS c FROM ch GROUP BY 1, 2, 3),
+        |e AS (
+        |  SELECT doc_id,
+        |         round(sum(-(c * 1.0 / len) * log2(c * 1.0 / len)), 6) AS entropy
+        |  FROM cc GROUP BY doc_id)
+        |SELECT n.doc_id, CAST(length(n.norm) AS BIGINT) AS n_chars,
+        |       CAST(coalesce(e.entropy, 0.0) AS DOUBLE) AS entropy
+        |FROM n LEFT JOIN e USING (doc_id) ORDER BY n.doc_id""".stripMargin,
     "text_lm_score" ->
       """WITH n AS (
         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
