@@ -885,6 +885,31 @@ object DataPipelineQueries {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** Streaming corpus vocabulary — the COMPLETE-mode aggregation state
+    * pattern (the fourth streaming state shape in the gate, after
+    * dedup state, append-mode session windows, and transformWithState):
+    * per-token counts live in the aggregation state store and the sink
+    * receives the full updated table each trigger, so after the bounded
+    * replay the memory sink IS the exact corpus vocabulary — directly
+    * hash-gateable against the batch count, no verdict wrapper. State is
+    * vocab-sized (distinct tokens, not corpus-sized) — the same bound the
+    * batch text_vocab/tokenize_bpe path rides; cross-trigger count
+    * accumulation is spec-pinned with controlled micro-batches. */
+  private def streamVocab(s: SparkSession, d: String): DataFrame = {
+    val qname = "stream_vocab_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = streamDocs(s, d)
+      .select(explode(TextOps.tokens("text")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.table(qname).localCheckpoint(true)
+    s.catalog.dropTempView(qname)
+    out.orderBy(col("token"))
+  }
+
   // ---------------------------------------------------------- text analysis
   private val langMarkers: Seq[(String, String)] = Seq(
     "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and",
@@ -1665,6 +1690,7 @@ object DataPipelineQueries {
     "stream_dedup_watermark" -> (streamDedupWatermark _),
     "stream_neardup" -> (streamNearDup _),
     "stream_sessionize" -> (streamSessionize _),
+    "stream_vocab" -> (streamVocab _),
     "scan_bucketed" -> (scanBucketed _),
     "scan_jsonl" -> (scanJsonl _),
     "shuffle_global" -> (shuffleGlobal _),
@@ -1866,6 +1892,13 @@ object DataPipelineQueries {
         |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 200""".stripMargin,
+    // complete-mode state after the bounded replay = the exact batch
+    // vocabulary, every token
+    "stream_vocab" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY token""".stripMargin,
     "tokenize_bpe_train" -> bpeOracleSql(BpeSteps),
     "tokenize_bpe_apply" -> bpeApplyOracleSql(BpeSteps),
     // one partition of the round-trip, value-exact
