@@ -71,6 +71,48 @@ class TopKRowsSpec extends AnyFunSuite {
     assert(got(0)._2.isNaN && got(1)._2.isNaN && got(2)._2 == 10.0)
   }
 
+  test("buffer property: random offers + random buffer merges equal the reference sort") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def forAll[A](g: Gen[A], n: Int = 300)(body: A => Unit): Unit =
+      (1 to n).foreach(i => g.apply(Gen.Parameters.default, Seed(0xF00DL + i)).foreach(body))
+    // values include NaN, infinities, signed zeros, and heavy duplicates
+    val vGen = Gen.frequency(
+      6 -> Gen.chooseNum(-3.0, 3.0).map(v => math.floor(v * 4) / 4.0),
+      1 -> Gen.oneOf(Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity, 0.0, -0.0))
+    val rowsGen = for {
+      n <- Gen.chooseNum(0, 40)
+      vs <- Gen.listOfN(n, vGen)
+    } yield vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+    val kGen = Gen.chooseNum(1, 7)
+    forAll(Gen.zip(rowsGen, kGen, Gen.chooseNum(1, 4))) { case (rows, k, nBufs) =>
+      // scatter rows round-robin over several buffers, then merge — the
+      // partial-aggregation path
+      val bufs = Array.fill(nBufs)(new TopKRows.Buffer(k))
+      rows.zipWithIndex.foreach { case ((v, id), i) => bufs(i % nBufs).offer(v, id) }
+      val merged = bufs.reduce { (a, b) => b.foreach((v, id) => a.offer(v, id)); a }
+      val got = merged.sortedBestFirst.toSeq
+      // reference order: NaN group first (above +Inf, per both engines'
+      // ORDER BY DESC), then value desc, id asc — NaN kept out of the
+      // sort KEYS (sentinel group key instead)
+      val want = rows.sortBy { case (v, id) =>
+        (if (v.isNaN) 0 else 1, if (v.isNaN) 0.0 else -normalize(v), id)
+      }.take(k).map { case (v, id) => (bits(v), id) }
+      // compare canonical BIT patterns: a specialized tuple compares
+      // primitive doubles with IEEE ==, where NaN != NaN
+      assert(got.map { case (v, id) => (bits(v), id) } == want,
+        s"k=$k bufs=$nBufs rows=$rows:\n got=$got\nwant=$want")
+    }
+  }
+
+  /** -0.0 ties 0.0 in the SQL order; NaN canonicalized for set compare. */
+  private def normalize(v: Double): Double =
+    if (v.isNaN) Double.NaN else if (v == 0.0) 0.0 else v
+
+  private def bits(v: Double): Long =
+    java.lang.Double.doubleToLongBits(normalize(v))
+
   test("the registered query beats the window shape: partial aggregation in-plan") {
     val dir = java.nio.file.Files.createTempDirectory("topkspec").toString
     (0L until 200L).map(i => (i, i * 1000000L, i % 3, s"t${i % 5}", i.toDouble % 17, "{}"))
