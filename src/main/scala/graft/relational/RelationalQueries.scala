@@ -425,6 +425,39 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** NEAREST as-of join — each event picks whichever of its backward and
+    * forward matches lies closer in time (ties to the backward one, the
+    * conventional pandas `merge_asof(direction='nearest')` rule). Pure
+    * composition: the two directional plans run as-is and a per-event
+    * pick joins them — no new shuffle machinery, each side keeps its
+    * time-bucketed scale shape. The oracle composes DuckDB's two native
+    * directional ASOF joins with the same CASE. */
+  private def joinAsofNearest(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_id"), col("event_type"),
+      expr("ts div 1000").as("ts_us"))
+    val refs = e.filter(col("event_id") % 50 === 0)
+      .groupBy(col("event_type"), col("ts_us")).agg(max(col("event_id")).as("ref_id"))
+    val bucketUs = 3600L * 1000000L
+    val back = asofBucketed(e, refs, "event_type", bucketUs)
+      .select(col("event_id"), col("event_type"), col("ts_us"),
+        col("ref_id").as("b_id"), col("ref_ts_us").as("b_ts"))
+    val fwd = asofBucketed(
+      e.withColumn("ts_us", -col("ts_us")),
+      refs.withColumn("ts_us", -col("ts_us")), "event_type", bucketUs)
+      .select(col("event_id"), col("ref_id").as("f_id"),
+        (-col("ref_ts_us")).as("f_ts"))
+    back.join(fwd, "event_id")
+      .withColumn("b_d", col("ts_us") - col("b_ts"))
+      .withColumn("f_d", col("f_ts") - col("ts_us"))
+      .withColumn("pick_b",
+        col("b_id").isNotNull && (col("f_id").isNull || col("b_d") <= col("f_d")))
+      .select(col("event_id"), col("event_type"), col("ts_us"),
+        when(col("pick_b"), col("b_id")).otherwise(col("f_id")).as("ref_id"),
+        when(col("pick_b"), col("b_ts")).otherwise(col("f_ts")).as("ref_ts_us"),
+        when(col("pick_b"), col("b_d")).otherwise(col("f_d")).as("dist_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Tier count for [[rangeBuckets]]/[[rangeEventProbes]]: the smallest T
     * such that `baseUs · 4^(T−1)` covers `maxLenUs` — T grows as
     * log₄(maxLen/base), so even a year-long interval over a 15-minute
@@ -577,6 +610,7 @@ object RelationalQueries {
     "agg_topk_per_key" -> (aggTopkPerKey _),
     "join_asof" -> (joinAsof _),
     "join_asof_forward" -> (joinAsofForward _),
+    "join_asof_nearest" -> (joinAsofNearest _),
     "join_range" -> (joinRange _),
     "window_sessionize" -> (windowSessionize _),
     "predict_anomaly" -> (predictAnomaly _),
@@ -612,6 +646,29 @@ object RelationalQueries {
         |                           ORDER BY value DESC, event_id) AS rank
         |      FROM events WHERE value IS NOT NULL)
         |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+    // both native directional ASOF joins composed with the same
+    // nearest-pick CASE (ties to backward)
+    "join_asof_nearest" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |refs AS (SELECT event_type, ts_us, max(event_id) AS ref_id
+        |         FROM e WHERE event_id % 50 = 0 GROUP BY 1, 2),
+        |b AS (SELECT e.event_id, r.ref_id AS b_id, r.ts_us AS b_ts
+        |      FROM e ASOF LEFT JOIN refs r
+        |        ON e.event_type = r.event_type AND e.ts_us >= r.ts_us),
+        |f AS (SELECT e.event_id, r.ref_id AS f_id, r.ts_us AS f_ts
+        |      FROM e ASOF LEFT JOIN refs r
+        |        ON e.event_type = r.event_type AND e.ts_us <= r.ts_us)
+        |SELECT e.event_id, e.event_type, e.ts_us,
+        |       CASE WHEN pick_b THEN b_id ELSE f_id END AS ref_id,
+        |       CASE WHEN pick_b THEN b_ts ELSE f_ts END AS ref_ts_us,
+        |       CASE WHEN pick_b THEN e.ts_us - b_ts ELSE f_ts - e.ts_us END AS dist_us
+        |FROM e
+        |JOIN (SELECT b.event_id, b_id, b_ts, f_id, f_ts,
+        |        b_id IS NOT NULL AND (f_id IS NULL
+        |          OR e2.ts_us - b_ts <= f_ts - e2.ts_us) AS pick_b
+        |      FROM b JOIN f USING (event_id) JOIN e e2 USING (event_id)) p
+        |  USING (event_id)
+        |ORDER BY e.event_id""".stripMargin,
     // the forward direction, against DuckDB's native forward ASOF (<=)
     "join_asof_forward" ->
       """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events),

@@ -71,6 +71,27 @@ class TemporalJoinSpec extends AnyFunSuite {
       s"forward as-of mismatch: $rows")
   }
 
+  test("join_asof_nearest: closer side wins, exact midpoint ties to backward") {
+    val dir = writeEvents(fixture, "asofnear")
+    val rows = graft.relational.RelationalQueries.queries("join_asof_nearest")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    // from the shared fixture (refs a: 0@1000, 50@6000; b: 150@9999):
+    assert(rows(1L) == ((Some(0L), Some(500L))), "only-forward side must match")
+    assert(rows(3L) == ((Some(50L), Some(1000L))), "the closer FORWARD ref must win")
+    assert(rows(4L) == ((Some(50L), Some(500L))), "only-backward side must match")
+    assert(rows(0L) == ((Some(0L), Some(0L))) && rows(5L) == ((Some(150L), Some(0L))))
+  }
+
+  test("join_asof_nearest: exact midpoint between two refs ties to the backward one") {
+    val dir = writeEvents(Seq(
+      (0L, "a", 1000L), (50L, "a", 3000L), (7L, "a", 2000L)), "asofmid")
+    val rows = graft.relational.RelationalQueries.queries("join_asof_nearest")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(5)))).toMap
+    assert(rows(7L) == ((0L, 1000L)), s"midpoint must tie backward: ${rows(7L)}")
+  }
+
   test("join_asof: ref/event pairs straddling hour-bucket boundaries stitch correctly") {
     val hourUs = 3600L * 1000000L
     // type a: ref 0 in bucket 0; events 2 and 5 in ref-free buckets that
