@@ -676,20 +676,30 @@ object DataPipelineQueries {
   /** Runs a (doc_id, norm_md5)-producing stream as a real AvailableNow
     * query into a memory sink and grades the shared dedup verdict grid:
     * one emission per hash, each a genuine member of its hash group. */
-  private def streamDedupVerdict(s: SparkSession, d: String, qprefix: String,
-                                 streamed: DataFrame): DataFrame = {
-    val qname = qprefix + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = streamed.select(col("doc_id"), col("norm_md5"))
-      .writeStream.format("memory").queryName(qname)
-      .outputMode("append")
+  /** Run a bounded streaming frame through a memory sink under
+    * AvailableNow and hand back the MATERIALIZED result: the named view is
+    * dropped after an eager localCheckpoint so repeated invocations in one
+    * session (specs + gate + bench share a JVM) never accumulate
+    * driver-resident result sets. Shared by every stream_* gate query that
+    * doesn't need the live query handle afterwards. */
+  private def runMemorySink(streamed: DataFrame, prefix: String,
+                            mode: String): DataFrame = {
+    val qname = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = streamed.writeStream.format("memory").queryName(qname)
+      .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // materialize and DROP the memory-sink view: repeated invocations in
-    // one session (specs + gate + bench share a JVM) must not accumulate
-    // driver-resident named result sets
-    val emitted = s.table(qname).localCheckpoint(true)
+    val s = streamed.sparkSession
+    val out = s.table(qname).localCheckpoint(true)
     s.catalog.dropTempView(qname)
+    out
+  }
+
+  private def streamDedupVerdict(s: SparkSession, d: String, qprefix: String,
+                                 streamed: DataFrame): DataFrame = {
+    val emitted = runMemorySink(
+      streamed.select(col("doc_id"), col("norm_md5")), qprefix, "append")
     val membership = docs(s, d)
       .select(col("doc_id"), md5(TextOps.normalized("text")).as("norm_md5"))
       .withColumn("is_member", lit(true))
@@ -865,16 +875,9 @@ object DataPipelineQueries {
     val sentinel = raw.filter(col("event_id") % 1000 === 0)
       .select(lit(-1L).as("user_id"), col("ts_us"),
         timestamp_micros(col("ts_us") + lit(3155760000000000L)).as("event_ts"))
-    val qname = "stream_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = graft.streaming.StreamingSessionize
-      .sessions(real.unionByName(sentinel), "30 minutes", "40 days")
-      .writeStream.format("memory").queryName(qname)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val emitted = s.table(qname).localCheckpoint(true)
-    s.catalog.dropTempView(qname)
+    val emitted = runMemorySink(graft.streaming.StreamingSessionize
+      .sessions(real.unionByName(sentinel), "30 minutes", "40 days"),
+      "stream_sess_", "append")
     // batch post-pass over the emitted (finalized) sessions only: number
     // them per user in start order to match the batch-shaped contract
     emitted.filter(col("user_id") =!= -1L)
@@ -895,20 +898,15 @@ object DataPipelineQueries {
     * vocab-sized (distinct tokens, not corpus-sized) — the same bound the
     * batch text_vocab/tokenize_bpe path rides; cross-trigger count
     * accumulation is spec-pinned with controlled micro-batches. */
-  private def streamVocab(s: SparkSession, d: String): DataFrame = {
-    val qname = "stream_vocab_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = streamDocs(s, d)
-      .select(explode(TextOps.tokens("text")).as("token"))
+  private def streamVocab(s: SparkSession, d: String): DataFrame =
+    runMemorySink(vocabCounts(streamDocs(s, d)), "stream_vocab_", "complete")
+      .orderBy(col("token"))
+
+  /** The aggregation streamVocab runs — shared with StreamVocabSpec so the
+    * spec pins the REGISTERED plan, not a copy. */
+  private[graft] def vocabCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(TextOps.tokens("text")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .writeStream.format("memory").queryName(qname)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val out = s.table(qname).localCheckpoint(true)
-    s.catalog.dropTempView(qname)
-    out.orderBy(col("token"))
-  }
 
   // ---------------------------------------------------------- text analysis
   private val langMarkers: Seq[(String, String)] = Seq(
@@ -1461,13 +1459,11 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Document fingerprint: min-hash winnowing over 8-gram shingles — the
-    * minimum md5 is a stable content fingerprint robust to shingle order. */
   /** Per-document character Shannon entropy (bits) over the normalized
     * text — the classic low-information filter (gibberish and
     * template/repeat spam sit at the distribution's tails where token
     * heuristics miss). One explode to (doc, char) rows, a map-side-
-    * combinable count, and codegen'd `log2` row math; rounds to 6 like
+    * combinable count, and codegen'd `ln` row math; rounds to 6 like
     * text_lm_score (whose gate already pins Spark↔DuckDB ln/avg fp
     * parity at this precision). Empty docs keep a 0.0 row. */
   private def textEntropy(s: SparkSession, d: String): DataFrame = {
@@ -1476,10 +1472,15 @@ object DataPipelineQueries {
       .select(col("doc_id"), length(col("norm")).cast("long").as("len"),
         explode(expr(
           "transform(sequence(1, length(norm)), i -> substring(norm, i, 1))")).as("ch"))
+    // sum in LN space (the exact regime text_lm_score's gate pins across
+    // engines) and convert to bits with ONE division by the shared ln 2
+    // constant — Spark's log2 lowers to ln(x)/ln(2) per term, an extra
+    // rounding step DuckDB's native log2 doesn't take
     val ent = ch.groupBy(col("doc_id"), col("len"), col("ch"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
-      .agg(round(sum(expr("-(c / len) * log2(c / len)")), 6).as("entropy"))
+      .agg(round(sum(expr("-(c / len) * ln(c / len)")) / lit(math.log(2.0)), 6)
+        .as("entropy"))
     n.select(col("doc_id"), length(col("norm")).cast("long").as("n_chars"))
       .join(ent, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chars"),
@@ -1487,6 +1488,8 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Document fingerprint: min-hash winnowing over 8-gram shingles — the
+    * minimum md5 is a stable content fingerprint robust to shingle order. */
   private def textFingerprint(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .withColumn("sh", TextOps.charShingles("text", 8))
@@ -2235,7 +2238,7 @@ object DataPipelineQueries {
         |cc AS (SELECT doc_id, len, ch, count(*) AS c FROM ch GROUP BY 1, 2, 3),
         |e AS (
         |  SELECT doc_id,
-        |         round(sum(-(c * 1.0 / len) * log2(c * 1.0 / len)), 6) AS entropy
+        |         round(sum(-(c * 1.0 / len) * ln(c * 1.0 / len)) / ln(2), 6) AS entropy
         |  FROM cc GROUP BY doc_id)
         |SELECT n.doc_id, CAST(length(n.norm) AS BIGINT) AS n_chars,
         |       CAST(coalesce(e.entropy, 0.0) AS DOUBLE) AS entropy

@@ -352,17 +352,29 @@ object RelationalQueries {
         (col("ts_us") - col("r_ts")).as("lag_us"))
   }
 
+  /** Shared inputs of the three as-of gate queries: the event stream and
+    * its every-50th-event per-type reference stream (deduped to max id per
+    * (type, ts) so "latest"/"earliest" are well-defined). */
+  private def asofInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = events(s, d).select(col("event_id"), col("event_type"),
+      expr("ts div 1000").as("ts_us"))
+    val refs = e.filter(col("event_id") % 50 === 0)
+      .groupBy(col("event_type"), col("ts_us")).agg(max(col("event_id")).as("ref_id"))
+    (e, refs)
+  }
+
+  /** One hour, in microseconds — the as-of time-bucket width the gate
+    * registers (production sizes it to span · targetRowsPerTask / N). */
+  private val AsofBucketUs = 3600L * 1000000L
+
   /** AS-OF join gate query — every 50th event plays a per-type "threshold
     * update" stream; each event picks the latest update at or before it.
     * Rides [[asofBucketed]] with 1-hour buckets (the fixture spans ~30
     * days → ~720 buckets × 5 types ≈ 3,600 window partitions, vs 5 for
     * the key-only plan this replaces). */
   private def joinAsof(s: SparkSession, d: String): DataFrame = {
-    val e = events(s, d).select(col("event_id"), col("event_type"),
-      expr("ts div 1000").as("ts_us"))
-    val refs = e.filter(col("event_id") % 50 === 0)
-      .groupBy(col("event_type"), col("ts_us")).agg(max(col("event_id")).as("ref_id"))
-    asofBucketed(e, refs, "event_type", 3600L * 1000000L)
+    val (e, refs) = asofInputs(s, d)
+    asofBucketed(e, refs, "event_type", AsofBucketUs)
       .orderBy(col("event_id"))
   }
 
@@ -411,14 +423,11 @@ object RelationalQueries {
     * Same one-shuffle scale shape as [[joinAsof]]; pinned against
     * DuckDB's native forward ASOF JOIN (`e.ts_us <= r.ts_us`). */
   private def joinAsofForward(s: SparkSession, d: String): DataFrame = {
-    val e = events(s, d).select(col("event_id"), col("event_type"),
-      expr("ts div 1000").as("ts_us"))
-    val refs = e.filter(col("event_id") % 50 === 0)
-      .groupBy(col("event_type"), col("ts_us")).agg(max(col("event_id")).as("ref_id"))
+    val (e, refs) = asofInputs(s, d)
     asofBucketed(
       e.withColumn("ts_us", -col("ts_us")),
       refs.withColumn("ts_us", -col("ts_us")),
-      "event_type", 3600L * 1000000L)
+      "event_type", AsofBucketUs)
       .select(col("event_id"), col("event_type"), (-col("ts_us")).as("ts_us"),
         col("ref_id"), (-col("ref_ts_us")).as("ref_ts_us"),
         col("lag_us").as("lead_us"))
@@ -433,17 +442,13 @@ object RelationalQueries {
     * time-bucketed scale shape. The oracle composes DuckDB's two native
     * directional ASOF joins with the same CASE. */
   private def joinAsofNearest(s: SparkSession, d: String): DataFrame = {
-    val e = events(s, d).select(col("event_id"), col("event_type"),
-      expr("ts div 1000").as("ts_us"))
-    val refs = e.filter(col("event_id") % 50 === 0)
-      .groupBy(col("event_type"), col("ts_us")).agg(max(col("event_id")).as("ref_id"))
-    val bucketUs = 3600L * 1000000L
-    val back = asofBucketed(e, refs, "event_type", bucketUs)
+    val (e, refs) = asofInputs(s, d)
+    val back = asofBucketed(e, refs, "event_type", AsofBucketUs)
       .select(col("event_id"), col("event_type"), col("ts_us"),
         col("ref_id").as("b_id"), col("ref_ts_us").as("b_ts"))
     val fwd = asofBucketed(
       e.withColumn("ts_us", -col("ts_us")),
-      refs.withColumn("ts_us", -col("ts_us")), "event_type", bucketUs)
+      refs.withColumn("ts_us", -col("ts_us")), "event_type", AsofBucketUs)
       .select(col("event_id"), col("ref_id").as("f_id"),
         (-col("ref_ts_us")).as("f_ts"))
     back.join(fwd, "event_id")

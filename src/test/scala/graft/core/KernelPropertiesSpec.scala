@@ -2,7 +2,6 @@ package graft.core
 
 import graft.TestSpark
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ScalaCheck property tests for the kernels (SURVEY §5 item 2): invariants
@@ -13,11 +12,9 @@ class KernelPropertiesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  /** Deterministic sample set from a generator. */
+  /** Deterministic sample set from a generator (shared harness). */
   private def forAll[A](g: Gen[A], n: Int = 25)(body: A => Unit): Unit =
-    (1 to n).foreach { i =>
-      g.apply(Gen.Parameters.default, Seed(0xC0FFEEL + i)).foreach(body)
-    }
+    graft.PropSampler.forAll(g, seedBase = 0xC0FFEEL, n = n)(body)
 
   private val smallSeq = Gen.listOfN(40, Gen.chooseNum(-50.0, 50.0))
 

@@ -73,9 +73,8 @@ class TopKRowsSpec extends AnyFunSuite {
 
   test("buffer property: random offers + random buffer merges equal the reference sort") {
     import org.scalacheck.Gen
-    import org.scalacheck.rng.Seed
-    def forAll[A](g: Gen[A], n: Int = 300)(body: A => Unit): Unit =
-      (1 to n).foreach(i => g.apply(Gen.Parameters.default, Seed(0xF00DL + i)).foreach(body))
+    def forAll[A](g: Gen[A])(body: A => Unit): Unit =
+      graft.PropSampler.forAll(g, seedBase = 0xF00DL, n = 300)(body)
     // values include NaN, infinities, signed zeros, and heavy duplicates
     val vGen = Gen.frequency(
       6 -> Gen.chooseNum(-3.0, 3.0).map(v => math.floor(v * 4) / 4.0),

@@ -1,7 +1,6 @@
 package graft.relational
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The BPE gate rests on one equivalence claim: the Spark-side
@@ -15,12 +14,8 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BpeMergeEquivalenceSpec extends AnyFunSuite {
 
-  /** Deterministic sample set from a generator (same harness shape as
-    * KernelPropertiesSpec — no scalatestplus bridge needed). */
-  private def forAll[A](g: Gen[A], n: Int = 500)(body: A => Unit): Unit =
-    (1 to n).foreach { i =>
-      g.apply(Gen.Parameters.default, Seed(0xBEEFL + i)).foreach(body)
-    }
+  private def forAll[A](g: Gen[A])(body: A => Unit): Unit =
+    graft.PropSampler.forAll(g, seedBase = 0xBEEFL, n = 500)(body)
 
   private def foldRule(toks: List[String], l: String, r: String): List[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]

@@ -17,9 +17,9 @@ class StreamVocabSpec extends AnyFunSuite {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[String]
     val qname = "svocab_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val query = input.toDS().toDF("text")
-      .select(explode(TextOps.tokens("text")).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    // the REGISTERED aggregation builder, not a copy — edits to the gate
+    // query's plan are pinned here automatically
+    val query = graft.relational.DataPipelineQueries.vocabCounts(input.toDS().toDF("text"))
       .writeStream.format("memory").queryName(qname)
       .outputMode("complete").start()
     def table(): Map[String, Long] =
