@@ -34,6 +34,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fixture-schema preflight (shared with Verify): records what's
+    // physically on disk — round 7's fixtures changed encoding under the
+    // round and the artifact gave no clue
+    val schemas = Verify.schemaFingerprints(spark, sfDir)
+    schemas.foreach { case (t, fp) => System.err.println(s"[bench] schema $t=$fp") }
+    // CALIBRATION: a fixed, seeded, data-independent codegen'd aggregate
+    // (10^8 rows, Knuth-hash mod-sum) timed after its own untimed JVM/codegen
+    // warm-up pass. Cross-box absolute times have burned two rounds of
+    // judging (87.9 s vs 94.1 s vs 177 s for the same commit); per-query
+    // numbers quoted as multiples of calib_s normalize out box speed.
+    def calibJob(rows: Long): Unit =
+      spark.range(0, rows, 1, cpus.toInt)
+        .selectExpr("sum(cast(((id * 2654435761) % 1000000007) as double)) as s")
+        .head()
+    calibJob(10000000L) // untimed: absorb codegen/JIT for the timed pass
+    val calibT0 = System.nanoTime()
+    calibJob(400000000L) // ~1.3 s at local[16] on the dev box: long enough to dominate noise
+    val calibS = (System.nanoTime() - calibT0) / 1e9
     // untimed warm-up: absorb JVM/codegen/netlib/MLlib init so the FIRST
     // timed query (alphabetically) and the first MLlib user aren't inflated
     // ~5-10 s — keeps round-over-round deltas attributable to code changes
@@ -108,8 +126,11 @@ object Bench {
     // JSON on exactly the runs where the metadata matters.
     // (pct uses Locale.ROOT: default-locale "%.2f" writes a comma decimal
     // separator on many boxes, which is invalid JSON)
+    val schemasJson = schemas.map { case (t, fp) => s"${q(t)}:${q(fp)}" }
+      .mkString("{", ",", "}")
     val env = s""""load_before":${q(loadBefore)},"load_after":${q(loadavg())},""" +
       s""""steal_pct":${pct(stealPct)},"query_steal_pct":$qsSteal,""" +
+      s""""calib_s":${pct(calibS)},"schemas":$schemasJson,""" +
       s""""started_at_ms":$startedAtMs,"finished_at_ms":${System.currentTimeMillis()}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,$env,"sf":"$sfDir"}""")
     spark.stop()

@@ -838,12 +838,16 @@ object DataPipelineQueries {
     }
   }
 
-  /** `events` as a file stream (ts surfaces as long nanos, like
-    * [[Tables.events]]). The fixture is a single parquet file, so
-    * AvailableNow delivers it in ONE micro-batch — the sentinel trick in
-    * [[streamSessionize]] depends on that (see its scaladoc). */
+  /** `events` as a file stream, `ts` surfacing in whatever type the batch
+    * reader gives the current fixture encoding (long nanos under the legacy
+    * flag, or timestamp/timestamp_ntz — [[Tables.tsUsCol]] normalizes
+    * either; the UTC pin matches [[Tables.events]]). The fixture is a
+    * single parquet file, so AvailableNow delivers it in ONE micro-batch —
+    * the sentinel trick in [[streamSessionize]] depends on that (see its
+    * scaladoc). */
   private def streamEvents(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     if (new java.io.File(s"$d/events.parquet").isDirectory)
       s.readStream.schema(schema).parquet(s"$d/events.parquet")
@@ -868,8 +872,9 @@ object DataPipelineQueries {
     * stays O(active users), and the lateness budget is sized to the
     * source's real disorder, not to a replay. */
   private def streamSessionize(s: SparkSession, d: String): DataFrame = {
-    val raw = streamEvents(s, d).select(col("user_id"), col("event_id"),
-      expr("ts div 1000").as("ts_us"))
+    val src = streamEvents(s, d)
+    val raw = src.select(col("user_id"), col("event_id"),
+      graft.relational.Tables.tsUsCol(src).as("ts_us"))
     val real = raw.select(col("user_id"), col("ts_us"),
       timestamp_micros(col("ts_us")).as("event_ts"))
     val sentinel = raw.filter(col("event_id") % 1000 === 0)
@@ -1941,7 +1946,7 @@ object DataPipelineQueries {
     // boundary inclusive, spec-pinned), so a new session opens at
     // inter-event gap > 30 min — the SAME rule as batch window_sessionize
     "stream_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
         |m AS (SELECT user_id, event_id, ts_us,
         |        CASE WHEN lag(ts_us) OVER w IS NULL
         |               OR ts_us - lag(ts_us) OVER w > 1800000000

@@ -77,7 +77,7 @@ object RelationalQueries {
     val e = events(s, d)
     e.filter(e.columns.map(col(_).isNotNull).reduce(_ && _))
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
-        col("props"), expr("ts div 1000").as("ts_us"))
+        col("props"), Tables.tsUsCol(e).as("ts_us"))
       .orderBy(col("event_id"))
   }
 
@@ -356,8 +356,9 @@ object RelationalQueries {
     * its every-50th-event per-type reference stream (deduped to max id per
     * (type, ts) so "latest"/"earliest" are well-defined). */
   private def asofInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val e = events(s, d).select(col("event_id"), col("event_type"),
-      expr("ts div 1000").as("ts_us"))
+    val raw = events(s, d)
+    val e = raw.select(col("event_id"), col("event_type"),
+      Tables.tsUsCol(raw).as("ts_us"))
     val refs = e.filter(col("event_id") % 50 === 0)
       .groupBy(col("event_type"), col("ts_us")).agg(max(col("event_id")).as("ref_id"))
     (e, refs)
@@ -514,8 +515,9 @@ object RelationalQueries {
     * pair meets in at most one (tier, bucket), so no dedup is needed. */
   private def joinRange(s: SparkSession, d: String): DataFrame = {
     val baseUs = 900L * 1000000L // 15 min
-    val e = events(s, d).select(col("event_id"), col("event_type"),
-      expr("ts div 1000").as("ts_us"))
+    val raw = events(s, d)
+    val e = raw.select(col("event_id"), col("event_type"),
+      Tables.tsUsCol(raw).as("ts_us"))
     val iv = e.filter(col("event_id") % 50 === 0)
       .select(col("event_id").as("interval_id"), col("event_type"),
         col("ts_us").as("start_us"),
@@ -549,8 +551,9 @@ object RelationalQueries {
     * data (billions of users, bounded per-user history). */
   private def windowSessionize(s: SparkSession, d: String): DataFrame = {
     val gapUs = 30L * 60L * 1000000L
-    val e = events(s, d).select(col("user_id"), col("event_id"),
-      expr("ts div 1000").as("ts_us"))
+    val raw = events(s, d)
+    val e = raw.select(col("user_id"), col("event_id"),
+      Tables.tsUsCol(raw).as("ts_us"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val prev = lag(col("ts_us"), 1).over(w)
     e.withColumn("new_s",
@@ -626,7 +629,7 @@ object RelationalQueries {
     // implementation — inclusive match (e.ts >= r.ts), refs pre-deduped to
     // one per (type, ts) on both engines so "latest" is well-defined
     "join_asof" ->
-      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      """WITH e AS (SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
         |refs AS (SELECT event_type, ts_us, max(event_id) AS ref_id
         |         FROM e WHERE event_id % 50 = 0 GROUP BY 1, 2)
         |SELECT e.event_id, e.event_type, e.ts_us, r.ref_id, r.ts_us AS ref_ts_us,
@@ -654,7 +657,7 @@ object RelationalQueries {
     // both native directional ASOF joins composed with the same
     // nearest-pick CASE (ties to backward)
     "join_asof_nearest" ->
-      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      """WITH e AS (SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
         |refs AS (SELECT event_type, ts_us, max(event_id) AS ref_id
         |         FROM e WHERE event_id % 50 = 0 GROUP BY 1, 2),
         |b AS (SELECT e.event_id, r.ref_id AS b_id, r.ts_us AS b_ts
@@ -676,7 +679,7 @@ object RelationalQueries {
         |ORDER BY e.event_id""".stripMargin,
     // the forward direction, against DuckDB's native forward ASOF (<=)
     "join_asof_forward" ->
-      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      """WITH e AS (SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
         |refs AS (SELECT event_type, ts_us, max(event_id) AS ref_id
         |         FROM e WHERE event_id % 50 = 0 GROUP BY 1, 2)
         |SELECT e.event_id, e.event_type, e.ts_us, r.ref_id, r.ts_us AS ref_ts_us,
@@ -685,7 +688,7 @@ object RelationalQueries {
         |  ON e.event_type = r.event_type AND e.ts_us <= r.ts_us
         |ORDER BY e.event_id""".stripMargin,
     "window_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
         |m AS (SELECT user_id, event_id, ts_us,
         |        CASE WHEN lag(ts_us) OVER w IS NULL
         |               OR ts_us - lag(ts_us) OVER w > 1800000000
@@ -702,7 +705,7 @@ object RelationalQueries {
     // the inequality join DuckDB runs directly is the oracle for the
     // bucketized equi-join implementation
     "join_range" ->
-      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      """WITH e AS (SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
         |iv AS (SELECT event_id AS interval_id, event_type, ts_us AS start_us,
         |              ts_us + (1 + (event_id // 50) % 16) * 900000000 AS end_us
         |       FROM e WHERE event_id % 50 = 0)
@@ -735,7 +738,7 @@ object RelationalQueries {
         |FROM events GROUP BY user_id
         |HAVING max(CAST(floor(value / 50) AS BIGINT)) + 1 <= 9 ORDER BY user_id""".stripMargin,
     "filter_notna_rows" ->
-      """SELECT event_id, user_id, event_type, value, props, epoch_us(ts) AS ts_us
+      """SELECT event_id, user_id, event_type, value, props, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
         |FROM events
         |WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
         |  AND event_type IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL

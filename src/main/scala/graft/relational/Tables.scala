@@ -1,8 +1,9 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table loaders + the canonical long-form sequence view of `events`.
   *
@@ -16,15 +17,46 @@ object Tables {
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4's
-    * reader rejects (PARQUET_TYPE_ILLEGAL) unless nanosAsLong is on. With it,
-    * `ts` surfaces as LongType nanoseconds-since-epoch: sort order is
-    * unchanged and `ts div 1000` equals DuckDB's `epoch_us(ts)`. Set here (a
-    * runtime SQL conf) so any session the driver hands us reads it fine.
+  /** events.parquet's `ts` encoding has CHANGED UNDER US once (round 7:
+    * parquet TIMESTAMP(NANOS) → TIMESTAMP(MICROS,ntz) between the builder's
+    * close and the gate run, breaking every temporal operator that assumed
+    * int64 nanos). A real engine ingesting third-party parquet cannot assume
+    * one physical timestamp encoding, so this loader accepts all of them:
+    * nanosAsLong stays on so a NANOS fixture surfaces as LongType instead of
+    * failing the scan (PARQUET_TYPE_ILLEGAL), a MICROS fixture surfaces as
+    * TimestampType/TimestampNTZType, and [[tsUsCol]] normalizes whichever
+    * arrived to µs-since-epoch. The session timezone is pinned to UTC here (a
+    * runtime SQL conf, so it holds in any session the driver hands us):
+    * DuckDB's `epoch_us` treats a naive timestamp as UTC, and the NTZ→
+    * timestamp cast in [[tsUsCol]] must interpret the wall-clock value the
+    * same way for the oracles to hash-match.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     tbl(spark, dir, "events")
+  }
+
+  /** µs-since-epoch projection of `events.ts`, robust to the fixture's
+    * physical encoding (see [[events]]): int64 nanos → `div 1000`
+    * (truncating, = DuckDB `epoch_us` on the same instant); TIMESTAMP →
+    * `unix_micros`; TIMESTAMP_NTZ → cast through TimestampType under the
+    * UTC session timezone pinned in [[events]], then `unix_micros` — both
+    * µs paths are exact (no sub-µs to truncate). Any other type fails
+    * loudly at plan time rather than silently miscomputing. */
+  def tsUsCol(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType        => expr("ts div 1000")
+    case TimestampType   => unix_micros(col("ts"))
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case other => throw new IllegalArgumentException(
+      s"events.ts has unsupported type $other (expected int64-nanos, timestamp, or timestamp_ntz)")
+  }
+
+  /** [[events]] with the normalized `ts_us` column appended — the view every
+    * temporal operator (as-of/range joins, sessionization, notna) reads. */
+  def eventsTsUs(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    e.withColumn("ts_us", tsUsCol(e))
   }
 
   /** Per-stream event order: ties on ts broken by event_id (unique). */
