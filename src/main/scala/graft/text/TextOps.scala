@@ -241,7 +241,18 @@ object TextOps {
     * keeps a pathological swarm of identical docs from going quadratic
     * (members of a dropped bucket still pair up in their other bands). */
   def candidatePairs(buckets: DataFrame, idCol: String,
-                     maxBucketSize: Int = 256): DataFrame = {
+                     maxBucketSize: Int = 256): DataFrame =
+    candidatePairsRaw(buckets, idCol, maxBucketSize).distinct()
+
+  /** [[candidatePairs]] WITHOUT the cross-band dedup: a pair sharing k band
+    * buckets appears k times (1 ≤ k ≤ bands). Callers that apply a cheap
+    * per-pair filter right away should prefer this and `.distinct()` AFTER
+    * filtering — the banding noise floor (200k+ candidate rows on the
+    * word-soup fixture vs 5k survivors) then never pays a pair-sized
+    * exchange, and the duplicate filter evaluations are bounded by the band
+    * count. */
+  def candidatePairsRaw(buckets: DataFrame, idCol: String,
+                        maxBucketSize: Int = 256): DataFrame = {
     val ok = buckets.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("sz"))
       .filter(col("sz") <= maxBucketSize)
@@ -252,6 +263,20 @@ object TextOps {
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-      .distinct()
+  }
+
+  /** Count of agreeing positions between two equal-length MinHash
+    * signatures — the estimated-Jaccard kernel of the two-stage verify. A
+    * hand loop, NOT `aggregate(zip_with(...))`: the Catalyst HOF pair
+    * allocates an intermediate array and interprets its lambda per element,
+    * which the r8 profile put at a large share of dedup_minhash's cost on
+    * the 200k-row banding noise floor; this JIT-compiled loop does the same
+    * 64 comparisons allocation-free. */
+  val sigAgreeUdf: UserDefinedFunction = udf { (a: Seq[Long], b: Seq[Long]) =>
+    val n = math.min(a.length, b.length)
+    var agree = 0
+    var i = 0
+    while (i < n) { if (a(i) == b(i)) agree += 1; i += 1 }
+    agree
   }
 }

@@ -13,14 +13,14 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingSessionizeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def harness() = {
+  private def harness(delay: String = "0 seconds") = {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
     val events = input.toDS().toDF("user_id", "ts_us")
       .withColumn("event_ts", timestamp_micros(col("ts_us")))
     val qname = "ssess_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val query = StreamingSessionize.sessions(events, "10 seconds", "0 seconds")
+    val query = StreamingSessionize.sessions(events, "10 seconds", delay)
       .writeStream.format("memory").queryName(qname)
       .outputMode("append").start()
     (input, query, qname)
@@ -86,6 +86,37 @@ class StreamingSessionizeSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
       assert(rows.toSeq == Seq((1L, 2L, us(105)), (2L, 3L, us(155))),
         s"held session lost its late extension: ${rows.toSeq}")
+    } finally { query.stop(); spark.catalog.dropTempView(qname) }
+  }
+
+  test("late data inside the budget merges — even BRIDGING two open sessions; beyond it drops") {
+    // the watermark-repair path the batch oracle can't see: with a 30 s
+    // lateness budget, an out-of-order event may arrive AFTER later events
+    // and must still land in (and here, weld together) its session
+    val (input, query, qname) = harness("30 seconds")
+    try {
+      // batch 1: two session ranges for user 5 (gap 18 s > 10 s): [100,110) [118,128)
+      input.addData((5L, us(100)), (5L, us(118)))
+      query.processAllAvailable()
+      // batch 2: a 10 s-late event at 108 s (watermark is 118-30 = 88 s, so
+      // admitted). 108 ≤ 100+10 merges left; 118 ≤ 108+10 merges right —
+      // the session_window range-merge welds all three into ONE session
+      input.addData((5L, us(108)))
+      query.processAllAvailable()
+      input.addData((99L, us(10000)))
+      query.processAllAvailable()
+      val rows = spark.table(qname).collect().filter(_.getLong(0) == 5L)
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq((3L, us(100), us(118))),
+        s"late bridge event did not weld the sessions: ${rows.toSeq}")
+      // an event 9800 s behind the 9970 s watermark is beyond the budget:
+      // dropped, no new session may appear for user 5
+      input.addData((5L, us(200)))
+      query.processAllAvailable()
+      input.addData((99L, us(20000)))
+      query.processAllAvailable()
+      val after = spark.table(qname).collect().filter(_.getLong(0) == 5L)
+      assert(after.length == 1, s"beyond-budget event was not dropped: ${after.toSeq}")
     } finally { query.stop(); spark.catalog.dropTempView(qname) }
   }
 }
