@@ -81,19 +81,18 @@ object DataPipelineQueries {
     // instead of exchanging the ~200k-row banding noise floor first
     val pairs = TextOps.candidatePairsRaw(
       TextOps.bandBuckets(sig, "rep_id", "sig", bands = 16, rowsPerBand = 4), "rep_id")
-    // two-stage verify: (1) signature agreement — a 64-long loop, two orders
-    // of magnitude cheaper than intersecting ~300-string shingle sets —
-    // prunes the band noise floor (word-soup corpora share many 5-grams, so
-    // banding alone over-generates); (2) exact Jaccard on the survivors only
-    val sigs = sig.select(col("rep_id"), col("sig"))
-    val estimated = pairs
-      .join(sigs.select(col("rep_id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("rep_id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .withColumn("agree", TextOps.sigAgreeUdf(col("sig_a"), col("sig_b")))
-      .filter(col("agree") >= 24) // est. Jaccard ≥ ~0.375
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    val shapes = sig.select(col("rep_id"), col("sh"))
+    // two-stage verify, ONE join pass: (1) signature agreement — a 64-long
+    // loop, two orders of magnitude cheaper than intersecting ~300-string
+    // shingle sets — prunes the band noise floor (word-soup corpora share
+    // many 5-grams, so banding alone over-generates); (2) exact Jaccard,
+    // guarded by the when(): Catalyst's If short-circuits, so the intersect
+    // only ever evaluates on agreement survivors. Fusing both stages into
+    // the same (id_a, id_b) feature joins drops the standalone sig joins
+    // and the pair-sized exchange between the stages; the price is that a
+    // multi-band survivor pair computes its Jaccard once per shared band
+    // (band-count-bounded, and high-Jaccard pairs are exactly the rare
+    // output-sized ones), then collapses in the output-sized distinct.
+    val features = sig.select(col("rep_id"), col("sig"), col("sh"))
     // the three relations every downstream branch reads are all small —
     // verified rep pairs (output-sized), the set→group info, and the narrow
     // doc→set membership. Materialize them eagerly, then release the big
@@ -101,13 +100,18 @@ object DataPipelineQueries {
     // query (round-4 verdict #3). `members` recomputes scan+normalize+md5
     // (narrow, no shuffle) instead of riding a persisted block — cheaper
     // than caching the corpus for one extra pass.
-    val verified = estimated
-      .join(shapes.select(col("rep_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(shapes.select(col("rep_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))), 6))
+    val verified = pairs
+      .join(features.select(col("rep_id").as("id_a"), col("sig").as("sig_a"),
+        col("sh").as("sh_a")), "id_a")
+      .join(features.select(col("rep_id").as("id_b"), col("sig").as("sig_b"),
+        col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        when(TextOps.sigAgreeUdf(col("sig_a"), col("sig_b")) >= 24, // est. J ≥ ~0.375
+          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 6)))
+      .filter(col("jaccard").isNotNull)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      .distinct()
       .localCheckpoint(true)
     val groups = sig.select(col("set_key"), col("rep_id"), col("grp_n")).localCheckpoint(true)
     val members = withKey.select(col("doc_id"), col("set_key")).localCheckpoint(true)
