@@ -30,7 +30,7 @@ object DataPipelineQueries {
     finally walk.close()
   }
 
-  private def embeds(s: SparkSession, d: String) = Tables.tbl(s, d, "embeddings")
+  private def embeds(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
   // ------------------------------------------------------------------- dedup
   /** Exact dedup: group by md5 of the normalized text, keep the smallest

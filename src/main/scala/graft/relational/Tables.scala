@@ -59,6 +59,24 @@ object Tables {
     e.withColumn("ts_us", tsUsCol(e))
   }
 
+  /** embeddings.parquet with the `embedding` column normalized to
+    * `array<float>` — the element type the ANN kernels' `Seq[Float]` UDFs
+    * (Similarity.scala) deserialize. Same robustness class as the `ts`
+    * normalization above: a regenerated fixture switching to
+    * `array<double>` would otherwise throw ClassCastException inside ten
+    * UDF call sites at runtime; here it costs one cast at scan, and an
+    * unexpected shape fails loudly at plan time. */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    e.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => e
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+        e.withColumn("embedding", col("embedding").cast("array<float>"))
+      case other => throw new IllegalArgumentException(
+        s"embeddings.embedding has unsupported type $other (expected array<float|double>)")
+    }
+  }
+
   /** Per-stream event order: ties on ts broken by event_id (unique). */
   def seqWindow: WindowSpec =
     Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -54,6 +54,22 @@ class TablesTsUsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported type"))
   }
 
+  test("embeddings loader normalizes a double-typed fixture to array<float>") {
+    val dir = java.nio.file.Files.createTempDirectory("embdrift").toString
+    Seq((1L, Seq(1.0, 2.0, 3.0)), (2L, Seq(0.5, 0.25, 0.125)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = Tables.embeddings(spark, dir)
+    assert(e.schema("embedding").dataType ===
+      ArrayType(FloatType, containsNull = true))
+    // the exact values survive (these doubles are float-representable)
+    val row = e.orderBy(col("vec_id")).head()
+    assert(row.getSeq[Float](1) === Seq(1.0f, 2.0f, 3.0f))
+    // the current fixture (already float) passes through unchanged
+    val fixture = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assert(fixture.schema("embedding").dataType.simpleString === "array<float>")
+  }
+
   test("eventsTsUs on the sf0.001 fixture: µs magnitude, non-null, ordered like ts") {
     val d = "/root/testdata/sf0.001"
     val df = Tables.eventsTsUs(spark, d)
