@@ -907,6 +907,48 @@ object DataPipelineQueries {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** The tumbling-window aggregation streamWindowCounts runs — shared with
+    * StreamingWindowCountsSpec so the spec pins the REGISTERED plan.
+    * `events` must carry `event_type` and an `event_ts` TIMESTAMP. */
+  private[graft] def windowCounts(events: DataFrame, delay: String): DataFrame =
+    events
+      .withWatermark("event_ts", delay)
+      .groupBy(col("event_type"), window(col("event_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        unix_micros(col("window.start")).as("window_start_us"), col("n"))
+
+  /** Sentinel event_type for the bounded-replay flush of append-mode
+    * streaming aggregations; no fixture type collides with it. */
+  private val WindowSentinel = "~sentinel~"
+
+  /** Tumbling event-time window counts per event type — the per-window
+    * throughput/monitoring primitive, run as a REAL streaming query in
+    * APPEND mode: a (type, hour) window emits exactly once, when the
+    * watermark passes its end, so the sink is directly hash-gateable
+    * against the batch recompute (floor of ts_us to the hour — the UTC
+    * session pin makes Spark's epoch-aligned `window()` and DuckDB integer
+    * division agree). State is O(open windows), evicted on watermark
+    * passage; the far-future sentinel flushes the bounded replay exactly
+    * like [[streamSessionize]] and is filtered from the verdict. Completes
+    * the gate's streaming state shapes: dedup state, session windows,
+    * transformWithState, complete-mode agg, and now watermark-evicted
+    * TUMBLING windows. */
+  private def streamWindowCounts(s: SparkSession, d: String): DataFrame = {
+    val src = streamEvents(s, d)
+    val raw = src.select(col("event_type"), col("event_id"),
+      graft.relational.Tables.tsUsCol(src).as("ts_us"))
+    val real = raw.select(col("event_type"),
+      timestamp_micros(col("ts_us")).as("event_ts"))
+    val sentinel = raw.filter(col("event_id") % 1000 === 0)
+      .select(lit(WindowSentinel).as("event_type"),
+        timestamp_micros(col("ts_us") + lit(3155760000000000L)).as("event_ts"))
+    runMemorySink(windowCounts(real.unionByName(sentinel), "40 days"),
+      "stream_wc_", "append")
+      .filter(col("event_type") =!= WindowSentinel)
+      .orderBy(col("event_type"), col("window_start_us"))
+  }
+
   /** Streaming corpus vocabulary — the COMPLETE-mode aggregation state
     * pattern (the fourth streaming state shape in the gate, after
     * dedup state, append-mode session windows, and transformWithState):
@@ -1713,6 +1755,7 @@ object DataPipelineQueries {
     "stream_neardup" -> (streamNearDup _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_vocab" -> (streamVocab _),
+    "stream_window_counts" -> (streamWindowCounts _),
     "scan_bucketed" -> (scanBucketed _),
     "scan_jsonl" -> (scanJsonl _),
     "shuffle_global" -> (shuffleGlobal _),
@@ -1921,6 +1964,16 @@ object DataPipelineQueries {
         |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY token""".stripMargin,
+    // append-mode tumbling windows after the bounded replay = the exact
+    // batch per-(type, hour) counts; Spark's window() aligns to the epoch
+    // under the UTC session pin, which IS the integer floor division
+    "stream_window_counts" ->
+      """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
+        |SELECT event_type,
+        |       (ts_us // 3600000000) * 3600000000 AS window_start_us,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY event_type, window_start_us
+        |ORDER BY event_type, window_start_us""".stripMargin,
     "tokenize_bpe_train" -> bpeOracleSql(BpeSteps),
     "tokenize_bpe_apply" -> bpeApplyOracleSql(BpeSteps),
     // one partition of the round-trip, value-exact

@@ -531,6 +531,25 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** AS-OF join with a TOLERANCE — pandas `merge_asof(tolerance=...)`
+    * parity: a backward match farther than `tol` behind the event is
+    * REJECTED (the left row survives with null reference columns, exactly
+    * like a no-match). Pure post-projection on the bucketed plan — the
+    * match is already the LATEST at-or-before reference, so rejecting it
+    * cannot admit an earlier (even farther) one; no new shuffle machinery,
+    * the backward plan's scale shape carries over unchanged. */
+  private def joinAsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val tolUs = 2L * 3600L * 1000000L // 2 h: rejects ~half the fixture's matches
+    val (e, refs) = asofInputs(s, d)
+    val keep = col("lag_us") <= tolUs
+    asofBucketed(e, refs, "event_type", AsofBucketUs)
+      .select(col("event_id"), col("event_type"), col("ts_us"),
+        when(keep, col("ref_id")).as("ref_id"),
+        when(keep, col("ref_ts_us")).as("ref_ts_us"),
+        when(keep, col("lag_us")).as("lag_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Tier count for [[rangeBuckets]]/[[rangeEventProbes]]: the smallest T
     * such that `baseUs · 4^(T−1)` covers `maxLenUs` — T grows as
     * log₄(maxLen/base), so even a year-long interval over a 15-minute
@@ -688,6 +707,7 @@ object RelationalQueries {
     "join_asof" -> (joinAsof _),
     "join_asof_forward" -> (joinAsofForward _),
     "join_asof_nearest" -> (joinAsofNearest _),
+    "join_asof_tolerance" -> (joinAsofTolerance _),
     "join_range" -> (joinRange _),
     "window_sessionize" -> (windowSessionize _),
     "predict_anomaly" -> (predictAnomaly _),
@@ -740,6 +760,18 @@ object RelationalQueries {
         |                           ORDER BY value DESC, event_id) AS rank
         |      FROM events WHERE value IS NOT NULL)
         |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+    // native ASOF + the same tolerance CASE on all three reference columns
+    "join_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |refs AS (SELECT event_type, ts_us, max(event_id) AS ref_id
+        |         FROM e WHERE event_id % 50 = 0 GROUP BY 1, 2)
+        |SELECT e.event_id, e.event_type, e.ts_us,
+        |       CASE WHEN e.ts_us - r.ts_us <= 7200000000 THEN r.ref_id END AS ref_id,
+        |       CASE WHEN e.ts_us - r.ts_us <= 7200000000 THEN r.ts_us END AS ref_ts_us,
+        |       CASE WHEN e.ts_us - r.ts_us <= 7200000000 THEN e.ts_us - r.ts_us END AS lag_us
+        |FROM e ASOF LEFT JOIN refs r
+        |  ON e.event_type = r.event_type AND e.ts_us >= r.ts_us
+        |ORDER BY e.event_id""".stripMargin,
     // both native directional ASOF joins composed with the same
     // nearest-pick CASE (ties to backward)
     "join_asof_nearest" ->

@@ -34,7 +34,15 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    tbl(spark, dir, "events")
+    val e = tbl(spark, dir, "events")
+    // `value` pinned to double (a no-op on the current fixture): a
+    // float-typed regeneration would otherwise run every quantize/agg in
+    // float32 and hash-diverge from the DuckDB oracle's float64 math —
+    // the fp cousin of the ts drift this loader already absorbs
+    e.schema("value").dataType match {
+      case org.apache.spark.sql.types.DoubleType => e
+      case _ => e.withColumn("value", col("value").cast("double"))
+    }
   }
 
   /** µs-since-epoch projection of `events.ts`, robust to the fixture's

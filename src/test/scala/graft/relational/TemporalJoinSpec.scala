@@ -215,4 +215,23 @@ class TemporalJoinSpec extends AnyFunSuite {
       (7L, 1L, 1L, 101L + 2 * m30, 101L + 2 * m30, 0L),
       (8L, 0L, 1L, 42L, 42L, 0L)), s"sessionize mismatch: $rows")
   }
+
+  test("join_asof_tolerance: boundary-inclusive keep, beyond-tolerance nulls, no-match stays null") {
+    val tol = 7200000000L // the registered query's 2 h
+    val dir = writeEvents(Seq(
+      (50L, "a", 0L),      // the only type-a reference (and its own 0-lag event)
+      (1L, "a", tol),      // exactly tol behind the ref -> KEPT (inclusive)
+      (2L, "a", tol + 1L), // 1 µs beyond -> match REJECTED, row survives nulled
+      (3L, "b", 42L)),     // no type-b reference -> null like plain as-of
+      "asoftol")
+    val rows = graft.relational.RelationalQueries.queries("join_asof_tolerance")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    assert(rows == Seq(
+      (1L, Some(50L), Some(tol)),
+      (2L, None, None),
+      (3L, None, None),
+      (50L, Some(50L), Some(0L))), s"tolerance semantics broken: $rows")
+  }
 }
