@@ -12,7 +12,7 @@ Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir> [name ...]
 This is a builder-side harness (python/duckdb/pyarrow are driver-side
 tools); the shipped library itself is pure Scala/Spark.
 """
-import sys, json, os, hashlib
+import sys, json, os, hashlib, decimal
 import duckdb
 import pyarrow.parquet as pq
 
@@ -23,6 +23,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def norm(v):
     if v is None:
         return "NULL"
+    # type-sensitive on purpose: a bare numeric VALUES literal types as
+    # DECIMAL in DuckDB and the DRIVER's compare fails it against Spark's
+    # double — tagging it here makes the local mirror fail the same way
+    # instead of laxly str()-matching (oracles must CAST numeric literals)
+    if isinstance(v, decimal.Decimal):
+        return f"decimal:{v}"
     if isinstance(v, float):
         if v != v:
             return "NaN"
@@ -50,6 +56,13 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:]) or None
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    if only:
+        # a typo'd name would otherwise filter everything out and exit 0 —
+        # an empty "verification" that reads as a pass (same guard as
+        # Verify.main / Bench.main)
+        unknown = only - set(oracles)
+        if unknown:
+            sys.exit(f"unknown query name(s): {', '.join(sorted(unknown))}")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")

@@ -40,8 +40,8 @@ object Bench {
     val schemas = Verify.schemaFingerprints(spark, sfDir)
     schemas.foreach { case (t, fp) => System.err.println(s"[bench] schema $t=$fp") }
     // CALIBRATION: a fixed, seeded, data-independent codegen'd aggregate
-    // (10^8 rows, Knuth-hash mod-sum) timed after its own untimed JVM/codegen
-    // warm-up pass. Cross-box absolute times have burned two rounds of
+    // (4·10^8 rows, Knuth-hash mod-sum) timed after its own untimed
+    // JVM/codegen warm-up pass. Cross-box absolute times have burned two rounds of
     // judging (87.9 s vs 94.1 s vs 177 s for the same commit); per-query
     // numbers quoted as multiples of calib_s normalize out box speed.
     def calibJob(rows: Long): Unit =
@@ -102,18 +102,11 @@ object Bench {
       .mkString("{", ",", "}")
     val qsSteal = results.map { case (k, _, s) => s"\"" + k + "\":" + pct(s) }
       .mkString("{", ",", "}")
-    // full JSON string escape (Verify.q's rule): a Spark AnalysisException
-    // message is routinely multi-line — a raw \n inside the quoted string
-    // would corrupt the output exactly on the runs where errors matter
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // full JSON string escape shared with Verify: a Spark
+    // AnalysisException message is routinely multi-line — a raw \n inside
+    // the quoted string would corrupt the output exactly on the runs
+    // where errors matter
+    def q(s: String): String = Verify.q(s)
     val errJson = errors.map(q).mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val (busy1, steal1) = cpuJiffies()
