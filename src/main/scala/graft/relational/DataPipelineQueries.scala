@@ -1294,6 +1294,36 @@ object DataPipelineQueries {
       .orderBy(col("cnt").desc, col("token"))
       .limit(200)
 
+  /** Corpus heavy hitters via the MERGEABLE stream-summary sketch
+    * (`freqItems`, the Karp–Papadimitriou–Shenker counter family) —
+    * completing the sketch trio with [[graft.relational.RelationalQueries]]'
+    * HLL cardinality and rank-sketch percentiles: 1/support counters per
+    * partition, merged associatively, one corpus pass, no token-keyed
+    * shuffle. The sketch's contract is NO FALSE NEGATIVES above the support
+    * threshold (false positives allowed, membership arrival-order-dependent)
+    * — so the hash-gated surface is the DETERMINISTIC side: every token
+    * with exact frequency > support·N must appear in the sketch
+    * (`found = true`); the sketch's unstable extras stay out of the output.
+    * Driver-side state is bounded by construction: the sketch row holds
+    * ≤ 1/support = 50 items, the total is a 1-row aggregate. The exact
+    * leg exists to power the verdict; production reads the sketch alone. */
+  private def textHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val support = 0.02
+    val toks = docs(s, d).select(explode(TextOps.tokens("text")).as("token"))
+    val sketch = toks.stat.freqItems(Array("token"), support)
+      .head().getSeq[String](0).toSet
+    // vocab-sized; checkpointed so the total agg and the final filter don't
+    // each re-run the corpus explode+count
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val total = exact.agg(sum(col("n"))).head().getLong(0)
+    val thresh = math.floor(support * total).toLong
+    exact.filter(col("n") > lit(thresh))
+      .withColumn("found", col("token").isInCollection(sketch))
+      .select(col("token"), col("n"), col("found"))
+      .orderBy(col("token"))
+  }
+
   /** Number of BPE merge steps the gate trains/oracles. */
   private val BpeSteps = 12
 
@@ -1760,6 +1790,7 @@ object DataPipelineQueries {
     "scan_jsonl" -> (scanJsonl _),
     "shuffle_global" -> (shuffleGlobal _),
     "text_vocab" -> (textVocab _),
+    "text_heavy_hitters" -> (textHeavyHitters _),
     "tokenize_bpe_train" -> (tokenizeBpeTrain _),
     "tokenize_bpe_apply" -> (tokenizeBpeApply _),
     "sink_partitioned" -> (sinkPartitioned _),
@@ -1957,6 +1988,17 @@ object DataPipelineQueries {
         |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 200""".stripMargin,
+    // the sketch's deterministic guarantee (no false negatives above
+    // support): exact heavy hitters + literal TRUE; floor() on both
+    // engines so the threshold comparison is identical
+    "text_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |           FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY token),
+        |tot AS (SELECT sum(n) AS total FROM c)
+        |SELECT token, n, TRUE AS found
+        |FROM c, tot WHERE n > CAST(floor(0.02 * total) AS BIGINT)
+        |ORDER BY token""".stripMargin,
     // complete-mode state after the bounded replay = the exact batch
     // vocabulary, every token
     "stream_vocab" ->

@@ -44,6 +44,28 @@ class SketchAggSpec extends AnyFunSuite {
     assert(rows.forall(_.getBoolean(3)), s"rank contract broken: ${rows.mkString(",")}")
   }
 
+  test("text_heavy_hitters: verdict all-true on the fixture, threshold respected") {
+    val rows = graft.SparkEntry.queries("text_heavy_hitters")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)),
+      s"sketch missed a true heavy hitter: ${rows.filterNot(_.getBoolean(2)).mkString(",")}")
+  }
+
+  test("heavy-hitter sketch finds dominant tokens in a skewed synthetic corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("hh").toString
+    // 'alpha'/'beta' at 30% each; 40 singleton junk tokens well below
+    // support (letter-distinct: the [a-z]+ tokenizer strips digits, so a
+    // numeric suffix would collapse them all into one heavy 'junk' token)
+    val texts = Seq.fill(60)("alpha beta") ++ (0 until 40).map(i =>
+      s"zz${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("text_heavy_hitters")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq.sorted
+    assert(rows == Seq(("alpha", 60L, true), ("beta", 60L, true)),
+      s"skewed-corpus heavy hitters wrong: $rows")
+  }
+
   test("approx_percentile rank contract holds under a dominant tie block") {
     // 60% of values identical: the returned p50 element is inside the tie
     // swarm, where a point-rank check would false-fail but the rank
