@@ -918,6 +918,32 @@ object DataPipelineQueries {
       .select(col("event_type"),
         unix_micros(col("window.start")).as("window_start_us"), col("n"))
 
+  /** The stream-static join streamEnrich runs — shared with
+    * StreamingEnrichSpec so the spec pins the REGISTERED plan. */
+  private[graft] def enrichWithDim(stream: DataFrame, dim: DataFrame): DataFrame =
+    stream.join(broadcast(dim), Seq("event_type"), "left")
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("type_avg"), (col("value") > col("type_avg")).as("above_avg"))
+
+  /** Streaming ENRICHMENT — the stateless stream-static broadcast join,
+    * the remaining streaming pattern class after the five stateful shapes:
+    * each micro-batch joins against a batch-computed dimension (per-type
+    * averages here; in production a feature store / metadata table) with
+    * NO state store, no watermark, append mode — the dimension broadcasts
+    * once per executor and the join is map-side, so the streaming plan
+    * adds zero exchanges over the batch equivalent. The static side is
+    * re-resolvable per batch (a refreshed dimension picks up on the next
+    * trigger); the gate's replay is one batch, so the batch recompute is
+    * the exact oracle. */
+  private def streamEnrich(s: SparkSession, d: String): DataFrame = {
+    val src = streamEvents(s, d)
+    val raw = src.select(col("event_id"), col("event_type"), col("value"))
+    val dim = graft.relational.Tables.events(s, d).groupBy(col("event_type"))
+      .agg(round(avg(col("value")), 6).as("type_avg"))
+    runMemorySink(enrichWithDim(raw, dim), "stream_enrich_", "append")
+      .orderBy(col("event_id"))
+  }
+
   /** Sentinel event_type for the bounded-replay flush of append-mode
     * streaming aggregations; no fixture type collides with it. */
   private val WindowSentinel = "~sentinel~"
@@ -1786,6 +1812,7 @@ object DataPipelineQueries {
     "stream_sessionize" -> (streamSessionize _),
     "stream_vocab" -> (streamVocab _),
     "stream_window_counts" -> (streamWindowCounts _),
+    "stream_enrich" -> (streamEnrich _),
     "scan_bucketed" -> (scanBucketed _),
     "scan_jsonl" -> (scanJsonl _),
     "shuffle_global" -> (shuffleGlobal _),
@@ -2006,6 +2033,15 @@ object DataPipelineQueries {
         |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY token""".stripMargin,
+    // stateless stream-static join: the one-batch replay joined to the
+    // same batch-computed dimension = the exact batch join
+    "stream_enrich" ->
+      """WITH dim AS (SELECT event_type, round(avg(value), 6) AS type_avg
+        |             FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value, d.type_avg,
+        |       e.value > d.type_avg AS above_avg
+        |FROM events e LEFT JOIN dim d USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
     // append-mode tumbling windows after the bounded replay = the exact
     // batch per-(type, hour) counts; Spark's window() aligns to the epoch
     // under the UTC session pin, which IS the integer floor division
