@@ -168,6 +168,30 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** INCREMENTAL exact dedup — the continuous-ingest production shape
+    * none of the batch dedups cover: an arrival batch checks itself
+    * against the ALREADY-INGESTED corpus, not against itself (within-batch
+    * dup policy is a separate knob; here each arrival reports only whether
+    * HISTORY has its normalized-text hash). The gate splits the fixture by
+    * doc_id parity (even = history, odd = arrivals). Shape: one LEFT
+    * SEMI-style join of the small arrival batch against the distinct
+    * history hash set — at 100 TB the history side is a bucketed hash
+    * table (scan_bucketed's layout) so the probe is a zero-exchange
+    * co-located join, and the arrival batch is the only small side
+    * shuffled; a bloom/sketch pre-filter drops the obvious non-dups
+    * before the join without changing this plan's shape. */
+  private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+      .select(col("doc_id"), md5(TextOps.normalized("text")).as("norm_md5"))
+    val history = all.filter(col("doc_id") % 2 === 0)
+      .select(col("norm_md5")).distinct().withColumn("seen", lit(true))
+    all.filter(col("doc_id") % 2 === 1)
+      .join(history, Seq("norm_md5"), "left")
+      .select(col("doc_id"), col("norm_md5"),
+        coalesce(col("seen"), lit(false)).as("dup_of_history"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup: 64-bit token-bag fingerprint; identical codes (the
     * hamming-0 swarms — exact dupes land here, token bags being equal) are
     * collapsed to one representative BEFORE the banded self-join, and the
@@ -1801,6 +1825,7 @@ object DataPipelineQueries {
   // ------------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -1850,6 +1875,16 @@ object DataPipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // incremental ingest: odd doc_ids probe the even-doc_id history's
+    // distinct hash set (same normalization as dedup_exact)
+    "dedup_incremental" ->
+      """WITH a AS (SELECT doc_id,
+        |             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_md5
+        |           FROM documents)
+        |SELECT o.doc_id, o.norm_md5,
+        |       EXISTS (SELECT 1 FROM a h
+        |               WHERE h.doc_id % 2 = 0 AND h.norm_md5 = o.norm_md5) AS dup_of_history
+        |FROM a o WHERE o.doc_id % 2 = 1 ORDER BY o.doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_md5,
         |       min(doc_id) AS keep_id, count(*) AS n_copies
