@@ -192,6 +192,38 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-corpus LINE dedup (the C4/RefinedWeb repetition-removal rule):
+    * every '. '-delimited span keeps only its globally FIRST occurrence —
+    * ordered by (doc_id, position), the ingestion order — and each
+    * document is rebuilt from its surviving spans (a doc whose every line
+    * was seen before collapses to the empty string, exactly C4's
+    * behavior). Distinct from the whole-doc dedups: the unit is the line,
+    * and the work product is the REWRITTEN corpus. Shape: explode →
+    * map-side-combinable min-(doc,pos) per line → first-occurrence join
+    * back → per-doc ordered reassembly; both exchanges key on values
+    * (line text, then doc_id), so the plan scales with corpus size, and a
+    * hot line (boilerplate repeated millions of times) aggregates to ONE
+    * row before the join — AQE skew handling covers the explode side. */
+  private def textLineDedup(s: SparkSession, d: String): DataFrame = {
+    val lines = docs(s, d).select(col("doc_id"),
+      posexplode(split(col("text"), "\\. ")).as(Seq("pos", "line")))
+    val firsts = lines.groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("line"), col("f.doc_id").as("doc_id"), col("f.pos").as("pos"))
+    val kept = lines.join(firsts, Seq("line", "doc_id", "pos"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("ls"),
+        count(lit(1)).as("n_kept"))
+      .select(col("doc_id"),
+        expr("array_join(transform(ls, x -> x.line), '. ')").as("kept_text"),
+        col("n_kept"))
+    lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("kept_text"), lit("")).as("kept_text"),
+        col("n_lines"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup: 64-bit token-bag fingerprint; identical codes (the
     * hamming-0 swarms — exact dupes land here, token bags being equal) are
     * collapsed to one representative BEFORE the banded self-join, and the
@@ -1826,6 +1858,7 @@ object DataPipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental" -> (dedupIncremental _),
+    "text_line_dedup" -> (textLineDedup _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -1875,6 +1908,24 @@ object DataPipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // C4 line-dedup replay: DuckDB's lockstep UNNEST pairs each span with
+    // its ordinal; first occurrence = row_number over (doc_id, pos), the
+    // same rule as Spark's min(struct(doc_id, pos))
+    "text_line_dedup" ->
+      """WITH l AS (SELECT doc_id,
+        |             UNNEST(string_split(text, '. ')) AS line,
+        |             UNNEST(range(len(string_split(text, '. ')))) AS pos
+        |           FROM documents),
+        |r AS (SELECT doc_id, line, pos,
+        |        row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |      FROM l),
+        |k AS (SELECT doc_id, string_agg(line, '. ' ORDER BY pos) AS kept_text,
+        |        CAST(count(*) AS BIGINT) AS n_kept
+        |      FROM r WHERE rn = 1 GROUP BY doc_id),
+        |t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM l GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(k.kept_text, '') AS kept_text, t.n_lines,
+        |       coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
+        |FROM t LEFT JOIN k USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     // incremental ingest: odd doc_ids probe the even-doc_id history's
     // distinct hash set (same normalization as dedup_exact)
     "dedup_incremental" ->
