@@ -217,7 +217,11 @@ object DataPipelineQueries {
       .select(col("doc_id"),
         expr("array_join(transform(ls, x -> x.line), '. ')").as("kept_text"),
         col("n_kept"))
-    lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+    // per-doc span totals as a narrow projection — NOT a third explode +
+    // doc-keyed aggregate over the corpus; size(split(...)) is the same
+    // count without leaving the row
+    docs(s, d).select(col("doc_id"),
+        size(split(col("text"), "\\. ")).cast("long").as("n_lines"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("kept_text"), lit("")).as("kept_text"),
         col("n_lines"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
