@@ -490,6 +490,25 @@ object DataPipelineQueries {
     } finally deleteRecursively(tmp)
   }
 
+  /** ORC round-trip — the second columnar interchange format (Spark ships
+    * the reader/writer natively): write the corpus as ORC, read it back,
+    * and pin value-exact identity against the parquet-sourced oracle. Like
+    * parquet, ORC is splittable, predicate-pushdown-capable (min/max +
+    * bloom stripe indexes), and column-pruned — the format a Hive-era
+    * lakehouse hands an ingest pipeline. Snappy-compressed stripes are
+    * the default, matching the parquet side's scan economics at 100 TB. */
+  private def scanOrc(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
+    try {
+      docs(s, d).write.mode("overwrite").orc(s"$tmp/documents")
+      s.read.orc(s"$tmp/documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("text"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally deleteRecursively(tmp)
+  }
+
   /** Partitioned parquet sink + partition-pruned read-back — the OTHER
     * ingest-time layout (besides bucketing) that makes a 100-TB corpus
     * queryable: writing partitioned by a low-cardinality column turns
@@ -1863,6 +1882,7 @@ object DataPipelineQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental" -> (dedupIncremental _),
     "text_line_dedup" -> (textLineDedup _),
+    "scan_orc" -> (scanOrc _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -2088,6 +2108,10 @@ object DataPipelineQueries {
     // round-trip identity: the JSONL write+schema-first read must hand back
     // the parquet original value-for-value
     "scan_jsonl" ->
+      """SELECT doc_id, lang, source, n_chars, text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // same identity contract through the ORC writer/reader
+    "scan_orc" ->
       """SELECT doc_id, lang, source, n_chars, text
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the distributed offset+rank numbering must equal a global
