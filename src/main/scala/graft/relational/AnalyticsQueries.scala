@@ -246,6 +246,111 @@ object AnalyticsQueries {
       .orderBy(col("event_id"))
   }
 
+  // ------------------------------------------------------------ CDC merge-apply
+  /** MERGE / upsert — applying a CDC change batch (updates, deletes,
+    * inserts) to a base table in one pass: the lakehouse write path every
+    * continuously-ingested corpus needs (Delta/Iceberg `MERGE INTO`
+    * semantics, expressed as a plain full-outer join so it runs on any
+    * store). One sort-merge join on the key; with the base in
+    * `scan_bucketed`'s layout the base side pre-sorts and the exchange is
+    * changes-sized only — at 100 TB the base NEVER reshuffles for a daily
+    * merge. The change batch here is derived deterministically from the
+    * base (doc_id mod 10: 0→update, 5→delete, 1→insert-new-key) so the
+    * DuckDB oracle can reproduce it exactly; `status` records each row's
+    * provenance, which the closed-form oracle recomputes. */
+  private def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.tbl(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val changes = base
+      .filter(pmod(col("doc_id"), lit(10)).isin(0, 5, 1))
+      .select(
+        when(pmod(col("doc_id"), lit(10)) === 1, col("doc_id") + 1000000L)
+          .otherwise(col("doc_id")).as("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) === 0, lit("U"))
+          .when(pmod(col("doc_id"), lit(10)) === 5, lit("D"))
+          .otherwise(lit("I")).as("op"),
+        when(pmod(col("doc_id"), lit(10)) === 1, lit("xx")).otherwise(col("lang")).as("c_lang"),
+        when(pmod(col("doc_id"), lit(10)) === 0, col("n_chars") + 1000L)
+          .when(pmod(col("doc_id"), lit(10)) === 1, lit(7L))
+          .otherwise(col("n_chars")).as("c_n_chars"))
+    base.join(changes, Seq("doc_id"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("doc_id"),
+        coalesce(col("c_lang"), col("lang")).as("lang"),
+        coalesce(col("c_n_chars"), col("n_chars")).as("n_chars"),
+        when(col("op") === "U", "updated").when(col("op") === "I", "inserted")
+          .otherwise("kept").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------- TF-IDF
+  /** Per-document top-5 TF-IDF terms — the classic corpus-to-features
+    * reshape (keyword extraction, sparse retrieval, topic seeds). Term
+    * frequency and document frequency are both map-side-combinable
+    * aggregates over one tokenize-explode pass; idf joins back on the
+    * term dimension (vocabulary-sized — broadcastable at any corpus
+    * scale); top-5 ranks inside each doc's own partition (docs are many
+    * and small: no low-cardinality window skew). Scores are ROUNDED
+    * BEFORE ranking: cross-engine `ln` can differ in the last ulp, and
+    * ordering on the rounded score + term tiebreak is deterministic on
+    * both engines, while ordering on the raw double would let a 1-ulp
+    * difference flip ranks at a boundary. */
+  private def textTfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.tbl(s, d, "documents")
+    val nDocs = docs.count() // one scalar; the corpus row count
+    val terms = docs.select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("term"),
+        col("tf"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- histogram
+  /** Fixed-width value histogram per event type — the distribution
+    * monitor every QA dashboard draws: bin = min(⌊value/50⌋, 9) (last
+    * bin open-ended), share of the type's mass per bin. One combinable
+    * aggregate; empty bins are absent on both engines. */
+  private def aggHistogram(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).filter(col("value").isNotNull)
+      .withColumn("bin", least(floor(col("value") / 50d), lit(9d)).cast("long"))
+    val perType = Window.partitionBy(col("event_type"))
+    e.groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n") / sum(col("n")).over(perType), 6))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  // ----------------------------------------------------------- z-order layout
+  /** Z-ORDER (Morton) clustering key over (user_id, hour) — the
+    * multi-dimensional data-layout primitive behind Delta/Iceberg
+    * `OPTIMIZE ZORDER BY`: writing files in z order makes a 2-D box
+    * predicate (user range × time range) touch a bounded number of file
+    * chunks, where a 1-D sort prunes only its own leading dimension.
+    * Bit interleave of the two 16-bit dims in a codegen'd
+    * `aggregate(sequence(0,15), …)` fold — no UDF; the spec measures the
+    * locality win directly (chunks touched by a box under z-sort vs
+    * time-sort). At 100 TB this column feeds `repartitionByRange(z)` +
+    * sortWithinPartitions at write time; here it is emitted + ordered so
+    * the oracle can hash the exact interleave. */
+  private def sortZorder(s: SparkSession, d: String): DataFrame = {
+    val e = eventsUs(s, d)
+      .withColumn("u16", pmod(col("user_id"), lit(65536L)))
+      .withColumn("b16", pmod(expr("ts_us div 3600000000"), lit(65536L)))
+    e.withColumn("z",
+        expr("""aggregate(sequence(0, 15), 0L, (acc, i) ->
+               |  acc + shiftleft(shiftright(u16, i) % 2, 2 * i)
+               |      + shiftleft(shiftright(b16, i) % 2, 2 * i + 1))""".stripMargin))
+      .select(col("event_id"), col("u16"), col("b16"), col("z"))
+      .orderBy(col("z"), col("event_id"))
+  }
+
   // ------------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_skew_salted" -> (joinSkewSalted _),
@@ -257,6 +362,10 @@ object AnalyticsQueries {
     "embed_quantize_int8" -> (embedQuantizeInt8 _),
     "agg_count_min" -> (aggCountMin _),
     "join_bloom_prune" -> (joinBloomPrune _),
+    "merge_upsert" -> (mergeUpsert _),
+    "text_tfidf" -> (textTfidf _),
+    "agg_histogram" -> (aggHistogram _),
+    "sort_zorder" -> (sortZorder _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -361,5 +470,54 @@ object AnalyticsQueries {
         |WHERE user_id IN (SELECT user_id FROM events
         |                  WHERE event_type = 'purchase' AND value > 200)
         |ORDER BY event_id""".stripMargin,
+    // the closed form of the same deterministic change batch: kept rows
+    // minus deletes, updates adjusted, inserts appended
+    "merge_upsert" ->
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents)
+        |SELECT doc_id,
+        |       lang,
+        |       CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars,
+        |       CASE WHEN doc_id % 10 = 0 THEN 'updated' ELSE 'kept' END AS status
+        |FROM base WHERE doc_id % 10 <> 5
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, 'xx' AS lang,
+        |       CAST(7 AS BIGINT) AS n_chars, 'inserted' AS status
+        |FROM base WHERE doc_id % 10 = 1
+        |ORDER BY doc_id""".stripMargin,
+    // scores rounded BEFORE ranking on both engines (cross-engine ln can
+    // differ in the last ulp; round-6 + term tiebreak pins the order)
+    "text_tfidf" ->
+      """WITH t AS (SELECT doc_id,
+        |                  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (SELECT doc_id, term, tf, round(tf * ln(n / df), 6) AS tfidf
+        |           FROM tf JOIN df USING (term), n),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                        ORDER BY tfidf DESC, term) AS rank
+        |           FROM scored)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, tfidf
+        |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    "agg_histogram" ->
+      """WITH b AS (SELECT event_type,
+        |                  CAST(least(floor(value / 50), 9) AS BIGINT) AS bin
+        |           FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+        |      FROM b GROUP BY 1, 2)
+        |SELECT event_type, bin, n,
+        |       round(n / sum(n) OVER (PARTITION BY event_type), 6) AS share
+        |FROM c ORDER BY event_type, bin""".stripMargin,
+    // the exact Morton interleave, bit for bit
+    "sort_zorder" ->
+      """WITH e AS (SELECT event_id,
+        |                  user_id % 65536 AS u16,
+        |                  (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 65536 AS b16
+        |           FROM events)
+        |SELECT event_id, u16, b16,
+        |       list_sum(list_transform(range(0, 16), i ->
+        |         (((u16 >> i) & 1) << (2 * i)) + (((b16 >> i) & 1) << (2 * i + 1)))) AS z
+        |FROM e ORDER BY z, event_id""".stripMargin,
   )
 }
