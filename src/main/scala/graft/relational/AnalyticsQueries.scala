@@ -351,6 +351,90 @@ object AnalyticsQueries {
       .orderBy(col("z"), col("event_id"))
   }
 
+  // ----------------------------------------------------------------- PageRank
+  /** PageRank iterations and damping — fixed so the DuckDB oracle can
+    * unroll the exact same computation. */
+  private[relational] val PrIters = 10
+  private[relational] val PrDamping = 0.85
+  private[relational] val PrK = 3
+
+  /** PAGERANK over the corpus's k-NN similarity graph — graph centrality
+    * as a data-quality/importance signal (which documents sit at the core
+    * of the embedding manifold vs its periphery). Graph construction:
+    * exact top-[[PrK]] cosine neighbors per vector (cosines ROUNDED
+    * before ranking — same cross-engine ulp rule as text_tfidf — ties to
+    * the smaller id), so every node has out-degree k and the
+    * dangling-mass term vanishes. Then [[PrIters]] power iterations as a
+    * driver loop of joins: contribution = rank/k flowing along edges, one
+    * combinable sum per iteration, rank vector re-derived from the node
+    * table each step (never collected). The edge table is cached — it is
+    * read [[PrIters]] times and is k·N rows. At 100 TB the exact
+    * all-pairs build swaps for the ANN family's bucketed candidates
+    * (similarity_ann/ivf) feeding the SAME iteration plan; the iteration
+    * itself is the textbook Pregel-on-DataFrames shape: k·N edge rows
+    * shuffle per step, nothing driver-side but the loop counter.
+    * Floating error stays ~1e-14 after 10 iterations (damping is a
+    * contraction); the final round(6) absorbs engine-order differences. */
+  private def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    import graft.text.Similarity
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = emb.count().toDouble
+    val pairs = emb.select(col("vec_id").as("src"), col("v").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("dst"), col("v").as("vb")))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), round(Similarity.cosine("va", "vb"), 6).as("cos"))
+    val edges = pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))))
+      .filter(col("rn") <= PrK)
+      .select(col("src"), col("dst"))
+      .cache()
+    val nodes = emb.select(col("vec_id"))
+    var rank = nodes.withColumn("r", lit(1.0 / n))
+    for (_ <- 1 to PrIters) {
+      val contrib = rank.join(edges, rank("vec_id") === edges("src"))
+        .groupBy(col("dst")).agg(sum(col("r") / PrK).as("c"))
+      rank = nodes.join(contrib, nodes("vec_id") === contrib("dst"), "left")
+        .select(nodes("vec_id"),
+          (lit((1.0 - PrDamping) / n) + lit(PrDamping) * coalesce(col("c"), lit(0.0))).as("r"))
+    }
+    rank.select(col("vec_id"), round(col("r"), 6).as("pagerank"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The unrolled DuckDB replay of [[graphPagerank]]: same rounded-cosine
+    * top-k graph, same [[PrIters]] damped iterations as chained CTEs. */
+  private def pagerankOracleSql: String = {
+    val iterCtes = (1 to PrIters).map { k =>
+      s"""r$k AS (
+         |  SELECT nodes.vec_id,
+         |         (1 - $PrDamping) / nn.n + $PrDamping * coalesce(s.c, 0) AS r
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN (SELECT e.dst, sum(p.r / $PrK.0) AS c
+         |             FROM r${k - 1} p JOIN edges e ON p.vec_id = e.src
+         |             GROUP BY e.dst) s ON s.dst = nodes.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS (SELECT vec_id,
+       |                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |             FROM embeddings),
+       |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |                 round(list_cosine_similarity(a.v, b.v), 6) AS cos
+       |          FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+       |edges AS (SELECT src, dst
+       |          FROM (SELECT src, dst,
+       |                       row_number() OVER (PARTITION BY src
+       |                                          ORDER BY cos DESC, dst) AS rn
+       |                FROM pairs)
+       |          WHERE rn <= $PrK),
+       |nodes AS (SELECT vec_id FROM emb),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM emb),
+       |r0 AS (SELECT nodes.vec_id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+       |$iterCtes
+       |SELECT vec_id, round(r, 6) AS pagerank
+       |FROM r$PrIters ORDER BY vec_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_skew_salted" -> (joinSkewSalted _),
@@ -366,6 +450,7 @@ object AnalyticsQueries {
     "text_tfidf" -> (textTfidf _),
     "agg_histogram" -> (aggHistogram _),
     "sort_zorder" -> (sortZorder _),
+    "graph_pagerank" -> (graphPagerank _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -519,5 +604,6 @@ object AnalyticsQueries {
         |       list_sum(list_transform(range(0, 16), i ->
         |         (((u16 >> i) & 1) << (2 * i)) + (((b16 >> i) & 1) << (2 * i + 1)))) AS z
         |FROM e ORDER BY z, event_id""".stripMargin,
+    "graph_pagerank" -> pagerankOracleSql,
   )
 }
