@@ -435,6 +435,92 @@ object AnalyticsQueries {
        |FROM r$PrIters ORDER BY vec_id""".stripMargin
   }
 
+  // -------------------------------------------------------------- corpus mixing
+  /** Per-source target quotas for the mixture; sources not listed fall back
+    * to [[MixDefaultQuota]]. In production these come from the mixture
+    * config (DoReMi / Pile-style domain weights × token budget). */
+  private[relational] val MixQuotas = Seq(("src0", 40L), ("src1", 25L), ("src2", 10L), ("src3", 5L))
+  private[relational] val MixDefaultQuota = 8L
+
+  /** DOMAIN-MIXTURE sampling — composing a training corpus to target
+    * per-source quotas (the Pile/DoReMi recipe step): rank docs inside
+    * each source by a content-addressed md5 key (re-runs and retries pick
+    * the SAME docs — `rand()` never does) and keep the first `quota`.
+    * Entirely string/integer ordering — no float anywhere, so
+    * cross-engine parity is exact by construction. One combinable
+    * source-partitioned window (sources are the partition key: thousands
+    * of docs each, no skew); quotas broadcast. A source with fewer docs
+    * than its quota contributes everything it has (rank can't exceed
+    * count). */
+  private def corpusMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val quotas = MixQuotas.toDF("source", "quota")
+    val w = Window.partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))
+    Tables.tbl(s, d, "documents")
+      .select(col("doc_id"), col("source"), md5(col("doc_id").cast("string")).as("rk"))
+      .join(broadcast(quotas), Seq("source"), "left")
+      .withColumn("quota", coalesce(col("quota"), lit(MixDefaultQuota)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rank"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  // ---------------------------------------------------------- weighted sample
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis A-Res):
+    * top-50 docs by key = ln(u)/w with w = n_chars and u a deterministic
+    * md5-derived uniform — longer documents are proportionally likelier,
+    * and the content-addressed u makes the draw reproducible across
+    * re-runs/retries. The top-k is `orderBy(key).limit(k)` —
+    * TakeOrdered, each partition ships ≤ k candidates, NO global window
+    * (the global-sort trap at corpus scale); keys are ranked at 9 dp
+    * (cross-engine ln is ≤1 ulp apart; a fixed rounding + doc_id
+    * tiebreak pins the order) and displayed at the gate's 6 dp. */
+  private def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val k = 50
+    val scored = Tables.tbl(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        ((conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("double") + 0.5) / 4294967296.0).as("u"))
+      .withColumn("key9", round(log(col("u")) / col("n_chars"), 9))
+    scored.orderBy(col("key9").desc, col("doc_id")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("key9").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_chars"), round(col("key9"), 6).as("key"))
+      .orderBy(col("rank"))
+  }
+
+  // ------------------------------------------------------------ raw-file scan
+  /** Raw-file ingest via the `binaryFile` source — the landing-zone shape
+    * for multimodal data (images/audio arrive as opaque files, not rows):
+    * one raw file per document is written in a DISTRIBUTED
+    * foreachPartition pass (no driver loop), then read back with
+    * `spark.read.format("binaryFile")`, identity-checked by byte length +
+    * content md5 against the parquet source. At 100 TB binaryFile's
+    * driver-side file listing is the bottleneck — production fronts it
+    * with a manifest table and compacts small files into parquet/ORC
+    * early (scan_orc is the next stage); this entry exercises the
+    * pattern's Spark plumbing end to end. */
+  private def scanBinaryfile(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_binscan").toString
+    Tables.tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, f"doc_${r.getLong(0)}%08d.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    // pathGlobFilter, not a glob in the path: a glob path makes Spark's
+    // literal-path probe log a spurious FileNotFoundException before it
+    // falls back to glob expansion
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dir)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+        col("length"), md5(col("content")).as("content_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_skew_salted" -> (joinSkewSalted _),
@@ -451,6 +537,9 @@ object AnalyticsQueries {
     "agg_histogram" -> (aggHistogram _),
     "sort_zorder" -> (sortZorder _),
     "graph_pagerank" -> (graphPagerank _),
+    "corpus_mix" -> (corpusMix _),
+    "sample_weighted" -> (sampleWeighted _),
+    "scan_binaryfile" -> (scanBinaryfile _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -605,5 +694,34 @@ object AnalyticsQueries {
         |         (((u16 >> i) & 1) << (2 * i)) + (((b16 >> i) & 1) << (2 * i + 1)))) AS z
         |FROM e ORDER BY z, event_id""".stripMargin,
     "graph_pagerank" -> pagerankOracleSql,
+    // pure string/integer ordering — parity is exact by construction
+    "corpus_mix" ->
+      s"""WITH quotas(source, quota) AS (VALUES ${MixQuotas.map {
+            case (src, q) => s"('$src', CAST($q AS BIGINT))" }.mkString(", ")}),
+        |d AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS rk FROM documents),
+        |r AS (SELECT doc_id, source,
+        |             CAST(row_number() OVER (PARTITION BY source
+        |                                     ORDER BY rk, doc_id) AS BIGINT) AS rank
+        |      FROM d)
+        |SELECT doc_id, source, rank
+        |FROM r LEFT JOIN quotas USING (source)
+        |WHERE rank <= coalesce(quota, $MixDefaultQuota)
+        |ORDER BY source, rank""".stripMargin,
+    // same md5-derived uniform, same 9-dp ranking key, 6-dp display
+    "sample_weighted" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |                  (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |                   + 0.5) / 4294967296.0 AS u
+        |           FROM documents),
+        |s AS (SELECT doc_id, n_chars, round(ln(u) / n_chars, 9) AS key9 FROM d),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY key9 DESC, doc_id) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT rank, doc_id, n_chars, round(key9, 6) AS key
+        |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    // the files' bytes are the docs' utf-8 bytes: length and md5 must
+    // round-trip (the corpus is ascii, so n_chars IS the byte length)
+    "scan_binaryfile" ->
+      """SELECT doc_id, n_chars AS length, md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,51 @@
+package graft.relational
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch-5 operators: domain-mixture sampling, weighted sampling,
+  * raw-file (binaryFile) ingest. Specs pin the contracts beyond the
+  * value hash: quota enforcement + determinism, weight monotonicity in
+  * expectation, and byte-exact file round-trip. */
+class AnalyticsBatch5Spec extends AnyFunSuite {
+  private val spark = graft.TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = AnalyticsQueries.queries(name)(spark, sf)
+
+  test("corpus_mix: per-source counts hit min(quota, available); re-run picks the same docs") {
+    val rows = q("corpus_mix").collect()
+    val avail = Tables.tbl(spark, sf, "documents").groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quotas = AnalyticsQueries.MixQuotas.toMap
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val want = math.min(quotas.getOrElse(src, AnalyticsQueries.MixDefaultQuota), avail(src))
+      assert(rs.length.toLong === want, s"source $src got ${rs.length}, want $want")
+    }
+    val again = q("corpus_mix").collect()
+    assert(rows.map(_.toSeq).toSet === again.map(_.toSeq).toSet, "content-addressed = repeatable")
+  }
+
+  test("sample_weighted: 50 ranked rows, and long docs are overrepresented vs uniform") {
+    val rows = q("sample_weighted").collect()
+    assert(rows.length === 50)
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 50L))
+    val sampleMean = rows.map(_.getLong(2)).sum.toDouble / rows.length
+    val corpusMean = Tables.tbl(spark, sf, "documents")
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"length-weighted draw must skew long: sample $sampleMean vs corpus $corpusMean")
+  }
+
+  test("scan_binaryfile: every doc round-trips with exact byte length and md5") {
+    val rows = q("scan_binaryfile").collect()
+    val src = Tables.tbl(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars"), md5(col("text").cast("binary")).as("m"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows.length === src.size)
+    rows.foreach { r =>
+      val (len, m) = src(r.getLong(0))
+      assert(r.getLong(1) === len && r.getString(2) === m)
+    }
+  }
+}
