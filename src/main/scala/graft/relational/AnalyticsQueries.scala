@@ -521,6 +521,30 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ----------------------------------------------------- semi-structured JSON
+  /** Semi-structured extraction from the `events.props` JSON payload —
+    * the only fixture column no operator read until now, and the
+    * relational surface's semi-structured gap: SCHEMA-FIRST `from_json`
+    * (one parse per row into a typed struct, codegen'd JsonToStructs),
+    * never per-field `get_json_object` (which re-parses the payload once
+    * per extracted field — at 100 TB the difference is N full JSON parses
+    * vs one). The extracted value then behaves like any typed column:
+    * bucketed, aggregated, pushed through the usual combinable plan.
+    * Malformed payloads surface as NULL (PERMISSIVE) and are filtered —
+    * same rule as DuckDB's json_extract on bad input. */
+  private def mapJsonExtract(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val e = Tables.events(s, d)
+      .withColumn("k",
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))("k"))
+    e.filter(col("k").isNotNull)
+      .withColumn("k_bucket", expr("k div 10"))
+      .groupBy(col("event_type"), col("k_bucket"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .orderBy(col("event_type"), col("k_bucket"))
+  }
+
   // ------------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_skew_salted" -> (joinSkewSalted _),
@@ -540,6 +564,7 @@ object AnalyticsQueries {
     "corpus_mix" -> (corpusMix _),
     "sample_weighted" -> (sampleWeighted _),
     "scan_binaryfile" -> (scanBinaryfile _),
+    "map_json_extract" -> (mapJsonExtract _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -723,5 +748,13 @@ object AnalyticsQueries {
     "scan_binaryfile" ->
       """SELECT doc_id, n_chars AS length, md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "map_json_extract" ->
+      """WITH j AS (SELECT event_type, value,
+        |                  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |           FROM events)
+        |SELECT event_type, k // 10 AS k_bucket, CAST(count(*) AS BIGINT) AS n,
+        |       round(avg(value), 6) AS avg_value, min(k) AS k_min, max(k) AS k_max
+        |FROM j WHERE k IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -1027,6 +1027,43 @@ object DataPipelineQueries {
     * streaming aggregations; no fixture type collides with it. */
   private val WindowSentinel = "~sentinel~"
 
+  /** The interval join streamStreamJoin runs — shared with
+    * StreamStreamJoinSpec so the spec pins the REGISTERED plan. Both
+    * sides carry watermarks; the time-range predicate bounds how long a
+    * buffered row can still match, so state eviction is
+    * watermark + range, O(1 h of arrivals per side). */
+  private[graft] def attributionJoin(p: DataFrame, v: DataFrame): DataFrame =
+    p.join(v, expr("user_id = v_user AND v_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"))
+      .select(col("p_id"), col("v_id"), col("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+
+  /** STREAM-STREAM interval join — the last streaming pattern class
+    * (after stream-static enrichment and the five stateful shapes): view→
+    * purchase attribution, matching each purchase to the same user's
+    * views in the trailing hour. Both streams branch from one source
+    * (a self-join — Spark buffers each side in the state store); INNER
+    * join rows emit as soon as both sides have arrived, so the bounded
+    * replay needs no sentinel, and the watermark + the time-RANGE
+    * predicate together bound state to ~1 h of arrivals per side (without
+    * the range bound, stream-stream state grows forever — the predicate
+    * is not an optimization, it is what makes the join deployable). The
+    * batch interval join over the same inputs is the exact oracle. */
+  private def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val src = streamEvents(s, d)
+    val raw = src.select(col("event_id"), col("user_id"), col("event_type"),
+      graft.relational.Tables.tsUsCol(src).as("ts_us"))
+    val p = raw.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        timestamp_micros(col("ts_us")).as("p_ts"))
+      .withWatermark("p_ts", "40 days")
+    val v = raw.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        timestamp_micros(col("ts_us")).as("v_ts"))
+      .withWatermark("v_ts", "40 days")
+    runMemorySink(attributionJoin(p, v), "stream_ssj_", "append")
+      .orderBy(col("p_id"), col("v_id"))
+  }
+
   /** Tumbling event-time window counts per event type — the per-window
     * throughput/monitoring primitive, run as a REAL streaming query in
     * APPEND mode: a (type, hour) window emits exactly once, when the
@@ -1895,6 +1932,7 @@ object DataPipelineQueries {
     "stream_vocab" -> (streamVocab _),
     "stream_window_counts" -> (streamWindowCounts _),
     "stream_enrich" -> (streamEnrich _),
+    "stream_stream_join" -> (streamStreamJoin _),
     "scan_bucketed" -> (scanBucketed _),
     "scan_jsonl" -> (scanJsonl _),
     "shuffle_global" -> (shuffleGlobal _),
@@ -2166,6 +2204,20 @@ object DataPipelineQueries {
         |       CAST(count(*) AS BIGINT) AS n
         |FROM e GROUP BY event_type, window_start_us
         |ORDER BY event_type, window_start_us""".stripMargin,
+    // the batch interval join over the same two filtered sides — inner
+    // stream-stream emission after a full replay IS the batch join
+    "stream_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |           FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, ts_us AS p_ts
+        |      FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS v_id, user_id, ts_us AS v_ts
+        |      FROM e WHERE event_type = 'view')
+        |SELECT p.p_id, v.v_id, p.user_id, p.p_ts - v.v_ts AS lag_us
+        |FROM p JOIN v USING (user_id)
+        |WHERE v.v_ts BETWEEN p.p_ts - 3600000000 AND p.p_ts
+        |ORDER BY p_id, v_id""".stripMargin,
     "tokenize_bpe_train" -> bpeOracleSql(BpeSteps),
     "tokenize_bpe_apply" -> bpeApplyOracleSql(BpeSteps),
     // one partition of the round-trip, value-exact

@@ -37,6 +37,28 @@ class AnalyticsBatch5Spec extends AnyFunSuite {
       s"length-weighted draw must skew long: sample $sampleMean vs corpus $corpusMean")
   }
 
+  test("map_json_extract: bucket counts conserve the corpus; k bounds sit inside the bucket") {
+    val rows = q("map_json_extract").collect()
+    assert(rows.nonEmpty)
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === total, "every row's payload parsed")
+    rows.foreach { r =>
+      val b = r.getLong(1)
+      assert(r.getLong(4) >= b * 10 && r.getLong(5) < (b + 1) * 10,
+        s"k bounds outside bucket $b: ${r.getLong(4)}..${r.getLong(5)}")
+    }
+  }
+
+  test("map_json_extract: malformed payloads surface as NULL and are filtered, not thrown") {
+    import org.apache.spark.sql.functions.{col, from_json}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import spark.implicits._
+    val bad = Seq("""{"k": 3}""", "not json", """{"k": "x"}""", null).toDF("props")
+      .withColumn("k", from_json(col("props"), StructType(Seq(StructField("k", LongType))))("k"))
+    val ks = bad.collect().map(r => if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    assert(ks === Seq(Some(3L), None, None, None))
+  }
+
   test("scan_binaryfile: every doc round-trips with exact byte length and md5") {
     val rows = q("scan_binaryfile").collect()
     val src = Tables.tbl(spark, sf, "documents")
