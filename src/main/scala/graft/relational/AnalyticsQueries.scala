@@ -301,7 +301,9 @@ object AnalyticsQueries {
     val terms = docs.select(col("doc_id"),
         explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    // df derives from tf (one row per (doc, term) already): the corpus is
+    // tokenized and exploded ONCE, not once per aggregate
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
       .withColumn("tfidf", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
     val w = Window.partitionBy(col("doc_id"))
