@@ -547,6 +547,72 @@ object AnalyticsQueries {
       .orderBy(col("event_type"), col("k_bucket"))
   }
 
+  // ------------------------------------------------------------------ funnel
+  /** Funnel-completion window (µs): the whole view→click→purchase
+    * sequence must fit in 3 days of the first view — sized to the
+    * fixture's ~10 h inter-event cadence so all three depths occur. */
+  private[relational] val FunnelWindowUs = 3L * 86400000000L
+
+  /** Ordered FUNNEL analysis (view → click → purchase within a window of
+    * the first view) — the sequential-pattern operator every product
+    * pipeline runs: t1 = first view; t2 = first click at-or-after t1;
+    * t3 = first purchase at-or-after t2, all within t1+W. Three
+    * conditional min-aggregates chained by user-dimension joins — each
+    * stage is one combinable agg + one join on the USER key (the
+    * user-dim side is distinct users, orders of magnitude under the
+    * fact), so the plan is three cheap stages, not a per-user sort; all
+    * math is integer µs, parity exact. Depth = how far the user got. */
+  private def windowFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = eventsUs(s, d).select(col("user_id"), col("event_type"), col("ts_us"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+    val s2 = e.join(s1, "user_id")
+      .filter(col("event_type") === "click" &&
+        col("ts_us") >= col("t1") && col("ts_us") <= col("t1") + FunnelWindowUs)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+    val s3 = e.join(s1, "user_id").join(s2, "user_id")
+      .filter(col("event_type") === "purchase" &&
+        col("ts_us") >= col("t2") && col("ts_us") <= col("t1") + FunnelWindowUs)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+    e.select(col("user_id")).distinct()
+      .join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L).otherwise(0L).as("depth"))
+      .orderBy(col("user_id"))
+  }
+
+  // ------------------------------------------------------------ quality rules
+  /** Gopher-style QUALITY RULES — the published heuristic filter battery
+    * (Rae et al. 2021 §A1.1) every pretraining corpus passes through:
+    * word count, mean word length, stopword presence, symbol ratio, with
+    * a combined pass verdict. All metrics are single-pass regexp counts
+    * (codegen'd, no UDF, no explode — the whole battery is one projection
+    * over the corpus scan). The fixture's synthetic text is lowercase
+    * alphanumeric-free prose, so the symbol axis is degenerate there
+    * (always 0 — still asserted, it guards the real-data case); word
+    * count and stopword axes both split the fixture (spec-asserted). */
+  private def textGopherRules(s: SparkSession, d: String): DataFrame =
+    Tables.tbl(s, d, "documents")
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).cast("long").as("n_words"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("n_letters"),
+        size(expr("""filter(regexp_extract_all(lower(text), '[a-z]+', 0),
+                     t -> t IN ('the', 'of', 'and', 'to', 'in'))"""))
+          .cast("long").as("stop_hits"),
+        length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).as("n_symbols"),
+        col("n_chars"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("n_letters").cast("double") / col("n_words"), 6).as("mean_word_len"),
+        col("stop_hits"),
+        round(col("n_symbols").cast("double") / col("n_chars"), 6).as("symbol_ratio"))
+      .withColumn("pass",
+        col("n_words") >= 15 && col("mean_word_len").between(3.0, 10.0) &&
+          col("stop_hits") >= 1 && col("symbol_ratio") <= 0.1)
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_skew_salted" -> (joinSkewSalted _),
@@ -567,6 +633,8 @@ object AnalyticsQueries {
     "sample_weighted" -> (sampleWeighted _),
     "scan_binaryfile" -> (scanBinaryfile _),
     "map_json_extract" -> (mapJsonExtract _),
+    "window_funnel" -> (windowFunnel _),
+    "text_gopher_rules" -> (textGopherRules _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -758,5 +826,44 @@ object AnalyticsQueries {
         |       round(avg(value), 6) AS avg_value, min(k) AS k_min, max(k) AS k_max
         |FROM j WHERE k IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same three chained conditional-min stages, all integer microseconds
+    "window_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts_us >= s1.t1
+        |         AND e.ts_us <= s1.t1 + $FunnelWindowUs GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts_us) AS t3
+        |       FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts_us >= s2.t2
+        |         AND e.ts_us <= s1.t1 + $FunnelWindowUs GROUP BY 1)
+        |SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+        |       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+        |                 WHEN s2.t2 IS NOT NULL THEN 2
+        |                 WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    // identical regexp counts; DuckDB needs the 'g' flag where Spark's
+    // regexp_replace is global by default
+    "text_gopher_rules" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+        |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_letters,
+        |    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        |         t -> t IN ('the', 'of', 'and', 'to', 'in'))) AS BIGINT) AS stop_hits,
+        |    length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_symbols,
+        |    n_chars
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |       round(n_letters * 1.0 / n_words, 6) AS mean_word_len,
+        |       stop_hits,
+        |       round(n_symbols * 1.0 / n_chars, 6) AS symbol_ratio,
+        |       (n_words >= 15 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |        AND stop_hits >= 1 AND symbol_ratio <= 0.1) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
   )
 }

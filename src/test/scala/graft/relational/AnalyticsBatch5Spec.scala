@@ -59,6 +59,27 @@ class AnalyticsBatch5Spec extends AnyFunSuite {
     assert(ks === Seq(Some(3L), None, None, None))
   }
 
+  test("window_funnel: all three depths occur and step times are ordered within the window") {
+    val rows = q("window_funnel").collect()
+    val depths = rows.map(_.getLong(4)).toSet
+    assert(depths.intersect(Set(1L, 2L, 3L)).size >= 2, s"funnel degenerate: $depths")
+    rows.filter(_.getLong(4) == 3L).foreach { r =>
+      val (t1, t2, t3) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(t1 <= t2 && t2 <= t3, "steps must be ordered")
+      assert(t3 <= t1 + AnalyticsQueries.FunnelWindowUs, "completion inside the window")
+    }
+    assert(rows.filter(_.getLong(4) >= 2L).forall(r => r.getLong(2) >= r.getLong(1)))
+  }
+
+  test("text_gopher_rules: the word-count and stopword axes both split the fixture") {
+    val rows = q("text_gopher_rules").collect()
+    assert(rows.map(_.getBoolean(5)).toSet === Set(true, false), "pass verdict must vary")
+    assert(rows.exists(_.getLong(3) == 0L) && rows.exists(_.getLong(3) > 0L),
+      "stopword axis flat")
+    assert(rows.forall(_.getDouble(4) == 0.0), "fixture text is symbol-free by construction")
+    rows.foreach(r => assert(r.getDouble(2) > 0 && r.getDouble(2) < 20))
+  }
+
   test("scan_binaryfile: every doc round-trips with exact byte length and md5") {
     val rows = q("scan_binaryfile").collect()
     val src = Tables.tbl(spark, sf, "documents")
