@@ -613,6 +613,49 @@ object AnalyticsQueries {
           col("stop_hits") >= 1 && col("symbol_ratio") <= 0.1)
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------------------- interval overlap
+  /** INTERVAL×INTERVAL overlap join — the remaining temporal-join class
+    * after point-in-interval (`join_range`) and as-of: user sessions
+    * (30-min gap rule, same derivation the sessionize family pins)
+    * matched to incident windows (±1 h around high-value error events)
+    * wherever the two intervals OVERLAP. Both sides scatter to the hour
+    * buckets they span and meet in an equi-join on the bucket — the
+    * standard bounded-fanout interval strategy: incidents cover exactly 3
+    * buckets; a session's span is bounded by its event count (it only
+    * stays open while gaps < 30 min). A pair sharing several buckets
+    * dedupes on its natural key. Mixed-length sides (an interval family
+    * with no length bound) would swap in `join_range`'s geometric tiers —
+    * same plan, per-tier bucket widths. Inclusive overlap predicate and
+    * integer-µs overlap length keep parity exact. */
+  private def joinIntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val H = 3600000000L
+    val e = eventsUs(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("ts_us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val prev = lag(col("ts_us"), 1).over(w)
+    val sess = e
+      .withColumn("new_s",
+        when(prev.isNull || col("ts_us") - prev > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts_us")).as("s_start"), max(col("ts_us")).as("s_end"))
+    val inc = e.filter(col("event_type") === "error" && col("value") > 200d)
+      .select(col("event_id").as("incident_id"),
+        (col("ts_us") - H).as("i_start"), (col("ts_us") + H).as("i_end"))
+    val sessB = sess.withColumn("bucket",
+      explode(sequence(expr(s"s_start div $H"), expr(s"s_end div $H"))))
+    val incB = inc.withColumn("bucket",
+      explode(sequence(expr(s"i_start div $H"), expr(s"i_end div $H"))))
+    sessB.join(incB, "bucket")
+      .filter(col("s_start") <= col("i_end") && col("i_start") <= col("s_end"))
+      .select(col("user_id"), col("session_idx"), col("incident_id"),
+        (least(col("s_end"), col("i_end")) - greatest(col("s_start"), col("i_start")))
+          .as("overlap_us"))
+      .distinct()
+      .orderBy(col("user_id"), col("session_idx"), col("incident_id"))
+  }
+
   // ------------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_skew_salted" -> (joinSkewSalted _),
@@ -635,6 +678,7 @@ object AnalyticsQueries {
     "map_json_extract" -> (mapJsonExtract _),
     "window_funnel" -> (windowFunnel _),
     "text_gopher_rules" -> (textGopherRules _),
+    "join_interval_overlap" -> (joinIntervalOverlap _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -865,5 +909,28 @@ object AnalyticsQueries {
         |       (n_words >= 15 AND mean_word_len BETWEEN 3.0 AND 10.0
         |        AND stop_hits >= 1 AND symbol_ratio <= 0.1) AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
+    // direct nested overlap join — the bucket scatter is plan-internal
+    "join_interval_overlap" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |g AS (SELECT user_id, ts_us, event_id,
+        |             CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000
+        |                    OR lag(ts_us) OVER w IS NULL
+        |                  THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT user_id,
+        |             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx,
+        |             ts_us
+        |      FROM g),
+        |sess AS (SELECT user_id, session_idx, min(ts_us) AS s_start, max(ts_us) AS s_end
+        |         FROM s GROUP BY 1, 2),
+        |inc AS (SELECT event_id AS incident_id, ts_us - 3600000000 AS i_start,
+        |               ts_us + 3600000000 AS i_end
+        |        FROM e WHERE event_type = 'error' AND value > 200)
+        |SELECT sess.user_id, sess.session_idx, inc.incident_id,
+        |       least(sess.s_end, inc.i_end) - greatest(sess.s_start, inc.i_start) AS overlap_us
+        |FROM sess JOIN inc ON sess.s_start <= inc.i_end AND inc.i_start <= sess.s_end
+        |ORDER BY user_id, session_idx, incident_id""".stripMargin,
   )
 }

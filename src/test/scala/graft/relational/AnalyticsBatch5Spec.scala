@@ -80,6 +80,39 @@ class AnalyticsBatch5Spec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(2) > 0 && r.getDouble(2) < 20))
   }
 
+  test("join_interval_overlap: bucket-scatter join equals the direct O(n^2) overlap join") {
+    // sf0.01: sf0.001 has no qualifying incident, and the identity must be
+    // checked where matches exist
+    val big = "/root/testdata/sf0.01"
+    val fast = AnalyticsQueries.queries("join_interval_overlap")(spark, big)
+      .collect().map(_.toSeq).toSet
+    assert(fast.nonEmpty, "threshold must select incidents at sf0.01")
+    // direct recompute: every (session, incident) pair, no buckets
+    val e = Tables.eventsTsUs(spark, big)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("ts_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val prev = lag(col("ts_us"), 1).over(w)
+    val sess = e
+      .withColumn("new_s", when(prev.isNull || col("ts_us") - prev > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_s")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)) - 1)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts_us")).as("s_start"), max(col("ts_us")).as("s_end"))
+    val inc = e.filter(col("event_type") === "error" && col("value") > 200d)
+      .select(col("event_id").as("incident_id"),
+        (col("ts_us") - 3600000000L).as("i_start"), (col("ts_us") + 3600000000L).as("i_end"))
+    val direct = sess.crossJoin(inc)
+      .filter(col("s_start") <= col("i_end") && col("i_start") <= col("s_end"))
+      .select(col("user_id"), col("session_idx"), col("incident_id"),
+        (least(col("s_end"), col("i_end")) - greatest(col("s_start"), col("i_start")))
+          .as("overlap_us"))
+      .collect().map(_.toSeq).toSet
+    assert(fast === direct)
+    assert(fast.forall(_.last.asInstanceOf[Long] >= 0L), "overlap length is non-negative")
+  }
+
   test("scan_binaryfile: every doc round-trips with exact byte length and md5") {
     val rows = q("scan_binaryfile").collect()
     val src = Tables.tbl(spark, sf, "documents")
