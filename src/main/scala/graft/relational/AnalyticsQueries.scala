@@ -656,6 +656,93 @@ object AnalyticsQueries {
       .orderBy(col("user_id"), col("session_idx"), col("incident_id"))
   }
 
+  // ------------------------------------------------------------ collocations
+  /** PMI COLLOCATIONS — the corpus's statistically-bound word pairs
+    * (pmi = ln p(ab)/(p(a)p(b)) over adjacent-token bigrams), the classic
+    * phrase-mining / tokenizer-diagnostic pass. One posexplode keeps
+    * token order; bigrams via a doc-partitioned `lead` (docs are small
+    * and many — no skew); unigram and bigram counts are combinable aggs;
+    * the two grand totals are 1-row aggregates broadcast into the score.
+    * PMI is ROUNDED BEFORE the top-20 ranking (the text_tfidf ulp rule),
+    * and the top-k is orderBy+limit — TakeOrdered, no global window. */
+  private def textCollocations(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.tbl(s, d, "documents")
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .as(Seq("ord", "term")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("ord"))
+    val cb = t.withColumn("w2", lead(col("term"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("term").as("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val cu = t.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val tot = cb.agg(sum(col("c_ab")).as("n_bi"))
+      .crossJoin(cu.agg(sum(col("c")).as("n_uni")))
+    cb.join(cu.select(col("term").as("w1"), col("c").as("c_a")), "w1")
+      .join(cu.select(col("term").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(tot))
+      .filter(col("c_ab") >= 5)
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log((col("c_ab") / col("n_bi")) /
+          ((col("c_a") / col("n_uni")) * (col("c_b") / col("n_uni")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  // --------------------------------------------------------------- retention
+  /** COHORT RETENTION matrix — users grouped by first-activity day, then
+    * distinct-active counts per (cohort, days-since) cell: the
+    * engagement decay table every product dashboard draws. Two
+    * combinable aggregates + one join on the user dimension; all
+    * integer-day math, parity exact. At 100 TB the distinct count per
+    * cell swaps for the HLL sketch (`agg_distinct_sketch`'s shape) —
+    * same plan, fixed state. */
+  private def aggRetention(s: SparkSession, d: String): DataFrame = {
+    val e = eventsUs(s, d)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    e.join(cohorts, "user_id")
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort"), col("offset"))
+  }
+
+  // -------------------------------------------------------------------- cube
+  /** CUBE over (type, day) — all four grouping sets (detail, per-type,
+    * per-day, grand) in the same single-scan expand-then-aggregate plan
+    * `agg_rollup` pins; the per-day slice is the one rollup can't emit. */
+  private def aggCube(s: SparkSession, d: String): DataFrame =
+    eventsUs(s, d)
+      .withColumn("day", expr("ts_us div 86400000000"))
+      .cube(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+      .orderBy(col("event_type").asc_nulls_last, col("day").asc_nulls_last)
+
+  // ------------------------------------------------------------- correlation
+  /** Pairwise CORRELATION of the event types' hourly volumes — the
+    * co-movement diagnostic (load coupling, cannibalization). The hourly
+    * series are zero-filled on the full hour×type grid first (an inner
+    * join of raw counts would silently drop hours one type missed and
+    * bias r); the grid is span×types rows — bounded by time, not data.
+    * One self-join on the hour key + `corr` (a single streaming
+    * co-moment aggregate on both engines), round(6) absorbing
+    * accumulation-order fp. */
+  private def aggCorr(s: SparkSession, d: String): DataFrame = {
+    val e = eventsUs(s, d)
+      .select(col("event_type"), expr("ts_us div 3600000000").as("h"))
+    val grid = e.select(col("h")).distinct()
+      .crossJoin(e.select(col("event_type")).distinct())
+    val cnt = e.groupBy(col("h"), col("event_type")).agg(count(lit(1)).as("n"))
+    val f = grid.join(cnt, Seq("h", "event_type"), "left")
+      .select(col("h"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+    f.select(col("h"), col("event_type").as("type_a"), col("n").as("na"))
+      .join(f.select(col("h").as("hb"), col("event_type").as("type_b"), col("n").as("nb")),
+        col("h") === col("hb") && col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(round(corr(col("na"), col("nb")), 6).as("r"), count(lit(1)).as("n_hours"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   // ------------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_skew_salted" -> (joinSkewSalted _),
@@ -679,6 +766,10 @@ object AnalyticsQueries {
     "window_funnel" -> (windowFunnel _),
     "text_gopher_rules" -> (textGopherRules _),
     "join_interval_overlap" -> (joinIntervalOverlap _),
+    "text_collocations" -> (textCollocations _),
+    "agg_retention" -> (aggRetention _),
+    "agg_cube" -> (aggCube _),
+    "agg_corr" -> (aggCorr _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -932,5 +1023,54 @@ object AnalyticsQueries {
         |       least(sess.s_end, inc.i_end) - greatest(sess.s_start, inc.i_start) AS overlap_us
         |FROM sess JOIN inc ON sess.s_start <= inc.i_end AND inc.i_start <= sess.s_end
         |ORDER BY user_id, session_idx, incident_id""".stripMargin,
+    // DuckDB 1.0 has no WITH ORDINALITY; lockstep unnest of the token
+    // list and its index range replays posexplode exactly
+    "text_collocations" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+        |              FROM documents),
+        |t AS (SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS ord FROM toks),
+        |b AS (SELECT term AS w1,
+        |             lead(term) OVER (PARTITION BY doc_id ORDER BY ord) AS w2 FROM t),
+        |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+        |       FROM b WHERE w2 IS NOT NULL GROUP BY 1, 2),
+        |cu AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(c_ab) FROM cb) AS n_bi,
+        |               (SELECT sum(c) FROM cu) AS n_uni)
+        |SELECT w1, w2, c_ab,
+        |       round(ln((c_ab / n_bi) / ((a.c / n_uni) * (b2.c / n_uni))), 6) AS pmi
+        |FROM cb JOIN cu a ON cb.w1 = a.term JOIN cu b2 ON cb.w2 = b2.term, tot
+        |WHERE c_ab >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    "agg_retention" ->
+      """WITH e AS (SELECT user_id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |           FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1)
+        |SELECT c.cohort, e.day - c.cohort AS offset,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "agg_cube" ->
+      """WITH e AS (SELECT event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |                  value
+        |           FROM events)
+        |SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+        |       round(avg(value), 6) AS avg_value
+        |FROM e GROUP BY CUBE(event_type, day)
+        |ORDER BY event_type NULLS LAST, day NULLS LAST""".stripMargin,
+    "agg_corr" ->
+      """WITH e AS (SELECT event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h
+        |           FROM events),
+        |hours AS (SELECT DISTINCT h FROM e), types AS (SELECT DISTINCT event_type FROM e),
+        |grid AS (SELECT h, event_type FROM hours CROSS JOIN types),
+        |cnt AS (SELECT h, event_type, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |f AS (SELECT g.h, g.event_type, coalesce(cnt.n, 0) AS n
+        |      FROM grid g LEFT JOIN cnt USING (h, event_type))
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |       round(corr(a.n, b.n), 6) AS r, CAST(count(*) AS BIGINT) AS n_hours
+        |FROM f a JOIN f b ON a.h = b.h AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }
