@@ -743,6 +743,35 @@ object AnalyticsQueries {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  // -------------------------------------------------------- schema evolution
+  /** SCHEMA EVOLUTION across parquet batches — the ingest reality this
+    * round's fixture drift (VERDICT r7) made policy: producers add
+    * columns over time, and a scan must union the schemas instead of
+    * failing or silently picking one file's footer. Two partition
+    * directories are written with different column sets (batch 0 without
+    * `n_chars`, batch 1 with it) and read back under `mergeSchema` — the
+    * union schema applies everywhere, absent columns surface as NULL,
+    * and the partition column types from the directory name. Without the
+    * option Spark trusts ONE footer (whichever file it samples) — the
+    * spec pins that the merged read carries all columns. mergeSchema
+    * costs a footer-read per file; at 100 TB a table format (Delta/
+    * Iceberg) holds the union schema in metadata instead — same
+    * semantics, no per-file pass. */
+  private def scanSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val docs = Tables.tbl(s, d, "documents")
+    docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$dir/batch=0")
+    docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("batch").cast("long").as("batch"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_skew_salted" -> (joinSkewSalted _),
@@ -770,6 +799,7 @@ object AnalyticsQueries {
     "agg_retention" -> (aggRetention _),
     "agg_cube" -> (aggCube _),
     "agg_corr" -> (aggCorr _),
+    "scan_schema_evolution" -> (scanSchemaEvolution _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1072,5 +1102,12 @@ object AnalyticsQueries {
         |       round(corr(a.n, b.n), 6) AS r, CAST(count(*) AS BIGINT) AS n_hours
         |FROM f a JOIN f b ON a.h = b.h AND a.event_type < b.event_type
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // closed form of the two-batch union: odd docs carry n_chars, even
+    // docs surface it as NULL, batch = the partition the row landed in
+    "scan_schema_evolution" ->
+      """SELECT doc_id, lang,
+        |       CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars,
+        |       CAST(doc_id % 2 AS BIGINT) AS batch
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

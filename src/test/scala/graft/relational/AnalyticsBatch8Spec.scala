@@ -56,6 +56,18 @@ class AnalyticsBatch8Spec extends AnyFunSuite {
     assert(plan.contains("Expand"), "cube must expand grouping sets, not union scans")
   }
 
+  test("scan_schema_evolution: merged read carries the union schema; absent columns are NULL") {
+    val df = q("scan_schema_evolution")
+    assert(df.columns.toSeq === Seq("doc_id", "lang", "n_chars", "batch"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val odd = r.getLong(0) % 2 == 1
+      assert(r.isNullAt(2) === !odd, "n_chars exists exactly where batch 1 wrote it")
+      assert(r.getLong(3) === (if (odd) 1L else 0L))
+    }
+  }
+
   test("agg_corr: one row per unordered type pair, r in [-1,1], and corr(x,x)=1 sanity") {
     val rows = q("agg_corr").collect()
     val types = Tables.events(spark, sf).select(col("event_type")).distinct().count().toInt
