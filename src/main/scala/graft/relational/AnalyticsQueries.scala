@@ -4,16 +4,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Warehouse-analytics operators over the event stream: skew-mitigated
-  * joins, hierarchy (rollup) aggregation, wide pivots, and event-time
-  * sliding/lag windows. These are the reporting/feature-engineering shapes a
+/** Warehouse-analytics and corpus-composition operators: skew-mitigated
+  * and bloom-pruned joins, grouping-set hierarchies (rollup/cube), wide
+  * pivots, event-time windows (moving average, lag/lead, funnel,
+  * gap-fill resample, interval overlap), CDC merge-apply, schema-first
+  * JSON extraction, schema-evolution and raw-file scans, mergeable
+  * count-min frequencies, Z-order layout keys, and the corpus passes a
+  * training pipeline composes from (domain-mixture and weighted
+  * sampling, TF-IDF, PMI collocations, Gopher quality rules, int8
+  * embedding codes, k-NN-graph PageRank). These are the shapes a
   * production deployment of the reference pipeline (patternly
   * detection.py's fit/predict loop) feeds and consumes around the model —
-  * the reference does them in pandas on the driver
-  * (e.g. detection.py:124-149's frame reshaping); here each is a single
-  * distributed Catalyst plan with the same hash-parity conventions as
+  * the reference does its reshaping in pandas on the driver
+  * (e.g. detection.py:124-149); here each is a single distributed
+  * Catalyst plan with the same hash-parity conventions as
   * [[RelationalQueries]] (round(x,6) floats, BIGINT ints, total ORDER BY,
-  * identical aliases both engines).
+  * identical aliases both engines; floats ROUNDED BEFORE any ranking so
+  * a last-ulp engine difference can't flip an order).
   */
 object AnalyticsQueries {
 
