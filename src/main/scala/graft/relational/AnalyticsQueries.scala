@@ -779,6 +779,44 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------ substring dedup
+  /** EXACT-SUBSTRING duplicate spans (the Lee et al. 2022 "Deduplicating
+    * Training Data" ExactSubstr flavor, at token-10-gram granularity —
+    * the dedup class the hash/MinHash/line families can't see: long
+    * verbatim passages embedded in otherwise-distinct documents). Every
+    * token position emits its 10-gram fingerprint (one ordered explode);
+    * grams appearing in >1 document are the duplicated positions (one
+    * combinable distinct-count agg + a semi-join on the gram key — the
+    * honest shuffle of substring dedup); per doc, consecutive duplicated
+    * positions merge into MAXIMAL spans with the islands trick
+    * (pos − row_number() is constant exactly on a run). Reference
+    * implementations build suffix arrays; gram-chaining is the standard
+    * distributed approximation (spans are maximal at gram resolution:
+    * endpoints are exact to ±(gram−1) tokens). All integer/string logic,
+    * parity exact by construction. */
+  private def textDedupSubstring(s: SparkSession, d: String): DataFrame = {
+    val gram = 10
+    val toks = Tables.tbl(s, d, "documents")
+      .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("l"))
+      .filter(size(col("l")) >= gram)
+    val g2 = toks.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, size(l) - $gram), i -> md5(array_join(slice(l, i + 1, $gram), ' ')))"))
+        .as(Seq("pos", "gram")))
+    val dup = g2.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select(col("gram"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    g2.join(dup, Seq("gram"), "left_semi")
+      .withColumn("grp", col("pos") - (row_number().over(w) - 1))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + gram).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   // ------------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_skew_salted" -> (joinSkewSalted _),
@@ -807,6 +845,7 @@ object AnalyticsQueries {
     "agg_cube" -> (aggCube _),
     "agg_corr" -> (aggCorr _),
     "scan_schema_evolution" -> (scanSchemaEvolution _),
+    "text_dedup_substring" -> (textDedupSubstring _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1116,5 +1155,23 @@ object AnalyticsQueries {
         |       CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars,
         |       CAST(doc_id % 2 AS BIGINT) AS batch
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same gram fingerprints (1-based inclusive list slice = Spark's
+    // slice(l, i+1, 10)), same islands merge
+    "text_dedup_substring" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+        |              FROM documents WHERE len(regexp_extract_all(lower(text), '[a-z]+')) >= 10),
+        |g2 AS (SELECT doc_id, unnest(range(len(l) - 9)) AS pos,
+        |              unnest(list_transform(range(len(l) - 9),
+        |                     i -> md5(array_to_string(l[i+1:i+10], ' ')))) AS gram
+        |       FROM toks),
+        |dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+        |dpos AS (SELECT doc_id, pos FROM g2 WHERE gram IN (SELECT gram FROM dup)),
+        |i AS (SELECT doc_id, pos,
+        |             pos - (row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1) AS grp
+        |      FROM dpos)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 10 AS span_end,
+        |       CAST(count(*) AS BIGINT) AS n_grams
+        |FROM i GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
   )
 }
