@@ -19,11 +19,13 @@ object SparkEntry {
     * training-data-pipeline family (dedup / similarity / text / multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.RelationalQueries.queries ++ relational.PipelineQueries.queries ++
-      relational.DataPipelineQueries.queries ++ relational.AnalyticsQueries.queries
+      relational.DataPipelineQueries.queries ++ relational.AnalyticsQueries.queries ++
+      relational.SeriesQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.RelationalQueries.oracle ++ relational.DataPipelineQueries.oracle ++
-      relational.PipelineQueries.oracle ++ relational.AnalyticsQueries.oracle
+      relational.PipelineQueries.oracle ++ relational.AnalyticsQueries.oracle ++
+      relational.SeriesQueries.oracle
 }
