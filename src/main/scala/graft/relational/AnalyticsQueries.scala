@@ -384,21 +384,27 @@ object AnalyticsQueries {
     * shuffle per step, nothing driver-side but the loop counter.
     * Floating error stays ~1e-14 after 10 iterations (damping is a
     * contraction); the final round(6) absorbs engine-order differences. */
-  private def graphPagerank(s: SparkSession, d: String): DataFrame = {
+  /** The exact top-[[PrK]] rounded-cosine k-NN edge set shared by
+    * [[graphPagerank]] and [[graphTriangles]] — directed src→dst, every
+    * node out-degree k, deterministic (cos rounded before ranking, ties
+    * to the smaller dst). */
+  private def knnEdges(emb: DataFrame): DataFrame = {
     import graft.text.Similarity
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val n = emb.count().toDouble
-    val pairs = emb.select(col("vec_id").as("src"), col("v").as("va"))
+    emb.select(col("vec_id").as("src"), col("v").as("va"))
       .crossJoin(emb.select(col("vec_id").as("dst"), col("v").as("vb")))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), round(Similarity.cosine("va", "vb"), 6).as("cos"))
-    val edges = pairs
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))))
       .filter(col("rn") <= PrK)
       .select(col("src"), col("dst"))
-      .cache()
+  }
+
+  private def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = emb.count().toDouble
+    val edges = knnEdges(emb).cache()
     val nodes = emb.select(col("vec_id"))
     var rank = nodes.withColumn("r", lit(1.0 / n))
     for (_ <- 1 to PrIters) {
@@ -409,6 +415,41 @@ object AnalyticsQueries {
           (lit((1.0 - PrDamping) / n) + lit(PrDamping) * coalesce(col("c"), lit(0.0))).as("r"))
     }
     rank.select(col("vec_id"), round(col("r"), 6).as("pagerank"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** TRIANGLE COUNT per node over the same k-NN similarity graph —
+    * the local-clustering signal (a node in many triangles sits inside a
+    * tight semantic cluster; triangle-free nodes are manifold periphery,
+    * the same quality axis PageRank measures globally). The directed k-NN
+    * edges are undirected via (least, greatest) + distinct, then the
+    * classic oriented enumeration: wedges x–y–z with x<y<z closed by a
+    * LEFT SEMI probe of the third edge — each triangle is counted exactly
+    * once, and the semi-join never materializes match duplicates. Per-node
+    * counts explode each triangle to its 3 corners and hash-aggregate.
+    * Out-degree is bounded by [[PrK]], so the wedge fan-out is ≤ k² per
+    * node at ANY scale; at 100 TB the general-graph guard is the standard
+    * degree orientation (low-degree endpoint first), which this plan
+    * already embodies via the total order on ids. */
+  private def graphTriangles(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val und = knnEdges(emb)
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .cache()
+    val wedges = und.select(col("a").as("x"), col("b").as("y"))
+      .join(und.select(col("a").as("y"), col("b").as("z")), "y")
+    val tri = wedges.join(und.select(col("a").as("x"), col("b").as("z")),
+        Seq("x", "z"), "left_semi")
+      .cache()
+    val perNode = tri.select(col("x").as("node"))
+      .union(tri.select(col("y")))
+      .union(tri.select(col("z")))
+      .groupBy(col("node")).agg(count(lit(1)).as("t"))
+    emb.select(col("vec_id"))
+      .join(perNode, emb("vec_id") === perNode("node"), "left")
+      .select(col("vec_id"), coalesce(col("t"), lit(0L)).as("n_triangles"))
       .orderBy(col("vec_id"))
   }
 
@@ -833,6 +874,7 @@ object AnalyticsQueries {
     "agg_histogram" -> (aggHistogram _),
     "sort_zorder" -> (sortZorder _),
     "graph_pagerank" -> (graphPagerank _),
+    "graph_triangles" -> (graphTriangles _),
     "corpus_mix" -> (corpusMix _),
     "sample_weighted" -> (sampleWeighted _),
     "scan_binaryfile" -> (scanBinaryfile _),
@@ -1000,6 +1042,33 @@ object AnalyticsQueries {
         |         (((u16 >> i) & 1) << (2 * i)) + (((b16 >> i) & 1) << (2 * i + 1)))) AS z
         |FROM e ORDER BY z, event_id""".stripMargin,
     "graph_pagerank" -> pagerankOracleSql,
+    // same rounded-cosine top-k edge construction as the pagerank oracle,
+    // then the identical oriented wedge+closure enumeration
+    "graph_triangles" ->
+      s"""WITH emb AS (SELECT vec_id,
+         |                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |             FROM embeddings),
+         |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+         |                 round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         |          FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+         |dir_e AS (SELECT src, dst
+         |          FROM (SELECT src, dst,
+         |                       row_number() OVER (PARTITION BY src
+         |                                          ORDER BY cos DESC, dst) AS rn
+         |                FROM pairs)
+         |          WHERE rn <= $PrK),
+         |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM dir_e),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |        WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+         |pern AS (SELECT node, count(*) AS t FROM (
+         |           SELECT x AS node FROM tri
+         |           UNION ALL SELECT y FROM tri
+         |           UNION ALL SELECT z FROM tri)
+         |         GROUP BY node)
+         |SELECT emb.vec_id, CAST(coalesce(pern.t, 0) AS BIGINT) AS n_triangles
+         |FROM emb LEFT JOIN pern ON emb.vec_id = pern.node
+         |ORDER BY emb.vec_id""".stripMargin,
     // pure string/integer ordering — parity is exact by construction
     "corpus_mix" ->
       s"""WITH quotas(source, quota) AS (VALUES ${MixQuotas.map {

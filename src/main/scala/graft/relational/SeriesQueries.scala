@@ -323,6 +323,176 @@ object SeriesQueries {
       .orderBy(col("flag"))
   }
 
+  // -------------------------------------------------------------- autocorrelation
+  /** Maximum autocorrelation lag (hours). */
+  private[relational] val AcorrMaxLag = 6
+
+  /** Lag-k autocorrelation (k = 1..[[AcorrMaxLag]]) of the hourly event
+    * volume per type — the periodicity detector (a daily-cycle signal
+    * shows r rising toward lag 24; white noise stays near 0). The series
+    * is ZERO-FILLED on the observed-hour grid first (an hour where SOME
+    * type fired but this one didn't is a real zero-volume observation —
+    * skipping it would silently correlate non-adjacent hours; at
+    * production rates the grid is dense), then each lag is an equi-join
+    * of the series to
+    * itself shifted by k: a ≤[[AcorrMaxLag]]-fold bounded fan-out on the
+    * (type, hour) key, all combinable aggregates. Same grid construction
+    * as agg_corr (which correlates ACROSS types; this correlates a type
+    * with its own past). Pearson r via `corr` rounded to 6 dp. */
+  private def tsAutocorr(s: SparkSession, d: String): DataFrame = {
+    val e = eventsUs(s, d).select(col("event_type"), expr("ts_us div 3600000000").as("h"))
+    val grid = e.select(col("h")).distinct()
+      .crossJoin(e.select(col("event_type")).distinct())
+    val cnt = e.groupBy(col("h"), col("event_type")).agg(count(lit(1)).as("n"))
+    val f = grid.join(cnt, Seq("h", "event_type"), "left")
+      .select(col("h"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+    val lags = s.range(1, AcorrMaxLag + 1L).select(col("id").as("lag"))
+    f.select(col("event_type"), col("h"), col("n").as("na"))
+      .crossJoin(broadcast(lags))
+      .join(f.select(col("event_type").as("tb"), col("h").as("hb"), col("n").as("nb")),
+        col("tb") === col("event_type") && col("hb") === col("h") + col("lag"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(round(corr(col("na"), col("nb")), 6).as("r"), count(lit(1)).as("n_pairs"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  // ------------------------------------------------------------ CUSUM changepoint
+  /** CUSUM mean-shift detection per user: the running sum of deviations
+    * from the user's overall mean drifts away from zero once the level
+    * shifts (a CUSUM chart); flagged when |cusum| exceeds 5 user-σ. The
+    * cross-engine trap here is the cumulative FLOAT sum — running-sum
+    * association differs between engines and a 6-dp round would still
+    * flip rows near boundaries over 100k+ events — so deviations are
+    * quantized ONCE to integer cents (`floor(x·100 + 0.5)`, the portable
+    * round — see ts_interpolate) and the cumulative sum runs in exact
+    * BIGINT arithmetic: bit-identical in ANY accumulation order, at any
+    * scale. One broadcast of the per-user moment frame, one window. */
+  private def tsChangepoint(s: SparkSession, d: String): DataFrame = {
+    val e = eventsUs(s, d).filter(col("value").isNotNull)
+    val m = e.groupBy(col("user_id"))
+      .agg(round(avg(col("value")), 6).as("mean_r"),
+        round(stddev_samp(col("value")), 6).as("std_r"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.join(broadcast(m), "user_id")
+      .withColumn("dev_c", floor((col("value") - col("mean_r")) * 100 + lit(0.5)))
+      .withColumn("thr_c", floor(col("std_r") * 500 + lit(0.5)))
+      .withColumn("cusum_c", sum(col("dev_c")).over(w))
+      .withColumn("shifted", abs(col("cusum_c")) > col("thr_c"))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+        col("cusum_c"), col("thr_c"), col("shifted"))
+      .orderBy(col("event_id"))
+  }
+
+  // ------------------------------------------------------------------ modal value
+  /** Modal event type per user (with count, total, and share) — the
+    * categorical summary statistic Spark has no built-in aggregate for.
+    * Counts are one map-side-combinable aggregate; the mode is then a
+    * row_number over the per-user count frame (cardinality = distinct
+    * types per user, ≤ |type| — tiny — so the window never sees raw
+    * events). Deterministic tie-break: highest count, then lexicographic
+    * smallest type. The share divides AFTER both operands are exact
+    * integers, then rounds. */
+  private def aggMode(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.events(s, d).groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("n").desc, col("event_type"))
+    val tw = Window.partitionBy(col("user_id"))
+    c.withColumn("rn", row_number().over(w))
+      .withColumn("total", sum(col("n")).over(tw))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_type"), col("n").as("n_mode"),
+        col("total").as("n_total"),
+        round(col("n").cast("double") / col("total"), 6).as("share"))
+      .orderBy(col("user_id"))
+  }
+
+  // ------------------------------------------------------- stats-pruned scan
+  /** Min/max-stats file skipping — the data-layout lever underneath every
+    * lake format: events are written SORTED by user_id into 8 range
+    * partitions (each parquet file then covers a disjoint user range and
+    * carries tight min/max column stats), and a narrow user-range query
+    * over the result lets the reader skip the files/row-groups whose
+    * stats exclude the predicate. The oracle checks the filtered
+    * aggregate's VALUES against the original table (layout must never
+    * change semantics); the pruning itself — pushed filters present,
+    * scan emitting a small fraction of total rows — is spec-asserted.
+    * At 100 TB this is the row-group-level complement to
+    * `sink_partitioned` (directory pruning) and `sort_zorder`
+    * (multi-column locality): one range-exchange at ingest buys
+    * stats-skipping on every later range scan. */
+  private def scanStatsPruning(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_stats")
+    try {
+      eventsUs(s, d).filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .repartitionByRange(8, col("user_id"))
+        .sortWithinPartitions(col("user_id"))
+        .write.mode("overwrite").parquet(s"$tmp/sorted")
+      s.read.parquet(s"$tmp/sorted")
+        .filter(col("user_id").between(40, 49))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+        .orderBy(col("event_type"))
+        .localCheckpoint(true)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** The pruned-scan plan + row metric for the spec: builds the same
+    * sorted layout, returns (filtered DataFrame, total row count). The
+    * range is a parameter so the spec can pick a slice that exists at its
+    * fixture's user cardinality. */
+  private[relational] def statsPruningProbe(s: SparkSession, d: String, dir: Path,
+      lo: Long, hi: Long): (DataFrame, Long) = {
+    eventsUs(s, d).filter(col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .repartitionByRange(8, col("user_id"))
+      .sortWithinPartitions(col("user_id"))
+      .write.mode("overwrite").parquet(s"$dir/sorted")
+    val all = s.read.parquet(s"$dir/sorted")
+    (all.filter(col("user_id").between(lo, hi)), all.count())
+  }
+
+  // ------------------------------------------------------------- audio framing
+  /** PCM16 frame length in samples (320 bytes at 2 bytes/sample). */
+  private[relational] val AudioFrameSamples = 160
+
+  /** Audio feature extraction over an opaque binary column: the payload is
+    * treated as little-endian signed 16-bit PCM, framed into
+    * non-overlapping [[AudioFrameSamples]]-sample windows, and each frame
+    * reduced to RMS energy + peak amplitude — the VAD/loudness front-end
+    * of every audio pipeline, with the same plumbing contract as the
+    * image family (multimodal_metadata/decode): schema-first binary
+    * column in, per-frame feature rows out. The whole decode is
+    * codegen'd higher-order functions — one hex() of the frame's 320
+    * bytes, then `transform`/`aggregate` lambdas assemble the signed
+    * samples and fold the energy; no UDF, no driver data. Sample sums are
+    * exact INTEGER arithmetic (≤160·2³⁰ ≪ 2⁵³), so RMS is
+    * order-independent and the cross-engine hash exact after round(6).
+    * Docs shorter than one frame emit nothing, deterministically. */
+  private def multimodalAudioRms(s: SparkSession, d: String): DataFrame = {
+    import graft.text.Multimodal
+    Multimodal.asBinaryTable(docsT(s, d))
+      .withColumn("n_frames",
+        (octet_length(col("payload")) / lit(2 * AudioFrameSamples)).cast("long"))
+      .filter(col("n_frames") > 0)
+      .withColumn("frame_idx", explode(expr("sequence(0L, n_frames - 1)")))
+      .withColumn("hexf", expr(
+        s"hex(substring(payload, cast(frame_idx * ${2 * AudioFrameSamples} + 1 as int), ${2 * AudioFrameSamples}))"))
+      .withColumn("samples", expr(
+        s"""transform(sequence(0, ${AudioFrameSamples - 1}), i ->
+           |  cast(conv(substr(hexf, 4 * i + 1, 2), 16, 10) as int)
+           |  + 256 * cast(conv(substr(hexf, 4 * i + 3, 2), 16, 10) as int))"""
+          .stripMargin))
+      .withColumn("signed", expr("transform(samples, v -> IF(v >= 32768, v - 65536, v))"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        round(sqrt(expr(
+          s"aggregate(signed, 0D, (a, x) -> a + cast(x as double) * cast(x as double)) / ${AudioFrameSamples}.0")), 6)
+          .as("rms"),
+        expr("cast(array_max(transform(signed, v -> abs(v))) as long)").as("peak"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   // ------------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_anomaly_zscore" -> (tsAnomalyZscore _),
@@ -334,6 +504,11 @@ object SeriesQueries {
     "window_ntile" -> (windowNtile _),
     "compact_small_files" -> (compactSmallFiles _),
     "agg_moments" -> (aggMoments _),
+    "ts_autocorr" -> (tsAutocorr _),
+    "ts_changepoint" -> (tsChangepoint _),
+    "agg_mode" -> (aggMode _),
+    "scan_stats_pruning" -> (scanStatsPruning _),
+    "multimodal_audio_rms" -> (multimodalAudioRms _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -476,5 +651,82 @@ object SeriesQueries {
         |       round((s3 / n) / pow(s2 / n, 1.5), 5) AS skewness,
         |       round((s4 / n) / pow(s2 / n, 2) - 3, 5) AS kurtosis
         |FROM c ORDER BY flag""".stripMargin,
+    // same zero-filled grid as agg_corr, shifted against itself per lag
+    "ts_autocorr" ->
+      """WITH e AS (SELECT event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h
+        |           FROM events),
+        |hours AS (SELECT DISTINCT h FROM e), types AS (SELECT DISTINCT event_type FROM e),
+        |grid AS (SELECT h, event_type FROM hours CROSS JOIN types),
+        |cnt AS (SELECT h, event_type, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |f AS (SELECT g.h, g.event_type, coalesce(cnt.n, 0) AS n
+        |      FROM grid g LEFT JOIN cnt USING (h, event_type)),
+        |lags AS (SELECT unnest(range(1, 7)) AS lag),
+        |j AS (SELECT a.event_type, l.lag, a.n AS na, b.n AS nb
+        |      FROM f a CROSS JOIN lags l
+        |      JOIN f b ON b.event_type = a.event_type AND b.h = a.h + l.lag)
+        |SELECT event_type, CAST(lag AS BIGINT) AS lag,
+        |       round(corr(na, nb), 6) AS r, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM j GROUP BY 1, 2 ORDER BY event_type, lag""".stripMargin,
+    // integer-cents CUSUM: the running sum is exact BIGINT arithmetic, so
+    // any accumulation order hashes identically
+    "ts_changepoint" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+        |           FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT user_id, round(avg(value), 6) AS mean_r,
+        |             round(stddev_samp(value), 6) AS std_r
+        |      FROM e GROUP BY user_id),
+        |c AS (SELECT e.event_id, e.user_id, e.ts_us, e.value,
+        |             CAST(floor((e.value - m.mean_r) * 100 + 0.5) AS BIGINT) AS dev_c,
+        |             CAST(floor(m.std_r * 500 + 0.5) AS BIGINT) AS thr_c
+        |      FROM e JOIN m USING (user_id))
+        |SELECT event_id, user_id, ts_us, value,
+        |       CAST(sum(dev_c) OVER w AS BIGINT) AS cusum_c,
+        |       thr_c,
+        |       abs(CAST(sum(dev_c) OVER w AS BIGINT)) > thr_c AS shifted
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                   ORDER BY n DESC, event_type) AS rn,
+        |             sum(n) OVER (PARTITION BY user_id) AS total
+        |      FROM c)
+        |SELECT user_id, event_type AS mode_type, n AS n_mode,
+        |       CAST(total AS BIGINT) AS n_total,
+        |       round(CAST(n AS DOUBLE) / total, 6) AS share
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // layout must not change semantics: the stats-pruned scan's aggregate
+    // equals the same aggregate over the raw table
+    "scan_stats_pruning" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(value), 6) AS sum_value
+        |FROM events WHERE user_id BETWEEN 40 AND 49 AND value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the payload bytes ARE the doc's ASCII text bytes (as in
+    // multimodal_metadata), so the oracle reassembles the same PCM16-LE
+    // samples from character codes; integer energy sums are exact
+    "multimodal_audio_rms" ->
+      """WITH d AS (SELECT doc_id, text, length(text) // 320 AS n_frames FROM documents),
+        |fr AS (SELECT doc_id, n_frames, unnest(range(0, n_frames)) AS frame_idx
+        |       FROM d WHERE n_frames > 0),
+        |s AS (SELECT f.doc_id, f.n_frames, f.frame_idx,
+        |        list_transform(range(0, 160), i ->
+        |          CASE WHEN ascii(substr(d.text, CAST(f.frame_idx * 320 + 2 * i + 1 AS INTEGER), 1))
+        |                    + 256 * ascii(substr(d.text, CAST(f.frame_idx * 320 + 2 * i + 2 AS INTEGER), 1)) >= 32768
+        |               THEN ascii(substr(d.text, CAST(f.frame_idx * 320 + 2 * i + 1 AS INTEGER), 1))
+        |                    + 256 * ascii(substr(d.text, CAST(f.frame_idx * 320 + 2 * i + 2 AS INTEGER), 1)) - 65536
+        |               ELSE ascii(substr(d.text, CAST(f.frame_idx * 320 + 2 * i + 1 AS INTEGER), 1))
+        |                    + 256 * ascii(substr(d.text, CAST(f.frame_idx * 320 + 2 * i + 2 AS INTEGER), 1))
+        |          END) AS samples
+        |      FROM fr f JOIN d ON f.doc_id = d.doc_id)
+        |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |       CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       round(sqrt(list_sum(list_transform(samples, x -> CAST(x * x AS DOUBLE))) / 160.0), 6) AS rms,
+        |       CAST(list_max(list_transform(samples, x -> abs(x))) AS BIGINT) AS peak
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }
