@@ -453,6 +453,49 @@ object AnalyticsQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Label-propagation iterations — fixed so the oracle can unroll. */
+  private[relational] val LpIters = 5
+
+  /** LABEL PROPAGATION over the k-NN similarity graph: each node
+    * repeatedly adopts the majority label of its neighbors ([[LpIters]]
+    * rounds, ties to the smallest label, isolated nodes keep their own) —
+    * the classic semi-supervised smoothing of a sparse/noisy label column
+    * over the embedding manifold (Zhu & Ghahramani's LPA; here the raw
+    * `label` column of the embeddings table is the seed). Per round: one
+    * edge-to-label join, one combinable (node, label) count, one
+    * row_number over the ≤|labels| count frame per node — the same
+    * Pregel-on-DataFrames shape as [[graphPagerank]], with the undirected
+    * edge table built once and cached. Deterministic by construction
+    * (counts are integers; the tie-break is total), so the unrolled
+    * DuckDB replay hashes exactly. */
+  private def graphLabelProp(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val und = knnEdges(emb)
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .union(und.select(col("b"), col("a")))
+      .cache()
+    val seed = emb.select(col("vec_id"), col("label"))
+    var labels = seed
+    for (_ <- 1 to LpIters) {
+      val votes = adj.join(labels.select(col("vec_id").as("nbr"), col("label")), "nbr")
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+      val winner = votes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("node")).orderBy(col("c").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label").as("next_label"))
+      labels = labels.join(winner, labels("vec_id") === winner("node"), "left")
+        .select(col("vec_id"), coalesce(col("next_label"), col("label")).as("label"))
+    }
+    seed.select(col("vec_id"), col("label").cast("long").as("label_in"))
+      .join(labels.select(col("vec_id"), col("label").cast("long").as("label_out")), "vec_id")
+      .withColumn("unchanged", col("label_in") === col("label_out"))
+      .orderBy(col("vec_id"))
+  }
+
   /** The unrolled DuckDB replay of [[graphPagerank]]: same rounded-cosine
     * top-k graph, same [[PrIters]] damped iterations as chained CTEs. */
   private def pagerankOracleSql: String = {
@@ -483,6 +526,43 @@ object AnalyticsQueries {
        |$iterCtes
        |SELECT vec_id, round(r, 6) AS pagerank
        |FROM r$PrIters ORDER BY vec_id""".stripMargin
+  }
+
+  /** The unrolled DuckDB replay of [[graphLabelProp]]: same edge set, same
+    * [[LpIters]] majority-vote rounds as chained CTEs. */
+  private def labelPropOracleSql: String = {
+    val iterCtes = (1 to LpIters).map { k =>
+      s"""v$k AS (SELECT adj.node, l.label, count(*) AS c
+         |      FROM adj JOIN l${k - 1} l ON l.vec_id = adj.nbr GROUP BY 1, 2),
+         |w$k AS (SELECT node, label,
+         |             row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+         |      FROM v$k),
+         |l$k AS (SELECT e.vec_id, coalesce(w.label, p.label) AS label
+         |       FROM emb e
+         |       LEFT JOIN (SELECT node, label FROM w$k WHERE rn = 1) w ON w.node = e.vec_id
+         |       JOIN l${k - 1} p ON p.vec_id = e.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS (SELECT vec_id, label,
+       |                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |             FROM embeddings),
+       |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |                 round(list_cosine_similarity(a.v, b.v), 6) AS cos
+       |          FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+       |dir_e AS (SELECT src, dst
+       |          FROM (SELECT src, dst,
+       |                       row_number() OVER (PARTITION BY src
+       |                                          ORDER BY cos DESC, dst) AS rn
+       |                FROM pairs)
+       |          WHERE rn <= $PrK),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM dir_e),
+       |adj AS (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+       |l0 AS (SELECT vec_id, label FROM emb),
+       |$iterCtes
+       |SELECT l$LpIters.vec_id, CAST(emb.label AS BIGINT) AS label_in,
+       |       CAST(l$LpIters.label AS BIGINT) AS label_out,
+       |       emb.label = l$LpIters.label AS unchanged
+       |FROM l$LpIters JOIN emb ON emb.vec_id = l$LpIters.vec_id
+       |ORDER BY l$LpIters.vec_id""".stripMargin
   }
 
   // -------------------------------------------------------------- corpus mixing
@@ -875,6 +955,7 @@ object AnalyticsQueries {
     "sort_zorder" -> (sortZorder _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_label_prop" -> (graphLabelProp _),
     "corpus_mix" -> (corpusMix _),
     "sample_weighted" -> (sampleWeighted _),
     "scan_binaryfile" -> (scanBinaryfile _),
@@ -1069,6 +1150,7 @@ object AnalyticsQueries {
          |SELECT emb.vec_id, CAST(coalesce(pern.t, 0) AS BIGINT) AS n_triangles
          |FROM emb LEFT JOIN pern ON emb.vec_id = pern.node
          |ORDER BY emb.vec_id""".stripMargin,
+    "graph_label_prop" -> labelPropOracleSql,
     // pure string/integer ordering — parity is exact by construction
     "corpus_mix" ->
       s"""WITH quotas(source, quota) AS (VALUES ${MixQuotas.map {

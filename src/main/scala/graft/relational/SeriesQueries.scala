@@ -493,6 +493,93 @@ object SeriesQueries {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  // ------------------------------------------------------------ rolling median
+  /** Rolling MEDIAN smoother per user (trailing 11-row frame) — the
+    * robust counterpart to ts_ewma: a single outlier shifts a mean by
+    * Δ/n but a median not at all, which is why monitoring pipelines
+    * de-spike with medians before thresholding. Exact `percentile(0.5)`
+    * as a window aggregate (frame sizes are O(11), so exactness is free);
+    * both engines linearly interpolate the even-count midpoint from the
+    * same doubles. One exchange + one sort, O(frame) state per row. */
+  private def tsRollingMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-10, 0)
+    eventsUs(s, d).filter(col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+        round(expr("percentile(value, 0.5)").over(w), 6).as("med"))
+      .orderBy(col("event_id"))
+  }
+
+  // ------------------------------------------------------------ seasonality
+  /** Hour-of-day seasonality profile per event type: volume share by
+    * wall-clock hour plus the deterministic peak flag — the shape check
+    * behind load forecasts and anomaly baselines ("is 3am volume supposed
+    * to be this high?"). One combinable count on a 24·|type| key space,
+    * then a rank over that tiny frame; the share divides exact integers
+    * before its round. */
+  private def tsPeakHours(s: SparkSession, d: String): DataFrame = {
+    val c = eventsUs(s, d)
+      .withColumn("hod", expr("(ts_us div 3600000000) % 24"))
+      .groupBy(col("event_type"), col("hod")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("n").desc, col("hod"))
+    val tw = Window.partitionBy(col("event_type"))
+    c.withColumn("rn", row_number().over(w))
+      .withColumn("total", sum(col("n")).over(tw))
+      .select(col("event_type"), col("hod"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("share"),
+        (col("rn") === 1).as("is_peak"))
+      .orderBy(col("event_type"), col("hod"))
+  }
+
+  // ----------------------------------------------------------------- trend
+  /** Fixed regressor offset (hours since epoch at the fixture's era):
+    * centering the time axis keeps the intercept O(values) instead of
+    * O(slope·5·10⁵), so its 4-dp round sits far above fp noise. Any
+    * constant works as long as both engines subtract the same one. */
+  private[relational] val TrendEpochHours = 473000.0
+
+  /** Per-user linear TREND of value over time — `regr_slope/intercept/r2`
+    * on (value ~ hours): the drift detector that separates "level shifted"
+    * (ts_changepoint) from "steadily creeping". One combinable aggregate
+    * pass (the regr_* family folds to the same six moment sums); slope at
+    * 6 dp, intercept at 4 dp (it multiplies the slope's fp noise by the
+    * centered time span), r² at 6 dp. */
+  private def tsTrend(s: SparkSession, d: String): DataFrame =
+    eventsUs(s, d).filter(col("value").isNotNull)
+      .withColumn("th", col("ts_us").cast("double") / lit(3600000000.0) - lit(TrendEpochHours))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("regr_slope(value, th)"), 6).as("slope"),
+        round(expr("regr_intercept(value, th)"), 4).as("intercept"),
+        round(expr("regr_r2(value, th)"), 6).as("r2"))
+      .orderBy(col("user_id"))
+
+  // ------------------------------------------------------------ gzip CSV scan
+  /** Round-trip through gzip-compressed CSV — the interchange format the
+    * landing zone actually receives. Write side: metadata projection of
+    * documents as .csv.gz; read side: SCHEMA-FIRST (no inference pass —
+    * inference would read every file twice) with explicit nullValue. The
+    * 100-TB caveat is named honestly: gzip is NOT splittable, so one
+    * .csv.gz = one task regardless of size — production either receives
+    * many moderate files (as here: one per input partition) or re-codecs
+    * to bzip2/zstd-seekable before wide processing. The oracle checks the
+    * projection survives the round trip bit-for-bit. */
+  private def scanCsvGzip(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_csvgz")
+    try {
+      docsT(s, d).select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite")
+        .option("compression", "gzip").option("header", "false")
+        .csv(s"$tmp/docs")
+      s.read
+        .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
+        .option("header", "false")
+        .csv(s"$tmp/docs")
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally deleteRecursively(tmp)
+  }
+
   // ------------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_anomaly_zscore" -> (tsAnomalyZscore _),
@@ -509,6 +596,10 @@ object SeriesQueries {
     "agg_mode" -> (aggMode _),
     "scan_stats_pruning" -> (scanStatsPruning _),
     "multimodal_audio_rms" -> (multimodalAudioRms _),
+    "ts_rolling_median" -> (tsRollingMedian _),
+    "ts_peak_hours" -> (tsPeakHours _),
+    "ts_trend" -> (tsTrend _),
+    "scan_csv_gzip" -> (scanCsvGzip _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -728,5 +819,42 @@ object SeriesQueries {
         |       round(sqrt(list_sum(list_transform(samples, x -> CAST(x * x AS DOUBLE))) / 160.0), 6) AS rms,
         |       CAST(list_max(list_transform(samples, x -> abs(x))) AS BIGINT) AS peak
         |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+    // both engines linearly interpolate the even-frame midpoint
+    "ts_rolling_median" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+        |           FROM events WHERE value IS NOT NULL)
+        |SELECT event_id, user_id, ts_us, value,
+        |       round(median(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                 ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 6) AS med
+        |FROM e ORDER BY event_id""".stripMargin,
+    "ts_peak_hours" ->
+      """WITH e AS (SELECT event_type,
+        |                  (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hod
+        |           FROM events),
+        |c AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |                                   ORDER BY n DESC, hod) AS rn,
+        |             sum(n) OVER (PARTITION BY event_type) AS total
+        |      FROM c)
+        |SELECT event_type, CAST(hod AS BIGINT) AS hod, n,
+        |       round(CAST(n AS DOUBLE) / total, 6) AS share,
+        |       rn = 1 AS is_peak
+        |FROM r ORDER BY event_type, hod""".stripMargin,
+    // same centered regressor (constant offset pinned in TrendEpochHours)
+    "ts_trend" ->
+      """WITH e AS (SELECT user_id,
+        |                  CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) / 3600000000.0
+        |                    - 473000.0 AS th,
+        |                  value
+        |           FROM events WHERE value IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |       round(regr_slope(value, th), 6) AS slope,
+        |       round(regr_intercept(value, th), 4) AS intercept,
+        |       round(regr_r2(value, th), 6) AS r2
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the compressed round trip must be lossless on the projection
+    "scan_csv_gzip" ->
+      """SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
