@@ -1851,6 +1851,58 @@ object DataPipelineQueries {
     Multimodal.decodeAllReal(s, withBmp).toDF().orderBy(col("doc_id"))
   }
 
+  /** IMAGE RESIZE through the real decoder: the same deterministic BMPs
+    * as multimodal_decode_real, nearest-neighbor-downsampled 2× in the
+    * partition-batched ImageIO pass (Multimodal.resizeNearest) — the
+    * transform step of the brief's decode → feature-extract → resize
+    * chain. The oracle replays the SAMPLED grid (even x, y) against the
+    * closed-form pixels, so a phase error in the sampling (off-by-one,
+    * wrong corner) is a hash mismatch, not a fuzzy tolerance. */
+  private def multimodalImageResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val withBmp = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 2 + (id % 7).toInt
+        val h = 2 + (id % 5).toInt
+        (id, Multimodal.syntheticBmp(id, w, h))
+      }).toDF("doc_id", "payload")
+    withBmp.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) => Multimodal.resizeNearest(id, bytes) }
+      }
+      .toDF()
+      .select(col("doc_id"), col("w_in"), col("h_in"), col("w_out"), col("h_out"),
+        round(col("mean_resized"), 6).as("mean_resized"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gray-level HISTOGRAM (16 bins) through the real decoder: decode
+    * emits per-pixel rows inside mapPartitions and the histogram is a
+    * downstream map-side-combinable aggregate — at 100 TB the decode
+    * stays a pure CPU pass co-located with the bytes and only (doc, bin)
+    * partials shuffle, never pixels. Closed-form oracle, exact hash. */
+  private def multimodalImageHistogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val withBmp = docs(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 2 + (id % 7).toInt
+        val h = 2 + (id % 5).toInt
+        (id, Multimodal.syntheticBmp(id, w, h))
+      }).toDF("doc_id", "payload")
+    withBmp.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) => Multimodal.grayPixels(id, bytes) }
+      }
+      .toDF("doc_id", "v")
+      .groupBy(col("doc_id"), expr("v div 16").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("doc_id"), col("bin"))
+  }
+
   /** REAL PNG decode: the multimodal_decode_real pipeline with payloads
     * from the JDK's LOSSLESS PNG encoder instead of the hand-built BMP
     * bytes (Multimodal.syntheticImage) — PNG round-trips exactly, so the
@@ -1964,6 +2016,8 @@ object DataPipelineQueries {
     "multimodal_metadata" -> (multimodalMetadata _),
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_decode_real" -> (multimodalDecodeReal _),
+    "multimodal_image_resize" -> (multimodalImageResize _),
+    "multimodal_image_histogram" -> (multimodalImageHistogram _),
     "multimodal_decode_png" -> (multimodalDecodePng _),
     "multimodal_decode_jpeg" -> (multimodalDecodeJpeg _),
     "multimodal_framesample" -> (multimodalFramesample _),
@@ -2622,6 +2676,26 @@ object DataPipelineQueries {
         |SELECT doc_id, width, height, CAST(width * height AS INT) AS n_pixels,
         |       round(3 * s * 1.0 / (3.0 * width * height), 6) AS mean_pixel
         |FROM px ORDER BY doc_id""".stripMargin,
+    // the resize oracle replays only the SAMPLED (even x, even y) grid —
+    // a sampling phase error in the Scala path is a hash mismatch
+    "multimodal_image_resize" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 7 AS w, 2 + doc_id % 5 AS h FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w_in, CAST(h AS BIGINT) AS h_in,
+        |       CAST((w + 1) // 2 AS BIGINT) AS w_out, CAST((h + 1) // 2 AS BIGINT) AS h_out,
+        |       round(list_sum(list_transform(range(0, CAST(h AS BIGINT), 2), y ->
+        |               list_sum(list_transform(range(0, CAST(w AS BIGINT), 2), x ->
+        |                 CAST((doc_id * 31 + y * w + x) % 256 AS DOUBLE)))))
+        |             / (((w + 1) // 2) * ((h + 1) // 2)), 6) AS mean_resized
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // full-pixel closed-form replay, binned to 16 gray levels
+    "multimodal_image_histogram" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 7 AS w, 2 + doc_id % 5 AS h FROM documents),
+        |px AS (SELECT doc_id,
+        |              unnest(list_transform(generate_series(0, CAST(w * h - 1 AS BIGINT)),
+        |                                    i -> (doc_id * 31 + i) % 256)) AS v
+        |       FROM d)
+        |SELECT doc_id, CAST(v // 16 AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n
+        |FROM px GROUP BY 1, 2 ORDER BY doc_id, bin""".stripMargin,
     // PNG is lossless: the decode returns the exact closed form, so the
     // oracle is the multimodal_decode_real recompute verbatim
     "multimodal_decode_png" ->

@@ -173,4 +173,42 @@ object Multimodal {
         it.map { case (id, bytes) => decodeImage(id, bytes) }
       }
   }
+
+  /** Nearest-neighbor 2× downsample through the REAL decoder: dims in/out
+    * plus the mean gray of the SAMPLED grid (pixels at even (x, y) — the
+    * canonical nearest-neighbor phase). `mean_resized` is returned
+    * unrounded; callers round at presentation. */
+  case class ResizedImage(doc_id: Long, w_in: Long, h_in: Long,
+                          w_out: Long, h_out: Long, mean_resized: Double)
+
+  def resizeNearest(docId: Long, bytes: Array[Byte]): ResizedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"doc $docId: payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val (wo, ho) = ((w + 1) / 2, (h + 1) / 2)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        sum += img.getRGB(x, y) & 0xff // gray: all channels equal
+        x += 2
+      }
+      y += 2
+    }
+    ResizedImage(docId, w, h, wo, ho, sum.toDouble / (wo.toLong * ho))
+  }
+
+  /** Per-pixel gray values for histogramming — tiny fixture images, but
+    * the shape is the real one: decode emits pixel ROWS and the histogram
+    * is a downstream combinable aggregate (never a driver pass). */
+  def grayPixels(docId: Long, bytes: Array[Byte]): Iterator[(Long, Int)] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"doc $docId: payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    (0 until h).iterator.flatMap(y => (0 until w).iterator.map(x =>
+      (docId, img.getRGB(x, y) & 0xff)))
+  }
 }
