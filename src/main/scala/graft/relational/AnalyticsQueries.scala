@@ -385,12 +385,22 @@ object AnalyticsQueries {
     * Floating error stays ~1e-14 after 10 iterations (damping is a
     * contraction); the final round(6) absorbs engine-order differences. */
   /** The exact top-[[PrK]] rounded-cosine k-NN edge set shared by
-    * [[graphPagerank]] and [[graphTriangles]] — directed src→dst, every
-    * node out-degree k, deterministic (cos rounded before ranking, ties
-    * to the smaller dst). */
+    * [[graphPagerank]], [[graphTriangles]], and [[graphLabelProp]] —
+    * directed src→dst, every node out-degree k, deterministic (cos
+    * rounded before ranking, ties to the smaller dst).
+    *
+    * The STREAM side of the cross join is explicitly repartitioned to the
+    * cluster's parallelism: the embeddings relation is one small parquet
+    * file, so Spark scans it as ONE partition and, without the spread,
+    * the entire O(N²·d) cosine+rank stage runs in a single task — 72 s
+    * single-threaded at sf0.1 vs ~5 s spread (measured). This is the
+    * general small-dimension × quadratic-stage trap: input size says
+    * "one partition is plenty" but WORK is N²; repartition by work, not
+    * by bytes. The broadcast (build) side stays unpartitioned. */
   private def knnEdges(emb: DataFrame): DataFrame = {
     import graft.text.Similarity
-    emb.select(col("vec_id").as("src"), col("v").as("va"))
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    emb.select(col("vec_id").as("src"), col("v").as("va")).repartition(par)
       .crossJoin(emb.select(col("vec_id").as("dst"), col("v").as("vb")))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), round(Similarity.cosine("va", "vb"), 6).as("cos"))
@@ -465,9 +475,17 @@ object AnalyticsQueries {
     * edge-to-label join, one combinable (node, label) count, one
     * row_number over the ≤|labels| count frame per node — the same
     * Pregel-on-DataFrames shape as [[graphPagerank]], with the undirected
-    * edge table built once and cached. Deterministic by construction
-    * (counts are integers; the tie-break is total), so the unrolled
-    * DuckDB replay hashes exactly. */
+    * edge table built once and cached. One structural difference from the
+    * pagerank loop matters at ANY scale: each round references the
+    * previous label frame TWICE (the vote chain and the isolated-node
+    * fallback), so carrying raw lineage would double the plan per round —
+    * 2ᵏ growth (observed: 92 s at sf0.1 vs ~3 s fixed). The label frame
+    * is therefore eagerly localCheckpoint'ed each round: state is N rows
+    * (node, label) — checkpoint cost is linear, and the per-round plan
+    * stays constant-size. This is the generic rule for iterative
+    * DataFrame state referenced more than once per step. Deterministic by
+    * construction (counts are integers; the tie-break is total), so the
+    * unrolled DuckDB replay hashes exactly. */
   private def graphLabelProp(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
@@ -489,6 +507,7 @@ object AnalyticsQueries {
         .select(col("node"), col("label").as("next_label"))
       labels = labels.join(winner, labels("vec_id") === winner("node"), "left")
         .select(col("vec_id"), coalesce(col("next_label"), col("label")).as("label"))
+        .localCheckpoint(true)
     }
     seed.select(col("vec_id"), col("label").cast("long").as("label_in"))
       .join(labels.select(col("vec_id"), col("label").cast("long").as("label_out")), "vec_id")
