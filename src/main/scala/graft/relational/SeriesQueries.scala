@@ -580,6 +580,100 @@ object SeriesQueries {
     } finally deleteRecursively(tmp)
   }
 
+  // ----------------------------------------------------------- gaps and islands
+  /** Longest CONSECUTIVE-same-type run per user (the gaps-and-islands
+    * pattern): two row_numbers whose DIFFERENCE is constant within a run
+    * — (global rank) − (per-type rank) — turn "consecutive" into a plain
+    * group key; runs then aggregate map-side-combinably and the winner is
+    * a rank over the per-user run frame. Deterministic tie-break: longest,
+    * then earliest start, then type. Both windows share one exchange on
+    * user_id (the second partitions by (user, type) — a subpartition of
+    * the first, no new exchange needed for correctness; plan keeps one
+    * user sort). */
+  private def windowStreaks(s: SparkSession, d: String): DataFrame = {
+    val wAll = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val wTyp = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val runs = eventsUs(s, d)
+      .withColumn("rn", row_number().over(wAll))
+      .withColumn("rt", row_number().over(wTyp))
+      .withColumn("grp", col("rn") - col("rt"))
+      .groupBy(col("user_id"), col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("ts_us")).as("start_us"))
+    val wBest = Window.partitionBy(col("user_id"))
+      .orderBy(col("len").desc, col("start_us"), col("event_type"))
+    runs.withColumn("brk", row_number().over(wBest))
+      .filter(col("brk") === 1)
+      .select(col("user_id"), col("event_type").as("streak_type"),
+        col("len").as("streak_len"), col("start_us"))
+      .orderBy(col("user_id"))
+  }
+
+  // -------------------------------------------------------------- user paths
+  /** Top-20 FIRST-3-EVENT paths across users — the entry-path report of
+    * product analytics (which opening sequences dominate; window_funnel
+    * answers the directed-conversion question, this one is exploratory).
+    * Path assembly is deterministic without any ordered-aggregate
+    * support: collect (rn, type) structs, `array_sort` (structs order by
+    * field position, rn first), then a codegen'd transform+join — never
+    * an unordered collect_list string concat. Rank rounds nothing: counts
+    * are integers, ties break on the path string. */
+  private def aggUserPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val paths = eventsUs(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type), '>')")
+        .as("path"))
+    val ranked = paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .withColumn("rank", row_number().over(Window.orderBy(col("n_users").desc, col("path"))))
+      .filter(col("rank") <= 20)
+    ranked.select(col("rank").cast("long").as("rank"), col("path"), col("n_users"))
+      .orderBy(col("rank"))
+  }
+
+  // ------------------------------------------------------------- entropy
+  /** Shannon ENTROPY of each user's event-type distribution — the
+    * behavioral-diversity feature (0 = monomaniac, ln|types| = uniform).
+    * Two combinable aggregates (per-(user,type) counts, then per-user
+    * totals) and one broadcastable join back; p·ln p runs on exact
+    * integer ratios and the ≤|types|-term sum rounds at 6 dp, far above
+    * cross-engine ln noise. */
+  private def aggEntropyByKey(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.events(s, d).groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val t = c.groupBy(col("user_id"))
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("n_types"))
+    val p = col("n").cast("double") / col("total")
+    c.join(t, "user_id")
+      .groupBy(col("user_id"))
+      .agg(first(col("n_types")).as("n_types"),
+        first(col("total")).as("n_events"),
+        round(-sum(p * log(p)), 6).as("entropy"))
+      .orderBy(col("user_id"))
+  }
+
+  // ---------------------------------------------------------------- Gini
+  /** GINI coefficient of document length per source — the corpus-balance
+    * inequality audit (0 = uniform lengths, →1 = one doc dominates the
+    * characters). Rank-sum formula G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n over
+    * the (n_chars, doc_id)-ordered rank: every product and sum is an
+    * exact ≤2⁵³ integer in BOTH engines, so only the final division
+    * rounds. One window + one combinable aggregate per source. */
+  private def aggGini(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    docsT(s, d)
+      .withColumn("i", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"),
+        sum(col("i").cast("double") * col("n_chars")).as("si"))
+      .select(col("source"), col("n"),
+        round(lit(2.0) * col("si") / (col("n") * col("s")) - (col("n") + lit(1.0)) / col("n"), 6)
+          .as("gini"))
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_anomaly_zscore" -> (tsAnomalyZscore _),
@@ -600,6 +694,10 @@ object SeriesQueries {
     "ts_peak_hours" -> (tsPeakHours _),
     "ts_trend" -> (tsTrend _),
     "scan_csv_gzip" -> (scanCsvGzip _),
+    "window_streaks" -> (windowStreaks _),
+    "agg_user_paths" -> (aggUserPaths _),
+    "agg_entropy_by_key" -> (aggEntropyByKey _),
+    "agg_gini" -> (aggGini _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -856,5 +954,56 @@ object SeriesQueries {
     "scan_csv_gzip" ->
       """SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // (global rank) - (per-type rank) is constant within a consecutive run
+    "window_streaks" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                   ORDER BY ts_us, event_id) AS rn,
+        |             row_number() OVER (PARTITION BY user_id, event_type
+        |                                ORDER BY ts_us, event_id) AS rt
+        |      FROM e),
+        |runs AS (SELECT user_id, event_type, rn - rt AS grp,
+        |                CAST(count(*) AS BIGINT) AS len, min(ts_us) AS start_us
+        |         FROM r GROUP BY 1, 2, 3),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                      ORDER BY len DESC, start_us, event_type) AS brk
+        |         FROM runs)
+        |SELECT user_id, event_type AS streak_type, len AS streak_len, start_us
+        |FROM best WHERE brk = 1 ORDER BY user_id""".stripMargin,
+    // ordered string_agg = the struct-sorted transform+join on the Spark side
+    "agg_user_paths" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                   ORDER BY ts_us, event_id) AS rn FROM e),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 3 GROUP BY user_id),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY path),
+        |k AS (SELECT *, row_number() OVER (ORDER BY n_users DESC, path) AS rank FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, path, n_users FROM k
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "agg_entropy_by_key" ->
+      """WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, sum(n) AS total, CAST(count(*) AS BIGINT) AS n_types
+        |      FROM c GROUP BY 1)
+        |SELECT c.user_id, any_value(t.n_types) AS n_types,
+        |       CAST(any_value(t.total) AS BIGINT) AS n_events,
+        |       round(-sum((CAST(c.n AS DOUBLE) / t.total)
+        |                  * ln(CAST(c.n AS DOUBLE) / t.total)), 6) AS entropy
+        |FROM c JOIN t USING (user_id) GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+    // every product/sum is an exact <2^53 integer; only the division rounds
+    "agg_gini" ->
+      """WITH r AS (SELECT source, n_chars,
+        |                  row_number() OVER (PARTITION BY source
+        |                                     ORDER BY n_chars, doc_id) AS i
+        |           FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n, sum(n_chars) AS s,
+        |             sum(CAST(i AS DOUBLE) * n_chars) AS si
+        |      FROM r GROUP BY source)
+        |SELECT source, n,
+        |       round(2.0 * si / (n * s) - (n + 1.0) / n, 6) AS gini
+        |FROM g ORDER BY source""".stripMargin,
   )
 }
