@@ -1,0 +1,241 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-quality and warehouse-governance wave: Deequ-style column
+  * profiling, a declarative constraint-check battery, and SCD Type 2
+  * dimension construction from a change stream.
+  *
+  * The reference pipeline trusts its inputs (patternly detection.py:81-124
+  * consumes a pre-cleaned wide frame; its notebooks drop NaN rows by hand)
+  * — at 100 TB nobody hand-inspects a frame, so ingestion runs a profile
+  * and a constraint gate first, and slowly-changing entity attributes are
+  * tracked as validity intervals rather than overwritten. Conventions
+  * match the sibling modules: floats `round(x, 6)`, counts BIGINT, total
+  * ORDER BY, identical aliases in the Spark plan and the DuckDB oracle,
+  * and any value feeding a comparison is rounded before the comparison.
+  */
+object QualityQueries {
+
+  /** µs-since-epoch view of a timestamp-typed column, robust to the
+    * fixture's TIMESTAMP vs TIMESTAMP_NTZ physical encoding (same contract
+    * as [[Tables.tsUsCol]], generalized to any column). The session
+    * timezone is pinned UTC by Verify/Bench/TestSpark, so the NTZ cast and
+    * DuckDB's `epoch_us` interpret the same wall-clock instant. */
+  private def usOf(dt: DataType, c: Column): Column = dt match {
+    case TimestampType    => unix_micros(c)
+    case TimestampNTZType => unix_micros(c.cast(TimestampType))
+    case other => throw new IllegalArgumentException(s"not a timestamp column: $other")
+  }
+
+  // -------------------------------------------------------------- column profile
+  /** Deequ/Glue-crawler-style table profile of `orders`: one output row
+    * per column with row count, null count/fraction, exact distinct
+    * count, numeric min/max (timestamps as µs-since-epoch), string
+    * min/max, and mean string length. The whole profile is ONE aggregate
+    * over one scan — every stat is map-side combinable, so at 100 TB each
+    * map task collapses its split to a single partial-stats row before
+    * the 1-row exchange. The only non-combinable piece is the exact
+    * `count(DISTINCT)` (one Expand ×|columns| inside the same scan, kept
+    * here because the DuckDB oracle can replay it exactly); the 100-TB
+    * swap is `approx_count_distinct` (HLL), which drops the Expand and
+    * keeps the identical single-scan plan — the same exact-vs-sketch axis
+    * as agg_quantiles vs agg_quantiles_approx. The column list is read
+    * from the scanned schema, not hard-coded, so the operator profiles
+    * any table; dtype is reported as a coarse class (`numeric` / `string`
+    * / `timestamp`) so a TIMESTAMP↔TIMESTAMP_NTZ fixture regeneration
+    * (the round-7 drift) cannot flip the output. */
+  private def profileColumns(s: SparkSession, d: String): DataFrame = {
+    val df = Tables.tbl(s, d, "orders")
+    val stats: Seq[Column] = df.schema.fields.toSeq.map { f =>
+      val c = col(f.name)
+      val (cls, numView, strView) = f.dataType match {
+        case _: NumericType => ("numeric", c.cast("double"), lit(null).cast("string"))
+        case t @ (TimestampType | TimestampNTZType) =>
+          ("timestamp", usOf(t, c).cast("double"), lit(null).cast("string"))
+        case StringType => ("string", lit(null).cast("double"), c)
+        case other => (other.simpleString, lit(null).cast("double"), lit(null).cast("string"))
+      }
+      struct(
+        lit(f.name).as("col_name"), lit(cls).as("dtype"),
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(c)).as("n_null"),
+        round((count(lit(1)) - count(c)).cast("double") / count(lit(1)), 6).as("null_frac"),
+        countDistinct(c).as("n_distinct"),
+        round(min(numView), 6).as("min_num"), round(max(numView), 6).as("max_num"),
+        min(strView).as("min_str"), max(strView).as("max_str"),
+        round(avg(length(strView)), 4).as("avg_len"))
+    }
+    df.agg(array(stats: _*).as("profile"))
+      .select(explode(col("profile")).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
+  // ---------------------------------------------------------- constraint checks
+  /** Declarative data-quality gate: a battery of named constraints over
+    * the warehouse tables, one row per check with its violation count and
+    * verdict — the shape a CI data contract consumes. Three constraint
+    * classes, each in its scalable form: uniqueness (count minus distinct
+    * count, one combinable agg + Expand), referential integrity (LEFT
+    * ANTI join child→parent on the key — a shuffle semi-join that AQE
+    * converts to broadcast when the parent's key projection is small, and
+    * that never materializes matches), and row-level predicates
+    * (completeness / range / date bounds — a codegen'd filter + combinable
+    * count, zero shuffle). Each check collapses to ONE row before the
+    * 7-row union, so the union cost is nil at any scale. Date bounds are
+    * compared in integer µs-since-epoch so the check is immune to the
+    * session-timezone and timestamp-encoding axes. */
+  private def dqChecks(s: SparkSession, d: String): DataFrame = {
+    val orders   = Tables.tbl(s, d, "orders")
+    val customer = Tables.tbl(s, d, "customer")
+    val lineitem = Tables.tbl(s, d, "lineitem")
+    val docs     = Tables.tbl(s, d, "documents")
+
+    def row(check: String, table: String, violations: Column, from: DataFrame): DataFrame =
+      from.agg(violations.cast("long").as("violations"))
+        .select(lit(check).as("check_name"), lit(table).as("table_name"),
+          col("violations"), (col("violations") === 0L).as("passed"))
+
+    val odateUs = usOf(orders.schema("o_orderdate").dataType, col("o_orderdate"))
+    val loUs = lit(694224000000000L)   // 1992-01-01T00:00Z in µs
+    val hiUs = lit(915148800000000L)   // 1999-01-01T00:00Z in µs
+
+    val checks = Seq(
+      row("orders_pk_unique", "orders",
+        count(lit(1)) - countDistinct(col("o_orderkey")), orders),
+      row("orders_custkey_fk", "orders",
+        count(lit(1)),
+        orders.join(customer.select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")),
+      row("lineitem_orderkey_fk", "lineitem",
+        count(lit(1)),
+        lineitem.join(orders.select(col("o_orderkey").as("ok")),
+          col("l_orderkey") === col("ok"), "left_anti")),
+      row("lineitem_qty_range", "lineitem",
+        count(lit(1)),
+        lineitem.filter(col("l_quantity") < 1.0 || col("l_quantity") > 50.0)),
+      row("customer_name_complete", "customer",
+        count(lit(1)),
+        customer.filter(col("c_name").isNull || col("c_name") === "")),
+      row("orders_date_bounds", "orders",
+        count(lit(1)),
+        orders.filter(odateUs < loUs || odateUs >= hiUs)),
+      row("documents_text_complete", "documents",
+        count(lit(1)),
+        docs.filter(col("text").isNull || col("text") === "")))
+    checks.reduce(_.union(_)).orderBy(col("check_name"))
+  }
+
+  // -------------------------------------------------------------- SCD Type 2
+  /** Slowly-Changing-Dimension Type 2 build from the event stream: treat
+    * each user's `event_type` sequence as a tracked attribute and emit
+    * one validity interval per CHANGE — `[valid_from_us, valid_to_us)`,
+    * open-ended (NULL) for the current state, with a per-user version
+    * counter. Two windows over the SAME (user_id → ts_us, event_id)
+    * partitioning: a `lag` to keep only change rows, then `lead` /
+    * `row_number` over the surviving rows — one exchange, two bounded
+    * sorts, O(1) state per row, and the interval table is at most one row
+    * per source change at any scale. Ties on ts are broken by the unique
+    * event_id in both engines, so run boundaries are deterministic. This
+    * is the dimension-side companion to merge_upsert (Type 1 overwrite)
+    * and the batch twin of the CDC apply in cdc_merge. */
+  private def scd2Build(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val changes = Tables.eventsTsUs(s, d)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    changes
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("event_type"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"), col("version"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_columns" -> (profileColumns _),
+    "dq_checks" -> (dqChecks _),
+    "scd2_build" -> (scd2Build _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    // one SELECT per column, mirroring the Spark side's per-column stat
+    // struct; timestamps profiled in µs, dtype as the coarse class
+    "profile_columns" -> {
+      val numCol = (n: String, cls: String, minmax: String) =>
+        s"""SELECT '$n' AS col_name, '$cls' AS dtype,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($n) AS BIGINT) AS n_null,
+           |  round(CAST(count(*) - count($n) AS DOUBLE) / count(*), 6) AS null_frac,
+           |  CAST(count(DISTINCT $n) AS BIGINT) AS n_distinct,
+           |  round(min($minmax), 6) AS min_num, round(max($minmax), 6) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+           |  CAST(NULL AS DOUBLE) AS avg_len FROM orders""".stripMargin
+      val strCol = (n: String) =>
+        s"""SELECT '$n' AS col_name, 'string' AS dtype,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($n) AS BIGINT) AS n_null,
+           |  round(CAST(count(*) - count($n) AS DOUBLE) / count(*), 6) AS null_frac,
+           |  CAST(count(DISTINCT $n) AS BIGINT) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  min($n) AS min_str, max($n) AS max_str,
+           |  round(avg(length($n)), 4) AS avg_len FROM orders""".stripMargin
+      Seq(
+        numCol("o_orderkey", "numeric", "CAST(o_orderkey AS DOUBLE)"),
+        numCol("o_custkey", "numeric", "CAST(o_custkey AS DOUBLE)"),
+        strCol("o_orderstatus"),
+        numCol("o_totalprice", "numeric", "o_totalprice"),
+        numCol("o_orderdate", "timestamp",
+          "CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS DOUBLE)"),
+        strCol("o_orderpriority"),
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    "dq_checks" ->
+      """WITH c AS (
+        |  SELECT 'orders_pk_unique' AS check_name, 'orders' AS table_name,
+        |         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_custkey_fk', 'orders', CAST(count(*) AS BIGINT)
+        |  FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL
+        |  SELECT 'lineitem_orderkey_fk', 'lineitem', CAST(count(*) AS BIGINT)
+        |  FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_range', 'lineitem', CAST(count(*) AS BIGINT)
+        |  FROM lineitem WHERE l_quantity < 1.0 OR l_quantity > 50.0
+        |  UNION ALL
+        |  SELECT 'customer_name_complete', 'customer', CAST(count(*) AS BIGINT)
+        |  FROM customer WHERE c_name IS NULL OR c_name = ''
+        |  UNION ALL
+        |  SELECT 'orders_date_bounds', 'orders', CAST(count(*) AS BIGINT)
+        |  FROM orders WHERE epoch_us(CAST(o_orderdate AS TIMESTAMP)) < 694224000000000
+        |                 OR epoch_us(CAST(o_orderdate AS TIMESTAMP)) >= 915148800000000
+        |  UNION ALL
+        |  SELECT 'documents_text_complete', 'documents', CAST(count(*) AS BIGINT)
+        |  FROM documents WHERE text IS NULL OR text = '')
+        |SELECT check_name, table_name, violations, violations = 0 AS passed
+        |FROM c ORDER BY check_name""".stripMargin,
+    "scd2_build" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |                  event_id, event_type FROM events),
+        |chg AS (SELECT * FROM (
+        |    SELECT user_id, ts_us, event_id, event_type,
+        |           lag(event_type) OVER w AS prev_type
+        |    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type, ts_us AS valid_from_us,
+        |       lead(ts_us) OVER w AS valid_to_us,
+        |       lead(ts_us) OVER w IS NULL AS is_current,
+        |       CAST(row_number() OVER w AS BIGINT) AS version
+        |FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+  )
+}
