@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.RelationalQueries.queries ++ relational.PipelineQueries.queries ++
       relational.DataPipelineQueries.queries ++ relational.AnalyticsQueries.queries ++
-      relational.SeriesQueries.queries ++ relational.QualityQueries.queries
+      relational.SeriesQueries.queries ++ relational.QualityQueries.queries ++
+      relational.SearchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.RelationalQueries.oracle ++ relational.DataPipelineQueries.oracle ++
       relational.PipelineQueries.oracle ++ relational.AnalyticsQueries.oracle ++
-      relational.SeriesQueries.oracle ++ relational.QualityQueries.oracle
+      relational.SeriesQueries.oracle ++ relational.QualityQueries.oracle ++
+      relational.SearchQueries.oracle
 }

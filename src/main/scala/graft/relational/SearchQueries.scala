@@ -1,0 +1,179 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Retrieval wave: RAG-style document chunking, inverted-index
+  * construction, and BM25 ranked keyword search — the retrieval side of
+  * the training-data pipeline (chunk for embedding, index for lookup,
+  * rank for retrieval-augmented sampling).
+  *
+  * All three ride the canonical token expression
+  * ([[TextOps.tokens]]: `regexp_extract_all(lower(text), '[a-z]+')`) that
+  * the vocab/BPE/decontaminate family already oracle-matches, so the
+  * tokenizer-parity ground is proven. Conventions as in the sibling
+  * modules: floats rounded BEFORE any comparison or rank, counts BIGINT,
+  * total ORDER BY, aliases identical to the DuckDB oracle.
+  */
+object SearchQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.tbl(s, d, "documents")
+
+  // ------------------------------------------------------------- chunking
+  /** Overlapping fixed-size chunking for embedding/RAG: each document is
+    * split into windows of 50 tokens with stride 40 (10-token overlap so
+    * no boundary sentence is lost), the standard prep before an
+    * embedding pass. Pure per-row codegen: tokenize once, compute the
+    * chunk count in closed form, `explode(sequence(...))` the chunk ids
+    * and `slice`/`array_join` each window — no UDF, no shuffle at all
+    * until the presentation sort, and each input row fans out to
+    * ⌈(n−50)/40⌉+1 rows independent of every other row, so the operator
+    * is embarrassingly parallel at any scale (the sink would be
+    * `sink_partitioned`-style, not the total ORDER BY the gate's stable
+    * hash needs). Chunk windows at the tail may be short; empty docs are
+    * dropped (no tokens ⇒ nothing to embed). */
+  private def textChunk(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), TextOps.tokens("text").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks",
+        when(col("n") <= 50, lit(1L))
+          .otherwise(ceil((col("n") - 50).cast("double") / 40.0).cast("long") + 1L))
+      .select(col("doc_id"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_id"),
+        col("toks"))
+      .withColumn("piece", expr("slice(toks, cast(chunk_id * 40 + 1 as int), 50)"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("piece")).cast("long").as("n_tokens"),
+        array_join(col("piece"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  // ------------------------------------------------------- inverted index
+  /** Inverted-index build for the 100 highest-document-frequency terms:
+    * postings (term → document, term frequency) plus each term's df. Two
+    * map-side-combinable hash aggregates — (token, doc) term counts, then
+    * per-token document counts — a bounded `TakeOrdered` for the 100-term
+    * lexicon (deterministic ties: df DESC, token ASC; never a global
+    * sort), and a BROADCAST join of that 100-row lexicon back onto the
+    * postings, so the only exchanges at 100 TB are the two combinable
+    * aggregations. A full-vocabulary index would simply drop the lexicon
+    * cap and write `sink_partitioned`-style by term prefix; the cap is
+    * what keeps the gate artifact bounded. */
+  private def textInvertedIndex(s: SparkSession, d: String): DataFrame = {
+    val tf = docs(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens("text")).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val lexicon = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(100)
+    tf.join(broadcast(lexicon), "token")
+      .select(col("token"), col("df"), col("doc_id"), col("tf"))
+      .orderBy(col("token"), col("doc_id"))
+  }
+
+  // --------------------------------------------------------------- BM25
+  /** BM25-ranked keyword search (k₁=1.2, b=0.75) for the fixed query
+    * {spark, window, merge}: the scoring pass a retrieval-augmented
+    * sampler runs over the index. Plan shape: the corpus token stream is
+    * semi-joined to the 3-row query lexicon BEFORE any aggregation (the
+    * `isin` filter is codegen'd into the scan projection), so the tf
+    * aggregate only ever sees query-term hits; document lengths are one
+    * combinable aggregate over the same scan; N and avgdl collapse to a
+    * 1-row broadcast; per-term df is a query-lexicon-sized broadcast.
+    * Top-20 via `TakeOrdered` on the ROUNDED score (idf rounded to 6 dp,
+    * each term contribution rounded to 6 dp, the sum rounded to 4 dp
+    * before ranking, ties to doc_id — no unrounded float ever feeds the
+    * rank, so a last-ulp `ln` difference between engines cannot reorder
+    * results). */
+  private def textSearchBm25(s: SparkSession, d: String): DataFrame = {
+    val query = Seq("spark", "window", "merge")
+    val base = docs(s, d).select(col("doc_id"), TextOps.tokens("text").as("toks"))
+    val dl = base.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+    val hits = base
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .filter(col("token").isin(query: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      round(avg(col("dl")), 6).as("avgdl"))
+    val dfT = hits.groupBy(col("token")).agg(count(lit(1)).cast("double").as("dft"))
+    hits
+      .join(dl, "doc_id")
+      .join(broadcast(dfT), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_r",
+        round(log((col("n_docs") - col("dft") + 0.5) / (col("dft") + 0.5) + 1.0), 6))
+      .withColumn("w_r", round(
+        col("idf_r") * col("tf") * 2.2 /
+          (col("tf") + (col("dl") / col("avgdl") * 0.75 + 0.25) * 1.2), 6))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("w_r")), 4).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk" -> (textChunk _),
+    "text_inverted_index" -> (textInvertedIndex _),
+    "text_search_bm25" -> (textSearchBm25 _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    // identical closed-form chunk count and 1-based inclusive slices
+    "text_chunk" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |           FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks,
+        |             CASE WHEN n <= 50 THEN 1
+        |                  ELSE CAST(ceil((n - 50) / 40.0) AS BIGINT) + 1 END AS n_chunks
+        |      FROM n),
+        |x AS (SELECT doc_id, toks,
+        |             unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM c),
+        |p AS (SELECT doc_id, chunk_id,
+        |             list_slice(toks, CAST(chunk_id * 40 + 1 AS BIGINT),
+        |                        CAST(chunk_id * 40 + 50 AS BIGINT)) AS piece
+        |      FROM x)
+        |SELECT doc_id, chunk_id, CAST(len(piece) AS BIGINT) AS n_tokens,
+        |       array_to_string(piece, ' ') AS chunk_text
+        |FROM p ORDER BY doc_id, chunk_id""".stripMargin,
+    // df DESC, token ASC lexicon cap; postings complete per kept term
+    "text_inverted_index" ->
+      """WITH tf AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |            FROM (SELECT doc_id,
+        |                    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |                  FROM documents)
+        |            GROUP BY 1, 2),
+        |lex AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+        |        ORDER BY df DESC, token LIMIT 100)
+        |SELECT tf.token, lex.df, tf.doc_id, tf.tf
+        |FROM tf JOIN lex ON tf.token = lex.token
+        |ORDER BY tf.token, tf.doc_id""".stripMargin,
+    // same rounding ladder: idf@6dp -> term weight@6dp -> sum@4dp -> rank
+    "text_search_bm25" ->
+      """WITH base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |              FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM base),
+        |hits AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        |         FROM (SELECT doc_id, unnest(toks) AS token FROM base)
+        |         WHERE token IN ('spark', 'window', 'merge')
+        |         GROUP BY 1, 2),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |                 round(avg(dl), 6) AS avgdl FROM dl),
+        |dft AS (SELECT token, CAST(count(*) AS DOUBLE) AS dft FROM hits GROUP BY token),
+        |w AS (SELECT h.doc_id,
+        |        round(round(ln((s.n_docs - d.dft + 0.5) / (d.dft + 0.5) + 1.0), 6)
+        |              * h.tf * 2.2
+        |              / (h.tf + (l.dl / s.avgdl * 0.75 + 0.25) * 1.2), 6) AS w_r
+        |      FROM hits h
+        |      JOIN dl l USING (doc_id)
+        |      JOIN dft d USING (token)
+        |      CROSS JOIN stats s)
+        |SELECT doc_id, round(sum(w_r), 4) AS score, CAST(count(*) AS BIGINT) AS n_terms
+        |FROM w GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+  )
+}
