@@ -21,7 +21,7 @@ object SparkEntry {
     relational.RelationalQueries.queries ++ relational.PipelineQueries.queries ++
       relational.DataPipelineQueries.queries ++ relational.AnalyticsQueries.queries ++
       relational.SeriesQueries.queries ++ relational.QualityQueries.queries ++
-      relational.SearchQueries.queries
+      relational.SearchQueries.queries ++ relational.EmbedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +29,5 @@ object SparkEntry {
     relational.RelationalQueries.oracle ++ relational.DataPipelineQueries.oracle ++
       relational.PipelineQueries.oracle ++ relational.AnalyticsQueries.oracle ++
       relational.SeriesQueries.oracle ++ relational.QualityQueries.oracle ++
-      relational.SearchQueries.oracle
+      relational.SearchQueries.oracle ++ relational.EmbedQueries.oracle
 }

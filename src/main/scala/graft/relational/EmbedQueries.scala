@@ -1,0 +1,147 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Embedding-statistics wave: the full covariance matrix in one mergeable
+  * pass, per-label centroids, and nearest-centroid assignment — the
+  * linear-algebra substrate under embedding-quality monitoring (drift =
+  * covariance shift), cluster labeling, and the E-step of the k-means the
+  * pipeline's clusterer runs (core/Cluster.scala).
+  *
+  * PCA over this covariance was evaluated and rejected for the gate: the
+  * fixture's embedding spectrum is near-isotropic (λ₂/λ₁ ≈ 0.987 at
+  * sf0.01), so eigenvectors are numerically degenerate and no rounding
+  * discipline makes cross-engine projections stable. The covariance
+  * matrix itself — the input to any PCA — is deterministic and is what
+  * ships. Conventions as in the sibling modules: round before compare,
+  * counts BIGINT, total ORDER BY, aliases identical to the oracle.
+  */
+object EmbedQueries {
+
+  // ------------------------------------------------------- covariance matrix
+  /** Upper-triangle sample covariance of the embedding column via the
+    * [[graft.functions.CovMatrix]] TypedImperativeAggregate: ONE pass,
+    * fixed d(d+3)/2-double state per partition, map-side combine, merge
+    * by addition — each of 1000 executors ships a ~16 KiB buffer at
+    * d=64 regardless of row count, where the explode-and-self-join
+    * formulation (the DuckDB oracle's replay, fine at oracle scale)
+    * would materialize n·d² rows. The dimension is read from one row at
+    * plan-build time (a 1-row bounded collect). Covariance uses the
+    * algebraic identity (Pᵢⱼ − SᵢSⱼ/n)/(n−1), stated identically in the
+    * oracle — never `covar_samp`, whose stable-update path differs in
+    * low-order bits — and is rounded to 6 dp only at the end. */
+  private def aggCovariance(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val agg = ColumnBridge.column(graft.functions.CovMatrix(dim,
+      ColumnBridge.expression(col("embedding"))).toAggregateExpression())
+    emb.agg(agg.as("cm"))
+      .select(explode(col("cm")).as("e"))
+      .select(col("e.i").cast("long").as("i"), col("e.j").cast("long").as("j"),
+        (round(col("e.cov"), 6) + lit(0.0)).as("cov_r"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  // ------------------------------------------------------------- centroids
+  /** Per-label centroid of the embedding space, long-form (label, dim,
+    * mean). `posexplode` fans each row to d rows, but the fan-out is
+    * PIPELINED into a map-side-combinable hash aggregate — no n·d
+    * materialization ever hits a shuffle; the exchange carries at most
+    * |labels|·d partial rows per map task (640 here). This long form is
+    * the one the oracle can replay exactly; [[embedNearestCentroid]]
+    * reassembles it into vectors for distance math. */
+  private def embedCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(count(lit(1)).as("n"), (round(avg(col("x").cast("double")), 6) + lit(0.0)).as("mean_r"))
+      .select(col("label"), col("i").cast("long").as("i"), col("n"), col("mean_r"))
+      .orderBy(col("label"), col("i"))
+
+  /** Centroid vectors reassembled from the long form: collect_list of
+    * (dim, mean) structs, array_sort (dims are distinct, so the sort is
+    * total), then strip the index — all codegen'd, |labels| rows out. */
+  private def centroidVectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(round(avg(col("x").cast("double")), 6).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
+      .select(col("label").as("clabel"), expr("transform(im, e -> e.m)").as("cvec"))
+
+  // ----------------------------------------------------- nearest centroid
+  /** Nearest-centroid assignment (the k-means E-step, and the standard
+    * embedding-quality probe: how often does a vector land on its own
+    * label's centroid?). The |labels|-row centroid frame BROADCASTS; the
+    * squared L2 distance is a codegen'd `zip_with`+`aggregate` fold (no
+    * UDF, sequential fp order); the argmin is `min(struct(d2_r, clabel))`
+    * on the ROUNDED distance with label tiebreak, so both engines pick
+    * identically even on exact ties. Per input row: |labels| broadcast
+    * candidates, one combinable min — no shuffle grows with the corpus.
+    * Distances to DIFFERENT centroids can genuinely collide only at the
+    * 6-dp boundary, where the shared rounding + label tiebreak keeps the
+    * engines aligned. */
+  private def embedNearestCentroid(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .crossJoin(broadcast(centroidVectors(s, d)))
+      .withColumn("d2_r", round(expr(
+        """aggregate(
+          |  zip_with(embedding, cvec,
+          |           (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
+          |  0D, (acc, t) -> acc + t)""".stripMargin), 6))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(struct(col("d2_r"), col("clabel"))).as("best"))
+      .select(col("vec_id"), col("label"),
+        col("best.clabel").as("pred_label"),
+        col("best.d2_r").as("d2_r"),
+        (col("label") === col("best.clabel")).as("correct"))
+      .orderBy(col("vec_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_covariance" -> (aggCovariance _),
+    "embed_centroids" -> (embedCentroids _),
+    "embed_nearest_centroid" -> (embedNearestCentroid _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    // the oracle replays by explode-and-join (fine at oracle scale) with
+    // the SAME algebraic identity; dimension pinned to the fixture's 64
+    "agg_covariance" ->
+      """WITH x AS (SELECT i.i, j.j,
+        |                  CAST(embedding[i.i] AS DOUBLE) AS xi,
+        |                  CAST(embedding[j.j] AS DOUBLE) AS xj
+        |           FROM embeddings,
+        |                generate_series(1, 64) i(i),
+        |                generate_series(1, 64) j(j)
+        |           WHERE j.j >= i.i)
+        |SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+        |       round((sum(xi * xj) - sum(xi) * sum(xj) / count(*))
+        |             / (count(*) - 1), 6) + 0 AS cov_r
+        |FROM x GROUP BY x.i, x.j ORDER BY i, j""".stripMargin,
+    "embed_centroids" ->
+      """SELECT label, CAST(g.i - 1 AS BIGINT) AS i, CAST(count(*) AS BIGINT) AS n,
+        |       round(avg(CAST(embedding[g.i] AS DOUBLE)), 6) + 0 AS mean_r
+        |FROM embeddings, generate_series(1, 64) g(i)
+        |GROUP BY label, g.i ORDER BY label, i""".stripMargin,
+    "embed_nearest_centroid" ->
+      """WITH cent AS (SELECT label AS clabel, g.i,
+        |                     round(avg(CAST(embedding[g.i] AS DOUBLE)), 6) AS m
+        |              FROM embeddings, generate_series(1, 64) g(i)
+        |              GROUP BY label, g.i),
+        |x AS (SELECT vec_id, label, g.i, CAST(embedding[g.i] AS DOUBLE) AS xi
+        |      FROM embeddings, generate_series(1, 64) g(i)),
+        |d AS (SELECT x.vec_id, x.label, c.clabel,
+        |             round(sum((xi - m) * (xi - m)), 6) AS d2
+        |      FROM x JOIN cent c ON x.i = c.i
+        |      GROUP BY x.vec_id, x.label, c.clabel),
+        |b AS (SELECT vec_id, label, clabel, d2,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+        |      FROM d)
+        |SELECT vec_id, label, clabel AS pred_label, d2 AS d2_r,
+        |       label = clabel AS correct
+        |FROM b WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+  )
+}
