@@ -1091,6 +1091,34 @@ object DataPipelineQueries {
       .orderBy(col("event_type"), col("window_start_us"))
   }
 
+  /** Streaming per-user anomaly scoring — O(1) Welford state per user via
+    * transformWithState ([[graft.streaming.StreamingAnomaly]]): each event
+    * z-scored against its user's FULL prior history without ever buffering
+    * that history in state. Run as a real streaming query under the
+    * RocksDB provider (restored after, like stream_neardup); no sentinel
+    * or watermark is needed — scores emit per-row in append mode. Under
+    * the AvailableNow single-batch replay the per-user fold order is
+    * exact, so the memory sink equals the batch expanding-window oracle
+    * row-for-row — a full-hash gate, no verdict wrapper. */
+  private def streamAnomaly(s: SparkSession, d: String): DataFrame = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey, graft.streaming.StreamingNearDup.RocksDbProvider)
+    try {
+      val src = streamEvents(s, d)
+      val raw = src.select(col("user_id"), col("event_id"), col("value"),
+        graft.relational.Tables.tsUsCol(src).as("ts_us"))
+      runMemorySink(graft.streaming.StreamingAnomaly.scored(raw),
+        "stream_anom_", "append")
+        .orderBy(col("event_id"))
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+    }
+  }
+
   /** Streaming corpus vocabulary — the COMPLETE-mode aggregation state
     * pattern (the fourth streaming state shape in the gate, after
     * dedup state, append-mode session windows, and transformWithState):
@@ -1983,6 +2011,7 @@ object DataPipelineQueries {
     "stream_sessionize" -> (streamSessionize _),
     "stream_vocab" -> (streamVocab _),
     "stream_window_counts" -> (streamWindowCounts _),
+    "stream_anomaly" -> (streamAnomaly _),
     "stream_enrich" -> (streamEnrich _),
     "stream_stream_join" -> (streamStreamJoin _),
     "scan_bucketed" -> (scanBucketed _),
@@ -2251,6 +2280,26 @@ object DataPipelineQueries {
     // append-mode tumbling windows after the bounded replay = the exact
     // batch per-(type, hour) counts; Spark's window() aligns to the epoch
     // under the UTC session pin, which IS the integer floor division
+    // the expanding-window batch recompute IS the streaming result after
+    // a single-batch replay: same prefix per event, same rounding ladder
+    // (mean/std @6dp -> z from rounded operands @4dp -> flag)
+    "stream_anomaly" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+        |           FROM events WHERE value IS NOT NULL),
+        |w AS (SELECT event_id, user_id, ts_us, value,
+        |        CAST(count(value) OVER win AS BIGINT) AS n_base,
+        |        round(CAST(sum(CAST(value AS DECIMAL(20,6))) OVER win AS DOUBLE)
+        |              / count(value) OVER win, 6) AS mean_r,
+        |        round(stddev_samp(value) OVER win, 6) AS std_r
+        |      FROM e
+        |      WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts_us, value, n_base, mean_r, std_r,
+        |       CASE WHEN n_base >= 5 AND std_r > 0
+        |            THEN round((value - mean_r) / std_r, 4) END AS z,
+        |       coalesce(CASE WHEN n_base >= 5 AND std_r > 0
+        |            THEN abs(round((value - mean_r) / std_r, 4)) > 3.0 END, FALSE) AS is_anomaly
+        |FROM w ORDER BY event_id""".stripMargin,
     "stream_window_counts" ->
       """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
         |SELECT event_type,
