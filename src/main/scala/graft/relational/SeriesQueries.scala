@@ -675,6 +675,108 @@ object SeriesQueries {
   }
 
   // ------------------------------------------------------------------- registry
+  // ----------------------------------------------------------- audio DFT
+  /** DFT magnitude spectrum (bins 1–16) of each document's FIRST audio
+    * frame, with the peak bin flagged — the spectral-feature step after
+    * multimodal_audio_rms's energy pass (together they are the front of
+    * an audio-quality filter chain: energy, then dominant frequency). All
+    * row-local codegen: the same hex/conv 16-bit-LE sample assembly as
+    * the RMS op, then per-bin Re/Im as `zip_with`+`aggregate` folds over
+    * the 160-sample frame with codegen'd cos/sin — no UDF, no shuffle
+    * except the per-doc 16-row peak window and the presentation sort.
+    * Magnitudes are rounded to 2 dp before the peak rank (libm cos/sin
+    * may differ a ulp between engines; the fold error bound is ~1e-7
+    * against a 0.005 rounding threshold), ties broken by bin, so the
+    * flag cannot flip. Frames are 160 samples; shorter payloads emit
+    * nothing, deterministically. */
+  private def multimodalAudioFft(s: SparkSession, d: String): DataFrame = {
+    import graft.text.Multimodal
+    val n = AudioFrameSamples
+    val peakW = Window.partitionBy(col("doc_id")).orderBy(col("mag_r").desc, col("bin"))
+    Multimodal.asBinaryTable(docsT(s, d))
+      .filter(octet_length(col("payload")) >= 2 * n)
+      .withColumn("hexf", expr(s"hex(substring(payload, 1, ${2 * n}))"))
+      .withColumn("samples", expr(
+        s"""transform(sequence(0, ${n - 1}), i ->
+           |  cast(conv(substr(hexf, 4 * i + 1, 2), 16, 10) as int)
+           |  + 256 * cast(conv(substr(hexf, 4 * i + 3, 2), 16, 10) as int))""".stripMargin))
+      .withColumn("signed", expr("transform(samples, v -> IF(v >= 32768, v - 65536, v))"))
+      .select(col("doc_id"), explode(expr("sequence(1, 16)")).as("bin"), col("signed"))
+      .withColumn("re", expr(
+        s"""aggregate(zip_with(signed, sequence(0, ${n - 1}),
+           |  (x, i) -> cast(x as double) * cos(6.283185307179586 * bin * i / $n.0)),
+           |  0D, (a, t) -> a + t)""".stripMargin))
+      .withColumn("im", expr(
+        s"""aggregate(zip_with(signed, sequence(0, ${n - 1}),
+           |  (x, i) -> cast(x as double) * sin(6.283185307179586 * bin * i / $n.0)),
+           |  0D, (a, t) -> a + t)""".stripMargin))
+      .withColumn("mag_r",
+        round(sqrt(col("re") * col("re") + col("im") * col("im")), 2))
+      .withColumn("is_peak", row_number().over(peakW) === 1)
+      .select(col("doc_id"), col("bin").cast("long").as("bin"), col("mag_r"), col("is_peak"))
+      .orderBy(col("doc_id"), col("bin"))
+  }
+
+  // --------------------------------------------------------- Holt forecast
+  /** Holt's linear-trend exponential smoothing (α=0.5, β=0.3) per event
+    * type over the hourly mean series, with a 3-step-ahead forecast —
+    * the classic capacity-planning curve on top of ts_trend's global
+    * regression. Two stages with honest scale shapes: (1) the hourly
+    * collapse is ONE map-side-combinable aggregate, summing values in
+    * EXACT integer micro-units (the fixture's values are exact 6-dp
+    * decimals; an fp sum would drift a ulp around dyadic means and flip
+    * 6-dp rounding at half boundaries — the stream_anomaly lesson), so
+    * both engines see bit-identical smoothed inputs; (2) the recurrence
+    * lₜ = α·yₜ + (1−α)(lₜ₋₁+bₜ₋₁), bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁ is
+    * inherently sequential, but it runs AFTER aggregation on the
+    * bucket-count-sized series (O(time-span hours) per key, independent
+    * of event volume), as a per-key sorted fold in `flatMapGroups`; the
+    * DuckDB oracle replays it as a recursive CTE with the identical
+    * operation order, so the unrounded recursion is bit-equal and every
+    * emitted value is rounded only at the edge. b₀ = y₂−y₁ (0 for a
+    * 1-bucket series); ŷ is the one-step-ahead prediction lₜ₋₁+bₜ₋₁ for
+    * fit rows and l_T + h·b_T for the 3 forecast rows per type. */
+  private def tsHoltForecast(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hourly = eventsUs(s, d).filter(col("value").isNotNull)
+      .withColumn("bucket", expr("ts_us div 3600000000"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(expr("cast(round(value * 1e6) as long)")).as("micros"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("bucket"),
+        round(col("micros").cast("double") / 1e6 / col("n"), 6).as("y_r"))
+    hourly.as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (tpe, it) =>
+        val ys = it.toArray.sortBy(_._2)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Boolean, Option[Double], Option[Double], Double, Double)]
+        var l = ys(0)._3
+        var b = if (ys.length >= 2) ys(1)._3 - ys(0)._3 else 0.0
+        out += ((tpe, ys(0)._2, false, Some(ys(0)._3), None, r6(l), r6(b)))
+        var t = 1
+        while (t < ys.length) {
+          val y = ys(t)._3
+          val pred = l + b
+          val lNew = 0.5 * y + 0.5 * pred
+          val bNew = 0.3 * (lNew - l) + 0.7 * b
+          out += ((tpe, ys(t)._2, false, Some(y), Some(r6(pred)), r6(lNew), r6(bNew)))
+          l = lNew; b = bNew
+          t += 1
+        }
+        val lastBucket = ys.last._2
+        (1 to 3).foreach { h =>
+          out += ((tpe, lastBucket + h, true, None,
+            Some(r6(l + h.toDouble * b)), r6(l), r6(b)))
+        }
+        out.iterator
+      }
+      .toDF("event_type", "bucket", "is_forecast", "y_r", "yhat_r", "level_r", "trend_r")
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_anomaly_zscore" -> (tsAnomalyZscore _),
     "ts_ohlc" -> (tsOhlc _),
@@ -698,9 +800,46 @@ object SeriesQueries {
     "agg_user_paths" -> (aggUserPaths _),
     "agg_entropy_by_key" -> (aggEntropyByKey _),
     "agg_gini" -> (aggGini _),
+    "ts_holt_forecast" -> (tsHoltForecast _),
+    "multimodal_audio_fft" -> (multimodalAudioFft _),
   )
 
   val oracle: Map[String, String] = Map(
+    // exact-decimal hourly means feed a recursive-CTE replay of the SAME
+    // recurrence with the same operation order — the unrounded state is
+    // bit-identical, every emitted value rounded only at the edge
+    "ts_holt_forecast" ->
+      """WITH RECURSIVE
+        |e AS (SELECT event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket,
+        |             CAST(round(value * 1e6) AS BIGINT) AS vmic
+        |      FROM events WHERE value IS NOT NULL),
+        |y AS (SELECT event_type, bucket,
+        |             round(CAST(sum(vmic) AS DOUBLE) / 1e6 / count(*), 6) AS y_r,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+        |      FROM e GROUP BY 1, 2),
+        |tmax AS (SELECT event_type, max(rn) AS t FROM y GROUP BY 1),
+        |h AS (
+        |  SELECT y.event_type, y.rn, y.bucket, y.y_r,
+        |         CAST(NULL AS DOUBLE) AS yhat, y.y_r AS l,
+        |         coalesce(y2.y_r - y.y_r, 0.0) AS b
+        |  FROM y LEFT JOIN y y2 ON y2.event_type = y.event_type AND y2.rn = 2
+        |  WHERE y.rn = 1
+        |  UNION ALL
+        |  SELECT yy.event_type, yy.rn, yy.bucket, yy.y_r,
+        |         h.l + h.b AS yhat,
+        |         0.5 * yy.y_r + 0.5 * (h.l + h.b) AS l,
+        |         0.3 * ((0.5 * yy.y_r + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b AS b
+        |  FROM h JOIN y yy ON yy.event_type = h.event_type AND yy.rn = h.rn + 1)
+        |SELECT event_type, bucket, FALSE AS is_forecast, y_r,
+        |       round(yhat, 6) AS yhat_r, round(l, 6) AS level_r, round(b, 6) AS trend_r
+        |FROM h
+        |UNION ALL
+        |SELECT h.event_type, h.bucket + g.g, TRUE, NULL,
+        |       round(h.l + g.g * h.b, 6), round(h.l, 6), round(h.b, 6)
+        |FROM h JOIN tmax ON h.event_type = tmax.event_type AND h.rn = tmax.t,
+        |     generate_series(1, 3) g(g)
+        |ORDER BY event_type, bucket""".stripMargin,
     // mean/std rounded FIRST; z from the rounded operands; flag from the
     // rounded z — no comparison ever sees an unrounded float
     "ts_anomaly_zscore" ->
@@ -898,6 +1037,27 @@ object SeriesQueries {
     // the payload bytes ARE the doc's ASCII text bytes (as in
     // multimodal_metadata), so the oracle reassembles the same PCM16-LE
     // samples from character codes; integer energy sums are exact
+    // same sample assembly as the RMS oracle; identical cos/sin argument
+    // association; magnitudes rounded to 2 dp BEFORE the peak rank
+    "multimodal_audio_fft" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 320),
+        |nn AS (SELECT doc_id, unnest(range(0, 160)) AS i FROM d),
+        |x AS (SELECT r.doc_id, r.i,
+        |             CASE WHEN r.raw >= 32768 THEN r.raw - 65536 ELSE r.raw END AS x
+        |      FROM (SELECT nn.doc_id, nn.i,
+        |              ascii(substr(d.text, CAST(2 * nn.i + 1 AS INTEGER), 1))
+        |              + 256 * ascii(substr(d.text, CAST(2 * nn.i + 2 AS INTEGER), 1)) AS raw
+        |            FROM nn JOIN d ON nn.doc_id = d.doc_id) r),
+        |b AS (SELECT doc_id, unnest(range(1, 17)) AS bin FROM d),
+        |f AS (SELECT b.doc_id, b.bin,
+        |        sum(CAST(x.x AS DOUBLE) * cos(6.283185307179586 * b.bin * x.i / 160.0)) AS re,
+        |        sum(CAST(x.x AS DOUBLE) * sin(6.283185307179586 * b.bin * x.i / 160.0)) AS im
+        |      FROM b JOIN x ON b.doc_id = x.doc_id GROUP BY 1, 2),
+        |m AS (SELECT doc_id, bin, round(sqrt(re * re + im * im), 2) AS mag_r FROM f),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY mag_r DESC, bin) AS rn FROM m)
+        |SELECT doc_id, CAST(bin AS BIGINT) AS bin, mag_r, rn = 1 AS is_peak
+        |FROM p ORDER BY doc_id, bin""".stripMargin,
     "multimodal_audio_rms" ->
       """WITH d AS (SELECT doc_id, text, length(text) // 320 AS n_frames FROM documents),
         |fr AS (SELECT doc_id, n_frames, unnest(range(0, n_frames)) AS frame_idx
