@@ -515,6 +515,34 @@ object AnalyticsQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** 2-hop reachability over the k-NN graph: per node, how many distinct
+    * nodes its directed neighborhood reaches within two hops (self
+    * excluded), and the expansion ratio vs the out-degree k — the local
+    * connectivity probe (a flat ratio ≈ clustering/swarm, a ratio near
+    * 1+k ≈ tree-like expansion) behind hub detection and ANN graph
+    * diagnostics. Plan: the edge list self-joins ONCE on dst=src (the
+    * standard hop expansion — shuffle keyed on the join column, fan-out
+    * bounded by k² per node), then distinct + one combinable count. At
+    * 100 TB of edges each hop is one keyed shuffle; k-bounded degree
+    * keeps the fan-out linear in nodes. */
+  private def graphKhop(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val edges = knnEdges(emb)
+    val hop2 = edges.join(
+      edges.select(col("src").as("mid"), col("dst").as("dst2")),
+      col("dst") === col("mid"))
+      .select(col("src"), col("dst2").as("dst"))
+    edges.union(hop2)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_reach2"))
+      .select(col("src").as("vec_id"), col("n_reach2"),
+        round(col("n_reach2").cast("double") / PrK, 6).as("expansion"))
+      .orderBy(col("vec_id"))
+  }
+
   /** The unrolled DuckDB replay of [[graphPagerank]]: same rounded-cosine
     * top-k graph, same [[PrIters]] damped iterations as chained CTEs. */
   private def pagerankOracleSql: String = {
@@ -975,6 +1003,7 @@ object AnalyticsQueries {
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "graph_label_prop" -> (graphLabelProp _),
+    "graph_khop" -> (graphKhop _),
     "corpus_mix" -> (corpusMix _),
     "sample_weighted" -> (sampleWeighted _),
     "scan_binaryfile" -> (scanBinaryfile _),
@@ -1142,6 +1171,29 @@ object AnalyticsQueries {
         |         (((u16 >> i) & 1) << (2 * i)) + (((b16 >> i) & 1) << (2 * i + 1)))) AS z
         |FROM e ORDER BY z, event_id""".stripMargin,
     "graph_pagerank" -> pagerankOracleSql,
+    // same rounded-cosine top-k edges, one hop expansion, distinct, count
+    "graph_khop" ->
+      s"""WITH emb AS (SELECT vec_id,
+         |                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |             FROM embeddings),
+         |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+         |                 round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         |          FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+         |edges AS (SELECT src, dst
+         |          FROM (SELECT src, dst,
+         |                       row_number() OVER (PARTITION BY src
+         |                                          ORDER BY cos DESC, dst) AS rn
+         |                FROM pairs)
+         |          WHERE rn <= $PrK),
+         |hop2 AS (SELECT e1.src, e2.dst
+         |         FROM edges e1 JOIN edges e2 ON e1.dst = e2.src),
+         |reach AS (SELECT DISTINCT src, dst FROM (
+         |            SELECT src, dst FROM edges
+         |            UNION ALL SELECT src, dst FROM hop2)
+         |          WHERE src <> dst)
+         |SELECT src AS vec_id, CAST(count(*) AS BIGINT) AS n_reach2,
+         |       round(count(*) / $PrK.0, 6) AS expansion
+         |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin,
     // same rounded-cosine top-k edge construction as the pagerank oracle,
     // then the identical oriented wedge+closure enumeration
     "graph_triangles" ->

@@ -115,13 +115,54 @@ object SearchQueries {
       .orderBy(col("score").desc, col("doc_id")).limit(20)
   }
 
+  // ------------------------------------------------------ feature hashing
+  /** Hash-trick featurization (64-bucket "hashing vectorizer"): each token
+    * maps to `md5(token)`'s first byte mod 64 and the document becomes a
+    * sparse (doc_id, feature_idx, cnt) vector — the fixed-dimension,
+    * vocabulary-free encoding a downstream linear model or MinHash-free
+    * clusterer consumes. Entirely collision-deterministic across engines:
+    * the bucket is derived from the md5 HEX CHARACTERS via explicit ascii
+    * arithmetic (both engines agree on md5 and ascii; no engine-local
+    * integer-parse function is involved). One explode into one map-side-
+    * combinable aggregate — the same shape as text_vocab, scale-free. */
+  private def featureHash(s: SparkSession, d: String): DataFrame = {
+    val hv = (pos: Int) =>
+      s"IF(ascii(substr(hx, $pos, 1)) >= 97, ascii(substr(hx, $pos, 1)) - 87," +
+        s" ascii(substr(hx, $pos, 1)) - 48)"
+    docs(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens("text")).as("token"))
+      .withColumn("hx", md5(col("token")))
+      .withColumn("feature_idx", expr(s"(${hv(1)} * 16 + ${hv(2)}) % 64").cast("long"))
+      .groupBy(col("doc_id"), col("feature_idx"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("doc_id"), col("feature_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feature_hash" -> (featureHash _),
     "text_chunk" -> (textChunk _),
     "text_inverted_index" -> (textInvertedIndex _),
     "text_search_bm25" -> (textSearchBm25 _),
   )
 
   val oracle: Map[String, String] = Map(
+    // same md5-hex ascii arithmetic — no engine-local hex parse involved
+    "feature_hash" ->
+      """WITH t AS (SELECT doc_id, md5(token) AS hx
+        |           FROM (SELECT doc_id,
+        |                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |                 FROM documents)),
+        |f AS (SELECT doc_id,
+        |        ((CASE WHEN ascii(substr(hx, 1, 1)) >= 97
+        |               THEN ascii(substr(hx, 1, 1)) - 87
+        |               ELSE ascii(substr(hx, 1, 1)) - 48 END) * 16
+        |         + (CASE WHEN ascii(substr(hx, 2, 1)) >= 97
+        |                 THEN ascii(substr(hx, 2, 1)) - 87
+        |                 ELSE ascii(substr(hx, 2, 1)) - 48 END)) % 64 AS feature_idx
+        |      FROM t)
+        |SELECT doc_id, CAST(feature_idx AS BIGINT) AS feature_idx,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM f GROUP BY 1, 2 ORDER BY doc_id, feature_idx""".stripMargin,
     // identical closed-form chunk count and 1-based inclusive slices
     "text_chunk" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks

@@ -675,6 +675,36 @@ object SeriesQueries {
   }
 
   // ------------------------------------------------------------------- registry
+  // --------------------------------------------------------- scene detect
+  /** Video-style scene-cut detection over the binary payload: frames are
+    * consecutive 64-byte blocks, each summarized by its mean byte value
+    * (the gray-level proxy the image ops use), and a cut fires where the
+    * mean jumps by more than 2 gray levels between consecutive frames —
+    * the shot-boundary heuristic at its plumbing-proof scale. Frame means
+    * are EXACT (integer byte sums over a fixed 64 divisor, a 6-decimal
+    * dyadic, so round(·,6) is the identity and both engines hash equal
+    * bit-for-bit); the lag runs in a doc-partitioned window. Per row:
+    * O(frame) codegen'd work, one exchange on doc_id, no UDF. */
+  private def multimodalSceneDetect(s: SparkSession, d: String): DataFrame = {
+    import graft.text.Multimodal
+    val fb = 64
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    Multimodal.asBinaryTable(docsT(s, d))
+      .withColumn("n_frames", (octet_length(col("payload")) / lit(fb)).cast("long"))
+      .filter(col("n_frames") > 0)
+      .withColumn("frame_idx", explode(expr("sequence(0L, n_frames - 1)")))
+      .withColumn("hexf", expr(s"hex(substring(payload, cast(frame_idx * $fb + 1 as int), $fb))"))
+      .withColumn("mean_px", expr(
+        s"""cast(aggregate(transform(sequence(0, ${fb - 1}), i ->
+           |  cast(conv(substr(hexf, 2 * i + 1, 2), 16, 10) as int)),
+           |  0, (a, x) -> a + x) as double) / cast($fb as double)""".stripMargin))
+      .withColumn("diff", col("mean_px") - lag(col("mean_px"), 1).over(w))
+      .select(col("doc_id"), col("frame_idx"), round(col("mean_px"), 6).as("mean_px"),
+        round(col("diff"), 6).as("diff"),
+        coalesce(abs(round(col("diff"), 6)) > 2.0, lit(false)).as("is_cut"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   // ----------------------------------------------------------- audio DFT
   /** DFT magnitude spectrum (bins 1–16) of each document's FIRST audio
     * frame, with the peak bin flagged — the spectral-feature step after
@@ -802,6 +832,7 @@ object SeriesQueries {
     "agg_gini" -> (aggGini _),
     "ts_holt_forecast" -> (tsHoltForecast _),
     "multimodal_audio_fft" -> (multimodalAudioFft _),
+    "multimodal_scene_detect" -> (multimodalSceneDetect _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1037,6 +1068,25 @@ object SeriesQueries {
     // the payload bytes ARE the doc's ASCII text bytes (as in
     // multimodal_metadata), so the oracle reassembles the same PCM16-LE
     // samples from character codes; integer energy sums are exact
+    // exact integer byte sums over the fixed /64 divisor: means are
+    // 6-decimal dyadics, so the hash is bit-exact with no fp latitude
+    "multimodal_scene_detect" ->
+      """WITH d AS (SELECT doc_id, text, length(text) // 64 AS n_frames FROM documents),
+        |fr AS (SELECT doc_id, unnest(range(0, n_frames)) AS frame_idx
+        |       FROM d WHERE n_frames > 0),
+        |m AS (SELECT f.doc_id, f.frame_idx,
+        |        list_sum(list_transform(range(0, 64), i ->
+        |          ascii(substr(d.text, CAST(f.frame_idx * 64 + i + 1 AS INTEGER), 1))))
+        |          / 64.0 AS mean_px
+        |      FROM fr f JOIN d ON f.doc_id = d.doc_id),
+        |x AS (SELECT doc_id, frame_idx, mean_px,
+        |        mean_px - lag(mean_px) OVER (PARTITION BY doc_id
+        |                                     ORDER BY frame_idx) AS diff
+        |      FROM m)
+        |SELECT doc_id, frame_idx, round(mean_px, 6) AS mean_px,
+        |       round(diff, 6) AS diff,
+        |       coalesce(abs(round(diff, 6)) > 2.0, FALSE) AS is_cut
+        |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
     // same sample assembly as the RMS oracle; identical cos/sin argument
     // association; magnitudes rounded to 2 dp BEFORE the peak rank
     "multimodal_audio_fft" ->
