@@ -528,7 +528,9 @@ object AnalyticsQueries {
   private def graphKhop(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val edges = knnEdges(emb)
+    // the O(N²·d) edge build is referenced three times below (both join
+    // sides + the union); cache it once, as graphPagerank does
+    val edges = knnEdges(emb).cache()
     val hop2 = edges.join(
       edges.select(col("src").as("mid"), col("dst").as("dst2")),
       col("dst") === col("mid"))

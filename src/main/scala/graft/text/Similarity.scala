@@ -11,12 +11,17 @@ import org.apache.spark.sql.functions._
   * buckets as the scale path (candidates from bucket joins, exact cosine only
   * on candidates — never all-pairs at corpus scale).
   *
-  * The cosine itself is pure built-ins (`zip_with` + `aggregate`) so it stays
-  * inside whole-stage codegen; only the hyperplane signer is a UDF.
+  * The cosine rides the native [[graft.functions.VecDot]] codegen kernel
+  * (HOF-free, allocation-free, inside whole-stage codegen); only the
+  * hyperplane signer is a UDF.
   */
 object Similarity {
 
-  /** Cosine similarity of two array<double> columns via codegen'd HOFs.
+  /** Cosine similarity of two array<double> columns via the native
+    * [[graft.functions.VecDot]] codegen kernel (bit-identical to the
+    * previous `zip_with`+`aggregate` fold, but fused into whole-stage
+    * codegen with no per-pair allocation — HOFs are CodegenFallback and
+    * cost ~20× on the N² edge-build path).
     * A zero-norm vector has no direction: its cosine is pinned to -1
     * (never-a-neighbor). Under ANSI mode (Spark 4 default) a plain `/`
     * THROWS on the zero divisor before any NaN exists, so the guard is
@@ -25,8 +30,10 @@ object Similarity {
     * Spark orders NaN ABOVE every real double and an unguarded NaN would
     * sit at rank 1 of every top-k. */
   def cosine(a: String, b: String): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
     def dot(x: String, y: String): Column =
-      expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (acc, v) -> acc + v)")
+      ColumnBridge.column(graft.functions.VecDot(
+        ColumnBridge.expression(col(x)), ColumnBridge.expression(col(y))))
     coalesce(
       nanvl(try_divide(dot(a, b), sqrt(dot(a, a)) * sqrt(dot(b, b))), lit(-1.0)),
       lit(-1.0))
