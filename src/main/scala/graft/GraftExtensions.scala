@@ -31,6 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.llkScore)
     ext.injectFunction(GraftExtensions.llkScoreLong)
     ext.injectFunction(GraftExtensions.topKRows)
+    ext.injectFunction(GraftExtensions.vecDot)
+    ext.injectFunction(GraftExtensions.covMatrix)
   }
 }
 
@@ -72,6 +74,36 @@ object GraftExtensions {
           s"graft_top_k_rows: k must be integral, got $other")
       }
       graft.functions.TopKRows(k, args(1), args(2)): Expression
+    })
+
+  /** graft_vec_dot(a array<double>, b array<double>) → double — the native
+    * codegen dot-product kernel under the similarity family, exposed to
+    * plain SQL (cosine = graft_vec_dot(a,b)/(sqrt(graft_vec_dot(a,a)) *
+    * sqrt(graft_vec_dot(b,b)))). */
+  private[graft] val vecDot = (
+    FunctionIdentifier("graft_vec_dot"),
+    new ExpressionInfo(classOf[graft.functions.VecDot].getName, "graft_vec_dot"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "graft_vec_dot(a array<double>, b array<double>)")
+      graft.functions.VecDot(args(0), args(1)): Expression
+    })
+
+  /** graft_cov_matrix(d, vec array<float|double>) — single-pass mergeable
+    * covariance aggregate → array<struct<i,j,cov>> (upper triangle); d
+    * must be a foldable integer literal. */
+  private[graft] val covMatrix = (
+    FunctionIdentifier("graft_cov_matrix"),
+    new ExpressionInfo(classOf[graft.functions.CovMatrix].getName, "graft_cov_matrix"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "graft_cov_matrix(d, vec)")
+      require(args.head.foldable, "graft_cov_matrix: d must be an integer literal")
+      val d = args.head.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_cov_matrix: d must be integral, got $other")
+      }
+      graft.functions.CovMatrix(d, args(1)): Expression
     })
 
   /** graft_llk_score_long(t bigint, symbol tinyint, model_text+) —

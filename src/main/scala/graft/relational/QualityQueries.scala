@@ -158,13 +158,37 @@ object QualityQueries {
       .orderBy(col("user_id"), col("version"))
   }
 
+  // ------------------------------------------------------- k-anonymity
+  /** k-ANONYMITY audit over the documents quasi-identifiers (lang,
+    * source, 200-char length bucket): a release is k-anonymous when every
+    * quasi-identifier combination covers ≥ k individuals — groups below
+    * k=5 are re-identification risks that a privacy-preserving export
+    * must suppress or generalize. ONE map-side-combinable aggregate over
+    * the quasi-identifier key space (bounded by |lang|·|source|·buckets,
+    * tiny at any corpus scale); the suppression pass a release pipeline
+    * appends is a broadcast semi-join of the flagged groups back onto the
+    * corpus — same shape as text_decontaminate. */
+  private def dqKAnonymity(s: SparkSession, d: String): DataFrame =
+    Tables.tbl(s, d, "documents")
+      .groupBy(col("lang"), col("source"),
+        (col("n_chars") / 200).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("is_k_anon", col("n") >= 5L)
+      .orderBy(col("lang"), col("source"), col("len_bucket"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_k_anonymity" -> (dqKAnonymity _),
     "profile_columns" -> (profileColumns _),
     "dq_checks" -> (dqChecks _),
     "scd2_build" -> (scd2Build _),
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_k_anonymity" ->
+      """SELECT lang, source, CAST(n_chars // 200 AS BIGINT) AS len_bucket,
+        |       CAST(count(*) AS BIGINT) AS n, count(*) >= 5 AS is_k_anon
+        |FROM documents GROUP BY 1, 2, 3
+        |ORDER BY lang, source, len_bucket""".stripMargin,
     // one SELECT per column, mirroring the Spark side's per-column stat
     // struct; timestamps profiled in µs, dtype as the coarse class
     "profile_columns" -> {

@@ -138,7 +138,41 @@ object SearchQueries {
       .orderBy(col("doc_id"), col("feature_idx"))
   }
 
+  // -------------------------------------------------- deterministic reservoir
+  /** Deterministic k-per-key "reservoir" sample (k=10 eval docs per
+    * language): classic reservoir sampling is sequential and
+    * arrival-order dependent — the distributable determinization keeps
+    * the k SMALLEST content-addressed hashes per key instead, which is
+    * order-independent, stable under re-runs/retries/corpus growth (a
+    * doc's fate depends only on its id), and exactly the bounded
+    * [[graft.functions.TopKRows]] aggregate: O(k) state per key, map-side
+    * combine, each input partition ships ≤ k candidates — never the
+    * rank-window's full per-key sort. Priority = the first 4 md5 hex
+    * chars via the same engine-portable ascii arithmetic as feature_hash,
+    * negated so the aggregate's value-DESC order means hash-ASC; ties
+    * (16-bit space) break on doc_id inside the aggregate and the oracle
+    * alike. */
+  private def sampleReservoir(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val hv = (pos: Int) =>
+      s"IF(ascii(substr(hx, $pos, 1)) >= 97, ascii(substr(hx, $pos, 1)) - 87," +
+        s" ascii(substr(hx, $pos, 1)) - 48)"
+    val agg = ColumnBridge.column(graft.functions.TopKRows(10,
+      ColumnBridge.expression(col("neg_hv")),
+      ColumnBridge.expression(col("doc_id"))).toAggregateExpression())
+    docs(s, d).select(col("lang"), col("doc_id"))
+      .withColumn("hx", md5(col("doc_id").cast("string")))
+      .withColumn("neg_hv", expr(
+        s"-cast(((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)} as double)"))
+      .groupBy(col("lang")).agg(agg.as("tk"))
+      .select(col("lang"), posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col("lang"), (col("i") + 1).cast("long").as("rank"),
+        col("e.id").as("doc_id"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_reservoir" -> (sampleReservoir _),
     "feature_hash" -> (featureHash _),
     "text_chunk" -> (textChunk _),
     "text_inverted_index" -> (textInvertedIndex _),
@@ -146,6 +180,29 @@ object SearchQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // same 4-hex-char priority, hash-ASC with doc_id tiebreak
+    "sample_reservoir" ->
+      """WITH h AS (SELECT lang, doc_id,
+        |             (((CASE WHEN ascii(substr(hx, 1, 1)) >= 97
+        |                     THEN ascii(substr(hx, 1, 1)) - 87
+        |                     ELSE ascii(substr(hx, 1, 1)) - 48 END) * 16
+        |               + (CASE WHEN ascii(substr(hx, 2, 1)) >= 97
+        |                       THEN ascii(substr(hx, 2, 1)) - 87
+        |                       ELSE ascii(substr(hx, 2, 1)) - 48 END)) * 16
+        |              + (CASE WHEN ascii(substr(hx, 3, 1)) >= 97
+        |                      THEN ascii(substr(hx, 3, 1)) - 87
+        |                      ELSE ascii(substr(hx, 3, 1)) - 48 END)) * 16
+        |             + (CASE WHEN ascii(substr(hx, 4, 1)) >= 97
+        |                     THEN ascii(substr(hx, 4, 1)) - 87
+        |                     ELSE ascii(substr(hx, 4, 1)) - 48 END) AS hv
+        |           FROM (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
+        |                 FROM documents)),
+        |r AS (SELECT lang, doc_id,
+        |             CAST(row_number() OVER (PARTITION BY lang
+        |                                     ORDER BY hv, doc_id) AS BIGINT) AS rank
+        |      FROM h)
+        |SELECT lang, rank, doc_id FROM r WHERE rank <= 10
+        |ORDER BY lang, rank""".stripMargin,
     // same md5-hex ascii arithmetic — no engine-local hex parse involved
     "feature_hash" ->
       """WITH t AS (SELECT doc_id, md5(token) AS hx
