@@ -515,6 +515,69 @@ object AnalyticsQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** POINT-IN-TIME dimension join (the feature-store / training-data
+    * correctness primitive: enrich each fact with the dimension state
+    * that was active AT ITS TIMESTAMP — never a later one, which would
+    * leak the future into training features). Dimension = signup events
+    * (tier := floor(value/25)); facts = purchase events; each purchase
+    * gets the tier of the LAST signup strictly before it in the user's
+    * (ts, event_id) order. Plan shape: NOT a join at all — both relations
+    * union into one stream tagged by kind, ONE exchange on user_id, one
+    * sort, and an ignore-nulls `last_value` over the strictly-preceding
+    * frame assigns every fact its dimension version in a single merge
+    * pass. Contrast with the interval-containment join a naive PIT runs
+    * (shuffle both sides + range predicate): when fact and dimension
+    * share the partition key, the union-window form is one exchange
+    * total and never materializes fact×version candidates. Facts before
+    * any signup keep NULL (has_dim false) honestly. */
+  private def joinPointInTime(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.eventsTsUs(s, d)
+    val dim = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        floor(col("value") / 25.0).cast("long").as("tier"),
+        col("event_id").as("dim_event_id"), lit(0).as("kind"))
+    val facts = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        lit(null).cast("long").as("tier"),
+        lit(null).cast("long").as("dim_event_id"), lit(1).as("kind"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    dim.unionByName(facts)
+      .withColumn("active_tier", last(col("tier"), ignoreNulls = true).over(w))
+      .withColumn("from_event_id", last(col("dim_event_id"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("active_tier"), col("from_event_id"),
+        col("active_tier").isNotNull.as("has_dim"))
+      .orderBy(col("event_id"))
+  }
+
+  /** INCREMENTAL AGGREGATE MERGE — the daily→monthly rollup reality: a
+    * stored base aggregate (9/10ths of the corpus, as a warehouse would
+    * persist it) is combined with a fresh delta batch by RE-AGGREGATING
+    * THE PARTIALS, never re-scanning the base rows. Sums are carried in
+    * exact integer micro-units, so partial+partial is bit-equal to the
+    * full recompute the oracle runs — the associativity contract every
+    * mergeable aggregate (count/sum here; the HLL/quantile sketches in
+    * agg_distinct_sketch for the approximate family) must satisfy. At
+    * 100 TB the base partial is a |keys|-row table read instead of a
+    * re-scan of yesterday's petabytes. */
+  private def aggIncrementalMerge(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.eventsTsUs(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("cast(round(value * 1e6) as long)").as("vmic"))
+    def partial(df: DataFrame) = df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("vmic")).as("micros"))
+    val base = partial(e.filter(col("event_id") % 10 =!= 0))
+    val delta = partial(e.filter(col("event_id") % 10 === 0))
+    base.unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("micros")).as("micros"))
+      .select(col("event_type"), col("n"),
+        round(col("micros").cast("double") / 1e6, 6).as("total_r"))
+      .orderBy(col("event_type"))
+  }
+
   /** 2-hop reachability over the k-NN graph: per node, how many distinct
     * nodes its directed neighborhood reaches within two hops (self
     * excluded), and the expansion ratio vs the out-degree k — the local
@@ -1006,6 +1069,8 @@ object AnalyticsQueries {
     "graph_triangles" -> (graphTriangles _),
     "graph_label_prop" -> (graphLabelProp _),
     "graph_khop" -> (graphKhop _),
+    "join_point_in_time" -> (joinPointInTime _),
+    "agg_incremental_merge" -> (aggIncrementalMerge _),
     "corpus_mix" -> (corpusMix _),
     "sample_weighted" -> (sampleWeighted _),
     "scan_binaryfile" -> (scanBinaryfile _),
@@ -1172,6 +1237,34 @@ object AnalyticsQueries {
         |       list_sum(list_transform(range(0, 16), i ->
         |         (((u16 >> i) & 1) << (2 * i)) + (((b16 >> i) & 1) << (2 * i + 1)))) AS z
         |FROM e ORDER BY z, event_id""".stripMargin,
+    // same union-merge assignment: strictly-preceding ignore-nulls frame
+    "join_point_in_time" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |u AS (SELECT user_id, ts_us, event_id,
+        |             CAST(floor(value / 25.0) AS BIGINT) AS tier,
+        |             event_id AS dim_event_id, 0 AS kind
+        |      FROM e WHERE event_type = 'signup'
+        |      UNION ALL
+        |      SELECT user_id, ts_us, event_id, NULL, NULL, 1
+        |      FROM e WHERE event_type = 'purchase'),
+        |x AS (SELECT user_id, ts_us, event_id, kind,
+        |        last_value(tier IGNORE NULLS) OVER w AS active_tier,
+        |        last_value(dim_event_id IGNORE NULLS) OVER w AS from_event_id
+        |      FROM u
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts_us, active_tier, from_event_id,
+        |       active_tier IS NOT NULL AS has_dim
+        |FROM x WHERE kind = 1 ORDER BY event_id""".stripMargin,
+    // the oracle recomputes the FULL aggregate in one pass; exact integer
+    // micro-unit sums make partial+partial bit-equal to it
+    "agg_incremental_merge" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6, 6)
+        |         AS total_r
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "graph_pagerank" -> pagerankOracleSql,
     // same rounded-cosine top-k edges, one hop expansion, distinct, count
     "graph_khop" ->
