@@ -1050,8 +1050,70 @@ object AnalyticsQueries {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** TEMPERATURE-RESCALED language mixing (α = 0.5) — the multilingual
+    * corpus-balancing step (mBERT/XLM-R exponential smoothing): sampling
+    * proportional to `count^α` instead of `count` upweights tail
+    * languages (here `en` holds ~44% of docs but ~31% of the α=.5 mix).
+    * Where [[corpusMix]] takes explicit per-source quotas, this operator
+    * DERIVES quotas from the observed distribution. Exactness by
+    * construction: weights are `round(sqrt(n)·1e6)` int64 micro-units and
+    * quota = `(K·w) div Σw` in integer arithmetic, so no float sum ever
+    * crosses engines; doc selection is the same content-addressed
+    * md5-rank as corpusMix (re-runs pick the same docs; a lang with fewer
+    * docs than quota contributes everything — rank can't exceed count).
+    * Plan: one combinable count, a |langs|-row weight frame broadcast
+    * with its 1-row total, one lang-partitioned rank window. */
+  private def sampleTemperature(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.tbl(s, d, "documents")
+    val w = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", expr("cast(round(sqrt(cast(n_docs as double)) * 1e6) as long)"))
+    val tot = w.agg(sum(col("w")).as("tot"))
+    val quotas = w.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), expr("(200 * w) div tot").as("quota"))
+    val rw = Window.partitionBy(col("lang")).orderBy(col("rk"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), md5(col("doc_id").cast("string")).as("rk"))
+      .join(broadcast(quotas), Seq("lang"))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= col("quota"))
+      .select(col("lang"), col("n_docs"), col("quota"), col("rank"), col("doc_id"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  /** MERGEABLE-SKETCH distinct counting — the contract that makes
+    * count-distinct incremental at 100 TB: per event type, the
+    * DataSketches HLL estimate over ALL rows must equal the estimate of
+    * the UNION of two independently-built partition sketches (register
+    * merge is a max, associativity is exact — the sketch cousin of
+    * [[aggIncrementalMerge]]'s integer partials), and the estimate must
+    * sit within 5% of the exact count. Emits the verdict grid: the DuckDB
+    * oracle recomputes `exact_distinct` and expects both booleans TRUE,
+    * so a violated contract is a hash mismatch, not a silent drift. At
+    * scale the whole-corpus pass is replaced by storing the per-batch
+    * sketches (a |keys|-row table) and re-unioning — never re-scanning.
+    * Plan: two combinable sketch aggs + a |types|-row broadcast join. */
+  private def aggSketchMerge(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.tbl(s, d, "events")
+      .select(col("event_type"), col("user_id"), col("event_id"))
+    val whole = e.groupBy(col("event_type")).agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("whole_est"),
+      countDistinct(col("user_id")).as("exact_distinct"))
+    val merged = e.withColumn("batch", col("event_id") % 2)
+      .groupBy(col("event_type"), col("batch"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("merged_est"))
+    whole.join(broadcast(merged), Seq("event_type"))
+      .select(col("event_type"), col("exact_distinct"),
+        (col("merged_est") === col("whole_est")).as("merge_consistent"),
+        (abs(col("whole_est") - col("exact_distinct"))
+          <= col("exact_distinct").cast("double") * 0.05).as("within_5pct"))
+      .orderBy(col("event_type"))
+  }
+
   // ------------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_temperature" -> (sampleTemperature _),
+    "agg_sketch_merge" -> (aggSketchMerge _),
     "join_skew_salted" -> (joinSkewSalted _),
     "agg_rollup" -> (aggRollup _),
     "agg_pivot" -> (aggPivot _),
@@ -1087,6 +1149,31 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // identical integer micro-unit weights and floor-division quotas;
+    // DuckDB's BIGINT sum widens to HUGEINT, hence the quota cast back
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_docs,
+        |             CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT) AS w
+        |      FROM c),
+        |t AS (SELECT sum(w) AS tot FROM w),
+        |q AS (SELECT lang, n_docs, CAST((200 * w) // tot AS BIGINT) AS quota
+        |      FROM w CROSS JOIN t),
+        |r AS (SELECT doc_id, lang,
+        |             CAST(row_number() OVER (PARTITION BY lang
+        |                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank
+        |      FROM documents)
+        |SELECT r.lang, q.n_docs, q.quota, r.rank, r.doc_id
+        |FROM r JOIN q USING (lang) WHERE r.rank <= q.quota
+        |ORDER BY lang, rank""".stripMargin,
+    // the oracle recomputes the exact count and asserts the sketch
+    // contract held (merge == whole, estimate within 5%) — FALSE anywhere
+    // is a value-hash mismatch
+    "agg_sketch_merge" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+        |       TRUE AS merge_consistent, TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the salted join must equal the PLAIN join — salt is plan-internal
     "join_skew_salted" ->
       """WITH dim AS (SELECT event_type, round(avg(value), 6) AS type_avg

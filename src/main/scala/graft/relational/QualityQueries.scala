@@ -176,7 +176,27 @@ object QualityQueries {
       .withColumn("is_k_anon", col("n") >= 5L)
       .orderBy(col("lang"), col("source"), col("len_bucket"))
 
+  /** FRESHNESS audit — the data-SLA check every warehouse runs before
+    * trusting a partition: per event type, the last observed event time,
+    * its lag behind the newest event anywhere in the feed (integer
+    * minutes, floor), and a staleness flag at the 1-hour SLA. A type that
+    * silently stopped emitting is the classic upstream breakage that row
+    * counts alone never catch. Plan: one map-side-combinable agg to a
+    * |types|-row frame, its 1-row max broadcast back — nothing rescans
+    * the feed, so at 100 TB this is one pass (or zero, reading the
+    * sink's partition-level max-ts statistics). All integer µs math. */
+  private def dqFreshness(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.eventsTsUs(s, d).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts_us")).as("last_ts_us"))
+    per.crossJoin(broadcast(per.agg(max(col("last_ts_us")).as("feed_max_us"))))
+      .select(col("event_type"), col("n_events"), col("last_ts_us"),
+        expr("(feed_max_us - last_ts_us) div 60000000").as("lag_min"),
+        (col("feed_max_us") - col("last_ts_us") > 3600000000L).as("stale"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_freshness" -> (dqFreshness _),
     "dq_k_anonymity" -> (dqKAnonymity _),
     "profile_columns" -> (profileColumns _),
     "dq_checks" -> (dqChecks _),
@@ -184,6 +204,16 @@ object QualityQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // same integer-µs lag math; // floors like Spark's div on non-negatives
+    "dq_freshness" ->
+      """WITH per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |                    max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_ts_us
+        |             FROM events GROUP BY event_type),
+        |g AS (SELECT max(last_ts_us) AS feed_max_us FROM per)
+        |SELECT event_type, n_events, last_ts_us,
+        |       CAST((feed_max_us - last_ts_us) // 60000000 AS BIGINT) AS lag_min,
+        |       (feed_max_us - last_ts_us) > 3600000000 AS stale
+        |FROM per CROSS JOIN g ORDER BY event_type""".stripMargin,
     "dq_k_anonymity" ->
       """SELECT lang, source, CAST(n_chars // 200 AS BIGINT) AS len_bucket,
         |       CAST(count(*) AS BIGINT) AS n, count(*) >= 5 AS is_k_anon

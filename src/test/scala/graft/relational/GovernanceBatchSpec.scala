@@ -1,0 +1,66 @@
+package graft.relational
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Governance/composition batch: temperature-rescaled language mixing,
+  * the mergeable-HLL-sketch contract, and the freshness SLA audit. Specs
+  * pin the statistical contracts the DuckDB value hash can't see (the
+  * rebalancing DIRECTION, the sketch-vs-exact relationship, lag/flag
+  * consistency). */
+class GovernanceBatchSpec extends AnyFunSuite {
+  private val spark = graft.TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("sample_temperature: head-lang share shrinks vs corpus share, tail grows; quotas honored") {
+    val rows = AnalyticsQueries.queries("sample_temperature")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // (lang, n_docs, quota, rank, doc_id)
+    val byLang = rows.groupBy(_.getString(0))
+    byLang.foreach { case (_, rs) =>
+      val quota = rs.head.getLong(2)
+      assert(rs.length <= quota, "sampled rows must not exceed the quota")
+      val ranks = rs.map(_.getLong(3)).sorted
+      assert(ranks.head == 1L && ranks.last == ranks.length,
+        "ranks are contiguous from 1 — the selection is a prefix of the hash order")
+    }
+    val nDocs = byLang.view.mapValues(_.head.getLong(1)).toMap
+    val quotas = byLang.view.mapValues(_.head.getLong(2)).toMap
+    val corpusTotal = nDocs.values.sum.toDouble
+    val quotaTotal = quotas.values.sum.toDouble
+    val head = nDocs.maxBy(_._2)._1
+    // α=0.5 flattens: the most frequent language's share of the mix must be
+    // strictly below its share of the corpus, every tail language's at/above
+    assert(quotas(head) / quotaTotal < nDocs(head) / corpusTotal)
+    (nDocs.keySet - head).foreach { l =>
+      assert(quotas(l) / quotaTotal >= nDocs(l) / corpusTotal,
+        s"tail language $l must not lose share under temperature rescaling")
+    }
+    // determinism: content-addressed selection — second run is identical
+    val again = AnalyticsQueries.queries("sample_temperature")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("agg_sketch_merge: union-of-partials equals whole sketch and tracks the exact count") {
+    val rows = AnalyticsQueries.queries("agg_sketch_merge")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"merge != whole for ${r.getString(0)} — associativity broken")
+      assert(r.getBoolean(3), s"estimate off >5% for ${r.getString(0)}")
+      assert(r.getLong(1) > 0)
+    }
+  }
+
+  test("dq_freshness: the freshest type lags 0; stale flag consistent with the 60-min lag") {
+    val rows = QualityQueries.queries("dq_freshness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // (event_type, n_events, last_ts_us, lag_min, stale)
+    assert(rows.count(_.getLong(3) == 0L) >= 1, "some type carries the feed max")
+    val feedMax = rows.map(_.getLong(2)).max
+    rows.foreach { r =>
+      val lagUs = feedMax - r.getLong(2)
+      assert(r.getLong(3) === lagUs / 60000000L)
+      assert(r.getBoolean(4) === (lagUs > 3600000000L))
+    }
+  }
+}
