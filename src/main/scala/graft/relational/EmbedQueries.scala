@@ -10,13 +10,17 @@ import org.apache.spark.sql.graft.ColumnBridge
   * covariance shift), cluster labeling, and the E-step of the k-means the
   * pipeline's clusterer runs (core/Cluster.scala).
   *
-  * PCA over this covariance was evaluated and rejected for the gate: the
-  * fixture's embedding spectrum is near-isotropic (λ₂/λ₁ ≈ 0.987 at
-  * sf0.01), so eigenvectors are numerically degenerate and no rounding
-  * discipline makes cross-engine projections stable. The covariance
-  * matrix itself — the input to any PCA — is deterministic and is what
-  * ships. Conventions as in the sibling modules: round before compare,
-  * counts BIGINT, total ORDER BY, aliases identical to the oracle.
+  * FLOAT-space PCA over this covariance was evaluated and rejected for
+  * the gate (r8 s4): the fixture's embedding spectrum is near-isotropic
+  * (λ₂/λ₁ ≈ 0.987 at sf0.01), so float eigenvectors are numerically
+  * degenerate and no rounding discipline makes cross-engine projections
+  * stable. [[embedPca]] ships the transform anyway by LEAVING FLOAT
+  * ARITHMETIC ENTIRELY: a fixed-iteration power method in int64
+  * micro-units over the 6-dp-rounded covariance is bit-exact in any
+  * engine by construction — determinism no longer depends on the
+  * eigengap. Conventions as in the sibling modules: round before
+  * compare, counts BIGINT, total ORDER BY, aliases identical to the
+  * oracle.
   */
 object EmbedQueries {
 
@@ -100,13 +104,102 @@ object EmbedQueries {
         (col("label") === col("best.clabel")).as("correct"))
       .orderBy(col("vec_id"))
 
+  // ------------------------------------------------------- PC1 projection
+  /** First-principal-component projection via an INTEGER power method —
+    * the dimensionality-reduction step of embedding pipelines (drift
+    * monitoring, whitening, coarse ANN pre-filter), made cross-engine
+    * exact where float PCA is not (see the module doc): the 6-dp-rounded
+    * covariance (the value agg_covariance already proves hash-equal in
+    * both engines) is scaled to int64 micro-units, and 8 power-iteration
+    * steps run in pure int64 — matrix-vector product, L∞ normalization
+    * to ±1e5 by truncating division — arithmetic with one representable
+    * answer, so parity is by construction, eigengap or none (on this
+    * near-isotropic fixture the fixed-iteration result is a defined
+    * deterministic transform; on real embeddings with a spectral gap the
+    * same plan is converged PCA). Plan shape: ONE CovMatrix pass (fixed
+    * ~16 KiB state per partition, map-side combine), a bounded
+    * d(d+1)/2-row collect (2,080 at d=64 — same class as the quantizer
+    * cutoffs), the 64×64×8 iteration as driver integer math, then the
+    * projection as a posexplode pipelined into a combinable sum against
+    * the broadcast d-row component frame — no HOF fallback, no shuffle
+    * that grows beyond n·1 output rows. Overflow audit: |cov µ-units| ≤
+    * 3e5, |v| ≤ 1e5 ⇒ |u| ≤ 64·3e10 ≈ 2e12, |u·1e5| ≈ 2e17 < 2⁶³. */
+  private def embedPca(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val agg = ColumnBridge.column(graft.functions.CovMatrix(dim,
+      ColumnBridge.expression(col("embedding"))).toAggregateExpression())
+    val tri = emb.agg(agg.as("cm")).select(explode(col("cm")).as("e"))
+      .select(col("e.i"), col("e.j"), round(col("e.cov"), 6).as("c")).collect()
+    val covi = Array.ofDim[Long](dim, dim)
+    tri.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val c = math.round(r.getDouble(2) * 1e6) // 6-dp multiple ⇒ never at a .5 boundary
+      covi(i)(j) = c
+      covi(j)(i) = c
+    }
+    var v = Array.fill(dim)(100000L)
+    for (_ <- 0 until 8) {
+      val u = Array.tabulate(dim) { i =>
+        var acc = 0L; var j = 0
+        while (j < dim) { acc += covi(i)(j) * v(j); j += 1 }; acc
+      }
+      val m = u.map(math.abs).max
+      require(m != 0L, "degenerate all-zero covariance")
+      v = u.map(x => x * 100000L / m) // trunc division — DuckDB // matches
+    }
+    import s.implicits._
+    val vdf = v.toSeq.zipWithIndex.map { case (x, i) => (i, x) }.toDF("i", "v")
+    emb.select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .join(broadcast(vdf), Seq("i"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(expr("cast(round(cast(x as double) * 1e6) as bigint) * v")).as("pc1"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Unrolled 8-step integer power iteration as a DuckDB CTE chain —
+    * generated, like the BPE 12-step replay. */
+  private def pcaOracleSql: String = {
+    val steps = (1 to 8).map { k =>
+      s"""u$k AS (SELECT c.i AS i, sum(c.c * v.v) AS u
+         |        FROM cov c JOIN v${k - 1} v ON c.j = v.i GROUP BY c.i),
+         |m$k AS (SELECT max(abs(u)) AS m FROM u$k),
+         |v$k AS (SELECT i, CAST((u * 100000) // m AS BIGINT) AS v
+         |        FROM u$k CROSS JOIN m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS (SELECT i.i - 1 AS i, j.j - 1 AS j,
+       |                  CAST(embedding[i.i] AS DOUBLE) AS xi,
+       |                  CAST(embedding[j.j] AS DOUBLE) AS xj
+       |           FROM embeddings,
+       |                generate_series(1, 64) i(i),
+       |                generate_series(1, 64) j(j)),
+       |cov AS (SELECT i, j,
+       |               CAST(round(round((sum(xi * xj) - sum(xi) * sum(xj) / count(*))
+       |                                / (count(*) - 1), 6) * 1e6) AS BIGINT) AS c
+       |        FROM x GROUP BY i, j),
+       |v0 AS (SELECT g.i, CAST(100000 AS BIGINT) AS v FROM generate_series(0, 63) g(i)),
+       |$steps
+       |SELECT e.vec_id, e.label,
+       |       CAST(sum(CAST(round(CAST(e.embedding[g.i + 1] AS DOUBLE) * 1e6) AS BIGINT)
+       |                * v.v) AS BIGINT) AS pc1
+       |FROM embeddings e
+       |CROSS JOIN generate_series(0, 63) g(i)
+       |JOIN v8 v ON v.i = g.i
+       |GROUP BY e.vec_id, e.label
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_pca" -> (embedPca _),
     "agg_covariance" -> (aggCovariance _),
     "embed_centroids" -> (embedCentroids _),
     "embed_nearest_centroid" -> (embedNearestCentroid _),
   )
 
   val oracle: Map[String, String] = Map(
+    // integer replay of the full chain: same 6-dp covariance rounding,
+    // same µ-unit scaling, same truncating division (DuckDB // == Scala /)
+    "embed_pca" -> pcaOracleSql,
     // the oracle replays by explode-and-join (fine at oracle scale) with
     // the SAME algebraic identity; dimension pinned to the fixture's 64
     "agg_covariance" ->

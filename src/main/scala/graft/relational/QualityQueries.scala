@@ -195,7 +195,59 @@ object QualityQueries {
       .orderBy(col("event_type"))
   }
 
+  /** WRITE-AUDIT-PUBLISH — the atomic-visibility pattern (Iceberg/Delta
+    * WAP) that makes a 100-TB sink safe to read mid-ingest: (1) WRITE the
+    * cleaned batch to a staging location and capture the exact file list
+    * the committed job produced; (2) AUDIT the staged files (row count vs
+    * plan, primary-key uniqueness) BEFORE any reader can see them;
+    * (3) PUBLISH by writing a manifest naming those files — readers
+    * resolve the manifest, never list the directory. The test plants an
+    * ORPHAN part-file in the staging directory after the manifest is cut
+    * (the debris a killed executor's un-committed task leaves behind):
+    * a directory-listing reader would double-count; the manifest reader
+    * must not — the oracle recomputes per-lang counts from the source, so
+    * debris leaking into the read IS a hash mismatch. At scale the
+    * manifest is the table-format snapshot and "publish" is one atomic
+    * pointer swap; audit cost is one pass over the new files only. */
+  private def sinkWriteAuditPublish(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wap")
+    val stage = tmp.resolve("stage").toFile
+    val docs = Tables.tbl(s, d, "documents").filter(col("n_chars") > 0)
+    docs.repartition(4).write.mode("overwrite").parquet(stage.getPath)
+    // the committed write's file list — at scale the commit protocol
+    // returns this; locally we snapshot the directory BEFORE any debris
+    val committed = stage.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.getPath).sorted
+    val staged = s.read.parquet(committed: _*)
+    // audit: count + PK uniqueness, one bounded 1-row aggregate
+    val a = staged.agg(count(lit(1)).as("n"),
+      countDistinct(col("doc_id")).as("nd")).head()
+    val auditOk = a.getLong(0) > 0 && a.getLong(0) == a.getLong(1)
+    // publish: manifest names exactly the audited files
+    val manifest = tmp.resolve("_manifest.json")
+    val body = s"""{"rows":${a.getLong(0)},"audit_pk_ok":$auditOk,"files":[${
+      committed.map(f => "\"" + f + "\"").mkString(",")}]}"""
+    java.nio.file.Files.writeString(manifest, body)
+    // debris lands AFTER the manifest — an uncommitted task's leftover
+    docs.limit(50).coalesce(1).write.mode("overwrite")
+      .parquet(tmp.resolve("orphan").toString)
+    tmp.resolve("orphan").toFile.listFiles()
+      .filter(_.getName.endsWith(".parquet")).take(1).foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          stage.toPath.resolve("part-99999-orphan-uncommitted.parquet"))
+      }
+    // the reader path: resolve the manifest, read ONLY its files
+    val mj = java.nio.file.Files.readString(manifest)
+    val files = "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(mj).map(_.group(1)).toSeq
+    s.read.parquet(files: _*)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
+      .withColumn("audit_pk_ok", lit(auditOk))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_write_audit_publish" -> (sinkWriteAuditPublish _),
     "dq_freshness" -> (dqFreshness _),
     "dq_k_anonymity" -> (dqKAnonymity _),
     "profile_columns" -> (profileColumns _),
@@ -204,6 +256,14 @@ object QualityQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // recomputed from the SOURCE: if directory debris leaked into the
+    // manifest read, counts double and the hash breaks
+    "sink_write_audit_publish" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+        |       TRUE AS audit_pk_ok
+        |FROM documents WHERE n_chars > 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // same integer-µs lag math; // floors like Spark's div on non-negatives
     "dq_freshness" ->
       """WITH per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
