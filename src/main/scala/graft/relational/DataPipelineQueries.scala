@@ -1119,6 +1119,33 @@ object DataPipelineQueries {
     }
   }
 
+  /** Streaming ordered-funnel completion — the funnel STATE MACHINE as
+    * transformWithState ([[graft.streaming.StreamingFunnel]]): a
+    * completion row emits the moment a user's first view→click→purchase
+    * chain closes, with three longs + a flag of state per user (never an
+    * event buffer). Run as a real streaming query under RocksDB; under
+    * the AvailableNow replay the per-user sorted fold is exact, so the
+    * memory sink equals the batch "first minimal chain" oracle (three
+    * chained row_number picks) row-for-row — a full-hash gate. */
+  private def streamFunnel(s: SparkSession, d: String): DataFrame = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey, graft.streaming.StreamingNearDup.RocksDbProvider)
+    try {
+      val src = streamEvents(s, d)
+      val raw = src.select(col("user_id"), col("event_id"), col("event_type"),
+        graft.relational.Tables.tsUsCol(src).as("ts_us"))
+      runMemorySink(graft.streaming.StreamingFunnel.completions(raw),
+        "stream_funnel_", "append")
+        .orderBy(col("user_id"))
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+    }
+  }
+
   /** Streaming corpus vocabulary — the COMPLETE-mode aggregation state
     * pattern (the fourth streaming state shape in the gate, after
     * dedup state, append-mode session windows, and transformWithState):
@@ -2012,6 +2039,7 @@ object DataPipelineQueries {
     "stream_vocab" -> (streamVocab _),
     "stream_window_counts" -> (streamWindowCounts _),
     "stream_anomaly" -> (streamAnomaly _),
+    "stream_funnel" -> (streamFunnel _),
     "stream_enrich" -> (streamEnrich _),
     "stream_stream_join" -> (streamStreamJoin _),
     "scan_bucketed" -> (scanBucketed _),
@@ -2283,6 +2311,39 @@ object DataPipelineQueries {
     // the expanding-window batch recompute IS the streaming result after
     // a single-batch replay: same prefix per event, same rounding ladder
     // (mean/std @6dp -> z from rounded operands @4dp -> flag)
+    // the batch "first minimal chain": first view by (ts, id), first
+    // click strictly after it, first purchase strictly after that —
+    // exactly the state machine's acceptance sequence
+    "stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+        |           FROM events),
+        |v AS (SELECT user_id, ts_us AS view_ts, event_id AS view_id
+        |      FROM (SELECT user_id, ts_us, event_id,
+        |                   row_number() OVER (PARTITION BY user_id
+        |                                      ORDER BY ts_us, event_id) AS rn
+        |            FROM e WHERE event_type = 'view') t WHERE rn = 1),
+        |cq AS (SELECT e.user_id, e.ts_us, e.event_id,
+        |              row_number() OVER (PARTITION BY e.user_id
+        |                                 ORDER BY e.ts_us, e.event_id) AS rn
+        |       FROM e JOIN v USING (user_id)
+        |       WHERE e.event_type = 'click'
+        |         AND (e.ts_us > v.view_ts
+        |              OR (e.ts_us = v.view_ts AND e.event_id > v.view_id))),
+        |c AS (SELECT user_id, ts_us AS click_ts, event_id AS click_id
+        |      FROM cq WHERE rn = 1),
+        |pq AS (SELECT e.user_id, e.ts_us, e.event_id,
+        |              row_number() OVER (PARTITION BY e.user_id
+        |                                 ORDER BY e.ts_us, e.event_id) AS rn
+        |       FROM e JOIN c USING (user_id)
+        |       WHERE e.event_type = 'purchase'
+        |         AND (e.ts_us > c.click_ts
+        |              OR (e.ts_us = c.click_ts AND e.event_id > c.click_id))),
+        |p AS (SELECT user_id, ts_us AS purchase_ts FROM pq WHERE rn = 1)
+        |SELECT v.user_id, v.view_ts AS view_ts_us, c.click_ts AS click_ts_us,
+        |       p.purchase_ts AS purchase_ts_us
+        |FROM v JOIN c USING (user_id) JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "stream_anomaly" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
         |           FROM events WHERE value IS NOT NULL),

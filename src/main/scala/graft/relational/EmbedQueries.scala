@@ -104,6 +104,53 @@ object EmbedQueries {
         (col("label") === col("best.clabel")).as("correct"))
       .orderBy(col("vec_id"))
 
+  // ------------------------------------------------------ semantic dedup
+  /** SEMANTIC near-duplicate pruning, SemDeDup-style (Abbas et al. 2023):
+    * partition the embedding space into cells, then drop any vector with
+    * a MORE-CANONICAL (lower-id) cell-mate above the cosine threshold —
+    * the curation step that removes "same content, different words"
+    * redundancy exact/MinHash dedup can't see. Cells here are the
+    * nearest-centroid assignment [[embedNearestCentroid]] already proves
+    * cross-engine exact (rounded L2 argmin with label tiebreak); within a
+    * cell the pairwise cosine rides the native VecDot kernel, rounded to
+    * 6 dp BEFORE the τ comparison (the dedup_embedding convention).
+    * τ = 0.35 here: the synthetic fixture plants no embedding near-dups
+    * and its pairwise-cosine scale is compressed (within-cell max ≈ .49),
+    * so the production SemDeDup threshold (~0.95) would never fire; 0.35
+    * drops ~13% of vectors and genuinely exercises the keep rule — the
+    * threshold is the operator's tuning parameter, not its semantics.
+    * Keep rule is one-step (a vector survives iff no lower-id neighbor ≥
+    * τ in its cell) — deterministic without a connected-components pass.
+    * Scale: the quadratic is confined per cell; with k ∝ √N centroids
+    * (the real pipeline fits k-means; here cells = the fixture's 10
+    * labels) cell populations stay bounded, the same cap discipline as
+    * Similarity.nearDupPairs' buckets — never an uncapped global
+    * self-join. */
+  private def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val assigned = Tables.embeddings(s, d)
+      .crossJoin(broadcast(centroidVectors(s, d)))
+      .withColumn("d2_r", round(expr(
+        """aggregate(
+          |  zip_with(embedding, cvec,
+          |           (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
+          |  0D, (acc, t) -> acc + t)""".stripMargin), 6))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(min(struct(col("d2_r"), col("clabel"))).as("best"))
+      .select(col("vec_id"), col("best.clabel").as("cell"),
+        col("embedding").cast("array<double>").as("emb"))
+    val hi = assigned.select(col("cell"), col("vec_id"), col("emb").as("e_a"))
+    val lo = assigned.select(col("cell"), col("vec_id").as("id_lo"), col("emb").as("e_b"))
+    val dropped = hi.join(lo, Seq("cell"))
+      .filter(col("id_lo") < col("vec_id"))
+      .filter(round(graft.text.Similarity.cosine("e_a", "e_b"), 6) >= 0.35)
+      .select(col("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        not(coalesce(col("dup"), lit(false))).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   // ------------------------------------------------------- PC1 projection
   /** First-principal-component projection via an INTEGER power method —
     * the dimensionality-reduction step of embedding pipelines (drift
@@ -190,6 +237,7 @@ object EmbedQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic" -> (dedupSemantic _),
     "embed_pca" -> (embedPca _),
     "agg_covariance" -> (aggCovariance _),
     "embed_centroids" -> (embedCentroids _),
@@ -197,6 +245,37 @@ object EmbedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // full replay: the proven nearest-centroid assignment, then per-cell
+    // pairwise cosine rounded@6dp before the τ comparison; a vector is
+    // kept iff no lower-id cell-mate clears τ
+    "dedup_semantic" ->
+      """WITH cent AS (SELECT label AS clabel, g.i,
+        |                     round(avg(CAST(embedding[g.i] AS DOUBLE)), 6) AS m
+        |              FROM embeddings, generate_series(1, 64) g(i)
+        |              GROUP BY label, g.i),
+        |x AS (SELECT vec_id, g.i, CAST(embedding[g.i] AS DOUBLE) AS xi
+        |      FROM embeddings, generate_series(1, 64) g(i)),
+        |dist AS (SELECT x.vec_id, c.clabel,
+        |                round(sum((xi - m) * (xi - m)), 6) AS d2
+        |         FROM x JOIN cent c ON x.i = c.i
+        |         GROUP BY x.vec_id, c.clabel),
+        |cell AS (SELECT vec_id, clabel AS cell
+        |         FROM (SELECT vec_id, clabel,
+        |                      row_number() OVER (PARTITION BY vec_id
+        |                                         ORDER BY d2, clabel) AS rn
+        |               FROM dist) t WHERE rn = 1),
+        |dup AS (SELECT DISTINCT a.vec_id
+        |        FROM cell a
+        |        JOIN cell b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        |        JOIN x xa ON xa.vec_id = a.vec_id
+        |        JOIN x xb ON xb.vec_id = b.vec_id AND xb.i = xa.i
+        |        GROUP BY a.vec_id, b.vec_id
+        |        HAVING round(sum(xa.xi * xb.xi)
+        |                     / (sqrt(sum(xa.xi * xa.xi)) * sqrt(sum(xb.xi * xb.xi))),
+        |                     6) >= 0.35)
+        |SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS kept
+        |FROM cell c LEFT JOIN dup d ON d.vec_id = c.vec_id
+        |ORDER BY c.vec_id""".stripMargin,
     // integer replay of the full chain: same 6-dp covariance rounding,
     // same µ-unit scaling, same truncating division (DuckDB // == Scala /)
     "embed_pca" -> pcaOracleSql,
