@@ -1593,6 +1593,66 @@ object DataPipelineQueries {
     (vocab, merges.toSeq)
   }
 
+  /** The fixed continuation-piece inventory for [[tokenizeWordpiece]] —
+    * real WordPiece vocabularies are trained; here the suffix/bigram
+    * inventory is a pinned literal (the langMarkers convention) and the
+    * FULL-WORD pieces come from the corpus. */
+  private val WpContinuations = Seq(
+    "ing", "tion", "ment", "ness", "ity", "ous", "est", "ble", "ed", "er",
+    "es", "ly", "al", "ic", "or", "ar", "st", "re", "le", "up", "an", "in", "on")
+
+  /** WORDPIECE greedy tokenization (Wu et al. 2016 max-munch): each word
+    * is consumed left-to-right by the LONGEST matching vocabulary piece —
+    * full-word/start pieces at position 0, `##`-continuation pieces after
+    * — the inference-side algorithm of BERT-family tokenizers, complementing the
+    * BPE train/apply pair (BPE merges greedily by pair frequency;
+    * WordPiece matches greedily by piece length). Vocabulary: the corpus
+    * top-10 words (count DESC, token ASC — deterministic) + all 26
+    * letters as start pieces; a pinned continuation inventory + letters
+    * after (letters guarantee totality, so no [UNK] path is reachable).
+    * Plan shape: corpus → DISTINCT-WORD collapse (the BPE-apply bound:
+    * work scales with the lexicon, not the corpus), a bounded 10-row
+    * collect for the vocab, then the greedy scan as a typed
+    * `mapPartitions` over broadcast hash sets — tier (d) of the operator
+    * ladder, chosen deliberately: the per-word max-munch loop is
+    * genuinely imperative (data-dependent advance), and at 100 TB this IS
+    * the production shape — an O(len²) pure-CPU pass over distinct words
+    * with the vocabulary broadcast, no shuffle after the collapse. The
+    * oracle replays it as a recursive CTE with a longest-match
+    * NOT-EXISTS join. */
+  private def tokenizeWordpiece(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, d).select(explode(TextOps.tokens("text")).as("token"))
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(10)
+      .select(col("token")).as[String].collect()
+    val letters = ('a' to 'z').map(_.toString)
+    val startVoc = (top ++ letters).toSet
+    val contVoc = (WpContinuations ++ letters).toSet
+    val (maxS, maxC) = (startVoc.map(_.length).max, contVoc.map(_.length).max)
+    val bcS = s.sparkContext.broadcast(startVoc)
+    val bcC = s.sparkContext.broadcast(contVoc)
+    toks.distinct().as[String].mapPartitions { it =>
+      val (sv, cv) = (bcS.value, bcC.value)
+      it.map { w =>
+        val sb = new StringBuilder
+        var pos = 0
+        var n = 0L
+        while (pos < w.length) {
+          val (voc, cap) = if (pos == 0) (sv, maxS) else (cv, maxC)
+          var l = math.min(cap, w.length - pos)
+          while (l > 1 && !voc.contains(w.substring(pos, pos + l))) l -= 1
+          val piece = w.substring(pos, pos + l) // single letters always match
+          if (pos == 0) sb.append(piece) else sb.append(" ##").append(piece)
+          pos += l
+          n += 1L
+        }
+        (w, sb.toString, n)
+      }
+    }.toDF("word", "wp_tokens", "n_pieces")
+      .orderBy(col("word"))
+  }
+
   /** Apply the trained tokenizer to the whole corpus — the pass that turns
     * a merge list into training-data statistics (token budgets, packing
     * inputs): train (vocab-sized iterations, see [[tokenizeBpeTrain]]),
@@ -2049,6 +2109,7 @@ object DataPipelineQueries {
     "text_heavy_hitters" -> (textHeavyHitters _),
     "tokenize_bpe_train" -> (tokenizeBpeTrain _),
     "tokenize_bpe_apply" -> (tokenizeBpeApply _),
+    "tokenize_wordpiece" -> (tokenizeWordpiece _),
     "sink_partitioned" -> (sinkPartitioned _),
     "similarity_topk" -> (similarityTopK _),
     "similarity_ann" -> (similarityAnn _),
@@ -2384,6 +2445,43 @@ object DataPipelineQueries {
         |ORDER BY p_id, v_id""".stripMargin,
     "tokenize_bpe_train" -> bpeOracleSql(BpeSteps),
     "tokenize_bpe_apply" -> bpeApplyOracleSql(BpeSteps),
+    // greedy max-munch as a recursive CTE: the longest matching piece via
+    // a NOT-EXISTS guard; letters guarantee progress, so recursion is
+    // linear in word length
+    "tokenize_wordpiece" ->
+      """WITH RECURSIVE
+        |alltok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |           FROM documents),
+        |words AS (SELECT DISTINCT token AS word FROM alltok),
+        |topw AS (SELECT token AS piece FROM (
+        |  SELECT token, count(*) AS c FROM alltok GROUP BY token
+        |  ORDER BY c DESC, token LIMIT 10)),
+        |letters AS (SELECT chr(CAST(96 + g.i AS INTEGER)) AS piece
+        |            FROM generate_series(1, 26) g(i)),
+        |vs AS (SELECT DISTINCT piece FROM (
+        |  SELECT piece FROM topw UNION ALL SELECT piece FROM letters)),
+        |vc AS (SELECT DISTINCT piece FROM (
+        |  SELECT unnest(['ing','tion','ment','ness','ity','ous','est','ble','ed','er',
+        |                 'es','ly','al','ic','or','ar','st','re','le','up','an','in','on']) AS piece
+        |  UNION ALL SELECT piece FROM letters)),
+        |vocab AS (SELECT piece, TRUE AS is_start FROM vs
+        |          UNION ALL SELECT piece, FALSE FROM vc),
+        |step AS (
+        |  SELECT word, 0 AS pos, '' AS acc, 0 AS n FROM words
+        |  UNION ALL
+        |  SELECT s.word, s.pos + len(v.piece),
+        |         s.acc || CASE WHEN s.pos = 0 THEN v.piece ELSE ' ##' || v.piece END,
+        |         s.n + 1
+        |  FROM step s
+        |  JOIN vocab v ON v.is_start = (s.pos = 0)
+        |    AND substr(s.word, s.pos + 1, len(v.piece)) = v.piece
+        |  WHERE s.pos < len(s.word)
+        |    AND NOT EXISTS (SELECT 1 FROM vocab v2
+        |                    WHERE v2.is_start = (s.pos = 0)
+        |                      AND len(v2.piece) > len(v.piece)
+        |                      AND substr(s.word, s.pos + 1, len(v2.piece)) = v2.piece))
+        |SELECT word, acc AS wp_tokens, CAST(n AS BIGINT) AS n_pieces
+        |FROM step WHERE pos = len(word) ORDER BY word""".stripMargin,
     // one partition of the round-trip, value-exact
     "sink_partitioned" ->
       """SELECT doc_id, lang, n_chars

@@ -104,6 +104,30 @@ object EmbedQueries {
         (col("label") === col("best.clabel")).as("correct"))
       .orderBy(col("vec_id"))
 
+  // -------------------------------------------------------- standardization
+  /** Per-dimension STANDARDIZATION (diagonal whitening) — the
+    * preprocessing twin of the full-covariance path: z = (x − μᵢ)/σᵢ per
+    * dimension, the step that equalizes feature scales before distance
+    * math (full whitening needs the inverse covariance square root,
+    * which has no cross-engine-exact formulation; the diagonal is exact
+    * under the rounding ladder: μ/σ rounded@6dp, z from the ROUNDED
+    * operands, rounded@6dp, −0-normalized). Long-form output like
+    * embed_centroids. Plan: posexplode pipelined into a combinable
+    * d-row stats aggregate, broadcast back — one shuffle of d partial
+    * rows per map task, never n·d. */
+  private def embedStandardize(s: SparkSession, d: String): DataFrame = {
+    val long = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
+    val stats = long.groupBy(col("i"))
+      .agg(round(avg(col("x")), 6).as("mu_r"),
+        round(stddev_samp(col("x")), 6).as("sd_r"))
+    long.join(broadcast(stats), Seq("i"))
+      .select(col("vec_id"), col("i").cast("long").as("i"),
+        (round((col("x") - col("mu_r")) / col("sd_r"), 6) + lit(0.0)).as("z_r"))
+      .orderBy(col("vec_id"), col("i"))
+  }
+
   // ------------------------------------------------------ semantic dedup
   /** SEMANTIC near-duplicate pruning, SemDeDup-style (Abbas et al. 2023):
     * partition the embedding space into cells, then drop any vector with
@@ -237,6 +261,7 @@ object EmbedQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_standardize" -> (embedStandardize _),
     "dedup_semantic" -> (dedupSemantic _),
     "embed_pca" -> (embedPca _),
     "agg_covariance" -> (aggCovariance _),
@@ -245,6 +270,19 @@ object EmbedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // same ladder: μ/σ@6dp from the raw per-dim population, z from the
+    // rounded operands, @6dp, −0-normalized
+    "embed_standardize" ->
+      """WITH long AS (SELECT vec_id, g.i - 1 AS i,
+        |                     CAST(embedding[g.i] AS DOUBLE) AS x
+        |              FROM embeddings, generate_series(1, 64) g(i)),
+        |st AS (SELECT i, round(avg(x), 6) AS mu_r,
+        |              round(stddev_samp(x), 6) AS sd_r
+        |       FROM long GROUP BY i)
+        |SELECT l.vec_id, CAST(l.i AS BIGINT) AS i,
+        |       round((l.x - st.mu_r) / st.sd_r, 6) + 0 AS z_r
+        |FROM long l JOIN st ON l.i = st.i
+        |ORDER BY l.vec_id, l.i""".stripMargin,
     // full replay: the proven nearest-centroid assignment, then per-cell
     // pairwise cosine rounded@6dp before the τ comparison; a vector is
     // kept iff no lower-id cell-mate clears τ

@@ -807,7 +807,49 @@ object SeriesQueries {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** PERIODOGRAM of the hourly event-rate series — frequency-domain
+    * seasonality detection (the spectral complement of ts_peak_hours'
+    * time-domain profile and the analytics cousin of
+    * multimodal_audio_fft, whose trig-parity discipline this reuses):
+    * per type, DFT magnitudes at harmonics k = 1..12 of the full
+    * observed span, peak bin flagged. The series is the per-(type, hour)
+    * count ZERO-FILLED on the global hour grid (a missed hour is a real
+    * zero — the agg_corr lesson), so the spectrum sees gaps honestly.
+    * Parity ladder: counts are exact integers; cos/sin arguments are the
+    * identical left-associated expression in both engines (2π exact, one
+    * correctly-rounded cos); Re/Im sums rounded@4dp (fp order noise
+    * ~1e-10 vs values ~1e2), magnitude from the ROUNDED pair @2dp, peak
+    * ranked on the rounded magnitude with ties to the lower harmonic.
+    * Plan: one combinable count, a |types|×T grid join, one combinable
+    * trig-sum aggregate — the O(T·K) direct DFT is the right shape when
+    * K is a fixed report size (an FFT saves nothing at K=12). */
+  private def tsPeriodogram(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.eventsTsUs(s, d)
+      .select(col("event_type"), expr("ts_us div 3600000000").as("bucket"))
+      .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val mm = counts.agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1")).head()
+    val (b0, b1) = (mm.getLong(0), mm.getLong(1))
+    val tlen = (b1 - b0 + 1).toDouble
+    val series = counts.select(col("event_type")).distinct()
+      .crossJoin(s.range(b0, b1 + 1).toDF("bucket"))
+      .join(counts, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), (col("bucket") - b0).cast("double").as("t"),
+        coalesce(col("cnt"), lit(0L)).cast("double").as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("mag_r").desc, col("k"))
+    series.crossJoin(broadcast(s.range(1, 13).toDF("k")))
+      .withColumn("ang", lit(2d * math.Pi) * col("k") * col("t") / lit(tlen))
+      .groupBy(col("event_type"), col("k"))
+      .agg(round(sum(col("c") * cos(col("ang"))), 4).as("re_r"),
+        round(sum(col("c") * sin(col("ang"))), 4).as("im_r"))
+      .withColumn("mag_r",
+        round(sqrt(col("re_r") * col("re_r") + col("im_r") * col("im_r")), 2))
+      .withColumn("is_peak", row_number().over(w) === 1)
+      .select(col("event_type"), col("k"), col("mag_r"), col("is_peak"))
+      .orderBy(col("event_type"), col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_periodogram" -> (tsPeriodogram _),
     "ts_anomaly_zscore" -> (tsAnomalyZscore _),
     "ts_ohlc" -> (tsOhlc _),
     "ts_ewma" -> (tsEwma _),
@@ -836,6 +878,35 @@ object SeriesQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // identical left-associated trig argument, Re/Im@4dp, magnitude from
+    // the rounded pair @2dp, peak ranked on the rounded magnitude
+    "ts_periodogram" ->
+      """WITH e AS (SELECT event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket
+        |           FROM events),
+        |c AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM e GROUP BY 1, 2),
+        |mm AS (SELECT min(bucket) AS b0, max(bucket) AS b1 FROM c),
+        |grid AS (SELECT unnest(generate_series(b0, b1)) AS b, b0, b1 FROM mm),
+        |s AS (SELECT t.event_type, CAST(g.b - g.b0 AS DOUBLE) AS t,
+        |             CAST(coalesce(cc.cnt, 0) AS DOUBLE) AS cv,
+        |             CAST(g.b1 - g.b0 + 1 AS DOUBLE) AS tlen
+        |      FROM (SELECT DISTINCT event_type FROM c) t
+        |      CROSS JOIN grid g
+        |      LEFT JOIN c cc ON cc.event_type = t.event_type AND cc.bucket = g.b),
+        |f AS (SELECT event_type, k.k AS k,
+        |             round(sum(cv * cos(2 * pi() * k.k * t / tlen)), 4) AS re_r,
+        |             round(sum(cv * sin(2 * pi() * k.k * t / tlen)), 4) AS im_r
+        |      FROM s CROSS JOIN generate_series(1, 12) k(k)
+        |      GROUP BY event_type, k.k),
+        |m AS (SELECT event_type, k,
+        |             round(sqrt(re_r * re_r + im_r * im_r), 2) AS mag_r FROM f),
+        |p AS (SELECT event_type, k, mag_r,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY mag_r DESC, k) AS rn
+        |      FROM m)
+        |SELECT event_type, k, mag_r, (rn = 1) AS is_peak
+        |FROM p ORDER BY event_type, k""".stripMargin,
     // exact-decimal hourly means feed a recursive-CTE replay of the SAME
     // recurrence with the same operation order — the unrounded state is
     // bit-identical, every emitted value rounded only at the edge
