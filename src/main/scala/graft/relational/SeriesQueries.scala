@@ -493,6 +493,51 @@ object SeriesQueries {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Energy-gated VOICE-ACTIVITY segments — the silence-trimming step an
+    * audio dataset pipeline runs before ASR/feature extraction (and the
+    * third member of the audio family: RMS energy → spectral FFT → VAD):
+    * frames whose rounded RMS clears a fixed energy gate are ACTIVE, and
+    * maximal runs of consecutive active frames become `[start, end)`
+    * segments via the same two-row_number gaps-and-islands identity as
+    * window_streaks (frame_idx − per-doc active rank is run-constant).
+    * The gate (25400) sits at the fixture's RMS median so both branches
+    * are genuinely exercised; the comparison reads the 6-dp-ROUNDED rms
+    * the rms operator already proves hash-equal, so the active set is
+    * cross-engine exact by construction. Plan: the frame explode is
+    * map-only, then ONE doc-partitioned window + one combinable agg —
+    * per-doc work is frame-count-bounded, embarrassingly parallel across
+    * docs at any corpus size. */
+  private def multimodalAudioVad(s: SparkSession, d: String): DataFrame = {
+    import graft.text.Multimodal
+    val frames = Multimodal.asBinaryTable(docsT(s, d))
+      .withColumn("n_frames",
+        (octet_length(col("payload")) / lit(2 * AudioFrameSamples)).cast("long"))
+      .filter(col("n_frames") > 0)
+      .withColumn("frame_idx", explode(expr("sequence(0L, n_frames - 1)")))
+      .withColumn("hexf", expr(
+        s"hex(substring(payload, cast(frame_idx * ${2 * AudioFrameSamples} + 1 as int), ${2 * AudioFrameSamples}))"))
+      .withColumn("samples", expr(
+        s"""transform(sequence(0, ${AudioFrameSamples - 1}), i ->
+           |  cast(conv(substr(hexf, 4 * i + 1, 2), 16, 10) as int)
+           |  + 256 * cast(conv(substr(hexf, 4 * i + 3, 2), 16, 10) as int))"""
+          .stripMargin))
+      .withColumn("signed", expr("transform(samples, v -> IF(v >= 32768, v - 65536, v))"))
+      .select(col("doc_id"), col("frame_idx"),
+        round(sqrt(expr(
+          s"aggregate(signed, 0D, (a, x) -> a + cast(x as double) * cast(x as double)) / ${AudioFrameSamples}.0")), 6)
+          .as("rms"))
+      .filter(col("rms") > 25400.0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("grp", col("frame_idx") - (row_number().over(w) - 1))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("frame_idx")).as("seg_start"),
+        (max(col("frame_idx")) + 1L).as("seg_end"),
+        count(lit(1)).as("n_active"))
+      .select(col("doc_id"), col("seg_start"), col("seg_end"), col("n_active"))
+      .orderBy(col("doc_id"), col("seg_start"))
+  }
+
   // ------------------------------------------------------------ rolling median
   /** Rolling MEDIAN smoother per user (trailing 11-row frame) — the
     * robust counterpart to ts_ewma: a single outlier shifts a mean by
@@ -850,6 +895,7 @@ object SeriesQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_periodogram" -> (tsPeriodogram _),
+    "multimodal_audio_vad" -> (multimodalAudioVad _),
     "ts_anomaly_zscore" -> (tsAnomalyZscore _),
     "ts_ohlc" -> (tsOhlc _),
     "ts_ewma" -> (tsEwma _),
@@ -878,6 +924,34 @@ object SeriesQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the active set reads the SAME rounded rms the rms oracle proves
+    // equal; islands via the identical two-row_number identity
+    "multimodal_audio_vad" ->
+      """WITH d AS (SELECT doc_id, text, length(text) // 320 AS n_frames FROM documents),
+        |fr AS (SELECT doc_id, n_frames, unnest(range(0, n_frames)) AS frame_idx
+        |       FROM d WHERE n_frames > 0),
+        |s AS (SELECT f.doc_id, f.frame_idx,
+        |        list_transform(range(0, 160), i ->
+        |          CASE WHEN ascii(substr(d.text, CAST(f.frame_idx * 320 + 2 * i + 1 AS INTEGER), 1))
+        |                    + 256 * ascii(substr(d.text, CAST(f.frame_idx * 320 + 2 * i + 2 AS INTEGER), 1)) >= 32768
+        |               THEN ascii(substr(d.text, CAST(f.frame_idx * 320 + 2 * i + 1 AS INTEGER), 1))
+        |                    + 256 * ascii(substr(d.text, CAST(f.frame_idx * 320 + 2 * i + 2 AS INTEGER), 1)) - 65536
+        |               ELSE ascii(substr(d.text, CAST(f.frame_idx * 320 + 2 * i + 1 AS INTEGER), 1))
+        |                    + 256 * ascii(substr(d.text, CAST(f.frame_idx * 320 + 2 * i + 2 AS INTEGER), 1))
+        |          END) AS samples
+        |      FROM fr f JOIN d ON f.doc_id = d.doc_id),
+        |r AS (SELECT doc_id, frame_idx,
+        |             round(sqrt(list_sum(list_transform(samples, x -> CAST(x * x AS DOUBLE))) / 160.0), 6) AS rms
+        |      FROM s),
+        |a AS (SELECT doc_id, frame_idx FROM r WHERE rms > 25400),
+        |i AS (SELECT doc_id, frame_idx,
+        |             frame_idx - (row_number() OVER (PARTITION BY doc_id
+        |                                             ORDER BY frame_idx) - 1) AS grp
+        |      FROM a)
+        |SELECT doc_id, CAST(min(frame_idx) AS BIGINT) AS seg_start,
+        |       CAST(max(frame_idx) + 1 AS BIGINT) AS seg_end,
+        |       CAST(count(*) AS BIGINT) AS n_active
+        |FROM i GROUP BY doc_id, grp ORDER BY doc_id, seg_start""".stripMargin,
     // identical left-associated trig argument, Re/Im@4dp, magnitude from
     // the rounded pair @2dp, peak ranked on the rounded magnitude
     "ts_periodogram" ->

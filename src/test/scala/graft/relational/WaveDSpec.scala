@@ -55,6 +55,29 @@ class WaveDSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal_audio_vad: segments are maximal, disjoint, length-consistent; gate splits frames") {
+    val rows = SeriesQueries.queries("multimodal_audio_vad")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var totalActive = 0L
+    rows.groupBy(_.getLong(0)).foreach { case (doc, segs) =>
+      val sorted = segs.sortBy(_.getLong(1))
+      sorted.foreach { r =>
+        assert(r.getLong(2) > r.getLong(1), s"doc $doc: empty segment")
+        assert(r.getLong(3) === r.getLong(2) - r.getLong(1), "runs are dense")
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(1) > a.getLong(2),
+            s"doc $doc: adjacent segments must have merged (maximality)")
+        case _ =>
+      }
+      totalActive += sorted.map(_.getLong(3)).sum
+    }
+    // the energy gate genuinely splits: some frames of the corpus are inactive
+    val totalFrames = SeriesQueries.queries("multimodal_audio_rms")(spark, sf).count()
+    assert(totalActive > 0 && totalActive < totalFrames)
+  }
+
   test("ts_periodogram: 12 harmonics per type, exactly one peak, and the peak is the max") {
     val rows = SeriesQueries.queries("ts_periodogram")(spark, sf).collect()
     val byType = rows.groupBy(_.getString(0))
