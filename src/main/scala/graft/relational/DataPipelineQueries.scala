@@ -1859,10 +1859,18 @@ object DataPipelineQueries {
     * integer arithmetic — no fp parity risk in the oracle. */
   private def textLangIdNgram(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select(col("doc_id"), col("lang"), TextOps.normalized("text").as("norm"))
-    val tris = base.select(col("doc_id"), col("lang"),
-      explode(when(length(col("norm")) >= 3,
-          expr("transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))"))
-        .otherwise(array())).as("tri"))
+    // position-explode + a PLAIN substring keeps the whole trigram fan-out
+    // inside whole-stage codegen (the earlier `transform(..., substring)`
+    // HOF was CodegenFallback — interpreted per trigram); the frame feeds
+    // BOTH the profile build and the scoring join, so persist it once
+    // instead of paying the explode twice (the graphKhop edge discipline)
+    val tris = base
+      .filter(length(col("norm")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("sequence(1, length(norm) - 2)")).as("i"), col("norm"))
+      .select(col("doc_id"), col("lang"),
+        expr("substring(norm, i, 3)").as("tri"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val profile = tris.groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("n"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tri"))))
@@ -1874,12 +1882,15 @@ object DataPipelineQueries {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("cand_lang"))))
       .filter(col("rn") === 1)
-    base.select(col("doc_id"), col("lang"))
+    val out = base.select(col("doc_id"), col("lang"))
       .join(best.select(col("doc_id"), col("cand_lang"), col("hits")), Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang").as("tagged_lang"),
         coalesce(col("cand_lang"), lit("und")).as("pred_lang"),
         coalesce(col("hits"), lit(0L)).as("profile_hits"))
       .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    tris.unpersist()
+    out
   }
 
   /** Corpus-trained character-bigram LM quality score — the LM-perplexity
