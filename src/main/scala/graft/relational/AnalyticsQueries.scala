@@ -1032,15 +1032,21 @@ object AnalyticsQueries {
     val toks = Tables.tbl(s, d, "documents")
       .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("l"))
       .filter(size(col("l")) >= gram)
-    val g2 = toks.select(col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, size(l) - $gram), i -> md5(array_join(slice(l, i + 1, $gram), ' ')))"))
-        .as(Seq("pos", "gram")))
+    // position-explode + plain md5/array_join/slice expressions stay in
+    // whole-stage codegen (the earlier transform(..., md5(...)) HOF was
+    // CodegenFallback — interpreted per gram), and the gram frame feeds
+    // BOTH the duplicate-gram build and the semi-join side, so persist it
+    // once instead of hashing every gram twice
+    val g2 = toks
+      .select(col("doc_id"), explode(expr(s"sequence(0, size(l) - $gram)")).as("pos"), col("l"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"md5(array_join(slice(l, pos + 1, $gram), ' '))").as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = g2.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1).select(col("gram"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    g2.join(dup, Seq("gram"), "left_semi")
+    val out = g2.join(dup, Seq("gram"), "left_semi")
       .withColumn("grp", col("pos") - (row_number().over(w) - 1))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).cast("long").as("span_start"),
@@ -1048,6 +1054,9 @@ object AnalyticsQueries {
         count(lit(1)).as("n_grams"))
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
       .orderBy(col("doc_id"), col("span_start"))
+      .localCheckpoint(true)
+    g2.unpersist()
+    out
   }
 
   /** TEMPERATURE-RESCALED language mixing (α = 0.5) — the multilingual
