@@ -2092,8 +2092,69 @@ object DataPipelineQueries {
         md5(expr("substring(payload, cast(frame_idx * 16 + 1 as int), 16)")).as("frame_md5"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** IMAGE near-duplicate detection via a PERCEPTUAL gradient hash
+    * (dHash) computed through the REAL codec: deterministic 8×8 grayscale
+    * PNGs (md5-derived pixels — the syntheticBmp ramp would make every
+    * gradient bit 1 and the hash degenerate; every 50th doc is a PLANTED
+    * near-dup of its predecessor with three +128-perturbed left-edge
+    * pixels, so planted pairs land at Hamming 0-3, not only 0) are
+    * encoded and decoded with `javax.imageio`, the 56-bit row-gradient
+    * hash (bit set iff right pixel > left) is taken from the DECODED
+    * raster — so a codec fault IS a hash break — and pairs within
+    * Hamming ≤ 3 surface via 4×14-bit SimHash-style banding (pigeonhole:
+    * ≤3 differing bits ⇒ some band matches exactly), never an all-pairs
+    * scan. Each perturbed x=0 pixel can flip only its own bit(0,y), so
+    * every planted pair must surface; md5-random hashes make chance
+    * ≤3-bit collisions vanishingly rare. 100-TB shape: hashing is a
+    * map-only decode pass co-located with the bytes; the only shuffle
+    * keys on (band, value) with bounded buckets — the dedup_simhash
+    * discipline applied to pixels. */
+  private def dedupImagePhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = docs(s, d).select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val mdig = java.security.MessageDigest.getInstance("MD5")
+      def pix(key: Long, x: Int, y: Int): Int =
+        mdig.digest(s"$key:$y:$x".getBytes("UTF-8"))(0) & 0xff
+      it.map { id =>
+        val planted = id % 50 == 0 && id > 0
+        val key = if (planted) id - 1 else id
+        val px = Array.tabulate(8, 8) { (y, x) =>
+          val base = pix(key, x, y)
+          if (planted && x == 0 && y <= 2) (base + 128) % 256 else base
+        }
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(Multimodal.pngFromPixels(px)))
+        var h = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 7) {
+            if ((img.getRGB(x + 1, y) & 0xff) > (img.getRGB(x, y) & 0xff))
+              h |= 1L << (y * 7 + x)
+            x += 1
+          }
+          y += 1
+        }
+        (id, h)
+      }
+    }.toDF("doc_id", "h")
+    val bands = hashes.select(col("doc_id"), col("h"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("bv", expr("shiftright(h, b * 14) & 16383"))
+    val a = bands.select(col("b"), col("bv"), col("doc_id").as("id_a"), col("h").as("h_a"))
+    val bb = bands.select(col("b"), col("bv"), col("doc_id").as("id_b"), col("h").as("h_b"))
+    a.join(bb, Seq("b", "bv")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("cast(bit_count(h_a ^ h_b) as bigint)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------------------------ wiring
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_image_phash" -> (dedupImagePhash _),
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental" -> (dedupIncremental _),
     "text_line_dedup" -> (textLineDedup _),
@@ -2456,6 +2517,42 @@ object DataPipelineQueries {
         |ORDER BY p_id, v_id""".stripMargin,
     "tokenize_bpe_train" -> bpeOracleSql(BpeSteps),
     "tokenize_bpe_apply" -> bpeApplyOracleSql(BpeSteps),
+    // closed-form replay of the whole chain: md5 pixels (PNG is lossless,
+    // so decoded == generated), 56 gradient bits, 4×14-bit bands,
+    // bit_count(xor) verify — same hex-parse idiom as the simhash oracle
+    "dedup_image_phash" ->
+      """WITH k AS (SELECT doc_id,
+        |                  CASE WHEN doc_id % 50 = 0 AND doc_id > 0
+        |                       THEN doc_id - 1 ELSE doc_id END AS key,
+        |                  (doc_id % 50 = 0 AND doc_id > 0) AS planted
+        |           FROM documents),
+        |px AS (SELECT doc_id, x.x, y.y,
+        |         CASE WHEN planted AND x.x = 0 AND y.y <= 2
+        |              THEN (('0x' || substr(md5(CAST(key AS VARCHAR) || ':' ||
+        |                       CAST(y.y AS VARCHAR) || ':' || CAST(x.x AS VARCHAR)), 1, 2))::INTEGER
+        |                    + 128) % 256
+        |              ELSE ('0x' || substr(md5(CAST(key AS VARCHAR) || ':' ||
+        |                       CAST(y.y AS VARCHAR) || ':' || CAST(x.x AS VARCHAR)), 1, 2))::INTEGER
+        |         END AS v
+        |       FROM k, generate_series(0, 7) x(x), generate_series(0, 7) y(y)),
+        |bits AS (SELECT l.doc_id, l.y * 7 + l.x AS b
+        |         FROM px l JOIN px r ON r.doc_id = l.doc_id AND r.y = l.y
+        |                            AND r.x = l.x + 1
+        |         WHERE l.x <= 6 AND r.v > l.v),
+        |hash AS (SELECT k.doc_id,
+        |                coalesce(sum(CASE WHEN b IS NULL THEN 0::HUGEINT
+        |                                  ELSE 1::HUGEINT << b END), 0)::BIGINT AS h
+        |         FROM k LEFT JOIN bits ON bits.doc_id = k.doc_id
+        |         GROUP BY k.doc_id),
+        |bands AS (SELECT doc_id, h, g.b, (h >> (g.b * 14)) & 16383 AS bv
+        |          FROM hash, generate_series(0, 3) g(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |                a.h AS h_a, b.h AS h_b
+        |         FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+        |                                  AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // greedy max-munch as a recursive CTE: the longest matching piece via
     // a NOT-EXISTS guard; letters guarantee progress, so recursion is
     // linear in word length

@@ -133,6 +133,34 @@ object Multimodal {
     bos.toByteArray()
   }
 
+  /** Grayscale PNG from an explicit pixel grid (`pixels(y)(x)` ∈ 0..255,
+    * every channel set to the gray value) through the JDK's own encoder —
+    * the generator behind the perceptual-hash query, whose pixel field is
+    * md5-derived so the gradient hash is non-degenerate (the
+    * [[syntheticBmp]] ramp makes every dHash bit 1). PNG is lossless, so
+    * the decoded raster equals the grid exactly and a closed-form oracle
+    * applies. */
+  def pngFromPixels(pixels: Array[Array[Int]]): Array[Byte] = {
+    val h = pixels.length
+    val w = pixels(0).length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = pixels(y)(x)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer")
+    bos.toByteArray()
+  }
+
   /** REAL decode: `javax.imageio.ImageIO.read` over the payload bytes.
     * `mean_pixel` averages ALL channel samples (R+G+B over 3·n pixels), so
     * on a grayscale image it equals the mean gray value. Fails loudly on
