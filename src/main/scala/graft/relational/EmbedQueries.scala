@@ -162,6 +162,9 @@ object EmbedQueries {
       .agg(min(struct(col("d2_r"), col("clabel"))).as("best"))
       .select(col("vec_id"), col("best.clabel").as("cell"),
         col("embedding").cast("array<double>").as("emb"))
+      // three consumers below (both self-join sides + the base output):
+      // persist so the broadcast-argmin assignment runs once, not 3×
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hi = assigned.select(col("cell"), col("vec_id"), col("emb").as("e_a"))
     val lo = assigned.select(col("cell"), col("vec_id").as("id_lo"), col("emb").as("e_b"))
     val dropped = hi.join(lo, Seq("cell"))
@@ -169,10 +172,13 @@ object EmbedQueries {
       .filter(round(graft.text.Similarity.cosine("e_a", "e_b"), 6) >= 0.35)
       .select(col("vec_id")).distinct()
       .withColumn("dup", lit(true))
-    assigned.join(dropped, Seq("vec_id"), "left")
+    val out = assigned.join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         not(coalesce(col("dup"), lit(false))).as("kept"))
       .orderBy(col("vec_id"))
+      .localCheckpoint(true)
+    assigned.unpersist()
+    out
   }
 
   // ------------------------------------------------------- PC1 projection
