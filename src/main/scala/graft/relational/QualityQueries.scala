@@ -246,7 +246,61 @@ object QualityQueries {
       .orderBy(col("lang"))
   }
 
+  /** ENCRYPTED-AT-REST parquet sink — Parquet MODULAR ENCRYPTION through
+    * Spark's own hook (`parquet.crypto.factory.class` →
+    * PropertiesDrivenCryptoFactory, keys served by
+    * [[graft.sources.ConfKeyringKms]], local AES-GCM key wrapping so the
+    * KMS is never hit per file): the footer is encrypted under one master
+    * key and the sensitive `text` column under another, which is the
+    * column-granular governance posture (an analyst keyed for metadata
+    * cannot read the payload column). Two verdicts ride the output row:
+    * `footer_encrypted` reads the file's trailing MAGIC directly — an
+    * encrypted-footer parquet ends in `PARE`, plaintext in `PAR1`, so the
+    * at-rest claim is checked against the BYTES, not the API — and the
+    * per-lang aggregate over the decrypted `text` column proves the
+    * round trip (the oracle recomputes it from the source, so a decrypt
+    * corruption is a hash mismatch). Encryption is pure per-file CPU —
+    * no plan change, no extra shuffle, scale-free. */
+  private def sinkParquetEncrypted(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_enc")
+    val out = tmp.resolve("docs_enc").toString
+    val hc = s.sparkContext.hadoopConfiguration
+    val confKeys = Seq("parquet.crypto.factory.class",
+      "parquet.encryption.kms.client.class", "parquet.encryption.key.list")
+    val prev = confKeys.map(k => k -> Option(hc.get(k)))
+    try {
+      hc.set("parquet.crypto.factory.class",
+        "org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory")
+      hc.set("parquet.encryption.kms.client.class", "graft.sources.ConfKeyringKms")
+      hc.set("parquet.encryption.key.list",
+        "kf:AAECAwQFBgcICQoLDA0ODw==, kc:EBESExQVFhcYGRobHB0eHw==")
+      Tables.tbl(s, d, "documents")
+        .write.mode("overwrite")
+        .option("parquet.encryption.footer.key", "kf")
+        .option("parquet.encryption.column.keys", "kc:text")
+        .parquet(out)
+      val part = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+      val raf = new java.io.RandomAccessFile(part, "r")
+      val magic = try {
+        raf.seek(part.length() - 4)
+        val b = new Array[Byte](4); raf.readFully(b); new String(b, "US-ASCII")
+      } finally raf.close()
+      s.read.parquet(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_text_chars"))
+        .withColumn("footer_encrypted", lit(magic == "PARE"))
+        .orderBy(col("lang"))
+        .localCheckpoint(true)
+    } finally prev.foreach {
+      case (k, Some(v)) => hc.set(k, v)
+      case (k, None) => hc.unset(k)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_parquet_encrypted" -> (sinkParquetEncrypted _),
     "sink_write_audit_publish" -> (sinkWriteAuditPublish _),
     "dq_freshness" -> (dqFreshness _),
     "dq_k_anonymity" -> (dqKAnonymity _),
@@ -256,6 +310,13 @@ object QualityQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // recomputed from SOURCE: a decrypt corruption in the round trip (or
+    // an unencrypted footer) breaks the hash via the verdict column
+    "sink_parquet_encrypted" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_text_chars,
+        |       TRUE AS footer_encrypted
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // recomputed from the SOURCE: if directory debris leaked into the
     // manifest read, counts double and the hash breaks
     "sink_write_audit_publish" ->
