@@ -299,7 +299,40 @@ object QualityQueries {
     }
   }
 
+  /** IN-FLIGHT observability — Spark's `Observation` API: QC counters
+    * (row count, char mass, empty-doc count, null-lang count) are
+    * attached to the MAIN corpus pass with `df.observe(...)` and
+    * harvested from the driver-side accumulator after the action — ZERO
+    * extra scans, which is the whole point at 100 TB (a separate QC query
+    * would re-read the corpus; here the counters ride the pass the
+    * pipeline already runs — the per-lang aggregate a mixing step needs).
+    * The oracle recomputes every observed value from the source, so a
+    * dropped-row or double-count in the observation path is a hash
+    * mismatch. The observed metrics come back as ONE result row joined
+    * (broadcast, literally one row) onto the per-lang output. */
+  private def observeMetrics(s: SparkSession, d: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation("corpus_qc")
+    val observed = Tables.tbl(s, d, "documents")
+      .observe(obs,
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        count(when(length(col("text")) === 0, 1)).as("n_empty"),
+        count(when(col("lang").isNull, 1)).as("n_null_lang"))
+    // the action that both produces the pipeline output AND populates the
+    // observation: one corpus pass, |langs| rows back
+    val perLang = observed.groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+    val m = obs.get
+    import s.implicits._
+    perLang.map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("lang", "n")
+      .withColumn("n_docs", lit(m("n_docs").asInstanceOf[Long]))
+      .withColumn("total_chars", lit(m("total_chars").asInstanceOf[Long]))
+      .withColumn("n_empty", lit(m("n_empty").asInstanceOf[Long]))
+      .withColumn("n_null_lang", lit(m("n_null_lang").asInstanceOf[Long]))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "observe_metrics" -> (observeMetrics _),
     "sink_parquet_encrypted" -> (sinkParquetEncrypted _),
     "sink_write_audit_publish" -> (sinkWriteAuditPublish _),
     "dq_freshness" -> (dqFreshness _),
@@ -310,6 +343,19 @@ object QualityQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // every observed counter recomputed from the source alongside the
+    // per-lang output the pass produced
+    "observe_metrics" ->
+      """WITH g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |                  CAST(count(CASE WHEN length(text) = 0 THEN 1 END) AS BIGINT) AS n_empty,
+        |                  CAST(count(CASE WHEN lang IS NULL THEN 1 END) AS BIGINT) AS n_null_lang
+        |           FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |       g.n_docs, g.total_chars, g.n_empty, g.n_null_lang
+        |FROM documents CROSS JOIN g
+        |GROUP BY lang, g.n_docs, g.total_chars, g.n_empty, g.n_null_lang
+        |ORDER BY lang""".stripMargin,
     // recomputed from SOURCE: a decrypt corruption in the round trip (or
     // an unencrypted footer) breaks the hash via the verdict column
     "sink_parquet_encrypted" ->

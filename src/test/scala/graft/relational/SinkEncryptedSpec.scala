@@ -56,6 +56,21 @@ class SinkEncryptedSpec extends AnyFunSuite {
     }
   }
 
+  test("observe_metrics: in-flight counters equal an independent recompute") {
+    val rows = QualityQueries.queries("observe_metrics")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.tbl(spark, sf, "documents").collect()
+    val nDocs = docs.length.toLong
+    val totalChars = docs.map(_.getAs[Long]("n_chars")).sum
+    rows.foreach { r =>
+      assert(r.getLong(2) === nDocs)
+      assert(r.getLong(3) === totalChars)
+      assert(r.getLong(4) === docs.count(d => d.getAs[String]("text").isEmpty).toLong)
+      assert(r.getLong(5) === docs.count(_.getAs[String]("lang") == null).toLong)
+    }
+    assert(rows.map(_.getLong(1)).sum === nDocs, "per-lang counts partition the corpus")
+  }
+
   test("sink_parquet_encrypted: verdict true and per-lang aggregate equals the source") {
     val rows = QualityQueries.queries("sink_parquet_encrypted")(spark, sf).collect()
     assert(rows.nonEmpty)
