@@ -509,23 +509,28 @@ object SeriesQueries {
     * docs at any corpus size. */
   private def multimodalAudioVad(s: SparkSession, d: String): DataFrame = {
     import graft.text.Multimodal
+    // sample-explode with PLAIN hex/conv expressions + a map-side-
+    // combinable integer sum-of-squares, instead of the rms twin's
+    // transform(...)+aggregate HOFs: HOFs are CodegenFallback and the
+    // filter on the derived rms re-evaluates the whole interpreted chain
+    // per row (measured 13× the rms op's cost); the per-frame Σx² is an
+    // exact ≤2⁴² integer, so the aggregated sum is bit-equal to the
+    // sequential fold and the rounded rms — and the oracle — are unchanged
     val frames = Multimodal.asBinaryTable(docsT(s, d))
       .withColumn("n_frames",
         (octet_length(col("payload")) / lit(2 * AudioFrameSamples)).cast("long"))
       .filter(col("n_frames") > 0)
       .withColumn("frame_idx", explode(expr("sequence(0L, n_frames - 1)")))
-      .withColumn("hexf", expr(
-        s"hex(substring(payload, cast(frame_idx * ${2 * AudioFrameSamples} + 1 as int), ${2 * AudioFrameSamples}))"))
-      .withColumn("samples", expr(
-        s"""transform(sequence(0, ${AudioFrameSamples - 1}), i ->
-           |  cast(conv(substr(hexf, 4 * i + 1, 2), 16, 10) as int)
-           |  + 256 * cast(conv(substr(hexf, 4 * i + 3, 2), 16, 10) as int))"""
+      .withColumn("i", explode(expr(s"sequence(0, ${AudioFrameSamples - 1})")))
+      .withColumn("u", expr(
+        s"""cast(conv(hex(substring(payload, cast(frame_idx * ${2 * AudioFrameSamples} + 2 * i + 1 as int), 1)), 16, 10) as long)
+           | + 256 * cast(conv(hex(substring(payload, cast(frame_idx * ${2 * AudioFrameSamples} + 2 * i + 2 as int), 1)), 16, 10) as long)"""
           .stripMargin))
-      .withColumn("signed", expr("transform(samples, v -> IF(v >= 32768, v - 65536, v))"))
+      .withColumn("sv", expr("IF(u >= 32768, u - 65536, u)"))
+      .groupBy(col("doc_id"), col("frame_idx"))
+      .agg(sum(col("sv") * col("sv")).as("ssq"))
       .select(col("doc_id"), col("frame_idx"),
-        round(sqrt(expr(
-          s"aggregate(signed, 0D, (a, x) -> a + cast(x as double) * cast(x as double)) / ${AudioFrameSamples}.0")), 6)
-          .as("rms"))
+        round(sqrt(col("ssq").cast("double") / lit(AudioFrameSamples.toDouble)), 6).as("rms"))
       .filter(col("rms") > 25400.0)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
     frames
