@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.topKRows)
     ext.injectFunction(GraftExtensions.vecDot)
     ext.injectFunction(GraftExtensions.covMatrix)
+    ext.injectFunction(GraftExtensions.bitmapDistinct)
   }
 }
 
@@ -104,6 +105,17 @@ object GraftExtensions {
           s"graft_cov_matrix: d must be integral, got $other")
       }
       graft.functions.CovMatrix(d, args(1)): Expression
+    })
+
+  /** graft_bitmap_distinct(id bigint) — exact mergeable distinct-count
+    * aggregate backed by a Roaring64 bitmap (compressed per-group state,
+    * map-side combine, idempotent OR merge). */
+  private[graft] val bitmapDistinct = (
+    FunctionIdentifier("graft_bitmap_distinct"),
+    new ExpressionInfo(classOf[graft.functions.BitmapDistinct].getName, "graft_bitmap_distinct"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "graft_bitmap_distinct(id bigint)")
+      graft.functions.BitmapDistinct(args.head): Expression
     })
 
   /** graft_llk_score_long(t bigint, symbol tinyint, model_text+) —

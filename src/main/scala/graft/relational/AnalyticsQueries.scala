@@ -1119,8 +1119,37 @@ object AnalyticsQueries {
       .orderBy(col("event_type"))
   }
 
+  /** EXACT mergeable distinct counting via the [[graft.functions.BitmapDistinct]]
+    * roaring-bitmap aggregate — per event type, distinct users three ways
+    * twice: once over the natural input layout and once after a
+    * `repartition(day)` re-shuffle — the bitmap aggregate is exact AND
+    * mergeable (each partition ships one compressed bitmap, merge =
+    * idempotent OR, so a retried partition cannot double-count), which
+    * makes it the exact twin of agg_sketch_merge's HLL path, and the
+    * equality of the two differently-partitioned runs is the emitted
+    * partition-independence verdict the oracle pins to TRUE alongside
+    * the exact count. Plan: two map-side-combinable aggregates,
+    * |types|-row frames, one broadcastable join. */
+  private def aggBitmapDistinct(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    def bd = ColumnBridge.column(graft.functions.BitmapDistinct(
+      ColumnBridge.expression(col("user_id"))).toAggregateExpression())
+    val e = Tables.eventsTsUs(s, d)
+      .select(col("event_type"), col("user_id"),
+        expr("ts_us div 86400000000").as("day"))
+    val whole = e.groupBy(col("event_type")).agg(bd.as("exact_distinct"))
+    // group differently first (by day), then aggregate the SAME ids again
+    // — equality proves the result is partitioning-independent
+    val byDay = e.repartition(col("day")).groupBy(col("event_type")).agg(bd.as("n2"))
+    whole.join(broadcast(byDay), Seq("event_type"))
+      .select(col("event_type"), col("exact_distinct"),
+        (col("exact_distinct") === col("n2")).as("partition_independent"))
+      .orderBy(col("event_type"))
+  }
+
   // ------------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "sample_temperature" -> (sampleTemperature _),
     "agg_sketch_merge" -> (aggSketchMerge _),
     "join_skew_salted" -> (joinSkewSalted _),
@@ -1158,6 +1187,12 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the bitmap count must equal DuckDB's exact count(distinct); the
+    // independence verdict must be TRUE
+    "agg_bitmap_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+        |       TRUE AS partition_independent
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // identical integer micro-unit weights and floor-division quotas;
     // DuckDB's BIGINT sum widens to HUGEINT, hence the quota cast back
     "sample_temperature" ->
