@@ -1156,6 +1156,42 @@ object DataPipelineQueries {
     * vocab-sized (distinct tokens, not corpus-sized) — the same bound the
     * batch text_vocab/tokenize_bpe path rides; cross-trigger count
     * accumulation is spec-pinned with controlled micro-batches. */
+  /** STREAMING in-flight observability — the streaming twin of
+    * observe_metrics: QC counters attached to the event stream with
+    * `df.observe("qc", ...)` surface per-micro-batch in
+    * `StreamingQueryProgress.observedMetrics`, the hook a production
+    * monitor alerts on (row rates, null rates) WITHOUT a second pass or a
+    * separate query over the state store. The gate runs the real
+    * streaming query (complete-mode per-type counts as the pipeline
+    * output), then folds the observed metrics across every progress
+    * event — counters are additive across micro-batches by construction
+    * — and pins both the output AND the fold to the batch oracle. */
+  private def streamObserve(s: SparkSession, d: String): DataFrame = {
+    val src = streamEvents(s, d)
+    val observed = src.observe("qc",
+      count(lit(1)).as("n_rows"),
+      sum(expr("cast(round(value * 1e6) as long)")).as("vmic"),
+      count(when(col("value").isNull, 1)).as("n_null_value"))
+    val qname = "stream_obs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = observed.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ms = q.recentProgress.toSeq.flatMap(p =>
+      Option(p.observedMetrics.get("qc")))
+    val nRows = ms.map(r => if (r.isNullAt(0)) 0L else r.getLong(0)).sum
+    val vmic = ms.map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).sum
+    val nNull = ms.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
+    val out = s.table(qname).localCheckpoint(true)
+    s.catalog.dropTempView(qname)
+    out.withColumn("total_rows", lit(nRows))
+      .withColumn("value_micros_sum", lit(vmic))
+      .withColumn("n_null_value", lit(nNull))
+      .orderBy(col("event_type"))
+  }
+
   private def streamVocab(s: SparkSession, d: String): DataFrame =
     runMemorySink(vocabCounts(streamDocs(s, d)), "stream_vocab_", "complete")
       .orderBy(col("token"))
@@ -2172,6 +2208,7 @@ object DataPipelineQueries {
     "stream_window_counts" -> (streamWindowCounts _),
     "stream_anomaly" -> (streamAnomaly _),
     "stream_funnel" -> (streamFunnel _),
+    "stream_observe" -> (streamObserve _),
     "stream_enrich" -> (streamEnrich _),
     "stream_stream_join" -> (streamStreamJoin _),
     "scan_bucketed" -> (scanBucketed _),
@@ -2444,6 +2481,18 @@ object DataPipelineQueries {
     // the expanding-window batch recompute IS the streaming result after
     // a single-batch replay: same prefix per event, same rounding ladder
     // (mean/std @6dp -> z from rounded operands @4dp -> flag)
+    // per-type counts + the observed-metric fold, all recomputed from the
+    // source; exact integer micro-unit value sum
+    "stream_observe" ->
+      """WITH g AS (SELECT CAST(count(*) AS BIGINT) AS total_rows,
+        |                  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micros_sum,
+        |                  CAST(count(CASE WHEN value IS NULL THEN 1 END) AS BIGINT) AS n_null_value
+        |           FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       g.total_rows, g.value_micros_sum, g.n_null_value
+        |FROM events CROSS JOIN g
+        |GROUP BY event_type, g.total_rows, g.value_micros_sum, g.n_null_value
+        |ORDER BY event_type""".stripMargin,
     // the batch "first minimal chain": first view by (ts, id), first
     // click strictly after it, first purchase strictly after that —
     // exactly the state machine's acceptance sequence
