@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vecDot)
     ext.injectFunction(GraftExtensions.covMatrix)
     ext.injectFunction(GraftExtensions.bitmapDistinct)
+    // first-class custom logical operators lower to composed Catalyst
+    // plans in the optimizer (graft.plans.AsOfJoin)
+    ext.injectOptimizerRule(_ => new graft.plans.LowerAsOfJoin)
   }
 }
 

@@ -379,6 +379,17 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** The SAME as-of semantics routed through the custom
+    * [[graft.plans.AsOfJoin]] LogicalPlan node + injected lowering rule
+    * (graft.plans.AsOfJoinPlan) — the declarative-operator surface of the
+    * engine; shares join_asof's oracle, so the two routes are pinned to
+    * the identical result. */
+  private def joinAsofPlan(s: SparkSession, d: String): DataFrame = {
+    val (e, refs) = asofInputs(s, d)
+    graft.plans.AsOfJoinPlan.asof(e, refs, "event_type", AsofBucketUs)
+      .orderBy(col("event_id"))
+  }
+
   /** Per-key EXACT percentiles over the event stream — the distribution
     * summary every monitoring/QA pass computes. `percentile` (exact, with
     * linear interpolation — same rule as DuckDB's `quantile_cont`, which
@@ -705,6 +716,7 @@ object RelationalQueries {
     "agg_distinct_sketch" -> (aggDistinctSketch _),
     "agg_topk_per_key" -> (aggTopkPerKey _),
     "join_asof" -> (joinAsof _),
+    "join_asof_plan" -> (joinAsofPlan _),
     "join_asof_forward" -> (joinAsofForward _),
     "join_asof_nearest" -> (joinAsofNearest _),
     "join_asof_tolerance" -> (joinAsofTolerance _),
@@ -713,7 +725,7 @@ object RelationalQueries {
     "predict_anomaly" -> (predictAnomaly _),
   )
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     // DuckDB's NATIVE ASOF JOIN is the oracle for the union+window
     // implementation — inclusive match (e.ts >= r.ts), refs pre-deduped to
     // one per (type, ts) on both engines so "latest" is well-defined
@@ -975,4 +987,9 @@ object RelationalQueries {
         |FROM x JOIN b ON x.event_type = b.event_type
         |GROUP BY x.user_id ORDER BY x.user_id""".stripMargin,
   )
+
+  /** join_asof_plan runs the SAME semantics through the custom
+    * [[graft.plans.AsOfJoin]] logical node — one oracle, two routes. */
+  val oracle: Map[String, String] =
+    oracleBase + ("join_asof_plan" -> oracleBase("join_asof"))
 }
