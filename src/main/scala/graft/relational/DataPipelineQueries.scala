@@ -1156,6 +1156,68 @@ object DataPipelineQueries {
     * vocab-sized (distinct tokens, not corpus-sized) — the same bound the
     * batch text_vocab/tokenize_bpe path rides; cross-trigger count
     * accumulation is spec-pinned with controlled micro-batches. */
+  /** STREAMING CDC UPSERT through `foreachBatch` — the one streaming sink
+    * shape the gate did not yet exercise, and the one production uses
+    * most: arbitrary batch logic per micro-batch with an IDEMPOTENT,
+    * batch-id-versioned publish. Each batch folds its arrivals to the
+    * latest row per key (argmax by (ts, event_id) — associative), merges
+    * with the previous materialized state by the same argmax, and writes
+    * state version `v{batchId}` — re-running a batch after a failure
+    * overwrites the SAME version, which is exactly the foreachBatch
+    * exactly-once contract (the sink must be idempotent per batch id;
+    * versioned dirs are the file-system spelling of it, a table format's
+    * snapshot commit the production one). State is |keys|-sized, never
+    * event-sized; the readers-see-latest-version rule is the same
+    * pointer-swap discipline as sink_write_audit_publish. The batch
+    * oracle (per-user argmax over all events) equals the final state
+    * because argmax folding is order-insensitive across batches. */
+  private def streamCdcUpsert(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc")
+    val src = streamEvents(s, d)
+    val raw = src.select(col("user_id"), col("event_id"), col("value"),
+      graft.relational.Tables.tsUsCol(src).as("ts_us"))
+    val q = raw.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(cdcUpsertBatch(tmp) _)
+      .start()
+    q.awaitTermination()
+    s.read.parquet(cdcStateDirs(tmp).last.getPath)
+      .orderBy(col("user_id"))
+  }
+
+  /** The versioned state dirs, oldest→newest. Shared with the spec so the
+    * cross-batch/idempotence behavior pinned there is the REGISTERED
+    * logic, not a copy. */
+  private[graft] def cdcStateDirs(tmp: java.nio.file.Path): Seq[java.io.File] =
+    Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("state_v")).toSeq.sortBy(_.getName)
+
+  /** One foreachBatch application: fold arrivals to latest-per-key, merge
+    * with the previous state version by the same argmax, publish
+    * `state_v{batchId}` (same id ⇒ same dir ⇒ idempotent re-run). */
+  private[graft] def cdcUpsertBatch(tmp: java.nio.file.Path)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val bs = batch.sparkSession
+    val latest = (df: DataFrame) => df
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("r"))
+      .select(col("user_id"), col("r.ts_us").as("ts_us"),
+        col("r.event_id").as("event_id"), col("r.value").as("value"))
+    val incoming = latest(batch)
+    // exclude the current batch's own version: a RE-RUN of batch id N must
+    // merge against N-1's state again, not read its previous attempt
+    val prev = cdcStateDirs(tmp)
+      .filter(_.getName < f"state_v$batchId%09d").lastOption
+    val merged = prev match {
+      case Some(p) => latest(bs.read.parquet(p.getPath).unionByName(incoming))
+      case None => incoming
+    }
+    // localCheckpoint BEFORE the overwrite: the merged plan reads the very
+    // directory a re-run overwrites
+    merged.localCheckpoint(true).write.mode("overwrite")
+      .parquet(tmp.resolve(f"state_v$batchId%09d").toString)
+  }
+
   /** STREAMING in-flight observability — the streaming twin of
     * observe_metrics: QC counters attached to the event stream with
     * `df.observe("qc", ...)` surface per-micro-batch in
@@ -2209,6 +2271,7 @@ object DataPipelineQueries {
     "stream_anomaly" -> (streamAnomaly _),
     "stream_funnel" -> (streamFunnel _),
     "stream_observe" -> (streamObserve _),
+    "stream_cdc_upsert" -> (streamCdcUpsert _),
     "stream_enrich" -> (streamEnrich _),
     "stream_stream_join" -> (streamStreamJoin _),
     "scan_bucketed" -> (scanBucketed _),
@@ -2481,6 +2544,17 @@ object DataPipelineQueries {
     // the expanding-window batch recompute IS the streaming result after
     // a single-batch replay: same prefix per event, same rounding ladder
     // (mean/std @6dp -> z from rounded operands @4dp -> flag)
+    // the materialized view IS per-user argmax by (ts, id) — raw values
+    // pass through untouched, so the hash needs no rounding
+    "stream_cdc_upsert" ->
+      """SELECT user_id, ts_us, event_id, value FROM (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |         event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+        |                                     event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // per-type counts + the observed-metric fold, all recomputed from the
     // source; exact integer micro-unit value sum
     "stream_observe" ->
