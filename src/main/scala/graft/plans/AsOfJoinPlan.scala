@@ -46,6 +46,14 @@ final case class AsOfJoin(
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
 
+  // the node consumes its children's columns BY NAME (the lowering
+  // re-resolves them), which Catalyst cannot see from `expressions` —
+  // without declared references, ColumnPruning prunes the children to
+  // empty Projects under a column-free consumer (observed: `.count()`
+  // above the node leaves the lowering nothing to resolve against)
+  override lazy val references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(left.output ++ right.output)
+
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)

@@ -40,6 +40,14 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(3))
   }
 
+  test("a column-free consumer (count) does not prune the node's children hollow") {
+    // regression: without declared references, ColumnPruning under a
+    // count() left the lowering rule empty child Projects to resolve
+    // against (UNRESOLVED_COLUMN at optimization time)
+    val (e, r) = inputs()
+    assert(AsOfJoinPlan.asof(e, r, "event_type", 1000L).count() === 4L)
+  }
+
   test("rule registration is idempotent across repeated API calls") {
     val (e, r) = inputs()
     AsOfJoinPlan.asof(e, r, "event_type", 1000L).collect()
