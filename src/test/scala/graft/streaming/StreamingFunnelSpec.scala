@@ -81,6 +81,38 @@ class StreamingFunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel progress survives a checkpoint restart (stop, recover, complete)") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(Long, Long, Long, String)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_funnel_ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft_funnel_out").toString
+      def start() = StreamingFunnel.completions(
+        input.toDS().toDF("user_id", "event_id", "ts_us", "event_type"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      try {
+        input.addData((9L, 1L, 1000L, "view"), (9L, 2L, 2000L, "click"))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // restart: the view+click progress must come back from the state
+      // store, so the purchase alone completes the funnel
+      val q2 = start()
+      try {
+        input.addData((9L, 3L, 3000L, "purchase"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val rows = spark.read.parquet(outDir).collect()
+      assert(rows.length === 1)
+      assert((rows.head.getLong(0), rows.head.getLong(1),
+        rows.head.getLong(2), rows.head.getLong(3)) === ((9L, 1000L, 2000L, 3000L)))
+    }
+  }
+
   test("users are independent; within-batch fold follows event time, not arrival order") {
     withRocksDb {
       val (input, query, qname) = harness()
