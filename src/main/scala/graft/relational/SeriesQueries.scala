@@ -857,6 +857,84 @@ object SeriesQueries {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** LTTB DOWNSAMPLING (Largest-Triangle-Three-Buckets, Steinarsson
+    * 2013) of each type's hourly series to 20 points — the
+    * shape-preserving decimation dashboards run before plotting a
+    * 100-TB-derived series (uniform striding loses peaks; LTTB keeps the
+    * visually dominant points). Both anchors kept; the 18 interior
+    * buckets each contribute the point maximizing the triangle area with
+    * the previously SELECTED point and the NEXT bucket's average —
+    * a sequential recurrence, so it runs as the Holt-style per-key fold
+    * over the bucket-count-bounded hourly series (O(span), not
+    * O(events); the heavy lifting — the hourly aggregation — is the
+    * combinable pass). Cross-engine exactness BY CONSTRUCTION: y values
+    * are the 6-dp hourly means (already hash-proven), scaled to int64
+    * micro-units, and the area comparison is the n-scaled ALL-INTEGER
+    * form |(n·xₚ−Σx)(y_c−yₚ) − (xₚ−x_c)(n·yₚ−Σy)| with ties to the
+    * earlier point — no float is ever compared, so the selected set is
+    * identical in any engine (the oracle replays the recurrence as a
+    * recursive CTE with a NOT-EXISTS argmax, wordpiece-style). Series
+    * with ≤ 20 points pass through (spec-covered; the fixture's ~700
+    * always downsample). */
+  private def tsDownsampleLttb(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val B = 18 // interior buckets; output = B + 2 anchors
+    val hourly = eventsUs(s, d).filter(col("value").isNotNull)
+      .withColumn("bucket", expr("ts_us div 3600000000"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(expr("cast(round(value * 1e6) as long)")).as("micros"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("bucket"),
+        round(col("micros").cast("double") / 1e6 / col("n"), 6).as("y_r"))
+    hourly.as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (tpe, it) =>
+        val pts = it.toArray.sortBy(_._2) // (type, bucket, y_r)
+        val t = pts.length
+        val ym = pts.map(p => math.round(p._3 * 1e6))
+        val out = Seq.newBuilder[(String, Long, Long, Double)]
+        if (t <= B + 2) {
+          var i = 0
+          while (i < t) { out += ((tpe, (i + 1).toLong, pts(i)._2, pts(i)._3)); i += 1 }
+        } else {
+          val m = t - 2
+          // interior index j (1-based rn = j+1, j in 1..m) → bucket floor((j-1)·B/m)
+          val bidxOf = (j: Int) => ((j - 1).toLong * B / m).toInt
+          val lo = Array.fill(B)(Int.MaxValue)
+          val hi = Array.fill(B)(Int.MinValue)
+          for (j <- 1 to m) {
+            val b = bidxOf(j)
+            lo(b) = math.min(lo(b), j); hi(b) = math.max(hi(b), j)
+          }
+          var pX = pts(0)._2
+          var pY = ym(0)
+          out += ((tpe, 1L, pts(0)._2, pts(0)._3))
+          for (b <- 0 until B) {
+            // next-bucket average as exact integer sums (final point for the last)
+            val (nn, sx, sy) =
+              if (b == B - 1) (1L, pts(t - 1)._2, ym(t - 1))
+              else {
+                var n = 0L; var x = 0L; var y = 0L
+                for (j <- lo(b + 1) to hi(b + 1)) { n += 1; x += pts(j)._2; y += ym(j) }
+                (n, x, y)
+              }
+            var bestJ = -1
+            var bestA = -1L
+            for (j <- lo(b) to hi(b)) {
+              val a = math.abs((nn * pX - sx) * (ym(j) - pY) - (pX - pts(j)._2) * (nn * pY - sy))
+              if (a > bestA) { bestA = a; bestJ = j }
+            }
+            pX = pts(bestJ)._2; pY = ym(bestJ)
+            out += ((tpe, (b + 2).toLong, pts(bestJ)._2, pts(bestJ)._3))
+          }
+          out += ((tpe, (B + 2).toLong, pts(t - 1)._2, pts(t - 1)._3))
+        }
+        out.result().iterator
+      }
+      .toDF("event_type", "k", "bucket", "y_r")
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   /** PERIODOGRAM of the hourly event-rate series — frequency-domain
     * seasonality detection (the spectral complement of ts_peak_hours'
     * time-domain profile and the analytics cousin of
@@ -899,6 +977,7 @@ object SeriesQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_downsample_lttb" -> (tsDownsampleLttb _),
     "ts_periodogram" -> (tsPeriodogram _),
     "multimodal_audio_vad" -> (multimodalAudioVad _),
     "ts_anomaly_zscore" -> (tsAnomalyZscore _),
@@ -929,6 +1008,61 @@ object SeriesQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // recursive-CTE replay of the sequential selection with the SAME
+    // n-scaled all-integer area argmax (NOT-EXISTS, ties to earlier rn)
+    "ts_downsample_lttb" ->
+      """WITH RECURSIVE
+        |e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket,
+        |             CAST(round(value * 1e6) AS BIGINT) AS vmic
+        |      FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT event_type, bucket,
+        |             round(CAST(sum(vmic) AS DOUBLE) / 1e6 / count(*), 6) AS y_r
+        |      FROM e GROUP BY 1, 2),
+        |ser AS (SELECT event_type, bucket, y_r,
+        |               CAST(round(y_r * 1e6) AS BIGINT) AS ym,
+        |               row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+        |        FROM h),
+        |tt AS (SELECT event_type, max(rn) AS t FROM ser GROUP BY 1),
+        |big AS (SELECT ser.*, tt.t FROM ser JOIN tt USING (event_type) WHERE t > 20),
+        |small AS (SELECT ser.event_type, ser.rn, ser.bucket, ser.y_r
+        |          FROM ser JOIN tt USING (event_type) WHERE t <= 20),
+        |i AS (SELECT event_type, rn, bucket, ym, y_r,
+        |             CAST(((rn - 2) * 18) // (t - 2) AS BIGINT) AS bidx
+        |      FROM big WHERE rn >= 2 AND rn <= t - 1),
+        |bsum AS (SELECT event_type, bidx, CAST(count(*) AS BIGINT) AS n,
+        |                sum(bucket) AS sx, sum(ym) AS sy
+        |         FROM i GROUP BY 1, 2),
+        |bnext AS (SELECT event_type, bidx - 1 AS bprev,
+        |                 n, CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy
+        |          FROM bsum WHERE bidx >= 1
+        |          UNION ALL
+        |          SELECT event_type, 17, 1, bucket, ym FROM big WHERE rn = t),
+        |step AS (
+        |  SELECT event_type, 1 AS k, rn, bucket, ym, y_r FROM big WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.event_type, s.k + 1, c.rn, c.bucket, c.ym, c.y_r
+        |  FROM step s
+        |  JOIN i c ON c.event_type = s.event_type AND c.bidx = s.k - 1
+        |  JOIN bnext nx ON nx.event_type = s.event_type AND nx.bprev = s.k - 1
+        |  WHERE s.k <= 18
+        |    AND NOT EXISTS (SELECT 1 FROM i c2
+        |      WHERE c2.event_type = c.event_type AND c2.bidx = c.bidx
+        |        AND (abs((nx.n * s.bucket - nx.sx) * (c2.ym - s.ym)
+        |                 - (s.bucket - c2.bucket) * (nx.n * s.ym - nx.sy))
+        |             > abs((nx.n * s.bucket - nx.sx) * (c.ym - s.ym)
+        |                   - (s.bucket - c.bucket) * (nx.n * s.ym - nx.sy))
+        |             OR (abs((nx.n * s.bucket - nx.sx) * (c2.ym - s.ym)
+        |                     - (s.bucket - c2.bucket) * (nx.n * s.ym - nx.sy))
+        |                 = abs((nx.n * s.bucket - nx.sx) * (c.ym - s.ym)
+        |                       - (s.bucket - c.bucket) * (nx.n * s.ym - nx.sy))
+        |                 AND c2.rn < c.rn)))),
+        |sel AS (SELECT event_type, k, bucket, y_r FROM step
+        |        UNION ALL
+        |        SELECT event_type, 20, bucket, y_r FROM big WHERE rn = t
+        |        UNION ALL
+        |        SELECT event_type, rn, bucket, y_r FROM small)
+        |SELECT event_type, CAST(k AS BIGINT) AS k, bucket, y_r
+        |FROM sel ORDER BY event_type, bucket""".stripMargin,
     // the active set reads the SAME rounded rms the rms oracle proves
     // equal; islands via the identical two-row_number identity
     "multimodal_audio_vad" ->
