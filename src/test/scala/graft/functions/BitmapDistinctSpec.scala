@@ -38,6 +38,24 @@ class BitmapDistinctSpec extends AnyFunSuite {
     assert(df.agg(bd.as("n")).head.getLong(0) === 3L)
   }
 
+  test("property: random multisets under random partitionings equal the exact distinct count") {
+    import spark.implicits._
+    val gen = for {
+      n <- org.scalacheck.Gen.choose(0, 300)
+      ids <- org.scalacheck.Gen.listOfN(n,
+        org.scalacheck.Gen.choose(-1000L, 1000L))
+      parts <- org.scalacheck.Gen.choose(1, 13)
+    } yield (ids, parts)
+    graft.PropSampler.forAll(gen, seedBase = 8841L, n = 20) { case (ids, parts) =>
+      val df = ids.toDF("id").repartition(parts)
+      val bd = ColumnBridge.column(BitmapDistinct(
+        ColumnBridge.expression(col("id"))).toAggregateExpression())
+      val got = df.agg(bd.as("n")).head.getLong(0)
+      assert(got === ids.distinct.size.toLong,
+        s"n=${ids.size} parts=$parts")
+    }
+  }
+
   test("graft_bitmap_distinct is callable from plain SQL via the extensions") {
     org.apache.spark.sql.SparkSession.clearActiveSession()
     org.apache.spark.sql.SparkSession.clearDefaultSession()
