@@ -1147,8 +1147,26 @@ object AnalyticsQueries {
       .orderBy(col("event_type"))
   }
 
+  /** UNPIVOT/melt — the wide→long reshape primitive (the inverse of
+    * agg_pivot's long→wide): the four lineitem measures become
+    * `(id, metric, value)` rows through Spark's NATIVE `unpivot`
+    * operator (an `Expand` in the plan — one generated row per measure
+    * per input row, all codegen, zero shuffle until the presentation
+    * sort; at 100 TB melt is a map-only pass whose output feeds a
+    * combinable per-metric aggregate rather than ever materializing).
+    * Values are carried verbatim (no arithmetic), so the hash needs no
+    * rounding. */
+  private def reshapeUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.tbl(s, d, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+
   // ------------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "reshape_unpivot" -> (reshapeUnpivot _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "sample_temperature" -> (sampleTemperature _),
     "agg_sketch_merge" -> (aggSketchMerge _),
@@ -1187,6 +1205,18 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // portable UNION-ALL melt (metric names = source column names, the
+    // Spark unpivot convention); values verbatim
+    "reshape_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) t
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     // the bitmap count must equal DuckDB's exact count(distinct); the
     // independence verdict must be TRUE
     "agg_bitmap_distinct" ->

@@ -51,6 +51,23 @@ class GovernanceBatchSpec extends AnyFunSuite {
     }
   }
 
+  test("reshape_unpivot: each metric's melt is the exact multiset of its source column") {
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture,
+    // so the inverse is checked as per-metric multiset identity rather
+    // than a pivot-back (which would collapse duplicate keys)
+    val long = AnalyticsQueries.queries("reshape_unpivot")(spark, sf)
+    val src = Tables.tbl(spark, sf, "lineitem")
+    val metrics = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    assert(long.count() === src.count() * metrics.length)
+    metrics.foreach { m =>
+      val got = long.filter(col("metric") === m)
+        .select(col("l_orderkey"), col("l_linenumber"), col("value"))
+      val want = src.select(col("l_orderkey"), col("l_linenumber"), col(m).as("value"))
+      assert(got.exceptAll(want).count() === 0L, s"$m: extra rows in the melt")
+      assert(want.exceptAll(got).count() === 0L, s"$m: rows lost in the melt")
+    }
+  }
+
   test("dq_freshness: the freshest type lags 0; stale flag consistent with the 60-min lag") {
     val rows = QualityQueries.queries("dq_freshness")(spark, sf).collect()
     assert(rows.nonEmpty)
