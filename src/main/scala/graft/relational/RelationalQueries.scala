@@ -82,9 +82,19 @@ object RelationalQueries {
   }
 
   /** reference detection.py:280: no-quantize path casts to int8. */
+  /** int8 narrowing with the REFERENCE's semantics: numpy `.astype(int8)`
+    * WRAPS two's-complement (the reference quantizer emits small
+    * alphabets, but nothing stops a raw feed from exceeding ±127 — at
+    * sf0.1 it does, and a bare ANSI `cast(tinyint)` throws CAST_OVERFLOW
+    * in Spark and DuckDB alike; the sf0.1 full-verify sweep caught
+    * exactly that). The wrap `((x % 256) + 384) % 256 − 128` is the
+    * explicit total form, identical in both engines (both keep the
+    * dividend's sign in %). */
   private def mapCastInt8(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .select(col("event_id"), floor(col("value") / 4).cast("tinyint").as("symbol"))
+      .select(col("event_id"),
+        expr("cast(((cast(floor(value / 4) as bigint) % 256) + 384) % 256 - 128 as tinyint)")
+          .as("symbol"))
       .orderBy(col("event_id"))
 
   /** reference Satellite notebook cell 2: sentinel value → null. */
@@ -873,8 +883,11 @@ object RelationalQueries {
         |WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
         |  AND event_type IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+    // numpy-wrap narrowing — both engines' % keeps the dividend's sign
     "map_cast_int8" ->
-      "SELECT event_id, CAST(floor(value / 4) AS TINYINT) AS symbol FROM events ORDER BY event_id",
+      """SELECT event_id,
+        |       CAST(((CAST(floor(value / 4) AS BIGINT) % 256) + 384) % 256 - 128 AS TINYINT) AS symbol
+        |FROM events ORDER BY event_id""".stripMargin,
     "map_sentinel_to_null" ->
       """SELECT event_id, CASE WHEN value = -1e31 THEN NULL ELSE value END AS value
         |FROM events ORDER BY event_id""".stripMargin,

@@ -68,6 +68,17 @@ class GovernanceBatchSpec extends AnyFunSuite {
     }
   }
 
+  test("map_cast_int8's wrap expression equals two's-complement narrowing (numpy astype)") {
+    import spark.implicits._
+    // the sf0.1 sweep caught a bare ANSI tinyint cast overflowing at 130;
+    // the explicit wrap must equal JVM .toByte (== numpy int8) everywhere
+    val xs = Seq(-400L, -130L, -129L, -128L, -1L, 0L, 1L, 127L, 128L, 130L, 255L, 256L, 300L)
+    val got = xs.toDF("x")
+      .select(expr("cast(((x % 256) + 384) % 256 - 128 as tinyint)").as("b"))
+      .collect().map(_.getByte(0))
+    assert(got.toSeq === xs.map(_.toByte))
+  }
+
   test("dq_freshness: the freshest type lags 0; stale flag consistent with the 60-min lag") {
     val rows = QualityQueries.queries("dq_freshness")(spark, sf).collect()
     assert(rows.nonEmpty)
