@@ -1113,8 +1113,18 @@ object AnalyticsQueries {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("merged_est"))
     whole.join(broadcast(merged), Seq("event_type"))
       .select(col("event_type"), col("exact_distinct"),
-        (col("merged_est") === col("whole_est")).as("merge_consistent"),
+        // NOT exact equality: below the dense threshold the sketches are
+        // exact and equal, but through the DataSketches mode ladder
+        // (coupon list → set → dense HLL) a union's estimate can differ
+        // from the whole-corpus sketch's in low digits (observed at
+        // sf0.1's 1,500 distinct: both within 5%, not identical) — the
+        // mergeability contract is STATISTICAL: merging partials loses
+        // (almost) nothing vs scanning whole
+        (abs(col("merged_est") - col("whole_est"))
+          <= col("exact_distinct").cast("double") * 0.02).as("merge_consistent"),
         (abs(col("whole_est") - col("exact_distinct"))
+          <= col("exact_distinct").cast("double") * 0.05
+          && abs(col("merged_est") - col("exact_distinct"))
           <= col("exact_distinct").cast("double") * 0.05).as("within_5pct"))
       .orderBy(col("event_type"))
   }
