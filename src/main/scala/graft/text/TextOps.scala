@@ -220,7 +220,16 @@ object TextOps {
                        maxBucketSize: Int = 256): DataFrame = {
     val banded = codes.select(col("simhash"),
       posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftrightunsigned(simhash, cast(b * 16 as int)) % 65536)"))
+        // & 65535, NOT % 65536: for band 0 the unshifted simhash is the
+        // raw signed long, and % follows the dividend's sign — a
+        // negative code's low-16 chunk came out negative and landed in a
+        // different bucket than the same bits on a positive code, so a
+        // pair whose ONLY shared band was band 0 with one negative
+        // member was silently missed (surfaced by the sf0.1 full-verify
+        // sweep against the oracle's `& 65535`; invisible at sf0.01,
+        // where every close pair happened to share a correctly-banded
+        // chunk too)
+        "transform(sequence(0, 3), b -> shiftrightunsigned(simhash, cast(b * 16 as int)) & 65535)"))
         .as(Seq("band", "code")))
     val ok = banded.groupBy(col("band"), col("code"))
       .agg(count(lit(1)).as("sz"))

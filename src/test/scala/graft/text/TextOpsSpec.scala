@@ -97,6 +97,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.size < allPairs / 4, s"no pruning: ${got.size} of $allPairs")
   }
 
+  test("simhashCodePairs: a negative code pairs through band 0 (regression: % vs &)") {
+    // xor has exactly bits 63, 37, 29 set → bands 1-3 all differ and the
+    // low band is the ONLY shared chunk; the left code is a negative long.
+    // The old `% 65536` banding gave the negative member a negative
+    // band-0 chunk and silently missed this pair (caught by the sf0.1
+    // oracle sweep).
+    val b = 0x000000000000a20aL
+    val a = b | (1L << 63) | (1L << 37) | (1L << 29)
+    assert(a < 0L)
+    val pairs = TextOps.simhashCodePairs(Seq(a, b).toDF("simhash")).collect()
+    assert(pairs.length == 1, s"band-0 pair must surface: ${pairs.toSeq}")
+    assert(pairs.head.getInt(2) == 3)
+  }
+
   test("simhashCodePairs: swarm collapses to one code row; pigeonhole pairs survive") {
     // a million-doc identical swarm reaches the band join as ONE distinct
     // code; here 3 distinct codes stand in for any swarm sizes behind them
