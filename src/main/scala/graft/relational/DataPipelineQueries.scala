@@ -2611,14 +2611,19 @@ object DataPipelineQueries {
     "stream_anomaly" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
         |           FROM events WHERE value IS NOT NULL),
-        |w AS (SELECT event_id, user_id, ts_us, value,
+        |w0 AS (SELECT event_id, user_id, ts_us, value,
         |        CAST(count(value) OVER win AS BIGINT) AS n_base,
-        |        round(CAST(sum(CAST(value AS DECIMAL(20,6))) OVER win AS DOUBLE)
-        |              / count(value) OVER win, 6) AS mean_r,
+        |        CAST(sum(CAST(round(value * 1e6) AS BIGINT)) OVER win AS BIGINT) AS mu,
         |        round(stddev_samp(value) OVER win, 6) AS std_r
         |      FROM e
         |      WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |w AS (SELECT event_id, user_id, ts_us, value, n_base, std_r,
+        |        CASE WHEN n_base = 0 THEN NULL
+        |             ELSE CAST(CASE WHEN mu >= 0 THEN (2 * mu + n_base) // (2 * n_base)
+        |                            ELSE -((2 * -mu + n_base) // (2 * n_base)) END AS DOUBLE)
+        |                  / 1e6 END AS mean_r
+        |      FROM w0)
         |SELECT event_id, user_id, ts_us, value, n_base, mean_r, std_r,
         |       CASE WHEN n_base >= 5 AND std_r > 0
         |            THEN round((value - mean_r) / std_r, 4) END AS z,

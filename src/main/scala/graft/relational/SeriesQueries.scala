@@ -56,7 +56,9 @@ object SeriesQueries {
         count(col("value")).over(w).as("n_base"),
         round(avg(col("value")).over(w), 6).as("mean_r"),
         round(stddev_samp(col("value")).over(w), 6).as("std_r"))
-      .withColumn("z", when(base, round((col("value") - col("mean_r")) / col("std_r"), 4)))
+      // + 0.0 normalizes IEEE −0 (a tiny negative z rounding to zero kept
+      // its sign on one engine and not the other — sf0.1 sweep finding)
+      .withColumn("z", when(base, round((col("value") - col("mean_r")) / col("std_r"), 4) + lit(0.0)))
       .withColumn("is_anomaly", coalesce(when(base, abs(col("z")) > 3.0), lit(false)))
       .orderBy(col("event_id"))
   }
@@ -1169,7 +1171,7 @@ object SeriesQueries {
         |                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
         |SELECT event_id, user_id, ts_us, value, n_base, mean_r, std_r,
         |       CASE WHEN n_base >= 5 AND std_r > 0
-        |            THEN round((value - mean_r) / std_r, 4) END AS z,
+        |            THEN round((value - mean_r) / std_r, 4) + 0 END AS z,
         |       coalesce(CASE WHEN n_base >= 5 AND std_r > 0
         |            THEN abs(round((value - mean_r) / std_r, 4)) > 3.0 END, FALSE) AS is_anomaly
         |FROM w ORDER BY event_id""".stripMargin,

@@ -78,7 +78,18 @@ object StreamingAnomaly {
         val (meanR, stdR) =
           if (w.n == 0) (None, None)
           else {
-            val m = Some(r(w.sumMicros.toDouble / 1e6 / w.n.toDouble, 6))
+            // HALF_UP(µsum/n) computed ENTIRELY in int64 micro-units —
+            // rounding the exact rational, not a double approximation of
+            // it: at dyadic n (observed: n=32 at sf0.1) the true mean can
+            // sit exactly on a 6-dp half boundary, where rounding the
+            // double diverges between engines by one ulp of the 6th
+            // decimal; integer floor((2µ+n)/2n) (sign-mirrored) is the
+            // same single arithmetic answer everywhere, and the final
+            // /1e6 is one correctly-rounded double op in both engines
+            val mMicro =
+              if (w.sumMicros >= 0L) (2L * w.sumMicros + w.n) / (2L * w.n)
+              else -((2L * -w.sumMicros + w.n) / (2L * w.n))
+            val m = Some(mMicro.toDouble / 1e6)
             val s = if (w.n >= 2) Some(r(math.sqrt(w.m2 / (w.n - 1).toDouble), 6)) else None
             (m, s)
           }
