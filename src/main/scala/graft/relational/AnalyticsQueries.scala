@@ -787,6 +787,31 @@ object AnalyticsQueries {
       .orderBy(col("event_type"), col("k_bucket"))
   }
 
+  /** Semi-structured ingestion through Spark 4's VARIANT type — the
+    * schema-LESS counterpart of [[mapJsonExtract]]'s schema-first
+    * `from_json`: `parse_json` binds the payload ONCE into the binary
+    * variant encoding (kept raw, no schema declared at ingest — the
+    * lakehouse pattern for evolving event properties), fields bind types
+    * at QUERY time via `variant_get`, and `schema_of_variant` audits the
+    * observed shapes (the drift detector: a producer adding a field
+    * changes the schema fingerprint, not the pipeline). The oracle reads
+    * the same field through DuckDB's JSON path and pins the shape audit
+    * to the single fingerprint the fixture carries. Plan: one parse per
+    * row, then an ordinary combinable aggregate — no per-field re-parse,
+    * same discipline as the struct route. */
+  private def mapJsonVariant(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr("parse_json(props)").as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("schema_of_variant(v)").as("sch"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"), sum(col("k")).as("k_sum"),
+        countDistinct(col("sch")).as("n_schemas"))
+      .orderBy(col("event_type"))
+
   // ------------------------------------------------------------------ funnel
   /** Funnel-completion window (µs): the whole view→click→purchase
     * sequence must fit in 3 days of the first view — sized to the
@@ -1176,6 +1201,7 @@ object AnalyticsQueries {
 
   // ------------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "map_json_variant" -> (mapJsonVariant _),
     "reshape_unpivot" -> (reshapeUnpivot _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "sample_temperature" -> (sampleTemperature _),
@@ -1215,6 +1241,15 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // same field through DuckDB's JSON path; the shape audit pinned to
+    // the fixture's single fingerprint
+    "map_json_variant" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+        |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |       CAST(1 AS BIGINT) AS n_schemas
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // portable UNION-ALL melt (metric names = source column names, the
     // Spark unpivot convention); values verbatim
     "reshape_unpivot" ->

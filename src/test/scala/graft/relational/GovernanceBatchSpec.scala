@@ -68,6 +68,19 @@ class GovernanceBatchSpec extends AnyFunSuite {
     }
   }
 
+  test("variant ingestion: schema fingerprints detect producer drift; missing paths are null") {
+    import spark.implicits._
+    val df = Seq("""{"k": 1}""", """{"k": 2, "extra": "x"}""", """{"k": 3}""")
+      .toDF("props").selectExpr("parse_json(props) as v")
+    // a producer adding a field changes the fingerprint, not the pipeline
+    assert(df.selectExpr("schema_of_variant(v) as s").distinct().count() === 2L)
+    // query-time type binding: present path binds, absent path is null
+    val r = df.selectExpr("variant_get(v, '$.k', 'bigint') as k",
+      "variant_get(v, '$.missing', 'bigint') as m").collect()
+    assert(r.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(r.forall(_.isNullAt(1)))
+  }
+
   test("map_cast_int8's wrap expression equals two's-complement narrowing (numpy astype)") {
     import spark.implicits._
     // the sf0.1 sweep caught a bare ANSI tinyint cast overflowing at 130;
