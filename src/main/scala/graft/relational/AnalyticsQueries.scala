@@ -812,6 +812,27 @@ object AnalyticsQueries {
         countDistinct(col("sch")).as("n_schemas"))
       .orderBy(col("event_type"))
 
+  /** TRANSPOSE — Spark 4's `Dataset.transpose`, the report-shaping
+    * primitive that turns a tall per-key stats frame into one row per
+    * STATISTIC with a column per key (the orientation dashboards and
+    * papers print). Correct usage is driver-sized by definition: the
+    * input here is the |types|-row × 4-stat summary (transpose collects
+    * the frame — its contract, same as any toPandas-style presentation
+    * step; the heavy work stays in the combinable aggregate that
+    * produced the summary). The oracle restates the result as one
+    * conditional-aggregation row per statistic. */
+  private def reshapeTranspose(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables.tbl(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        round(avg(col("value")), 6).as("avg_value"),
+        round(min(col("value")), 6).as("min_value"),
+        round(max(col("value")), 6).as("max_value"))
+    // every non-index cell is a double (count cast), transpose's
+    // least-common-type contract
+    stats.transpose(col("event_type")).orderBy(col("key"))
+  }
+
   // ------------------------------------------------------------------ funnel
   /** Funnel-completion window (µs): the whole view→click→purchase
     * sequence must fit in 3 days of the first view — sized to the
@@ -1201,6 +1222,7 @@ object AnalyticsQueries {
 
   // ------------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "reshape_transpose" -> (reshapeTranspose _),
     "map_json_variant" -> (mapJsonVariant _),
     "reshape_unpivot" -> (reshapeUnpivot _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
@@ -1241,6 +1263,23 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // one conditional-aggregation row per statistic — the restated
+    // transpose; generated over the stat × type grid
+    "reshape_transpose" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val rows = Seq("avg_value", "max_value", "min_value", "n").map { st =>
+        val cols = types.map(t =>
+          s"max(CASE WHEN event_type = '$t' THEN $st END) AS $t").mkString(", ")
+        s"SELECT '$st' AS key, $cols FROM s"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         |                  round(avg(value), 6) AS avg_value,
+         |                  round(min(value), 6) AS min_value,
+         |                  round(max(value), 6) AS max_value
+         |           FROM events GROUP BY event_type)
+         |$rows
+         |ORDER BY key""".stripMargin
+    },
     // same field through DuckDB's JSON path; the shape audit pinned to
     // the fixture's single fingerprint
     "map_json_variant" ->

@@ -68,6 +68,23 @@ class GovernanceBatchSpec extends AnyFunSuite {
     }
   }
 
+  test("reshape_transpose: cells equal the tall stats frame at transposed coordinates") {
+    val wide = AnalyticsQueries.queries("reshape_transpose")(spark, sf).collect()
+    val stats = Tables.tbl(spark, sf, "events").groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"), round(avg(col("value")), 6).as("avg_value"),
+        round(min(col("value")), 6).as("min_value"), round(max(col("value")), 6).as("max_value"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val header = AnalyticsQueries.queries("reshape_transpose")(spark, sf).columns
+    assert(header.head === "key" && header.tail.sorted.toSeq === stats.keySet.toSeq.sorted)
+    wide.foreach { row =>
+      val stat = row.getString(0)
+      header.tail.zipWithIndex.foreach { case (tpe, i) =>
+        val want = stats(tpe).getAs[Double](stat)
+        assert(row.getDouble(i + 1) === want, s"cell ($stat, $tpe)")
+      }
+    }
+  }
+
   test("variant ingestion: schema fingerprints detect producer drift; missing paths are null") {
     import spark.implicits._
     val df = Seq("""{"k": 1}""", """{"k": 2, "extra": "x"}""", """{"k": 3}""")
