@@ -125,7 +125,35 @@ object Bench {
       s""""steal_pct":${pct(stealPct)},"query_steal_pct":$qsSteal,""" +
       s""""calib_s":${pct(calibS)},"schemas":$schemasJson,""" +
       s""""started_at_ms":$startedAtMs,"finished_at_ms":${System.currentTimeMillis()}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,$env,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,$env,"sf":"$sfDir"}"""
+    // The driver keeps only a ~2,000-char TAIL of stdout and parses a JSON
+    // line out of it. Round 8's single detail line (198-entry query + steal
+    // dicts) outgrew that window, so the artifact landed with parsed:null —
+    // no machine-readable totals survived the round. Contract now:
+    //   1. full detail JSON → a file (always readable in the repo) AND
+    //      stdout first (for humans / full-capture harnesses);
+    //   2. a compact (<2,000-char) summary line LAST, so the tail window
+    //      always ends with one complete parseable JSON object.
+    // Compact-first would not survive: the tail is suffix-based, and the
+    // long line behind it would push the summary out of the window.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL_local.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
+    println(fullLine)
+    // top-10 slowest queries: the per-query signal that matters for grading,
+    // small enough to always fit beside totals/errors/calibration
+    val top = results.sortBy(-_._2).take(10)
+      .map { case (k, v, _) => "\"" + k + "\":" + pct(v) }.mkString("{", ",", "}")
+    // errors capped at 5 (full list is in the detail file) so a
+    // many-failure run cannot push the summary line past the tail window
+    val errCompact = (errors.take(5).map(e => q(e.take(160))) ++
+      (if (errors.size > 5) Seq(q(s"...and ${errors.size - 5} more")) else Nil))
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      s""""errors":$errCompact,"calib_s":${pct(calibS)},"steal_pct":${pct(stealPct)},""" +
+      s""""top_queries":$top,"detail_file":${q(fullPath)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

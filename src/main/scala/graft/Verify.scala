@@ -82,9 +82,18 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       System.err.println(s"[verify] running $name")
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // driver-compat hash-surface gate (SURVEY §2.10): pandas cannot sort
+        // a list column, so a complex-typed output column is certain to err
+        // at the driver even though the values are right — fail it HERE,
+        // where the builder sees it, instead of in CORRECTNESS_r{N}
+        val complex = OracleLint.complexCols(df.schema)
+        if (complex.nonEmpty)
+          throw new IllegalStateException(
+            s"driver-unportable output schema (string-join list data, §2.10): ${complex.mkString(", ")}")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failures += name -> e
       }
@@ -96,6 +105,13 @@ object Verify {
     if (failures.nonEmpty)
       System.err.println(s"[verify] ${failures.size} quer${if (failures.size == 1) "y" else "ies"} FAILED: " +
         failures.map(_._1).mkString(", "))
+    // oracle-side HUGEINT lint (heuristic, stderr-only: DuckDB is not on
+    // this classpath so type inference is textual; DriverCompatLintSpec
+    // holds the same check as a hard test over the full oracle surface)
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      OracleLint.hugeintRisks(sql).foreach(r =>
+        System.err.println(s"[verify] ORACLE LINT $name: $r"))
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -178,8 +178,12 @@ object AnalyticsQueries {
       .withColumn("emb", transform(col("embedding"), x => x.cast("double")))
       .withColumn("scale", array_max(transform(col("emb"), x => abs(x))) / lit(127.0))
     e.select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
-        when(col("scale") === 0d, transform(col("emb"), _ => lit(0).cast("int")))
-          .otherwise(transform(col("emb"), x => round(x / col("scale")).cast("int")))
+        // codes travel as a comma-joined string: the driver's pandas compare
+        // cannot sort a raw list column (SURVEY §2.10 hash-surface contract)
+        array_join(
+          when(col("scale") === 0d, transform(col("emb"), _ => lit(0).cast("int")))
+            .otherwise(transform(col("emb"), x => round(x / col("scale")).cast("int")))
+            .cast("array<string>"), ",")
           .as("q"),
         when(col("scale") === 0d, lit(0d))
           .otherwise(round(
@@ -1411,9 +1415,11 @@ object AnalyticsQueries {
         |             list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
         |      FROM e)
         |SELECT vec_id, round(scale, 6) AS scale_r,
-        |       CASE WHEN scale = 0 THEN list_transform(emb, x -> 0)
-        |            ELSE list_transform(emb, x -> CAST(round(x / scale) AS INTEGER))
-        |       END AS q,
+        |       array_to_string(
+        |         CASE WHEN scale = 0 THEN list_transform(emb, x -> '0')
+        |              ELSE list_transform(emb,
+        |                     x -> CAST(CAST(round(x / scale) AS INTEGER) AS VARCHAR))
+        |         END, ',') AS q,
         |       CASE WHEN scale = 0 THEN CAST(0.0 AS DOUBLE)
         |            ELSE round(list_sum(list_transform(emb,
         |                   x -> abs(round(x / scale) * scale - x))) / len(emb), 6)
@@ -1479,8 +1485,9 @@ object AnalyticsQueries {
         |                  (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 65536 AS b16
         |           FROM events)
         |SELECT event_id, u16, b16,
-        |       list_sum(list_transform(range(0, 16), i ->
-        |         (((u16 >> i) & 1) << (2 * i)) + (((b16 >> i) & 1) << (2 * i + 1)))) AS z
+        |       CAST(list_sum(list_transform(range(0, 16), i ->
+        |         (((u16 >> i) & 1) << (2 * i)) + (((b16 >> i) & 1) << (2 * i + 1))))
+        |         AS BIGINT) AS z
         |FROM e ORDER BY z, event_id""".stripMargin,
     // same union-merge assignment: strictly-preceding ignore-nulls frame
     "join_point_in_time" ->
@@ -1648,8 +1655,9 @@ object AnalyticsQueries {
         |                  THEN 1 ELSE 0 END AS new_s
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
         |s AS (SELECT user_id,
-        |             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx,
+        |             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+        |               AS BIGINT) AS session_idx,
         |             ts_us
         |      FROM g),
         |sess AS (SELECT user_id, session_idx, min(ts_us) AS s_start, max(ts_us) AS s_end

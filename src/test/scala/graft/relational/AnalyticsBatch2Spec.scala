@@ -40,7 +40,7 @@ class AnalyticsBatch2Spec extends AnyFunSuite {
     val rows = q("embed_quantize_int8").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val q = r.getSeq[Int](2)
+      val q = r.getString(2).split(",").map(_.toInt).toSeq
       assert(q.forall(c => c >= -127 && c <= 127), "int8 symmetric range")
       assert(q.map(math.abs).max === 127, "scale chosen so the max element hits 127")
       val scale = r.getDouble(1)
@@ -61,10 +61,10 @@ class AnalyticsBatch2Spec extends AnyFunSuite {
     spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val out = AnalyticsQueries.queries("embed_quantize_int8")(spark, dir).collect()
     val zero = out.find(_.getLong(0) == 0L).get
-    assert(zero.getSeq[Int](1 + 1).forall(_ == 0) && zero.getDouble(3) === 0.0)
+    assert(zero.getString(2).split(",").forall(_ == "0") && zero.getDouble(3) === 0.0)
     val v = out.find(_.getLong(0) == 1L).get
     // scale = 2/127; codes = round(x*127/2)
-    assert(v.getSeq[Int](2) === Seq(64, -127, 32, 127))
+    assert(v.getString(2) === "64,-127,32,127")
   }
 
   test("agg_count_min: both sketch contracts all-true, exact leg matches groupBy count") {
