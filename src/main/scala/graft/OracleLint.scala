@@ -108,6 +108,8 @@ object OracleLint {
         }
       }
       if (j < n && lower(j) == '/') return true
+      // consumed by a comparison (`>= 0`, `< thr`, …) → the column is BOOLEAN
+      if (j < n && (lower(j) == '>' || lower(j) == '<' || lower(j) == '=')) return true
       if (lower.regionMatches(j, "as ", 0, 3)) {
         var k = skipWs(j + 3); val a0 = k
         while (k < n && (lower(k).isLetterOrDigit || lower(k) == '_')) k += 1

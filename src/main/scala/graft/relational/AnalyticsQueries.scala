@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -234,24 +234,41 @@ object AnalyticsQueries {
   /** Semi-join with an explicit BLOOM pre-filter — the runtime-filter
     * pattern written out: the small build side (high-value purchasers) is
     * sketched into a fixed-size bloom filter (one distributed aggregate →
-    * ~120 KB for 100k keys at 1% fp, broadcast once), the fact stream is
-    * pruned BEFORE its shuffle (~75% of rows never enter the exchange on
-    * this data), and one exact semi-join removes the ≤1% false positives.
-    * Spark's own `runtime.bloomFilter` rewrite does this inside a single
-    * query; the explicit form is what a pipeline uses when the build side
-    * comes from a PRIOR job (yesterday's selected cohort) and the filter
-    * is persisted and reused across many fact scans. False negatives are
+    * 128 KB for 100k keys at <1% fp, shipped once as a plan literal), the
+    * fact stream is pruned BEFORE its shuffle (~75% of rows never enter
+    * the exchange on this data), and one exact semi-join removes the ≤1%
+    * false positives. Spark's own `InjectRuntimeFilter` rewrite does this
+    * inside a single query with the SAME two expressions used here —
+    * `BloomFilterAggregate` to build and `BloomFilterMightContain` to
+    * probe (both native Catalyst with codegen; a Scala-UDF probe, the
+    * previous form, forces every row through the serialization boundary
+    * and blocks whole-stage codegen). The explicit form is what a
+    * pipeline uses when the build side comes from a PRIOR job
+    * (yesterday's selected cohort): the one-row sketch collect IS the
+    * "persist the filter, reuse it across many fact scans" step, and the
+    * probe stays a pure literal-vs-column expression. False negatives are
     * impossible (bloom guarantee), so result ≡ the plain semi-join —
     * which is the DuckDB oracle. */
   private def joinBloomPrune(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
     val e = Tables.events(s, d)
     val cohort = e.filter(col("event_type") === "purchase" && col("value") > 200d)
       .select(col("user_id")).distinct()
-    val bf = cohort.stat.bloomFilter("user_id", 100000L, 0.01)
-    val bfB = s.sparkContext.broadcast(bf)
-    val might = udf((id: java.lang.Long) =>
-      id != null && bfB.value.mightContain(id.longValue))
-    e.filter(might(col("user_id")))
+    // build: one distributed aggregate to a single 2^20-bit sketch row
+    val bfAgg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("user_id"))),
+        Literal(100000L), Literal(1048576L)).toAggregateExpression())
+    val bfBytes = cohort.agg(bfAgg.as("f")).head.getAs[Array[Byte]](0)
+    // probe: native might-contain over the literal sketch — stays inside
+    // whole-stage codegen, no UDF node anywhere in the plan
+    val might = ColumnBridge.column(
+      new BloomFilterMightContain(
+        Literal.create(bfBytes, org.apache.spark.sql.types.BinaryType),
+        ColumnBridge.expression(xxhash64(col("user_id")))))
+    e.filter(might)
       .join(cohort, Seq("user_id"), "left_semi")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .orderBy(col("event_id"))
@@ -373,57 +390,160 @@ object AnalyticsQueries {
 
   /** PAGERANK over the corpus's k-NN similarity graph — graph centrality
     * as a data-quality/importance signal (which documents sit at the core
-    * of the embedding manifold vs its periphery). Graph construction:
-    * exact top-[[PrK]] cosine neighbors per vector (cosines ROUNDED
-    * before ranking — same cross-engine ulp rule as text_tfidf — ties to
-    * the smaller id), so every node has out-degree k and the
-    * dangling-mass term vanishes. Then [[PrIters]] power iterations as a
-    * driver loop of joins: contribution = rank/k flowing along edges, one
-    * combinable sum per iteration, rank vector re-derived from the node
-    * table each step (never collected). The edge table is cached — it is
-    * read [[PrIters]] times and is k·N rows. At 100 TB the exact
-    * all-pairs build swaps for the ANN family's bucketed candidates
-    * (similarity_ann/ivf) feeding the SAME iteration plan; the iteration
-    * itself is the textbook Pregel-on-DataFrames shape: k·N edge rows
-    * shuffle per step, nothing driver-side but the loop counter.
+    * of the embedding manifold vs its periphery). Graph construction is
+    * [[annKnnEdges]]'s BUCKETED candidates + exact re-rank (cosines
+    * ROUNDED before ranking — same cross-engine ulp rule as text_tfidf —
+    * ties to the smaller id); out-degree is ≤ [[PrK]], so each node
+    * divides its rank by its actual degree and any zero-out-degree node
+    * is honest dangling mass. Then [[PrIters]] power iterations as a
+    * driver loop of joins: contribution = rank/deg flowing along edges,
+    * one combinable sum per iteration, rank vector re-derived from the
+    * node table each step (never collected). The edge table is
+    * localCheckpoint'ed — it is read [[PrIters]] times and is ≤ k·N rows.
+    * The iteration is the textbook Pregel-on-DataFrames shape: k·N edge
+    * rows shuffle per step, nothing driver-side but the loop counter.
     * Floating error stays ~1e-14 after 10 iterations (damping is a
     * contraction); the final round(6) absorbs engine-order differences. */
-  /** The exact top-[[PrK]] rounded-cosine k-NN edge set shared by
-    * [[graphPagerank]], [[graphTriangles]], and [[graphLabelProp]] —
-    * directed src→dst, every node out-degree k, deterministic (cos
-    * rounded before ranking, ties to the smaller dst).
+  /** LSH geometry for the graph family's candidate generation — all
+    * pinned so the DuckDB oracles replay the identical graph. 8 tables +
+    * radius-1 multiprobe because the corpus's nearest neighbors sit near
+    * 70° (top-3 cosine ≈ 0.33), where per-plane agreement is only ~0.6:
+    * measured recall vs the exact graph was 0.24 at 4 tables/no probe,
+    * 0.99 at this geometry (graph_knn_recall is the standing evidence). */
+  private[relational] val GraphTables = 8
+  private[relational] val GraphTargetBucket = 64
+  private[relational] val GraphBucketCap = 512
+
+  /** Upper bound on the embedding dimensionality the sign tables cover —
+    * the oracle SQL is a static string, so the sign lists are emitted at
+    * this fixed width and each dot product stops at the vector's own
+    * length. */
+  private[relational] val GraphMaxDim = 256
+
+  /** Code width growing with the corpus so the expected bucket stays near
+    * [[GraphTargetBucket]] members: smallest b in [4, 24] with
+    * n ≤ target·2^b — the same adaptive-bits rule as `similarity_ann`
+    * (Similarity.adaptiveBits), but integer-exact (no floating log) so
+    * the oracle's CASE-chain replica cannot disagree at power-of-two
+    * boundaries. */
+  private[relational] def graphBits(n: Long): Int = {
+    var b = 4
+    while (b < 24 && n > GraphTargetBucket.toLong * (1L << b)) b += 1
+    b
+  }
+
+  /** Deterministic ±1-hyperplane sign for (table `t`, bit `b`, 1-based
+    * component `i`): parity of the first hex char of md5("t_b_i") — a
+    * REAL hash both engines compute identically (DuckDB `md5(...)`,
+    * JVM MessageDigest), the same replay device as `pfsa_sample` /
+    * `corpus_mix`. A cheap Knuth-multiply bit mix was tried first and its
+    * planes were badly correlated (measured graph recall 0.43 where
+    * independent-plane theory predicts ~0.99; md5 parity delivers the
+    * theoretical value). `scala.util.Random` Gaussians, as
+    * `similarity_ann` uses, cannot cross the engine boundary at all. */
+  private def md5Sign(t: Int, b: Int, i1: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${t}_${b}_${i1}".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 1) == 1) 1.0 else -1.0
+  }
+
+  /** The top-[[PrK]] rounded-cosine k-NN edge set shared by
+    * [[graphPagerank]], [[graphTriangles]], [[graphLabelProp]] and
+    * [[graphKhop]] — directed src→dst, out-degree ≤ k, deterministic
+    * (cos rounded before ranking, ties to the smaller dst).
     *
-    * The STREAM side of the cross join is explicitly repartitioned to the
-    * cluster's parallelism: the embeddings relation is one small parquet
-    * file, so Spark scans it as ONE partition and, without the spread,
-    * the entire O(N²·d) cosine+rank stage runs in a single task — 72 s
-    * single-threaded at sf0.1 vs ~5 s spread (measured). This is the
-    * general small-dimension × quadratic-stage trap: input size says
-    * "one partition is plenty" but WORK is N²; repartition by work, not
-    * by bytes. The broadcast (build) side stays unpartitioned. */
-  private def knnEdges(emb: DataFrame): DataFrame = {
+    * Candidate generation is BUCKETED, not all-pairs: [[GraphTables]]
+    * deterministic ±1-hyperplane sign codes of [[graphBits]] bits per
+    * vector (codegen'd nested `transform`/`aggregate` lambdas, no UDF),
+    * buckets larger than [[GraphBucketCap]] dropped (the
+    * identical-vector-swarm guard from `Similarity.nearDupPairs`), then
+    * one (table, code)-keyed self-equi-join and an exact cosine re-rank
+    * of the candidates. The plan contains no CartesianProduct /
+    * BroadcastNestedLoopJoin anywhere: candidate volume is
+    * ≈ tables·N·bucket rows — LINEAR in N at fixed geometry, and the
+    * adaptive code width keeps the bucket size flat as N grows — where
+    * the previous exact build's N² candidates grew 10,000× at 100×
+    * vectors. Recall vs the exact graph is measured by
+    * `graph_knn_recall` (sampled exact leg, floor-asserted in specs).
+    *
+    * Honest gate-scale cost note: at fixture N (500-2,000 vectors) the
+    * probed buckets cover ~80% of all pairs, so the bucketed build does
+    * the exact build's cosine work PLUS the bucketing stages — measured
+    * ~6 s vs ~0.5 s per graph query at sf0.1. The geometry only prunes
+    * beyond ~10^5 vectors (candidates ≈ tables·(bits+1)·bucket per node,
+    * constant, while all-pairs grows with N) — that asymptote, not the
+    * toy-scale wall clock, is what the swap buys. */
+  private[relational] def annKnnEdges(emb: DataFrame, checkpoint: Boolean = true): DataFrame = {
     import graft.text.Similarity
-    val par = emb.sparkSession.sparkContext.defaultParallelism
-    emb.select(col("vec_id").as("src"), col("v").as("va")).repartition(par)
-      .crossJoin(emb.select(col("vec_id").as("dst"), col("v").as("vb")))
+    val bits = graphBits(emb.count())
+    // signs depend only on (t, b, i): computed once on the driver, baked
+    // into the plan as literal arrays — each code is a codegen'd chain of
+    // literal-weighted dot products, no UDF, no shuffle
+    def dotTb(t: Int, b: Int): Column = {
+      val signs = (1 to GraphMaxDim).map(i => md5Sign(t, b, i))
+      aggregate(
+        transform(col("v"), (x, i) =>
+          x * element_at(typedLit(signs), (i + lit(1)).cast("int"))),
+        lit(0.0), (acc, y) => acc + y)
+    }
+    def code(t: Int): Column = (0 until bits)
+      .map(b => when(dotTb(t, b) >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val bk = emb
+      .select(col("vec_id"), explode(array((0 until GraphTables).map(t =>
+        struct(lit(t.toLong).as("t"), code(t).as("code"))): _*)).as("tc"))
+      .select(col("vec_id"), col("tc.t").as("t"), col("tc.code").as("code"))
+      .persist()
+    // swarm guard: a bucket over the cap is dropped entirely (deterministic,
+    // oracle-replayable) — the capped-join bound from Similarity.nearDupPairs
+    val ok = bk.groupBy(col("t"), col("code")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= GraphBucketCap).select(col("t"), col("code"))
+    val bk2 = bk.join(ok, Seq("t", "code")).select(col("t"), col("code"), col("vec_id"))
+    // Hamming-radius-1 multiprobe on the src side (the similarity_ann
+    // recall boost): each node probes its own code plus the `bits`
+    // one-bit-flip codes — bits+1 probe rows per (node, table), not a
+    // bigger index
+    val probes = bk2.select(col("vec_id").as("src"), col("t"),
+      explode(array(col("code") +:
+        (0 until bits).map(b => col("code").bitwiseXOR(lit(1L << b))): _*)).as("code"))
+    val cand = probes
+      .join(bk2.select(col("t"), col("code"), col("vec_id").as("dst")), Seq("t", "code"))
       .filter(col("src") =!= col("dst"))
+      // the distinct's exchange hash-spreads (src, dst) across the
+      // cluster, so the re-rank work is already balanced — no extra
+      // repartition pass (the old exact build needed one because its
+      // single-file scan arrived as ONE partition)
+      .select(col("src"), col("dst")).distinct()
+    val edges = cand
+      .join(emb.select(col("vec_id").as("src"), col("v").as("va")), "src")
+      .join(emb.select(col("vec_id").as("dst"), col("v").as("vb")), "dst")
       .select(col("src"), col("dst"), round(Similarity.cosine("va", "vb"), 6).as("cos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))))
       .filter(col("rn") <= PrK)
       .select(col("src"), col("dst"))
+    // checkpoint=false is the spec hook: localCheckpoint truncates lineage,
+    // so the no-cartesian plan assertion needs the raw frame
+    val out = if (checkpoint) { val e = edges.localCheckpoint(true); bk.unpersist(false); e }
+              else edges
+    out
   }
 
   private def graphPagerank(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val n = emb.count().toDouble
-    val edges = knnEdges(emb).cache()
+    // ANN edges have out-degree ≤ k (a node's survivors can be fewer than
+    // k candidates), so each node divides its rank by its ACTUAL degree;
+    // nodes with zero out-edges are honest dangling mass (teleport only)
+    val edges = annKnnEdges(emb)
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .localCheckpoint(true)
     val nodes = emb.select(col("vec_id"))
     var rank = nodes.withColumn("r", lit(1.0 / n))
     for (_ <- 1 to PrIters) {
       val contrib = rank.join(edges, rank("vec_id") === edges("src"))
-        .groupBy(col("dst")).agg(sum(col("r") / PrK).as("c"))
+        .groupBy(col("dst")).agg(sum(col("r") / col("deg")).as("c"))
       rank = nodes.join(contrib, nodes("vec_id") === contrib("dst"), "left")
         .select(nodes("vec_id"),
           (lit((1.0 - PrDamping) / n) + lit(PrDamping) * coalesce(col("c"), lit(0.0))).as("r"))
@@ -448,7 +568,7 @@ object AnalyticsQueries {
   private def graphTriangles(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val und = knnEdges(emb)
+    val und = annKnnEdges(emb)
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct()
       .cache()
@@ -493,7 +613,7 @@ object AnalyticsQueries {
   private def graphLabelProp(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-    val und = knnEdges(emb)
+    val und = annKnnEdges(emb)
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct()
     val adj = und.select(col("a").as("node"), col("b").as("nbr"))
@@ -595,9 +715,9 @@ object AnalyticsQueries {
   private def graphKhop(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // the O(N²·d) edge build is referenced three times below (both join
-    // sides + the union); cache it once, as graphPagerank does
-    val edges = knnEdges(emb).cache()
+    // the edge build is referenced three times below (both join sides +
+    // the union); it returns eagerly localCheckpoint'ed, so reuse is free
+    val edges = annKnnEdges(emb)
     val hop2 = edges.join(
       edges.select(col("src").as("mid"), col("dst").as("dst2")),
       col("dst") === col("mid"))
@@ -612,30 +732,114 @@ object AnalyticsQueries {
       .orderBy(col("vec_id"))
   }
 
-  /** The unrolled DuckDB replay of [[graphPagerank]]: same rounded-cosine
-    * top-k graph, same [[PrIters]] damped iterations as chained CTEs. */
-  private def pagerankOracleSql: String = {
-    val iterCtes = (1 to PrIters).map { k =>
-      s"""r$k AS (
-         |  SELECT nodes.vec_id,
-         |         (1 - $PrDamping) / nn.n + $PrDamping * coalesce(s.c, 0) AS r
-         |  FROM nodes CROSS JOIN nn
-         |  LEFT JOIN (SELECT e.dst, sum(p.r / $PrK.0) AS c
-         |             FROM r${k - 1} p JOIN edges e ON p.vec_id = e.src
-         |             GROUP BY e.dst) s ON s.dst = nodes.vec_id)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH emb AS (SELECT vec_id,
-       |                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |             FROM embeddings),
-       |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-       |                 round(list_cosine_similarity(a.v, b.v), 6) AS cos
-       |          FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
-       |edges AS (SELECT src, dst
+  /** Sampled-recall probe size for [[graphKnnRecall]]. */
+  private[relational] val RecallSample = 32
+
+  /** ANN-vs-EXACT RECALL of the bucketed edge build — the quality
+    * evidence for swapping the graph family's exact O(N²) candidate
+    * generation for [[annKnnEdges]]'s linear bucketed one. The exact leg
+    * is BOUNDED: [[RecallSample]] probe nodes broadcast against the
+    * corpus (the `similarity_topk` shape — sample×N work, never N²), so
+    * no plan in the graph family retains a full-corpus cartesian.
+    * Per probe node: its exact top-[[PrK]] cosine neighbors, how many the
+    * bucketed graph kept, and the recall ratio — fully deterministic, so
+    * the oracle replays values rather than settling for a verdict;
+    * GraphPagerankSpec additionally asserts the aggregate floor. */
+  private def graphKnnRecall(s: SparkSession, d: String): DataFrame = {
+    import graft.text.Similarity
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val sample = emb.filter(col("vec_id") < RecallSample)
+    val exact = broadcast(sample.select(col("vec_id").as("src"), col("v").as("va")))
+      .crossJoin(emb.select(col("vec_id").as("dst"), col("v").as("vb")))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), round(Similarity.cosine("va", "vb"), 6).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))))
+      .filter(col("rn") <= PrK)
+      .select(col("src"), col("dst"))
+    val ann = annKnnEdges(emb).filter(col("src") < RecallSample)
+    exact.join(ann.withColumn("hit", lit(1)), Seq("src", "dst"), "left")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("src").as("vec_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The DuckDB replay of [[annKnnEdges]] as a WITH-fragment ending in an
+    * `edges(src, dst)` CTE — the same deterministic ±1-hyperplane codes
+    * (pure integer mixing, bit-for-bit both engines), the same CASE-chain
+    * adaptive code width, the same bucket cap, the same rounded-cosine
+    * top-[[PrK]] re-rank. Spliced into all four graph oracles so the
+    * bucketed graph hashes exactly. */
+  private def annEdgesCteSql(withLabel: Boolean): String = {
+    val bitsCase = (4 until 24)
+      .map(b => s"WHEN nvec.n <= ${GraphTargetBucket.toLong * (1L << b)} THEN $b")
+      .mkString(" ")
+    s"""emb AS (SELECT vec_id,${if (withLabel) " label," else ""}
+       |               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |        FROM embeddings),
+       |nvec AS (SELECT count(*) AS n FROM emb),
+       |bits AS (SELECT CASE $bitsCase ELSE 24 END AS b FROM nvec),
+       |sg AS (SELECT t.t, bb.bb, i.i,
+       |              CASE WHEN (('0x' || substr(md5(t.t || '_' || bb.bb || '_' || i.i), 1, 1))::INT
+       |                         % 2) = 1
+       |                   THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s
+       |       FROM generate_series(0, ${GraphTables - 1}) t(t)
+       |            CROSS JOIN generate_series(0, 23) bb(bb)
+       |            CROSS JOIN generate_series(1, $GraphMaxDim) i(i)),
+       |sgl AS (SELECT t, bb, list(s ORDER BY i) AS sl FROM sg GROUP BY 1, 2),
+       |bbit AS (SELECT e.vec_id, g.t, g.bb,
+       |                CASE WHEN list_sum(list_transform(generate_series(1, len(e.v)),
+       |                       i -> g.sl[i] * e.v[i])) >= 0
+       |                     THEN CAST(1 AS BIGINT) << g.bb ELSE CAST(0 AS BIGINT) END AS bit
+       |         FROM emb e CROSS JOIN bits CROSS JOIN sgl g
+       |         WHERE g.bb < bits.b),
+       |bk AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS code FROM bbit GROUP BY 1, 2),
+       |okb AS (SELECT t, code FROM bk GROUP BY 1, 2 HAVING count(*) <= $GraphBucketCap),
+       |bk2 AS (SELECT bk.vec_id, bk.t, bk.code FROM bk JOIN okb USING (t, code)),
+       |pr AS (SELECT vec_id, t,
+       |              unnest(list_prepend(code,
+       |                list_transform(generate_series(0, bits.b - 1), bb ->
+       |                  xor(code, CAST(1 AS BIGINT) << bb)))) AS code
+       |       FROM bk2 CROSS JOIN bits),
+       |cand AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+       |         FROM pr x JOIN bk2 y ON x.t = y.t AND x.code = y.code
+       |                              AND x.vec_id <> y.vec_id),
+       |pairs AS (SELECT c.src, c.dst, round(list_cosine_similarity(a.v, b.v), 6) AS cos
+       |          FROM cand c JOIN emb a ON a.vec_id = c.src
+       |                      JOIN emb b ON b.vec_id = c.dst),
+       |edges AS MATERIALIZED (SELECT src, dst
        |          FROM (SELECT src, dst,
        |                       row_number() OVER (PARTITION BY src
        |                                          ORDER BY cos DESC, dst) AS rn
        |                FROM pairs)
-       |          WHERE rn <= $PrK),
+       |          WHERE rn <= $PrK)""".stripMargin
+    // ^ MATERIALIZED: the unrolled-iteration oracles reference the edge
+    // relation through CTE chains DuckDB would otherwise inline once per
+    // nesting level — label_prop's doubly-referenced per-round state made
+    // that 2^rounds copies of the whole bucketing pipeline (observed
+    // 100 GiB OOM at sf0.1). One hint, one evaluation.
+  }
+
+  /** The unrolled DuckDB replay of [[graphPagerank]]: same rounded-cosine
+    * top-k graph, same [[PrIters]] damped iterations as chained CTEs. */
+  private def pagerankOracleSql: String = {
+    val iterCtes = (1 to PrIters).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT nodes.vec_id,
+         |         (1 - $PrDamping) / nn.n + $PrDamping * coalesce(s.c, 0) AS r
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN (SELECT ed.dst, sum(p.r / ed.deg) AS c
+         |             FROM r${k - 1} p JOIN edeg ed ON p.vec_id = ed.src
+         |             GROUP BY ed.dst) s ON s.dst = nodes.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${annEdgesCteSql(withLabel = false)},
+       |edeg AS MATERIALIZED (SELECT src, dst,
+       |                CAST(count(*) OVER (PARTITION BY src) AS DOUBLE) AS deg
+       |         FROM edges),
        |nodes AS (SELECT vec_id FROM emb),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM emb),
        |r0 AS (SELECT nodes.vec_id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
@@ -653,25 +857,14 @@ object AnalyticsQueries {
          |w$k AS (SELECT node, label,
          |             row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
          |      FROM v$k),
-         |l$k AS (SELECT e.vec_id, coalesce(w.label, p.label) AS label
+         |l$k AS MATERIALIZED (SELECT e.vec_id, coalesce(w.label, p.label) AS label
          |       FROM emb e
          |       LEFT JOIN (SELECT node, label FROM w$k WHERE rn = 1) w ON w.node = e.vec_id
          |       JOIN l${k - 1} p ON p.vec_id = e.vec_id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH emb AS (SELECT vec_id, label,
-       |                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |             FROM embeddings),
-       |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-       |                 round(list_cosine_similarity(a.v, b.v), 6) AS cos
-       |          FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
-       |dir_e AS (SELECT src, dst
-       |          FROM (SELECT src, dst,
-       |                       row_number() OVER (PARTITION BY src
-       |                                          ORDER BY cos DESC, dst) AS rn
-       |                FROM pairs)
-       |          WHERE rn <= $PrK),
-       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM dir_e),
-       |adj AS (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+    s"""WITH ${annEdgesCteSql(withLabel = true)},
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+       |adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
        |l0 AS (SELECT vec_id, label FROM emb),
        |$iterCtes
        |SELECT l$LpIters.vec_id, CAST(emb.label AS BIGINT) AS label_in,
@@ -1249,6 +1442,7 @@ object AnalyticsQueries {
     "graph_triangles" -> (graphTriangles _),
     "graph_label_prop" -> (graphLabelProp _),
     "graph_khop" -> (graphKhop _),
+    "graph_knn_recall" -> (graphKnnRecall _),
     "join_point_in_time" -> (joinPointInTime _),
     "agg_incremental_merge" -> (aggIncrementalMerge _),
     "corpus_mix" -> (corpusMix _),
@@ -1518,20 +1712,9 @@ object AnalyticsQueries {
         |FROM events WHERE value IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "graph_pagerank" -> pagerankOracleSql,
-    // same rounded-cosine top-k edges, one hop expansion, distinct, count
+    // same bucketed top-k edges, one hop expansion, distinct, count
     "graph_khop" ->
-      s"""WITH emb AS (SELECT vec_id,
-         |                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |             FROM embeddings),
-         |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-         |                 round(list_cosine_similarity(a.v, b.v), 6) AS cos
-         |          FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
-         |edges AS (SELECT src, dst
-         |          FROM (SELECT src, dst,
-         |                       row_number() OVER (PARTITION BY src
-         |                                          ORDER BY cos DESC, dst) AS rn
-         |                FROM pairs)
-         |          WHERE rn <= $PrK),
+      s"""WITH ${annEdgesCteSql(withLabel = false)},
          |hop2 AS (SELECT e1.src, e2.dst
          |         FROM edges e1 JOIN edges e2 ON e1.dst = e2.src),
          |reach AS (SELECT DISTINCT src, dst FROM (
@@ -1541,22 +1724,11 @@ object AnalyticsQueries {
          |SELECT src AS vec_id, CAST(count(*) AS BIGINT) AS n_reach2,
          |       round(count(*) / $PrK.0, 6) AS expansion
          |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin,
-    // same rounded-cosine top-k edge construction as the pagerank oracle,
+    // same bucketed top-k edge construction as the pagerank oracle,
     // then the identical oriented wedge+closure enumeration
     "graph_triangles" ->
-      s"""WITH emb AS (SELECT vec_id,
-         |                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |             FROM embeddings),
-         |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-         |                 round(list_cosine_similarity(a.v, b.v), 6) AS cos
-         |          FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
-         |dir_e AS (SELECT src, dst
-         |          FROM (SELECT src, dst,
-         |                       row_number() OVER (PARTITION BY src
-         |                                          ORDER BY cos DESC, dst) AS rn
-         |                FROM pairs)
-         |          WHERE rn <= $PrK),
-         |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM dir_e),
+      s"""WITH ${annEdgesCteSql(withLabel = false)},
+         |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
          |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
          |        FROM e e1 JOIN e e2 ON e1.b = e2.a
          |        WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
@@ -1569,6 +1741,24 @@ object AnalyticsQueries {
          |FROM emb LEFT JOIN pern ON emb.vec_id = pern.node
          |ORDER BY emb.vec_id""".stripMargin,
     "graph_label_prop" -> labelPropOracleSql,
+    // bounded exact leg (probe nodes only) vs the bucketed edges, both
+    // replayed exactly — recall is a VALUE here, not just a verdict
+    "graph_knn_recall" ->
+      s"""WITH ${annEdgesCteSql(withLabel = false)},
+         |ex AS (SELECT src, dst FROM (
+         |         SELECT a.vec_id AS src, b.vec_id AS dst,
+         |                row_number() OVER (PARTITION BY a.vec_id
+         |                  ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+         |                           b.vec_id) AS rn
+         |         FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+         |         WHERE a.vec_id < $RecallSample)
+         |       WHERE rn <= $PrK)
+         |SELECT ex.src AS vec_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(sum(CASE WHEN e.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |       round(sum(CASE WHEN e.src IS NOT NULL THEN 1 ELSE 0 END)
+         |             * 1.0 / count(*), 6) AS recall
+         |FROM ex LEFT JOIN edges e ON e.src = ex.src AND e.dst = ex.dst
+         |GROUP BY ex.src ORDER BY vec_id""".stripMargin,
     // pure string/integer ordering — parity is exact by construction
     "corpus_mix" ->
       s"""WITH quotas(source, quota) AS (VALUES ${MixQuotas.map {

@@ -89,6 +89,14 @@ class AnalyticsBatch2Spec extends AnyFunSuite {
     (0L until 37L).foreach(k => assert(a.estimateCount(k) === single.estimateCount(k)))
   }
 
+  test("join_bloom_prune probes natively: no UDF node anywhere in the plan") {
+    val plan = q("join_bloom_prune").queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"),
+      "the probe must be the native BloomFilterMightContain expression, not a Scala UDF")
+    assert(plan.toLowerCase.contains("might_contain"),
+      "expected the native might_contain expression in the plan")
+  }
+
   test("join_bloom_prune equals the plain semi-join (bloom admits every true member)") {
     val pruned = q("join_bloom_prune").collect().map(_.toSeq).toSet
     val e = Tables.events(spark, sf)

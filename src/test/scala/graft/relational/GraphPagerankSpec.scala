@@ -20,6 +20,27 @@ class GraphPagerankSpec extends AnyFunSuite {
     assert(rows.map(_.getDouble(1)).distinct.length > 10)
   }
 
+  test("ANN edge build: no cartesian product or broadcast nested loop anywhere in the plan") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // checkpoint=false keeps the raw lineage so the assertion sees the
+    // candidate-generation joins (localCheckpoint would truncate them)
+    val plan = AnalyticsQueries.annKnnEdges(emb, checkpoint = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "bucketed candidates must equi-join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "bucketed candidates must equi-join")
+  }
+
+  test("graph_knn_recall: bucketed edges keep >=80% of the exact top-k (floor)") {
+    val rows = AnalyticsQueries.queries("graph_knn_recall")(spark, sf).collect()
+    assert(rows.length === 32, "one row per probe node")
+    val recalls = rows.map(_.getDouble(3))
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.8, s"mean ANN recall $mean below floor 0.8")
+    assert(recalls.min >= 0.3, s"worst-node recall ${recalls.min} below 0.3")
+  }
+
   test("uniform ring graph has the exactly uniform stationary distribution") {
     // 8 nodes in a directed ring, k=1: every PageRank update preserves
     // uniformity regardless of damping, so r_i = 1/8 at every iteration

@@ -25,18 +25,12 @@ class SeriesBatch2Spec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
-      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      d / math.sqrt(na * nb)
-    }
     val ids = emb.keys.toArray.sorted
-    val dirE = ids.flatMap { s =>
-      ids.filter(_ != s)
-        .map(t => (t, BigDecimal(cos(emb(s), emb(t))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
-        .sortBy { case (t, c) => (-c, t) }.take(3).map(t => (s, t._1))
-    }
-    val und = dirE.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    // same bucketed ANN edge build as the engine (GraphTestUtil is the
+    // third independent implementation beside the plan and the oracle)
+    val und = GraphTestUtil.annEdges(emb).toSeq
+      .flatMap { case (s, ds) => ds.map(t => (math.min(s, t), math.max(s, t))) }
+      .toSet
     val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val triCount = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
     for { (x, ys) <- adj; y <- ys; z <- adj.getOrElse(y, Set.empty) if und.contains((x, z)) } {

@@ -23,17 +23,12 @@ class SeriesBatch3Spec extends AnyFunSuite {
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>")).collect()
     val emb = rows.map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
     val seed = rows.map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var (dd, na, nb, i) = (0.0, 0.0, 0.0, 0)
-      while (i < a.length) { dd += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dd / math.sqrt(na * nb)
-    }
     val ids = emb.keys.toArray.sorted
-    val und = ids.flatMap { s =>
-      ids.filter(_ != s)
-        .map(t => (t, BigDecimal(cos(emb(s), emb(t))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
-        .sortBy { case (t, c) => (-c, t) }.take(3)
-        .map(t => (math.min(s, t._1), math.max(s, t._1)))
+    // same bucketed ANN edge build as the engine (GraphTestUtil is the
+    // third independent implementation beside the plan and the oracle)
+    val dirE = GraphTestUtil.annEdges(emb)
+    val und = dirE.toSeq.flatMap { case (s, ds) =>
+      ds.map(t => (math.min(s, t), math.max(s, t)))
     }.toSet
     val nbrs = ids.map { v =>
       v -> und.collect { case (a, b) if a == v => b; case (a, b) if b == v => a }

@@ -66,17 +66,11 @@ class WaveSixSpec extends AnyFunSuite {
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
     assert(rows.length === emb.size, "one row per node")
-    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def cos(a: Array[Double], b: Array[Double]) = {
-      val dot = a.zip(b).map { case (x, y) => x * y }.sum
-      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
-      r6(dot / (na * nb))
-    }
-    val edges: Map[Long, Seq[Long]] = emb.map { case (src, va) =>
-      src -> emb.toSeq.filter(_._1 != src)
-        .map { case (dst, vb) => (dst, cos(va, vb)) }
-        .sortBy { case (dst, c) => (-c, dst) }.take(3).map(_._1)
-    }
+    def r6(x: Double) = GraphTestUtil.r6(x)
+    // same bucketed ANN edge build as the engine (GraphTestUtil is the
+    // third independent implementation beside the plan and the oracle)
+    val edges: Map[Long, Seq[Long]] =
+      GraphTestUtil.annEdges(emb).withDefaultValue(Seq.empty)
     rows.foreach { r =>
       val src = r.getLong(0)
       val reach = (edges(src) ++ edges(src).flatMap(edges)).toSet - src
