@@ -61,14 +61,23 @@ final case class AsOfJoin(
 
 object AsOfJoin {
   def apply(left: LogicalPlan, right: LogicalPlan,
-            key: String, bucketUs: Long): AsOfJoin =
+            key: String, bucketUs: Long): AsOfJoin = {
+    // the key attribute's type must come from the LEFT child's matching
+    // column: the lowered plan's Alias inherits that type, and a minted
+    // attribute that disagrees (e.g. hardwired StringType under a bigint
+    // key) leaves parents resolved against a schema the physical plan
+    // never produces — internal analysis/codegen errors, not a clean one
+    val keyAttr = left.output.find(_.name == key)
+      .map(a => AttributeReference(key, a.dataType, a.nullable)())
+      .getOrElse(AttributeReference(key, StringType, nullable = true)())
     AsOfJoin(left, right, key, bucketUs, Seq(
       AttributeReference("event_id", LongType, nullable = true)(),
-      AttributeReference(key, StringType, nullable = true)(),
+      keyAttr,
       AttributeReference("ts_us", LongType, nullable = true)(),
       AttributeReference("ref_id", LongType, nullable = true)(),
       AttributeReference("ref_ts_us", LongType, nullable = true)(),
       AttributeReference("lag_us", LongType, nullable = true)()))
+  }
 }
 
 /** Lowers [[AsOfJoin]] to the bucketed-window composition. Output

@@ -1181,16 +1181,21 @@ object DataPipelineQueries {
     * because argmax folding is order-insensitive across batches. */
   private def streamCdcUpsert(s: SparkSession, d: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cdc")
-    val src = streamEvents(s, d)
-    val raw = src.select(col("user_id"), col("event_id"), col("value"),
-      graft.relational.Tables.tsUsCol(src).as("ts_us"))
-    val q = raw.writeStream
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch(cdcUpsertBatch(tmp) _)
-      .start()
-    q.awaitTermination()
-    s.read.parquet(cdcStateDirs(tmp).last.getPath)
-      .orderBy(col("user_id"))
+    try {
+      val src = streamEvents(s, d)
+      val raw = src.select(col("user_id"), col("event_id"), col("value"),
+        graft.relational.Tables.tsUsCol(src).as("ts_us"))
+      val q = raw.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(cdcUpsertBatch(tmp) _)
+        .start()
+      q.awaitTermination()
+      // localCheckpoint BEFORE the finally deletes the state dirs the
+      // lazy read would otherwise scan — same lifecycle as the other sinks
+      s.read.parquet(cdcStateDirs(tmp).last.getPath)
+        .orderBy(col("user_id"))
+        .localCheckpoint(true)
+    } finally deleteRecursively(tmp)
   }
 
   /** The versioned state dirs, oldest→newest. Shared with the spec so the
@@ -1233,9 +1238,14 @@ object DataPipelineQueries {
     * monitor alerts on (row rates, null rates) WITHOUT a second pass or a
     * separate query over the state store. The gate runs the real
     * streaming query (complete-mode per-type counts as the pipeline
-    * output), then folds the observed metrics across every progress
-    * event — counters are additive across micro-batches by construction
-    * — and pins both the output AND the fold to the batch oracle. */
+    * output), accumulating the observed metrics through a
+    * StreamingQueryListener as each progress EVENT is delivered —
+    * counters are additive across micro-batches by construction — and
+    * pins both the output AND the fold to the batch oracle.
+    * (A listener, not a post-hoc `recentProgress` fold: recentProgress is
+    * a ring buffer capped at `numRecentProgressUpdates` (default 100), so
+    * a source split into >100 micro-batches would silently drop early
+    * events and undercount; the listener sees every one.) */
   private def streamObserve(s: SparkSession, d: String): DataFrame = {
     val src = streamEvents(s, d)
     val observed = src.observe("qc",
@@ -1243,23 +1253,41 @@ object DataPipelineQueries {
       sum(expr("cast(round(value * 1e6) as long)")).as("vmic"),
       count(when(col("value").isNull, 1)).as("n_null_value"))
     val qname = "stream_obs_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = observed.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-      .writeStream.format("memory").queryName(qname)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val ms = q.recentProgress.toSeq.flatMap(p =>
-      Option(p.observedMetrics.get("qc")))
-    val nRows = ms.map(r => if (r.isNullAt(0)) 0L else r.getLong(0)).sum
-    val vmic = ms.map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).sum
-    val nNull = ms.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
-    val out = s.table(qname).localCheckpoint(true)
-    s.catalog.dropTempView(qname)
-    out.withColumn("total_rows", lit(nRows))
-      .withColumn("value_micros_sum", lit(vmic))
-      .withColumn("n_null_value", lit(nNull))
-      .orderBy(col("event_type"))
+    val nRowsAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val vmicAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val nNullAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      // match by the unique query NAME, known before start() — matching on
+      // the id assigned by start() would race the first progress event
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == qname) Option(e.progress.observedMetrics.get("qc")).foreach { r =>
+          if (!r.isNullAt(0)) nRowsAcc.addAndGet(r.getLong(0))
+          if (!r.isNullAt(1)) vmicAcc.addAndGet(r.getLong(1))
+          if (!r.isNullAt(2)) nNullAcc.addAndGet(r.getLong(2))
+        }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    s.streams.addListener(listener)
+    try {
+      val q = observed.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the listener bus is async: drain it before reading the tallies, or
+      // a slow bus reads as missing micro-batches
+      org.apache.spark.sql.graft.ColumnBridge.waitListenerBusEmpty(
+        s.sparkContext, 30000L)
+      val out = s.table(qname).localCheckpoint(true)
+      s.catalog.dropTempView(qname)
+      out.withColumn("total_rows", lit(nRowsAcc.get()))
+        .withColumn("value_micros_sum", lit(vmicAcc.get()))
+        .withColumn("n_null_value", lit(nNullAcc.get()))
+        .orderBy(col("event_type"))
+    } finally s.streams.removeListener(listener)
   }
 
   private def streamVocab(s: SparkSession, d: String): DataFrame =

@@ -2,7 +2,7 @@ package graft.relational
 
 import graft.core._
 import graft.pipeline.AnomalyDetection
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2 kernel operators (llk_score, pfsa_infer, pfsa_sample,
@@ -172,15 +172,50 @@ object PipelineQueries {
     Quantize.simple(Tables.eventsLong(s, d).withColumnRenamed("user_id", "seq_id"))
 
   /** cluster_kmeans (detection.py:332-339): seeded KMeans on llk features,
-    * computed from the long form (no sequence array cells). */
-  def clusterKmeans(s: SparkSession, d: String): DataFrame =
-    Cluster.assignFeatures(
-        Cluster.featuresLong(s, quantizedLong(s, d), alphabetSize = 2), nClusters = 3)
-      .select(col("seq_id"), col("cluster"))
+    * computed from the long form (no sequence array cells).
+    *
+    * Output is a SELF-VERIFYING grid (the similarity_ann pattern) so the
+    * DuckDB gate can oracle what a label column never could (labels are
+    * MLlib-internal): one row per sequence with
+    *  - `in_range`: 0 ≤ cluster < k;
+    *  - `is_nearest`: the row's assigned center is the argmin of the k
+    *    squared distances, recomputed IN-QUERY from `vector_to_array` and
+    *    the model's literal centers (Lloyd's assignment invariant — a
+    *    broken relabel, a stale center, or a features/assign mismatch all
+    *    flip it to false);
+    *  - `freq_rank_ok`: the frequency-relabel contract, cluster sizes
+    *    non-increasing in label order (k-row bounded driver check).
+    * The oracle emits the row universe (one row per event-bearing user)
+    * with literal TRUEs. */
+  def clusterKmeans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    val feat = Cluster.featuresLong(s, quantizedLong(s, d), alphabetSize = 2)
+    val (labeled, centers) = Cluster.assignFeaturesWithCenters(feat, nClusters = 3)
+    val sizes = labeled.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val freqRankOk = sizes.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1))
+    val fa = labeled.withColumn("fa", vector_to_array(col("features")))
+    def dist2(k: Int): Column = aggregate(
+      zip_with(col("fa"), typedLit(centers(k).toSeq), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, y) => acc + y)
+    val ds = (0 until 3).map(dist2)
+    val assignedD = when(col("cluster") === 0, ds(0))
+      .when(col("cluster") === 1, ds(1)).otherwise(ds(2))
+    fa.select(col("seq_id"),
+        (col("cluster") >= 0 && col("cluster") < 3).as("in_range"),
+        (assignedD <= least(ds(0), ds(1), ds(2)) + lit(1e-9)).as("is_nearest"),
+        lit(freqRankOk).as("freq_rank_ok"))
       .orderBy("seq_id")
+  }
 
   /** cluster_reduce_scc (detection.py:401-469): confusion graph → SCC count,
-    * every pass (features, inference, scoring) on the long form. */
+    * every pass (features, inference, scoring) on the long form.
+    *
+    * Output is a verdict grid: `n_clusters` is the configured k (a
+    * replayable literal), and the SCC count is checked IN-QUERY against an
+    * INDEPENDENT driver recompute — boolean-matrix transitive closure of
+    * the same ≤k-node confusion graph (k² bits; Tarjan and closure can
+    * only agree when the SCC partition is right). Bounds ride along. */
   def clusterReduceScc(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val long = quantizedLong(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -193,8 +228,19 @@ object PipelineQueries {
       val llks = Llk.scoreAllLong(s, long, ordered)
       val fracs = Cluster.confusionFractions(llks, labels)
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
-      val reduced = Cluster.reducedClusterCount(fracs, ordered.size)
-      Seq((ordered.size, reduced)).toDF("n_clusters", "n_reduced")
+      val n = ordered.size
+      val reduced = Cluster.reducedClusterCount(fracs, n)
+      // independent recompute: reachability closure (Floyd-Warshall over
+      // booleans), SCC = equivalence classes of mutual reachability
+      val reach = Array.tabulate(n, n)((i, j) => i == j)
+      fracs.foreach { case (i, j, f) =>
+        if (f >= 0.2 && i < n && j < n) reach(i)(j) = true }
+      for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+        if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+      val classes = (0 until n).map(i =>
+        (0 until n).filter(j => reach(i)(j) && reach(j)(i)).toSet).distinct.size
+      Seq((n.toLong, reduced >= 1, reduced <= n, reduced == classes))
+        .toDF("n_clusters", "reduced_ge_1", "reduced_le_n", "tarjan_matches_closure")
     } finally long.unpersist()
   }
 
@@ -381,14 +427,25 @@ object PipelineQueries {
 
   /** cluster_pluggable (reference clustering_alg knob, detection.py:26;
     * FeatureAgglomeration in examples/example3.ipynb): same pipeline with a
-    * non-default MLlib estimator. */
+    * non-default MLlib estimator.
+    *
+    * Verdict grid like cluster_kmeans, minus `is_nearest`: BisectingKMeans
+    * assigns by descending its split tree, which need not equal the
+    * global nearest-center argmin, so the honest invariants here are the
+    * label range, the frequency-relabel contract, and divergence from the
+    * default path being an ALGORITHM effect, not a harness one (both
+    * clusterers saw the identical feature frame — checked by count). */
   def clusterPluggable(s: SparkSession, d: String): DataFrame = {
     val est = new org.apache.spark.ml.clustering.BisectingKMeans()
       .setK(3).setSeed(42L).setFeaturesCol("features").setPredictionCol("raw_label")
-    Cluster.assignFeatures(
-        Cluster.featuresLong(s, quantizedLong(s, d), alphabetSize = 2),
-        nClusters = 3, clusterer = Some(est))
-      .select(col("seq_id"), col("cluster"))
+    val feat = Cluster.featuresLong(s, quantizedLong(s, d), alphabetSize = 2)
+    val labeled = Cluster.assignFeatures(feat, nClusters = 3, clusterer = Some(est))
+    val sizes = labeled.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val freqRankOk = sizes.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1))
+    labeled.select(col("seq_id"),
+        (col("cluster") >= 0 && col("cluster") < 3).as("in_range"),
+        lit(freqRankOk).as("freq_rank_ok"))
       .orderBy("seq_id")
   }
 
@@ -420,6 +477,22 @@ object PipelineQueries {
     * literals (a format drift in the PFSA text codec or the DOT emitter
     * hash-fails the gate). */
   val oracle: Map[String, String] = Map(
+    // verdict grids (the similarity_ann pattern): the row universe is one
+    // row per event-bearing user — SQL-replayable — and every invariant
+    // column must arrive literally TRUE (computed in-query on the Spark
+    // side: Lloyd nearest-center, frequency-relabel monotonicity)
+    "cluster_kmeans" ->
+      """SELECT user_id AS seq_id, TRUE AS in_range, TRUE AS is_nearest,
+        |       TRUE AS freq_rank_ok
+        |FROM events GROUP BY user_id ORDER BY seq_id""".stripMargin,
+    "cluster_pluggable" ->
+      """SELECT user_id AS seq_id, TRUE AS in_range, TRUE AS freq_rank_ok
+        |FROM events GROUP BY user_id ORDER BY seq_id""".stripMargin,
+    // SCC verdict: k is the configured literal; the count itself is
+    // checked in-query against an independent reachability-closure SCC
+    "cluster_reduce_scc" ->
+      """SELECT CAST(3 AS BIGINT) AS n_clusters, TRUE AS reduced_ge_1,
+        |       TRUE AS reduced_le_n, TRUE AS tarjan_matches_closure""".stripMargin,
     // value-level kernel oracle — see llkScore's scaladoc: δ(q,σ)=σ makes
     // the Alg.-1 belief walk collapse to a first-order Markov sum after
     // symbol 0 (exactly, in IEEE arithmetic), so DuckDB recomputes the

@@ -209,8 +209,17 @@ object QualityQueries {
     * debris leaking into the read IS a hash mismatch. At scale the
     * manifest is the table-format snapshot and "publish" is one atomic
     * pointer swap; audit cost is one pass over the new files only. */
+  private def deleteRecursively(tmp: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(tmp)
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
   private def sinkWriteAuditPublish(s: SparkSession, d: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_wap")
+    try {
     val stage = tmp.resolve("stage").toFile
     val docs = Tables.tbl(s, d, "documents").filter(col("n_chars") > 0)
     docs.repartition(4).write.mode("overwrite").parquet(stage.getPath)
@@ -239,11 +248,15 @@ object QualityQueries {
     // the reader path: resolve the manifest, read ONLY its files
     val mj = java.nio.file.Files.readString(manifest)
     val files = "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(mj).map(_.group(1)).toSeq
+    // localCheckpoint BEFORE the finally deletes the staged files the
+    // lazy read would otherwise scan
     s.read.parquet(files: _*)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
       .withColumn("audit_pk_ok", lit(auditOk))
       .orderBy(col("lang"))
+      .localCheckpoint(true)
+    } finally deleteRecursively(tmp)
   }
 
   /** ENCRYPTED-AT-REST parquet sink — Parquet MODULAR ENCRYPTION through
@@ -263,19 +276,23 @@ object QualityQueries {
     * no plan change, no extra shuffle, scale-free. */
   private def sinkParquetEncrypted(s: SparkSession, d: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_enc")
-    val out = tmp.resolve("docs_enc").toString
-    val hc = s.sparkContext.hadoopConfiguration
-    val confKeys = Seq("parquet.crypto.factory.class",
-      "parquet.encryption.kms.client.class", "parquet.encryption.key.list")
-    val prev = confKeys.map(k => k -> Option(hc.get(k)))
     try {
-      hc.set("parquet.crypto.factory.class",
-        "org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory")
-      hc.set("parquet.encryption.kms.client.class", "graft.sources.ConfKeyringKms")
-      hc.set("parquet.encryption.key.list",
-        "kf:AAECAwQFBgcICQoLDA0ODw==, kc:EBESExQVFhcYGRobHB0eHw==")
+      val out = tmp.resolve("docs_enc").toString
+      // crypto config travels as PER-OPERATION DataFrameWriter/Reader
+      // options (Spark merges them into that job's hadoop conf via
+      // newHadoopConfWithOptions) — never the SparkContext-global
+      // hadoopConfiguration, which would silently encrypt every
+      // concurrent parquet write in the shared session with the test
+      // keyring and race a concurrent reader against the restore
+      val cryptoOpts = Map(
+        "parquet.crypto.factory.class" ->
+          "org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory",
+        "parquet.encryption.kms.client.class" -> "graft.sources.ConfKeyringKms",
+        "parquet.encryption.key.list" ->
+          "kf:AAECAwQFBgcICQoLDA0ODw==, kc:EBESExQVFhcYGRobHB0eHw==")
       Tables.tbl(s, d, "documents")
         .write.mode("overwrite")
+        .options(cryptoOpts)
         .option("parquet.encryption.footer.key", "kf")
         .option("parquet.encryption.column.keys", "kc:text")
         .parquet(out)
@@ -286,17 +303,14 @@ object QualityQueries {
         raf.seek(part.length() - 4)
         val b = new Array[Byte](4); raf.readFully(b); new String(b, "US-ASCII")
       } finally raf.close()
-      s.read.parquet(out)
+      s.read.options(cryptoOpts).parquet(out)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).as("sum_text_chars"))
         .withColumn("footer_encrypted", lit(magic == "PARE"))
         .orderBy(col("lang"))
         .localCheckpoint(true)
-    } finally prev.foreach {
-      case (k, Some(v)) => hc.set(k, v)
-      case (k, None) => hc.unset(k)
-    }
+    } finally deleteRecursively(tmp)
   }
 
   /** IN-FLIGHT observability — Spark's `Observation` API: QC counters
