@@ -514,14 +514,24 @@ object AnalyticsQueries {
       // repartition pass (the old exact build needed one because its
       // single-file scan arrived as ONE partition)
       .select(col("src"), col("dst")).distinct()
+    // top-k per src through the combinable TopKRows aggregate (value DESC,
+    // id ASC — the identical ordering), NOT a rank window: the window form
+    // re-exchanges and fully sorts the candidate relation, while the
+    // aggregate keeps O(k) state per src and each input partition
+    // contributes ≤ k rows per src to the shuffle — the scale-safe shape
+    // at any candidate volume
+    val topk = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.TopKRows(PrK,
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("cos")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("dst")))
+        .toAggregateExpression())
     val edges = cand
       .join(emb.select(col("vec_id").as("src"), col("v").as("va")), "src")
       .join(emb.select(col("vec_id").as("dst"), col("v").as("vb")), "dst")
       .select(col("src"), col("dst"), round(Similarity.cosine("va", "vb"), 6).as("cos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))))
-      .filter(col("rn") <= PrK)
-      .select(col("src"), col("dst"))
+      .groupBy(col("src")).agg(topk.as("tk"))
+      .select(col("src"), explode(col("tk")).as("e"))
+      .select(col("src"), col("e.id").as("dst"))
     // checkpoint=false is the spec hook: localCheckpoint truncates lineage,
     // so the no-cartesian plan assertion needs the raw frame
     val out = if (checkpoint) { val e = edges.localCheckpoint(true); bk.unpersist(false); e }
