@@ -25,14 +25,20 @@ object GraphTestUtil {
     if (((h(0) >> 4) & 1) == 1) 1.0 else -1.0
   }
 
-  /** Directed top-`k` ANN edges exactly as the engine and oracle build
-    * them; a node whose candidates are empty is absent from the map. */
-  def annEdges(emb: Map[Long, Array[Double]], k: Int = 3): Map[Long, Seq[Long]] = {
-    val n = emb.size
-    var bits = 4
-    while (bits < 24 && n > 64L * (1L << bits)) bits += 1
-    val tables = 8
-    val codes: Map[(Long, Int), Long] = (for {
+  /** Adaptive code width — same integer-exact rule as the engine. */
+  def bitsFor(n: Long): Int = {
+    var b = 4
+    while (b < 24 && n > 64L * (1L << b)) b += 1
+    b
+  }
+
+  /** Per-(vector, table) sign codes with the sign table memoized once —
+    * md5 depends only on (t, b, i), so a fresh digest per component would
+    * cost |emb|·tables·bits·dim digests for no reason. */
+  def annCodes(emb: Map[Long, Array[Double]], tables: Int, bits: Int): Map[(Long, Int), Long] = {
+    val dim = emb.values.map(_.length).max
+    val signs = Array.tabulate(tables, bits, dim)((t, b, i) => md5Sign(t, b, i + 1))
+    (for {
       (v, arr) <- emb.toSeq; t <- 0 until tables
     } yield {
       var code = 0L
@@ -40,12 +46,21 @@ object GraphTestUtil {
       while (b < bits) {
         var dot = 0.0
         var i = 0
-        while (i < arr.length) { dot += arr(i) * md5Sign(t, b, i + 1); i += 1 }
+        while (i < arr.length) { dot += arr(i) * signs(t)(b)(i); i += 1 }
         if (dot >= 0) code |= (1L << b)
         b += 1
       }
       (v, t) -> code
     }).toMap
+  }
+
+  /** Directed top-`k` ANN edges exactly as the engine and oracle build
+    * them; a node whose candidates are empty is absent from the map. */
+  def annEdges(emb: Map[Long, Array[Double]], k: Int = 3): Map[Long, Seq[Long]] = {
+    val n = emb.size
+    val bits = bitsFor(n)
+    val tables = 8
+    val codes = annCodes(emb, tables, bits)
     val buckets: Map[(Int, Long), Seq[Long]] = codes.toSeq
       .groupBy { case ((_, t), c) => (t, c) }
       .view.mapValues(_.map(_._1._1)).toMap
