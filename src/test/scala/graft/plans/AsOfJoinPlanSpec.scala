@@ -56,6 +56,24 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
     assert(n === 1)
   }
 
+  test("a non-string key resolves: the minted key attribute takes the left child's type") {
+    // regression: the key attribute was hardwired StringType, so a bigint
+    // key declared a node schema the lowered plan never produced and
+    // parents hit internal analysis errors
+    import spark.implicits._
+    val e = Seq((1L, 7L, 100L), (2L, 7L, 250L), (3L, 8L, 90L))
+      .toDF("event_id", "k", "ts_us")
+    val r = Seq((7L, 50L, 10L), (7L, 240L, 11L), (8L, 95L, 12L))
+      .toDF("k", "ts_us", "ref_id")
+    val out = AsOfJoinPlan.asof(e, r, "k", 1000L)
+    assert(out.schema("k").dataType === org.apache.spark.sql.types.LongType)
+    val rows = out.orderBy("event_id").collect()
+    assert(rows(1).getLong(3) === 11L, "event 2 (ts 250, k=7) sees ref 11 (ts 240)")
+    assert(rows(2).isNullAt(3), "event 3 (ts 90, k=8) precedes k=8's only ref")
+    // and a projection through the minted attribute keeps resolving
+    assert(out.select(col("k") + 1).count() === 3L)
+  }
+
   test("node survives tree copies without re-minting output attribute ids") {
     val (e, r) = inputs()
     val node = AsOfJoin(e.queryExecution.analyzed, r.queryExecution.analyzed,
