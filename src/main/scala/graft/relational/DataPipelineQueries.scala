@@ -1970,6 +1970,59 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** ASYMMETRIC CONTAINMENT detection — C(A,B) = |S(A)∩S(B)| / |S(A)|
+    * over word 5-gram shingle sets: the quote / near-superset case every
+    * symmetric dedup (Jaccard, MinHash) structurally misses — a short doc
+    * fully quoted inside a long one has high containment but LOW Jaccard,
+    * and it still leaks training data. Scale shape is the classic
+    * rarest-term blocking from IR: rank each doc's shingles by global
+    * document frequency, emit candidates only through each doc's 3 RAREST
+    * shingles' postings (rare ⇒ short posting lists by definition — the
+    * common-shingle Σdf² blow-up never enters any join), then exact
+    * set-intersection counting on candidates only: one (pair ⋈ A-shingle)
+    * expansion LEFT SEMI probed against B's shingle rows, one combinable
+    * count. Global top-20 via orderBy+limit (TakeOrdered — never a
+    * single-partition sort). Every step is deterministic relational
+    * algebra, so the oracle replays values exactly. */
+  private def textContainment(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.text.TextOps.tokens("text")
+    val shingleArr = when(size(toks) >= 5,
+      expr("transform(sequence(1, size(regexp_extract_all(lower(text), '[a-z]+', 0)) - 4), " +
+        "i -> concat_ws(' ', slice(regexp_extract_all(lower(text), '[a-z]+', 0), i, 5)))"))
+      .otherwise(expr("array()"))
+    val sh = docs(s, d)
+      .select(col("doc_id"), explode(shingleArr).as("g"))
+      .distinct()
+      .persist()
+    val na = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val rare = sh.join(dfreq, "g")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id").as("a"), col("g"))
+    val cand = rare
+      .join(sh.select(col("doc_id").as("b"), col("g")), "g")
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+    val shared = cand
+      .join(sh.select(col("doc_id").as("a"), col("g")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("g")), Seq("b", "g"), "left_semi")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+    val out = shared
+      .join(na.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+      .join(na.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+      .select(col("a").as("doc_id"), col("b").as("contained_in"),
+        col("na").as("n_shingles"), col("nb").as("n_shingles_container"),
+        col("n_shared"),
+        round(col("n_shared").cast("double") / col("na"), 6).as("containment"))
+      .orderBy(col("containment").desc, col("doc_id"), col("contained_in"))
+      .limit(20)
+      .localCheckpoint(true)
+    sh.unpersist(false)
+    out
+  }
+
   /** Document fingerprint: min-hash winnowing over 8-gram shingles — the
     * minimum md5 is a stable content fingerprint robust to shingle order. */
   private def textFingerprint(s: SparkSession, d: String): DataFrame =
@@ -2336,6 +2389,7 @@ object DataPipelineQueries {
     "sample_stratified" -> (sampleStratified _),
     "corpus_prep" -> (corpusPrep _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_containment" -> (textContainment _),
     "text_entropy" -> (textEntropy _),
     "text_lm_score" -> (textLmScore _),
     "text_lang_id_ngram" -> (textLangIdNgram _),
@@ -3035,6 +3089,44 @@ object DataPipelineQueries {
         |       substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < r.threshold_hex AS kept
         |FROM documents d JOIN rates r USING (lang)
         |ORDER BY d.doc_id""".stripMargin,
+    // identical rarest-shingle blocking + exact intersection counting;
+    // l[i:i+4] is DuckDB's 1-based inclusive slice = 5 elements
+    "text_containment" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |         SELECT doc_id,
+        |                unnest(CASE WHEN len(l) >= 5
+        |                  THEN list_transform(generate_series(1, len(l) - 4),
+        |                         i -> array_to_string(l[i:i+4], ' '))
+        |                  ELSE [] END) AS g
+        |         FROM t)),
+        |na AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+        |dfreq AS (SELECT g, count(*) AS df FROM sh GROUP BY 1),
+        |rare AS (SELECT doc_id AS a, g FROM (
+        |           SELECT sh.doc_id, sh.g,
+        |                  row_number() OVER (PARTITION BY sh.doc_id
+        |                                     ORDER BY dfreq.df, sh.g) AS rn
+        |           FROM sh JOIN dfreq USING (g))
+        |         WHERE rn <= 3),
+        |cand AS (SELECT DISTINCT rare.a, s2.doc_id AS b
+        |         FROM rare JOIN sh s2 USING (g)
+        |         WHERE rare.a <> s2.doc_id),
+        |shared AS (SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n_shared
+        |           FROM cand c
+        |           JOIN sh sa ON sa.doc_id = c.a
+        |           WHERE EXISTS (SELECT 1 FROM sh sb
+        |                         WHERE sb.doc_id = c.b AND sb.g = sa.g)
+        |           GROUP BY 1, 2)
+        |SELECT sh2.a AS doc_id, sh2.b AS contained_in,
+        |       naa.n_sh AS n_shingles, nab.n_sh AS n_shingles_container,
+        |       sh2.n_shared,
+        |       round(CAST(sh2.n_shared AS DOUBLE) / naa.n_sh, 6) AS containment
+        |FROM shared sh2
+        |JOIN na naa ON naa.doc_id = sh2.a
+        |JOIN na nab ON nab.doc_id = sh2.b
+        |ORDER BY containment DESC, doc_id, contained_in
+        |LIMIT 20""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |       list_min(list_transform(

@@ -266,7 +266,60 @@ object EmbedQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** EMBEDDING OUTLIER flagging — distance-to-own-centroid z-score, the
+    * standard embedding-quality probe a training pipeline alerts on
+    * (mislabeled rows, corrupt encodes, distribution drift all surface as
+    * members far from their label's centroid). Ladder of 6-dp roundings
+    * for cross-engine parity, same discipline as embed_nearest_centroid:
+    * centroid means rounded, squared distance (sequential codegen'd fold)
+    * rounded, per-label distance μ/σ_pop over the rounded distances
+    * rounded, z from the rounded inputs. Plan: |labels|·d centroid
+    * partials (map-side-combinable), centroid frame BROADCAST back, one
+    * |labels|-row stats frame broadcast-joined — nothing but the two
+    * bounded aggregates shuffles at any corpus size. */
+  private def embedOutliers(s: SparkSession, d: String): DataFrame = {
+    val cent = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(round(avg(col("x").cast("double")), 6).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
+      .select(col("label"), expr("transform(im, e -> e.m)").as("cvec"))
+    val d2 = Tables.embeddings(s, d)
+      .join(broadcast(cent), "label")
+      .withColumn("d2_r", round(expr(
+        """aggregate(
+          |  zip_with(embedding, cvec,
+          |           (a, b) -> (cast(a as double) - b) * (cast(a as double) - b)),
+          |  0D, (acc, t) -> acc + t)""".stripMargin), 6))
+      .select(col("vec_id"), col("label"), col("d2_r"))
+      // micro-units from here: the 6dp-rounded distance becomes an EXACT
+      // integer, so μ and σ_pop derive from exact integer sums and both
+      // engines compute bit-identical doubles — avg/stddev over raw
+      // doubles rounds differently exactly at a 6dp boundary (observed:
+      // one label's μ flipped, 46 z rows off by 1e-6/σ)
+      .withColumn("d2m", round(col("d2_r") * 1e6).cast("long"))
+    val stats = d2.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("d2m")).as("s1"),
+        sum(col("d2m") * col("d2m")).as("s2"))
+      .select(col("label"),
+        (col("s1").cast("double") / col("n")).as("mu"),
+        sqrt(greatest(col("s2").cast("double") / col("n")
+          - (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n")),
+          lit(0.0))).as("sd"))
+    d2.join(broadcast(stats), "label")
+      .select(col("vec_id"), col("label").cast("long").as("label"), col("d2_r"),
+        when(col("sd") > 0, round((col("d2m") - col("mu")) / col("sd"), 6))
+          .otherwise(lit(0.0)).as("z"),
+        // the flag compares the ROUNDED z on both engines — an unrounded
+        // comparison could flip against the oracle exactly at the boundary
+        (col("sd") > 0 &&
+          round((col("d2m") - col("mu")) / col("sd"), 6) > 2.0).as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_outliers" -> (embedOutliers _),
     "embed_standardize" -> (embedStandardize _),
     "dedup_semantic" -> (dedupSemantic _),
     "embed_pca" -> (embedPca _),
@@ -276,6 +329,32 @@ object EmbedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // identical rounding ladder: centroid means @6dp, squared distance
+    // @6dp, per-label μ/σ_pop over the rounded distances @6dp, z and the
+    // flag from the rounded operands
+    "embed_outliers" ->
+      """WITH long AS (SELECT vec_id, label, g.i AS i,
+        |                     CAST(embedding[g.i] AS DOUBLE) AS x
+        |              FROM embeddings, generate_series(1, 64) g(i)),
+        |cent AS (SELECT label, i, round(avg(x), 6) AS m FROM long GROUP BY 1, 2),
+        |d2 AS (SELECT vec_id, label, d2_r,
+        |              CAST(round(d2_r * 1e6) AS BIGINT) AS d2m FROM (
+        |         SELECT l.vec_id, l.label,
+        |                round(sum((l.x - c.m) * (l.x - c.m)), 6) AS d2_r
+        |         FROM long l JOIN cent c ON c.label = l.label AND c.i = l.i
+        |         GROUP BY 1, 2)),
+        |st AS (SELECT label,
+        |              CAST(sum(d2m) AS DOUBLE) / count(*) AS mu,
+        |              sqrt(greatest(CAST(sum(d2m * d2m) AS DOUBLE) / count(*)
+        |                - (CAST(sum(d2m) AS DOUBLE) / count(*))
+        |                  * (CAST(sum(d2m) AS DOUBLE) / count(*)), 0.0)) AS sd
+        |       FROM d2 GROUP BY 1)
+        |SELECT d2.vec_id, CAST(d2.label AS BIGINT) AS label, d2.d2_r,
+        |       CASE WHEN st.sd > 0 THEN round((d2.d2m - st.mu) / st.sd, 6)
+        |            ELSE CAST(0.0 AS DOUBLE) END AS z,
+        |       st.sd > 0 AND round((d2.d2m - st.mu) / st.sd, 6) > 2.0 AS is_outlier
+        |FROM d2 JOIN st USING (label)
+        |ORDER BY vec_id""".stripMargin,
     // same ladder: μ/σ@6dp from the raw per-dim population, z from the
     // rounded operands, @6dp, −0-normalized
     "embed_standardize" ->

@@ -345,7 +345,53 @@ object QualityQueries {
       .orderBy(col("lang"))
   }
 
+  /** SNAPSHOT DRIFT audit — the data-contract monitor between two table
+    * versions: per watched column, null rate, distinct cardinality,
+    * numeric range and mean are profiled on each snapshot and compared;
+    * the drift row per column carries the deltas and the alert booleans a
+    * contract would page on. Snapshots here are the two event_id-parity
+    * halves of events (a deterministic stand-in for yesterday/today the
+    * oracle reproduces exactly); at scale each snapshot profile is ONE
+    * map-side-combinable aggregate over its partition (no join touches
+    * row-level data — the drift join is |columns| rows), and yesterday's
+    * profile is a stored |columns|-row table, never a re-scan. Means
+    * travel as exact integer micro-units; rates round at 6dp. */
+  private def dqSchemaDrift(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.eventsTsUs(s, d)
+    def profile(df: DataFrame, snap: String): DataFrame = {
+      val numeric = df.agg(
+        count(lit(1)).as("n"),
+        count(when(col("value").isNull, 1)).as("n_null"),
+        countDistinct(col("user_id")).as("nd_user"),
+        countDistinct(col("event_type")).as("nd_type"),
+        min(col("ts_us")).as("ts_min"), max(col("ts_us")).as("ts_max"),
+        sum(expr("cast(round(value * 1e6) as long)")).as("vmic"))
+      numeric.select(lit(snap).as("snap"), col("n"), col("n_null"),
+        col("nd_user"), col("nd_type"), col("ts_min"), col("ts_max"), col("vmic"))
+    }
+    val a = profile(e.filter(col("event_id") % 2 === 0), "a")
+    val b = profile(e.filter(col("event_id") % 2 === 1), "b")
+    a.crossJoin(b.select(
+        col("n").as("bn"), col("n_null").as("bn_null"),
+        col("nd_user").as("bnd_user"), col("nd_type").as("bnd_type"),
+        col("ts_min").as("bts_min"), col("ts_max").as("bts_max"),
+        col("vmic").as("bvmic")))
+      .select(
+        col("n"), col("bn"),
+        round(col("n_null").cast("double") / col("n")
+          - col("bn_null").cast("double") / col("bn"), 6).as("null_rate_delta"),
+        round(col("bnd_user").cast("double") / col("nd_user"), 6).as("user_card_ratio"),
+        (col("nd_type") === col("bnd_type")).as("type_domain_stable"),
+        (col("bts_max") >= col("ts_min")).as("ranges_overlap"),
+        round(col("vmic").cast("double") / lit(1e6) / col("n")
+          - col("bvmic").cast("double") / lit(1e6) / col("bn"), 6).as("mean_value_delta"),
+        (abs(round(col("vmic").cast("double") / lit(1e6) / col("n")
+          - col("bvmic").cast("double") / lit(1e6) / col("bn"), 6)) <= 10.0)
+          .as("mean_within_tolerance"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_schema_drift" -> (dqSchemaDrift _),
     "observe_metrics" -> (observeMetrics _),
     "sink_parquet_encrypted" -> (sinkParquetEncrypted _),
     "sink_write_audit_publish" -> (sinkWriteAuditPublish _),
@@ -357,6 +403,32 @@ object QualityQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the same two parity snapshots, the same micro-int means
+    "dq_schema_drift" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |p AS (SELECT event_id % 2 AS snap,
+        |             CAST(count(*) AS BIGINT) AS n,
+        |             CAST(count(*) FILTER (value IS NULL) AS BIGINT) AS n_null,
+        |             CAST(count(DISTINCT user_id) AS BIGINT) AS nd_user,
+        |             CAST(count(DISTINCT event_type) AS BIGINT) AS nd_type,
+        |             min(ts_us) AS ts_min, max(ts_us) AS ts_max,
+        |             CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS vmic
+        |      FROM e GROUP BY 1),
+        |a AS (SELECT * FROM p WHERE snap = 0),
+        |b AS (SELECT * FROM p WHERE snap = 1)
+        |SELECT a.n, b.n AS bn,
+        |       round(CAST(a.n_null AS DOUBLE) / a.n
+        |             - CAST(b.n_null AS DOUBLE) / b.n, 6) AS null_rate_delta,
+        |       round(CAST(b.nd_user AS DOUBLE) / a.nd_user, 6) AS user_card_ratio,
+        |       a.nd_type = b.nd_type AS type_domain_stable,
+        |       b.ts_max >= a.ts_min AS ranges_overlap,
+        |       round(CAST(a.vmic AS DOUBLE) / 1e6 / a.n
+        |             - CAST(b.vmic AS DOUBLE) / 1e6 / b.n, 6) AS mean_value_delta,
+        |       abs(round(CAST(a.vmic AS DOUBLE) / 1e6 / a.n
+        |             - CAST(b.vmic AS DOUBLE) / 1e6 / b.n, 6)) <= 10.0
+        |         AS mean_within_tolerance
+        |FROM a CROSS JOIN b""".stripMargin,
     // every observed counter recomputed from the source alongside the
     // per-lang output the pass produced
     "observe_metrics" ->
