@@ -299,6 +299,10 @@ object EmbedQueries {
       // doubles rounds differently exactly at a 6dp boundary (observed:
       // one label's μ flipped, 46 z rows off by 1e-6/σ)
       .withColumn("d2m", round(col("d2_r") * 1e6).cast("long"))
+      // referenced by BOTH the stats aggregate and the final join —
+      // uncheckpointed, the scan+centroid pipeline runs twice (plan
+      // audit); state is n rows × 4 scalar cols, the labelprop bound
+      .localCheckpoint(true)
     val stats = d2.groupBy(col("label"))
       .agg(count(lit(1)).as("n"), sum(col("d2m")).as("s1"),
         sum(col("d2m") * col("d2m")).as("s2"))
