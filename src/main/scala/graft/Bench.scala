@@ -147,8 +147,15 @@ object Bench {
     val top = results.sortBy(-_._2).take(10)
       .map { case (k, v, _) => "\"" + k + "\":" + pct(v) }.mkString("{", ",", "}")
     // errors capped at 5 (full list is in the detail file) so a
-    // many-failure run cannot push the summary line past the tail window
-    val errCompact = (errors.take(5).map(e => q(e.take(160))) ++
+    // many-failure run cannot push the summary line past the tail window.
+    // Sanitize BEFORE truncating: q() expands quotes/backslashes 2x and
+    // control chars 6x, so truncating the raw string first could still
+    // blow the window (160 raw newline-heavy chars → ~960 escaped) —
+    // after replacing every escapable char with a space, escaped length
+    // equals raw length and the budget is exact
+    def sanitize(e: String): String =
+      e.map(c => if (c < ' ' || c == '"' || c == '\\') ' ' else c).take(160)
+    val errCompact = (errors.take(5).map(e => q(sanitize(e))) ++
       (if (errors.size > 5) Seq(q(s"...and ${errors.size - 5} more")) else Nil))
       .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +

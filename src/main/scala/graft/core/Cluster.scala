@@ -75,8 +75,47 @@ object Cluster {
     * estimator configured with `setFeaturesCol("features")` and
     * `setPredictionCol("raw_label")` (e.g. `BisectingKMeans`,
     * `GaussianMixture`); default is seeded KMeans. */
+  /** Frequency relabel shared by every assign variant (reference's
+    * double-argsort trick, detection.py:341-347): rank labels by
+    * descending member count over the k-row aggregate collected to the
+    * driver (k = nClusters, tiny), joined back as a broadcast when-chain —
+    * no window over the full data. Labels the clusterer fitted but
+    * assigned NO rows (KMeans can return an empty cluster) get the
+    * remaining ranks after the observed ones, in label order — every raw
+    * label 0..k-1 maps to a distinct rank, so center lookups keyed by
+    * rank can never collide or miss. Returns (relabel column,
+    * raw-label → rank map, member counts by rank). */
+  private def frequencyRelabel(labeled: DataFrame, nClusters: Int)
+      : (org.apache.spark.sql.Column, Map[Int, Int], Seq[Long]) = {
+    val counts = labeled.groupBy(col("raw_label")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val observed = counts
+      .sortBy { case (lbl, cnt) => (-cnt, lbl) }
+      .zipWithIndex.map { case ((lbl, _), rank) => lbl -> rank }
+    val unobserved = (0 until nClusters)
+      .filterNot(l => observed.exists(_._1 == l)).sorted
+      .zipWithIndex.map { case (lbl, i) => lbl -> (observed.length + i) }
+    val rankMap = (observed ++ unobserved).toMap
+    val relabelCol = rankMap.foldLeft(lit(0): org.apache.spark.sql.Column) {
+      case (acc, (lbl, rank)) => when(col("raw_label") === lbl, rank).otherwise(acc)
+    }
+    val countsByLbl = counts.toMap
+    val sizesByRank = rankMap.toSeq.sortBy(_._2)
+      .map { case (lbl, _) => countsByLbl.getOrElse(lbl, 0L) }
+    (relabelCol, rankMap, sizesByRank)
+  }
+
   def assignFeatures(feat: DataFrame, nClusters: Int, seed: Long = 42L,
-                     clusterer: Option[Estimator[_ <: Model[_]]] = None): DataFrame = {
+                     clusterer: Option[Estimator[_ <: Model[_]]] = None): DataFrame =
+    assignFeaturesWithStats(feat, nClusters, seed, clusterer)._1
+
+  /** [[assignFeatures]] plus the member counts by relabeled rank — the
+    * counts already exist in the relabel's bounded collect, so callers
+    * that need them (the cluster verdict grids' frequency-rank invariant)
+    * must not pay a second job over the uncached feature lineage. */
+  def assignFeaturesWithStats(feat: DataFrame, nClusters: Int, seed: Long = 42L,
+                              clusterer: Option[Estimator[_ <: Model[_]]] = None)
+      : (DataFrame, Seq[Long]) = {
     val labeled =
       if (nClusters <= 1 && clusterer.isEmpty) feat.withColumn("raw_label", lit(0))
       else {
@@ -85,47 +124,33 @@ object Cluster {
             .setFeaturesCol("features").setPredictionCol("raw_label"))
         est.fit(feat).transform(feat)
       }
-    // frequency relabel: rank labels by descending member count (reference's
-    // double-argsort trick, detection.py:341-347). The rank is computed on
-    // the k-row aggregate collected to the driver (k = nClusters, tiny) and
-    // joined back as a broadcast map — no window over the full data.
-    val rankMap = labeled.groupBy(col("raw_label")).agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-      .sortBy { case (lbl, cnt) => (-cnt, lbl) }
-      .zipWithIndex.map { case ((lbl, _), rank) => lbl -> rank }.toMap
-    val relabelCol = rankMap.foldLeft(lit(0): org.apache.spark.sql.Column) {
-      case (acc, (lbl, rank)) => when(col("raw_label") === lbl, rank).otherwise(acc)
-    }
+    val (relabelCol, _, sizes) = frequencyRelabel(labeled, nClusters)
     // carry whatever payload columns rode along (symbols on the array path,
     // nothing extra on the long path) — only the ML bookkeeping is dropped
     val keep = feat.columns.filterNot(c => c == "features" || c == "raw_label")
-    labeled.select(keep.map(col).toIndexedSeq :+ relabelCol.cast("int").as("cluster"): _*)
+    (labeled.select(keep.map(col).toIndexedSeq :+ relabelCol.cast("int").as("cluster"): _*),
+      sizes)
   }
 
-  /** [[assignFeatures]] for the default seeded-KMeans path, additionally
-    * returning the fitted cluster centers keyed by RELABELED index — the
-    * hook the `cluster_kmeans` verdict grid needs to check, in-query,
-    * that every row's assignment is the nearest center (the Lloyd
-    * assignment invariant MLlib's `transform` guarantees against the
-    * FINAL centers). Centers are k tiny arrays on the driver — the same
-    * bounded-collect class as the relabel rank map below. */
+  /** The seeded-KMeans assign additionally returning the fitted cluster
+    * centers keyed by RELABELED rank (complete for every rank 0..k-1 —
+    * [[frequencyRelabel]] maps empty clusters too) and the member counts
+    * by rank — the hooks the `cluster_kmeans` verdict grid needs to
+    * check, in-query, that every row's assignment is the nearest center
+    * (the Lloyd assignment invariant MLlib's `transform` guarantees
+    * against the FINAL centers). Centers are k tiny arrays on the
+    * driver — the same bounded-collect class as the relabel rank map. */
   def assignFeaturesWithCenters(feat: DataFrame, nClusters: Int, seed: Long = 42L)
-      : (DataFrame, Map[Int, Array[Double]]) = {
+      : (DataFrame, Map[Int, Array[Double]], Seq[Long]) = {
     val est = new KMeans().setK(nClusters).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("raw_label")
     val model = est.fit(feat)
     val labeled = model.transform(feat)
-    val rankMap = labeled.groupBy(col("raw_label")).agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-      .sortBy { case (lbl, cnt) => (-cnt, lbl) }
-      .zipWithIndex.map { case ((lbl, _), rank) => lbl -> rank }.toMap
-    val relabelCol = rankMap.foldLeft(lit(0): org.apache.spark.sql.Column) {
-      case (acc, (lbl, rank)) => when(col("raw_label") === lbl, rank).otherwise(acc)
-    }
+    val (relabelCol, rankMap, sizes) = frequencyRelabel(labeled, nClusters)
     val centers = model.clusterCenters.zipWithIndex.map { case (c, lbl) =>
-      rankMap.getOrElse(lbl, lbl) -> c.toArray }.toMap
+      rankMap(lbl) -> c.toArray }.toMap
     (labeled.select(col("seq_id"), col("features"),
-      relabelCol.cast("int").as("cluster")), centers)
+      relabelCol.cast("int").as("cluster")), centers, sizes)
   }
 
   /** Row-normalized confusion fractions between fitted clusters (reference

@@ -66,8 +66,13 @@ object AsOfJoin {
     // column: the lowered plan's Alias inherits that type, and a minted
     // attribute that disagrees (e.g. hardwired StringType under a bigint
     // key) leaves parents resolved against a schema the physical plan
-    // never produces — internal analysis/codegen errors, not a clean one
-    val keyAttr = left.output.find(_.name == key)
+    // never produces — internal analysis/codegen errors, not a clean one.
+    // Matched through the session RESOLVER, not ==: Spark resolution is
+    // case-insensitive by default, and an exact-only match would silently
+    // fall back to StringType for a case-mismatched key every other API
+    // accepts
+    val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
+    val keyAttr = left.output.find(a => resolver(a.name, key))
       .map(a => AttributeReference(key, a.dataType, a.nullable)())
       .getOrElse(AttributeReference(key, StringType, nullable = true)())
     AsOfJoin(left, right, key, bucketUs, Seq(

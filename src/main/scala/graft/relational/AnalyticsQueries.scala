@@ -489,11 +489,14 @@ object AnalyticsQueries {
     def code(t: Int): Column = (0 until bits)
       .map(b => when(dotTb(t, b) >= 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val bk = emb
+    val bk0 = emb
       .select(col("vec_id"), explode(array((0 until GraphTables).map(t =>
         struct(lit(t.toLong).as("t"), code(t).as("code"))): _*)).as("tc"))
       .select(col("vec_id"), col("tc.t").as("t"), col("tc.code").as("code"))
-      .persist()
+    // persist only on the checkpoint path, where it is also released —
+    // the checkpoint=false spec hook would otherwise leak one cached
+    // frame per call into the shared session's block manager
+    val bk = if (checkpoint) bk0.persist() else bk0
     // swarm guard: a bucket over the cap is dropped entirely (deterministic,
     // oracle-replayable) — the capped-join bound from Similarity.nearDupPairs
     val ok = bk.groupBy(col("t"), col("code")).agg(count(lit(1)).as("bn"))
@@ -534,9 +537,8 @@ object AnalyticsQueries {
       .select(col("src"), col("e.id").as("dst"))
     // checkpoint=false is the spec hook: localCheckpoint truncates lineage,
     // so the no-cartesian plan assertion needs the raw frame
-    val out = if (checkpoint) { val e = edges.localCheckpoint(true); bk.unpersist(false); e }
-              else edges
-    out
+    if (checkpoint) { val e = edges.localCheckpoint(true); bk.unpersist(false); e }
+    else edges
   }
 
   private def graphPagerank(s: SparkSession, d: String): DataFrame = {

@@ -1985,13 +1985,15 @@ object DataPipelineQueries {
     * single-partition sort). Every step is deterministic relational
     * algebra, so the oracle replays values exactly. */
   private def textContainment(s: SparkSession, d: String): DataFrame = {
-    val toks = graft.text.TextOps.tokens("text")
-    val shingleArr = when(size(toks) >= 5,
-      expr("transform(sequence(1, size(regexp_extract_all(lower(text), '[a-z]+', 0)) - 4), " +
-        "i -> concat_ws(' ', slice(regexp_extract_all(lower(text), '[a-z]+', 0), i, 5)))"))
-      .otherwise(expr("array()"))
+    // tokenize ONCE into a column — higher-order-function lambdas don't
+    // hoist a loop-invariant regexp_extract_all, so shingling over the
+    // raw text would re-tokenize the document once per shingle index
     val sh = docs(s, d)
-      .select(col("doc_id"), explode(shingleArr).as("g"))
+      .select(col("doc_id"), graft.text.TextOps.tokens("text").as("l"))
+      .select(col("doc_id"), explode(
+        when(size(col("l")) >= 5,
+          expr("transform(sequence(1, size(l) - 4), i -> concat_ws(' ', slice(l, i, 5)))"))
+          .otherwise(expr("array()"))).as("g"))
       .distinct()
       .persist()
     val na = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))

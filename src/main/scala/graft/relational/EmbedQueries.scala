@@ -303,9 +303,13 @@ object EmbedQueries {
       // uncheckpointed, the scan+centroid pipeline runs twice (plan
       // audit); state is n rows × 4 scalar cols, the labelprop bound
       .localCheckpoint(true)
+    // the squared micro-distances sum in DECIMAL(38,0): a LONG product
+    // wraps silently past 9.2e18 (d2 ≈ 4e3 already puts d2m² at 1.6e19)
+    // while the oracle's HUGEINT stays exact — decimal keeps both engines
+    // on exact integer arithmetic at any realistic magnitude
     val stats = d2.groupBy(col("label"))
       .agg(count(lit(1)).as("n"), sum(col("d2m")).as("s1"),
-        sum(col("d2m") * col("d2m")).as("s2"))
+        sum(col("d2m").cast("decimal(19,0)") * col("d2m").cast("decimal(19,0)")).as("s2"))
       .select(col("label"),
         (col("s1").cast("double") / col("n")).as("mu"),
         sqrt(greatest(col("s2").cast("double") / col("n")
@@ -349,7 +353,9 @@ object EmbedQueries {
         |         GROUP BY 1, 2)),
         |st AS (SELECT label,
         |              CAST(sum(d2m) AS DOUBLE) / count(*) AS mu,
-        |              sqrt(greatest(CAST(sum(d2m * d2m) AS DOUBLE) / count(*)
+        |              sqrt(greatest(
+        |                CAST(sum(CAST(d2m AS DECIMAL(19,0)) * CAST(d2m AS DECIMAL(19,0)))
+        |                     AS DOUBLE) / count(*)
         |                - (CAST(sum(d2m) AS DOUBLE) / count(*))
         |                  * (CAST(sum(d2m) AS DOUBLE) / count(*)), 0.0)) AS sd
         |       FROM d2 GROUP BY 1)

@@ -190,10 +190,8 @@ object PipelineQueries {
   def clusterKmeans(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.ml.functions.vector_to_array
     val feat = Cluster.featuresLong(s, quantizedLong(s, d), alphabetSize = 2)
-    val (labeled, centers) = Cluster.assignFeaturesWithCenters(feat, nClusters = 3)
-    val sizes = labeled.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val freqRankOk = sizes.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1))
+    val (labeled, centers, sizes) = Cluster.assignFeaturesWithCenters(feat, nClusters = 3)
+    val freqRankOk = sizes.sliding(2).forall(w => w.length < 2 || w(0) >= w(1))
     val fa = labeled.withColumn("fa", vector_to_array(col("features")))
     def dist2(k: Int): Column = aggregate(
       zip_with(col("fa"), typedLit(centers(k).toSeq), (x, c) => (x - c) * (x - c)),
@@ -439,10 +437,9 @@ object PipelineQueries {
     val est = new org.apache.spark.ml.clustering.BisectingKMeans()
       .setK(3).setSeed(42L).setFeaturesCol("features").setPredictionCol("raw_label")
     val feat = Cluster.featuresLong(s, quantizedLong(s, d), alphabetSize = 2)
-    val labeled = Cluster.assignFeatures(feat, nClusters = 3, clusterer = Some(est))
-    val sizes = labeled.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val freqRankOk = sizes.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1))
+    val (labeled, sizes) =
+      Cluster.assignFeaturesWithStats(feat, nClusters = 3, clusterer = Some(est))
+    val freqRankOk = sizes.sliding(2).forall(w => w.length < 2 || w(0) >= w(1))
     labeled.select(col("seq_id"),
         (col("cluster") >= 0 && col("cluster") < 3).as("in_range"),
         lit(freqRankOk).as("freq_rank_ok"))

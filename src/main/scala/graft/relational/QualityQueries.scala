@@ -369,8 +369,12 @@ object QualityQueries {
       numeric.select(lit(snap).as("snap"), col("n"), col("n_null"),
         col("nd_user"), col("nd_type"), col("ts_min"), col("ts_max"), col("vmic"))
     }
-    val a = profile(e.filter(col("event_id") % 2 === 0), "a")
-    val b = profile(e.filter(col("event_id") % 2 === 1), "b")
+    // an EMPTY half yields no drift row on either engine: Spark's global
+    // aggregate always returns one row (n=0, null sums) where the
+    // oracle's GROUP-BY-snap CTE returns none — the n>0 filter aligns
+    // them and guards every division below
+    val a = profile(e.filter(col("event_id") % 2 === 0), "a").filter(col("n") > 0)
+    val b = profile(e.filter(col("event_id") % 2 === 1), "b").filter(col("n") > 0)
     a.crossJoin(b.select(
         col("n").as("bn"), col("n_null").as("bn_null"),
         col("nd_user").as("bnd_user"), col("nd_type").as("bnd_type"),
