@@ -475,12 +475,21 @@ object AnalyticsQueries {
     * toy-scale wall clock, is what the swap buys. */
   private[relational] def annKnnEdges(emb: DataFrame, checkpoint: Boolean = true): DataFrame = {
     import graft.text.Similarity
-    val bits = graphBits(emb.count())
+    // one bounded job for both plan-time scalars: corpus size (code
+    // width) and dimensionality (sign-literal length)
+    val head = emb.agg(count(lit(1)), max(size(col("v")))).head()
+    val bits = graphBits(head.getLong(0))
+    val dim = head.getInt(1)
     // signs depend only on (t, b, i): computed once on the driver, baked
     // into the plan as literal arrays — each code is a codegen'd chain of
-    // literal-weighted dot products, no UDF, no shuffle
+    // literal-weighted dot products, no UDF, no shuffle. The literals are
+    // trimmed to the ACTUAL dimensionality (the oracle's fixed-width
+    // GraphMaxDim lists agree on every index a vector can touch):
+    // tables·bits arrays of GraphMaxDim constants quadrupled the
+    // generated code and janino compile time dominated the tiny-fixture
+    // wall clock
     def dotTb(t: Int, b: Int): Column = {
-      val signs = (1 to GraphMaxDim).map(i => md5Sign(t, b, i))
+      val signs = (1 to dim).map(i => md5Sign(t, b, i))
       aggregate(
         transform(col("v"), (x, i) =>
           x * element_at(typedLit(signs), (i + lit(1)).cast("int"))),
