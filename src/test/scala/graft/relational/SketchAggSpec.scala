@@ -8,6 +8,24 @@ import org.scalatest.funsuite.AnyFunSuite
   * and the underlying sketch contracts must hold on adversarial synthetic
   * inputs (many shards; tie swarms) — the cases the fixture may not hit. */
 class SketchAggSpec extends AnyFunSuite {
+
+  test("agg_sketch_intersection: all C(5,2) pairs, verdicts true, exact legs match a direct recompute") {
+    import org.apache.spark.sql.functions._
+    val spark0 = graft.TestSpark.spark
+    val sf0 = "/root/testdata/sf0.001"
+    val rows = RelationalQueries.queries("agg_sketch_intersection")(spark0, sf0).collect()
+    assert(rows.length === 10, "5 event types -> 10 unordered pairs")
+    assert(rows.forall(_.getBoolean(3)),
+      "inclusion-exclusion estimate must land within tolerance on the fixture")
+    val tu = Tables.events(spark0, sf0)
+      .select(col("event_type"), col("user_id")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = tu.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val expect = (byType(r.getString(0)) & byType(r.getString(1))).size.toLong
+      assert(r.getLong(2) === expect, s"exact leg for ${r.getString(0)}/${r.getString(1)}")
+    }
+  }
   private val spark = graft.TestSpark.spark
   import spark.implicits._
   private val sf = "/root/testdata/sf0.001"
