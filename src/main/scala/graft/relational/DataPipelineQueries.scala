@@ -1099,6 +1099,39 @@ object DataPipelineQueries {
       .orderBy(col("event_type"), col("window_start_us"))
   }
 
+  /** STREAMING SKETCH state — per-tumbling-hour distinct-user cardinality
+    * carried as an HLL sketch inside the streaming aggregation store (the
+    * sketch × streaming composition the gate lacked: state per open
+    * window is the FIXED 2^lgK sketch, not a distinct-user set, so a
+    * window touching 100M users costs the same 4 KB of state as one
+    * touching 100). Complete-mode replay to a memory sink; the verdict
+    * compares each window's estimate to the batch exact distinct count
+    * (5% ≈ 3σ at lgK=12). Window math rides the normalized `ts_us` →
+    * `timestamp_micros` path, immune to the fixture's physical ts
+    * encodings. */
+  private def streamSketchDistinct(s: SparkSession, d: String): DataFrame = {
+    val src = streamEvents(s, d)
+    val raw = src.select(col("user_id"),
+      timestamp_micros(graft.relational.Tables.tsUsCol(src)).as("event_ts"))
+    val agg = raw
+      .groupBy(window(col("event_ts"), "1 hour").as("win"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("n_approx"),
+        count(lit(1)).as("n_events"))
+      .select(unix_micros(col("win.start")).as("window_start_us"),
+        col("n_approx"), col("n_events"))
+    val streamed = runMemorySink(agg, "stream_hll_", "complete")
+    val e = Tables.eventsTsUs(s, d)
+    val exact = e
+      .groupBy((col("ts_us") - pmod(col("ts_us"), lit(3600000000L))).as("window_start_us"))
+      .agg(countDistinct(col("user_id")).as("n_distinct_exact"))
+    streamed.join(exact, Seq("window_start_us"))
+      .select(col("window_start_us"), col("n_events"), col("n_distinct_exact"),
+        (abs(col("n_approx") - col("n_distinct_exact")) <=
+          greatest(col("n_distinct_exact").cast("double") * 0.05, lit(4.0)))
+          .as("within_tol"))
+      .orderBy(col("window_start_us"))
+  }
+
   /** Streaming per-user anomaly scoring — O(1) Welford state per user via
     * transformWithState ([[graft.streaming.StreamingAnomaly]]): each event
     * z-scored against its user's FULL prior history without ever buffering
@@ -2359,6 +2392,7 @@ object DataPipelineQueries {
     "stream_sessionize" -> (streamSessionize _),
     "stream_vocab" -> (streamVocab _),
     "stream_window_counts" -> (streamWindowCounts _),
+    "stream_sketch_distinct" -> (streamSketchDistinct _),
     "stream_anomaly" -> (streamAnomaly _),
     "stream_funnel" -> (streamFunnel _),
     "stream_observe" -> (streamObserve _),
@@ -3091,8 +3125,28 @@ object DataPipelineQueries {
         |       substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < r.threshold_hex AS kept
         |FROM documents d JOIN rates r USING (lang)
         |ORDER BY d.doc_id""".stripMargin,
+    // per-hour exact counts + distinct users; the sketch verdict arrives
+    // as a literal TRUE (estimate stays out of the hash, like the other
+    // sketch gates)
+    "stream_sketch_distinct" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |w AS (SELECT ts_us - ts_us % 3600000000 AS window_start_us, user_id FROM e)
+        |SELECT window_start_us, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_exact,
+        |       TRUE AS within_tol
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical rarest-shingle blocking + exact intersection counting;
     // l[i:i+4] is DuckDB's 1-based inclusive slice = 5 elements
+    // per-hour exact counts + distinct users; the sketch verdict arrives
+    // as a literal TRUE (estimate stays out of the hash, like the other
+    // sketch gates)
+    "stream_sketch_distinct" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |w AS (SELECT ts_us - ts_us % 3600000000 AS window_start_us, user_id FROM e)
+        |SELECT window_start_us, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_exact,
+        |       TRUE AS within_tol
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_containment" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
         |           FROM documents),

@@ -68,4 +68,21 @@ class StreamingWindowCountsSpec extends AnyFunSuite {
         s"final window set wrong: $all")
     } finally { query.stop(); spark.catalog.dropTempView(qname) }
   }
+
+  test("stream_sketch_distinct: every window verdict true, exact legs match a batch recompute") {
+    import graft.relational.Tables
+    val sf = "/root/testdata/sf0.001"
+    val rows = DataPipelineQueries.queries("stream_sketch_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(3)), "HLL estimate outside 5% + slack of exact")
+    val exact = Tables.eventsTsUs(spark, sf)
+      .groupBy((col("ts_us") - pmod(col("ts_us"), lit(3600000000L))).as("w"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nd"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.length === exact.size, "one row per non-empty hour window")
+    rows.foreach { r =>
+      val (n, nd) = exact(r.getLong(0))
+      assert(r.getLong(1) === n && r.getLong(2) === nd, s"window ${r.getLong(0)}")
+    }
+  }
 }
