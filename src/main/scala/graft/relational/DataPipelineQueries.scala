@@ -529,6 +529,47 @@ object DataPipelineQueries {
     } finally deleteRecursively(tmp)
   }
 
+  /** DYNAMIC PARTITION PRUNING through the gate — the Catalyst runtime
+    * optimization `sink_partitioned` sets up for: when a partitioned fact
+    * table joins a SELECTIVE dimension, the dim-side predicate cannot be
+    * pushed statically (the pruning values only exist at runtime), so
+    * Spark injects a dynamic-pruning subquery that evaluates the dim
+    * first and opens ONLY the matching fact partitions. Here: documents
+    * partitioned by lang, a 2-row dim of "approved" langs derived
+    * deterministically from the data (the two alphabetically-first langs)
+    * — at 100 TB this is the fact-dim star-join shape where DPP is the
+    * difference between scanning 2 partitions and all of them. The
+    * oracle recomputes the joined aggregate; ScanDppSpec asserts the
+    * plan carries `dynamicpruningexpression` on the fact scan. */
+  private def scanDpp(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp")
+    try {
+      docs(s, d).write.mode("overwrite").partitionBy("lang").parquet(s"$tmp/docs")
+      val fact = s.read.parquet(s"$tmp/docs")
+      val dim = dppDim(s, d)
+      fact.join(dim, Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+        .localCheckpoint(true)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** The approved-lang dimension: langs observed in the src0 slice. The
+    * SELECTIVE predicate is on `source`, NOT the join column — so nothing
+    * can be pushed to the fact statically and the partition filter must
+    * arrive as a runtime DPP subquery. */
+  private[relational] def dppDim(s: SparkSession, d: String): DataFrame =
+    docs(s, d).filter(col("source") === "src0")
+      .select(col("lang")).distinct()
+
+  /** The DPP fact-dim join frame WITHOUT the checkpoint, for the plan
+    * assertion (localCheckpoint truncates the lineage the spec reads). */
+  private[relational] def scanDppPlanProbe(s: SparkSession, factPath: String,
+                                           dim: DataFrame): DataFrame =
+    s.read.parquet(factPath).join(dim, Seq("lang"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+
   /** Bucketed co-located join through the gate: two projections of the
     * documents table written as bucketed parquet (same key, same bucket
     * count) and joined back WITHOUT a shuffle — the ingest-time layout that
@@ -2400,6 +2441,7 @@ object DataPipelineQueries {
     "stream_enrich" -> (streamEnrich _),
     "stream_stream_join" -> (streamStreamJoin _),
     "scan_bucketed" -> (scanBucketed _),
+    "scan_dpp" -> (scanDpp _),
     "scan_jsonl" -> (scanJsonl _),
     "shuffle_global" -> (shuffleGlobal _),
     "text_vocab" -> (textVocab _),
@@ -3125,6 +3167,13 @@ object DataPipelineQueries {
         |       substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < r.threshold_hex AS kept
         |FROM documents d JOIN rates r USING (lang)
         |ORDER BY d.doc_id""".stripMargin,
+    // the joined aggregate over the langs the src0 slice observes
+    "scan_dpp" ->
+      """WITH dim AS (SELECT DISTINCT lang FROM documents WHERE source = 'src0')
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d JOIN dim USING (lang)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     // per-hour exact counts + distinct users; the sketch verdict arrives
     // as a literal TRUE (estimate stays out of the hash, like the other
     // sketch gates)
