@@ -61,6 +61,67 @@ object AnalyticsQueries {
       .orderBy(col("event_id"))
   }
 
+  /** AQE SKEW-JOIN — the RUNTIME complement of [[joinSkewSalted]]'s
+    * compile-time salting: the same hot-key fact (80% of events collapse
+    * onto one deterministic key) sort-merge-joined UNSALTED, with AQE's
+    * skew handler splitting the oversized shuffle partition into subtasks
+    * at runtime from the map-output statistics. Salting is what you write
+    * when you KNOW the skew at authoring time; AQE skew handling is what
+    * saves the job when you don't — production wants both, and the gate
+    * now exercises both. Skew thresholds are lowered IN-QUERY (and
+    * restored in finally — the [[streamAnomaly]] conf-scoping pattern,
+    * sequential-gate assumption documented) because the defaults
+    * (256 MB) can never trigger on fixture bytes; the `merge` hint pins
+    * the SMJ path a tiny dim would otherwise broadcast around.
+    * JoinSkewAqeSpec asserts the finalized plan really read the skewed
+    * partition as multiple splits; the oracle replays the joined
+    * aggregate values. */
+  private def joinSkewAqe(s: SparkSession, d: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      skewAqeJoined(s, d)
+        .groupBy(col("hot_key"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(value * 1e6) as long)")).as("vmic"))
+        .select(col("hot_key"), col("n"),
+          round(col("vmic").cast("double") / 1e6, 6).as("sum_value"))
+        .orderBy(col("hot_key"))
+        .localCheckpoint(true)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** The skewed fact⋈dim frame (pre-aggregate), shared with the spec so
+    * the skew-split plan assertion reads the REGISTERED join. 80% of
+    * events land on hot_key 0; the dim is an INDEPENDENT 50-row key
+    * relation — deliberately not derived by aggregating the fact, because
+    * OptimizeSkewedJoin only matches a sort-merge join whose children are
+    * sorts DIRECTLY over shuffle stages, and an aggregate between the
+    * dim's exchange and the join defeats the pattern (observed: no skew
+    * split until the dim became a plain shuffled relation). */
+  private[relational] def skewAqeJoined(s: SparkSession, d: String): DataFrame = {
+    // spread the fact over several map tasks first: AQE splits a skewed
+    // reduce partition along MAPPER-output boundaries, and the one-file
+    // fixture scans as a single map task whose one chunk is unsplittable
+    // (a 100-TB fact arrives from thousands of mappers; the round-robin
+    // repartition recreates that precondition at fixture scale)
+    val e = Tables.events(s, d)
+      .repartition(8)
+      .withColumn("hot_key",
+        when(col("event_id") % 10 < 8, lit(0L)).otherwise(pmod(col("user_id"), lit(50L))))
+    val dim = s.range(0, 50).select(col("id").as("hot_key"),
+      concat(lit("k"), col("id")).as("key_tag"))
+    e.join(dim.hint("merge"), Seq("hot_key"))
+      .select(col("hot_key"), col("value"), col("key_tag"))
+  }
+
   // ----------------------------------------------------------- rollup hierarchy
   /** Hierarchy aggregation with ROLLUP — per-(type, day) detail, per-type
     * subtotals, and the grand total in ONE pass. Catalyst expands the
@@ -1447,6 +1508,7 @@ object AnalyticsQueries {
     "sample_temperature" -> (sampleTemperature _),
     "agg_sketch_merge" -> (aggSketchMerge _),
     "join_skew_salted" -> (joinSkewSalted _),
+    "join_skew_aqe" -> (joinSkewAqe _),
     "agg_rollup" -> (aggRollup _),
     "agg_pivot" -> (aggPivot _),
     "window_moving_avg" -> (windowMovingAvg _),
@@ -1552,6 +1614,15 @@ object AnalyticsQueries {
         |       TRUE AS merge_consistent, TRUE AS within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the salted join must equal the PLAIN join — salt is plan-internal
+    // same deterministic hot-key derivation, exact micro-int sums
+    "join_skew_aqe" ->
+      """WITH f AS (SELECT CASE WHEN event_id % 10 < 8 THEN 0
+        |                       ELSE user_id % 50 END AS hot_key, value
+        |           FROM events)
+        |SELECT hot_key, CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6, 6)
+        |         AS sum_value
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_skew_salted" ->
       """WITH dim AS (SELECT event_type, round(avg(value), 6) AS type_avg
         |             FROM events GROUP BY event_type)
