@@ -73,6 +73,25 @@ class AnnScaleSpec extends AnyFunSuite {
       s"probed fraction did not shrink: $fracSmall @2k -> $fracBig @8k")
   }
 
+  test("Spark edge build equals the pure-Scala recompute EXACTLY on random corpora") {
+    // three seeded random corpora, full edge-set equality — the strongest
+    // cross-implementation property available (the oracle is the third
+    // leg; this pins Spark vs the collections recompute edge-for-edge)
+    Seq(1L, 2L, 3L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val emb = (0L until 200L).map(v =>
+        v -> Array.fill(16)(rnd.nextGaussian())).toMap
+      val df = emb.toSeq.sortBy(_._1).map { case (v, a) => (v, a.toSeq) }
+        .toDF("vec_id", "v")
+        .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+      val sparkEdges = AnalyticsQueries.annKnnEdges(df, checkpoint = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val refEdges = GraphTestUtil.annEdges(emb).toSeq
+        .flatMap { case (s0, ds) => ds.map(d => (s0, d)) }.toSet
+      assert(sparkEdges === refEdges, s"edge sets diverged for seed $seed")
+    }
+  }
+
   test("recall vs exact top-3 holds at 8k vectors through the REGISTERED Spark build") {
     val df = corpus.toSeq.sortBy(_._1)
       .map { case (v, arr) => (v, arr.toSeq) }
