@@ -76,11 +76,15 @@ object AnalyticsQueries {
     * JoinSkewAqeSpec asserts the finalized plan really read the skewed
     * partition as multiple splits; the oracle replays the joined
     * aggregate values. */
+  /** Fixture-scale AQE skew thresholds, shared with JoinSkewAqeSpec so a
+    * tuning here cannot silently diverge from what the spec certifies. */
+  private[relational] val SkewAqeConfs = Seq(
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB")
+
   private def joinSkewAqe(s: SparkSession, d: String): DataFrame = {
-    val confs = Seq(
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB")
+    val confs = SkewAqeConfs
     val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
     confs.foreach { case (k, v) => s.conf.set(k, v) }
     try {
@@ -115,7 +119,9 @@ object AnalyticsQueries {
     val e = Tables.events(s, d)
       .repartition(8)
       .withColumn("hot_key",
-        when(col("event_id") % 10 < 8, lit(0L)).otherwise(pmod(col("user_id"), lit(50L))))
+        // sign-preserving % on BOTH sides: Spark pmod and DuckDB % diverge
+        // for negative operands, so % here keeps the parity unconditional
+        when(col("event_id") % 10 < 8, lit(0L)).otherwise(col("user_id") % 50L))
     val dim = s.range(0, 50).select(col("id").as("hot_key"),
       concat(lit("k"), col("id")).as("key_tag"))
     e.join(dim.hint("merge"), Seq("hot_key"))
@@ -537,8 +543,12 @@ object AnalyticsQueries {
   private[relational] def annKnnEdges(emb: DataFrame, checkpoint: Boolean = true): DataFrame = {
     import graft.text.Similarity
     // one bounded job for both plan-time scalars: corpus size (code
-    // width) and dimensionality (sign-literal length)
+    // width) and dimensionality (sign-literal length). max(size) is NULL
+    // on an empty corpus — short-circuit to an empty edge relation
+    // instead of letting getInt NPE (the pre-trim code's behavior)
     val head = emb.agg(count(lit(1)), max(size(col("v")))).head()
+    if (head.getLong(0) == 0L)
+      return emb.select(col("vec_id").as("src"), col("vec_id").as("dst")).limit(0)
     val bits = graphBits(head.getLong(0))
     val dim = head.getInt(1)
     // signs depend only on (t, b, i): computed once on the driver, baked
@@ -1613,7 +1623,6 @@ object AnalyticsQueries {
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
         |       TRUE AS merge_consistent, TRUE AS within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // the salted join must equal the PLAIN join — salt is plan-internal
     // same deterministic hot-key derivation, exact micro-int sums
     "join_skew_aqe" ->
       """WITH f AS (SELECT CASE WHEN event_id % 10 < 8 THEN 0
@@ -1623,6 +1632,7 @@ object AnalyticsQueries {
         |       round(CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6, 6)
         |         AS sum_value
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the salted join must equal the PLAIN join — salt is plan-internal
     "join_skew_salted" ->
       """WITH dim AS (SELECT event_type, round(avg(value), 6) AS type_avg
         |             FROM events GROUP BY event_type)

@@ -22,7 +22,7 @@ object DataPipelineQueries {
   private def docs(s: SparkSession, d: String) = Tables.tbl(s, d, "documents")
   /** Depth-first temp-dir cleanup shared by every write-then-read query
     * (external-table DROP removes only catalog metadata). */
-  private def deleteRecursively(tmp: java.nio.file.Path): Unit = {
+  private[relational] def deleteRecursively(tmp: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(tmp)
     try walk.iterator().asScala.toSeq.reverse
@@ -3186,16 +3186,6 @@ object DataPipelineQueries {
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical rarest-shingle blocking + exact intersection counting;
     // l[i:i+4] is DuckDB's 1-based inclusive slice = 5 elements
-    // per-hour exact counts + distinct users; the sketch verdict arrives
-    // as a literal TRUE (estimate stays out of the hash, like the other
-    // sketch gates)
-    "stream_sketch_distinct" ->
-      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
-        |w AS (SELECT ts_us - ts_us % 3600000000 AS window_start_us, user_id FROM e)
-        |SELECT window_start_us, CAST(count(*) AS BIGINT) AS n_events,
-        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_exact,
-        |       TRUE AS within_tol
-        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_containment" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
         |           FROM documents),

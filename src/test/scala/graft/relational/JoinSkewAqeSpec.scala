@@ -11,10 +11,8 @@ class JoinSkewAqeSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   private def withSkewConfs[T](body: => T): T = {
-    val confs = Seq(
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB")
+    // the REGISTERED query's conf list — a tuning there re-certifies here
+    val confs = AnalyticsQueries.SkewAqeConfs
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
@@ -26,7 +24,7 @@ class JoinSkewAqeSpec extends AnyFunSuite {
 
   test("AQE splits the hot key's shuffle partition (skew marker in the finalized plan)") {
     withSkewConfs {
-      val probe = DataPipelineQueriesProbe.skewJoined(spark, sf)
+      val probe = AnalyticsQueries.skewAqeJoined(spark, sf)
       probe.collect() // finalize the adaptive plan
       val plan = probe.queryExecution.executedPlan.toString.toLowerCase
       assert(plan.contains("skew"),
@@ -47,10 +45,4 @@ class JoinSkewAqeSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach(r => assert(r.getLong(1) === direct(r.getLong(0))))
   }
-}
-
-/** Indirection so the spec reads the REGISTERED join frame. */
-private object DataPipelineQueriesProbe {
-  def skewJoined(s: org.apache.spark.sql.SparkSession, d: String) =
-    AnalyticsQueries.skewAqeJoined(s, d)
 }

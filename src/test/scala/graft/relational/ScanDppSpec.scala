@@ -22,13 +22,7 @@ class ScanDppSpec extends AnyFunSuite {
       val plan = probe.queryExecution.executedPlan.toString.toLowerCase
       assert(plan.contains("dynamicpruning"),
         s"expected a dynamic pruning expression on the partitioned scan:\n$plan")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(tmp)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    } finally DataPipelineQueries.deleteRecursively(tmp)
   }
 
   test("scan_dpp values equal the direct unpartitioned recompute") {
