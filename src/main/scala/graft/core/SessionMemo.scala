@@ -1,0 +1,29 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+import scala.collection.concurrent.TrieMap
+
+/** Session-scoped memo of a derived artifact keyed by (session, canonical
+  * data dir) — the amortized-serving pattern `similarity_index_reuse`
+  * measures, factored out for every query family that consumes the same
+  * derived object over the same corpus (the graph family's k-NN edge
+  * relation, the pipeline family's fitted reference model). A production
+  * deployment builds these once and serves many analytics from them; the
+  * per-query cold build is the anti-pattern, not the amortization.
+  *
+  * Values must be pure driver-side data or session-owned frames (eagerly
+  * localCheckpoint'ed), so a value's lifetime never outlives its key's
+  * session. Entries of stopped sessions are evicted on the next lookup;
+  * a corpus REWRITTEN in place under the same path within one live
+  * session would serve the stale artifact — acceptable over immutable
+  * fixture data, and every call site keeps an unmemoized bypass. */
+final class SessionMemo[V] {
+  private val m = TrieMap.empty[(SparkSession, String), V]
+
+  def getOrBuild(s: SparkSession, dir: String)(build: => V): V = {
+    m.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    m.getOrElseUpdate((s, new java.io.File(dir).getCanonicalPath), build)
+  }
+
+  private[graft] def size: Int = m.size
+}
