@@ -547,7 +547,7 @@ object AnalyticsQueries {
     * the IDENTICAL edge set over the IDENTICAL corpus; a production
     * deployment would build the k-NN graph once and serve every analytic
     * from it, so the first caller in a session pays [[annKnnEdges]] and
-    * the rest reuse the localCheckpoint'ed ≤ k·N-row frame. Keyed by
+    * the rest scan the materialized ≤ k·N-row edge table. Keyed by
     * (session, canonical dir): entries die with their session (the
     * checkpoint RDDs are session-owned; stopped sessions are evicted on
     * the next insert). A corpus REWRITTEN under the same path within one
@@ -889,6 +889,55 @@ object AnalyticsQueries {
         round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
       .orderBy(col("vec_id"))
   }
+
+  /** CONNECTED COMPONENTS over the k-NN similarity graph — the
+    * corpus-structure census (how many semantic islands, how big the
+    * giant component): the component id is the minimum vec_id reachable
+    * through undirected k-NN edges. Edges come from the shared
+    * materialized ANN edge table ([[sharedAnnEdges]]); assembly is
+    * [[graft.text.Components.minLabel]]'s pointer-jumping min-label
+    * propagation — O(log diameter) rounds, each one keyed join + one
+    * combinable min, the same kernel dedup_groups runs over verified
+    * duplicate pairs, here over similarity edges. At 100 TB the edge
+    * relation is k·N rows and every round shuffles only (id, label)
+    * pairs — no N² stage anywhere. Deterministic (min ids), so the
+    * DuckDB oracle replays the labeling exactly via a recursive
+    * min-label flood over the identical replayed edge set. */
+  private def graphComponents(s: SparkSession, d: String): DataFrame = {
+    val und = sharedAnnEdges(s, d)
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
+    val comp = graft.text.Components.minLabel(nodes, und)
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("component_size"))
+    comp.join(sizes, "component")
+      .select(col("id").as("vec_id"), col("component"), col("component_size"),
+        (col("id") === col("component")).as("is_root"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The recursive min-label flood replaying [[graphComponents]]: a
+    * (node, label) pair enters whenever a smaller label reaches a node
+    * through the bidirectional edge relation; min per node = the
+    * component id. Bounded by Σ per-node smaller-reachable ids (≤ N²/2
+    * at the fixture's single-giant-component worst case — fine for
+    * DuckDB at gate scale; the engine side never materializes it). */
+  private def componentsOracleSql: String =
+    s"""WITH RECURSIVE ${annEdgesCteSql(withLabel = false)},
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM edges),
+       |bidir AS MATERIALIZED (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+       |comp(node, label) AS (
+       |  SELECT vec_id, vec_id FROM emb
+       |  UNION
+       |  SELECT e.b, c.label FROM comp c JOIN bidir e ON e.a = c.node
+       |  WHERE c.label < e.b),
+       |lbl AS (SELECT node AS vec_id, min(label) AS component FROM comp GROUP BY node),
+       |cs AS (SELECT component, count(*) AS component_size FROM lbl GROUP BY component)
+       |SELECT l.vec_id, l.component, c.component_size,
+       |       l.vec_id = l.component AS is_root
+       |FROM lbl l JOIN cs c USING (component)
+       |ORDER BY l.vec_id""".stripMargin
 
   /** The DuckDB replay of [[annKnnEdges]] as a WITH-fragment ending in an
     * `edges(src, dst)` CTE — the same deterministic ±1-hyperplane codes
@@ -1566,6 +1615,7 @@ object AnalyticsQueries {
     "graph_label_prop" -> (graphLabelProp _),
     "graph_khop" -> (graphKhop _),
     "graph_knn_recall" -> (graphKnnRecall _),
+    "graph_components" -> (graphComponents _),
     "join_point_in_time" -> (joinPointInTime _),
     "agg_incremental_merge" -> (aggIncrementalMerge _),
     "corpus_mix" -> (corpusMix _),
@@ -1873,6 +1923,7 @@ object AnalyticsQueries {
          |FROM emb LEFT JOIN pern ON emb.vec_id = pern.node
          |ORDER BY emb.vec_id""".stripMargin,
     "graph_label_prop" -> labelPropOracleSql,
+    "graph_components" -> componentsOracleSql,
     // bounded exact leg (probe nodes only) vs the bucketed edges, both
     // replayed exactly — recall is a VALUE here, not just a verdict
     "graph_knn_recall" ->

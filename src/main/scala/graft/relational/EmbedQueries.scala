@@ -1,6 +1,7 @@
 package graft.relational
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
@@ -326,7 +327,164 @@ object EmbedQueries {
       .orderBy(col("vec_id"))
   }
 
+  // ------------------------------------------------------ binary quantization
+  /** BINARY (sign-bit) EMBEDDING QUANTIZATION + Hamming search — the
+    * 32×-compression tier below int8 (embed_quantize_int8): bit i is
+    * sign(v[i]) ≥ 0, packed into 32-bit words (32 per BIGINT word keeps
+    * every word positive — the signed-bit-63 class of cross-engine
+    * surprises the simhash band fix was about never arises). For sign
+    * codes, Hamming distance is the standard cosine surrogate
+    * (E[hamming] ∝ angle for random hyperplanes — here the hyperplanes
+    * are the coordinate axes, the "binary quantization" every major
+    * vector store ships).
+    *
+    * Output: one row per corpus vector with its packed code (comma-joined
+    * words — the driver-portable list form), plus for the 10 probe rows
+    * the top-3 Hamming neighbors ("nid:hamming" joined) and how many of
+    * them are in the probe's EXACT rounded-cosine top-3 — the
+    * quality-vs-compression verdict as replayable values.
+    *
+    * 100-TB shape: coding is a map-local projection (no shuffle, no
+    * collect — the dimension probe is one bounded row); the search leg is
+    * broadcast-probes × corpus, LINEAR in N and 32× lighter per row than
+    * the float scan; the bucketed sub-linear path is similarity_ann's —
+    * this entry gates the compressed-domain distance itself. */
+  private def embedQuantizeBinary(s: SparkSession, d: String): DataFrame = {
+    import graft.text.Similarity
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    val words = (dim + 31) / 32
+    def word(w: Int): org.apache.spark.sql.Column = {
+      val lo = w * 32
+      (lo until math.min(lo + 32, dim)).map(i =>
+        when(col("v")(i) >= 0d, lit(1L << (i - lo))).otherwise(lit(0L)))
+        .reduce(_ + _)
+    }
+    val coded = e.select(col("vec_id"), col("v"),
+        array((0 until words).map(word): _*).as("code"))
+      .localCheckpoint(true) // referenced by probe AND corpus side below
+    val probes = coded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("code").as("qcode"))
+    val pairs = broadcast(probes)
+      .crossJoin(coded.select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("code").as("ncode")))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(qcode, ncode, (x, y) -> cast(bit_count(x ^ y) as bigint)), 0L, (a, b) -> a + b)"))
+      .withColumn("cos", round(Similarity.cosine("qv", "nv"), 6))
+    val ranked = pairs
+      .withColumn("rn_h", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("hamming"), col("nid"))))
+      .withColumn("rn_c", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
+    val top = ranked.filter(col("rn_h") <= 3)
+      .groupBy(col("qid"))
+      .agg(
+        concat_ws(",", expr(
+          "transform(array_sort(collect_list(struct(rn_h, nid, hamming))), " +
+            "x -> concat(cast(x.nid as string), ':', cast(x.hamming as string)))"))
+          .as("top3_hamming"),
+        sum(when(col("rn_c") <= 3, 1L).otherwise(0L)).as("n_hit_exact3"))
+    coded.select(col("vec_id"),
+        expr("array_join(transform(code, x -> cast(x as string)), ',')").as("code"))
+      .join(top, coded("vec_id") === top("qid"), "left")
+      .select(col("vec_id"), col("code"), col("top3_hamming"), col("n_hit_exact3"))
+      .orderBy(col("vec_id"))
+  }
+
+  // ----------------------------------------------------------- coreset sample
+  /** Selection size for [[sampleCoreset]] — fixed so the oracle can unroll. */
+  private[relational] val CoresetK = 8
+
+  /** CORESET / DIVERSITY SELECTION — greedy k-center (Gonzalez 1985
+    * farthest-point traversal, a 2-approximation to the optimal k-center
+    * cover): the data-curation primitive that picks a maximally SPREAD
+    * subset (training-subset selection, eval-set seeding, dedup-aware
+    * sampling), where sample_weighted/sample_stratified pick by mass.
+    * Seed = smallest vec_id; each round adds the point FARTHEST from the
+    * chosen set (rounded squared euclidean, ties to the smaller id,
+    * already-chosen ids excluded).
+    *
+    * 100-TB shape: the running min-distance column updates INCREMENTALLY —
+    * each round is one map pass against the single new center baked in as
+    * a literal (O(N) per round, O(kN) total; the textbook formulation
+    * recomputes min over all centers each round) plus one TakeOrdered
+    * top-1 (per-partition top-1 + driver merge, never a global sort).
+    * Driver state is k center vectors — bounded collect by construction.
+    * Determinism: distances rounded@6 BEFORE every comparison, so the
+    * selected set and every emitted distance replay exactly in DuckDB's
+    * unrolled 8-step CTE chain. */
+  private def sampleCoreset(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint(true) // scanned k times below
+    def d2(center: Seq[Double]): org.apache.spark.sql.Column =
+      round(aggregate(
+        zip_with(col("v"), typedLit(center), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x), 6)
+    val seedRows = e.orderBy(col("vec_id")).take(1)
+    if (seedRows.isEmpty)
+      return e.select(col("vec_id"), lit(0.0).as("d2_min_r"),
+        lit(false).as("is_selected"), lit(0L).as("sel_rank")).limit(0)
+    var chosen = Vector((seedRows(0).getLong(0), seedRows(0).getSeq[Double](1)))
+    var state = e.withColumn("dmin", d2(chosen.head._2))
+    for (_ <- 2 to CoresetK) {
+      state = state.localCheckpoint(true) // k bounded frames, linear rounds
+      val ids = chosen.map(_._1)
+      val far = state.filter(!col("vec_id").isin(ids: _*))
+        .orderBy(col("dmin").desc, col("vec_id")).take(1)(0)
+      val c = (far.getLong(0), far.getSeq[Double](far.fieldIndex("v")))
+      chosen :+= c
+      state = state.withColumn("dmin", least(col("dmin"), d2(c._2)))
+    }
+    val rankDf = chosen.map(_._1).zipWithIndex
+      .map { case (id, i) => (id, (i + 1).toLong) }.toDF("vec_id", "sel_rank")
+    state.join(broadcast(rankDf), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dmin").as("d2_min_r"),
+        col("sel_rank").isNotNull.as("is_selected"), col("sel_rank"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The unrolled DuckDB replay of [[sampleCoreset]]: the same seed, the
+    * same rounded-distance incremental `least` chain, the same
+    * farthest-ties-to-smaller-id argmax with chosen ids excluded. */
+  private def coresetOracleSql: String = {
+    def rd2(prev: String, c: String) =
+      s"""round(list_sum(list_transform(generate_series(1, len($prev.v)),
+         |  i -> ($prev.v[i] - $c.v[i]) * ($prev.v[i] - $c.v[i]))), 6)""".stripMargin
+    val steps = (2 to CoresetK).map { r =>
+      val prevS = if (r == 2) "s1" else s"s${r - 1}"
+      val notIn = (1 until r).map(i => s"SELECT vec_id FROM c$i").mkString(" UNION ALL ")
+      s"""c$r AS (SELECT vec_id, v FROM $prevS
+         |        WHERE vec_id NOT IN ($notIn)
+         |        ORDER BY dmin DESC, vec_id LIMIT 1),
+         |s$r AS MATERIALIZED (
+         |  SELECT e.vec_id, e.v, least(e.dmin, ${rd2("e", "c")}) AS dmin
+         |  FROM $prevS e CROSS JOIN c$r c)""".stripMargin
+    }.mkString(",\n")
+    val ranks = (1 to CoresetK)
+      .map(i => s"SELECT vec_id, CAST($i AS BIGINT) AS sel_rank FROM c$i")
+      .mkString(" UNION ALL ")
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c1 AS (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 1),
+       |s1 AS MATERIALIZED (
+       |  SELECT e.vec_id, e.v, ${rd2("e", "c")} AS dmin
+       |  FROM emb e CROSS JOIN c1 c),
+       |$steps,
+       |rk AS ($ranks)
+       |SELECT e.vec_id, e.dmin AS d2_min_r,
+       |       rk.sel_rank IS NOT NULL AS is_selected, rk.sel_rank
+       |FROM s$CoresetK e LEFT JOIN rk USING (vec_id)
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_coreset" -> (sampleCoreset _),
+    "embed_quantize_binary" -> (embedQuantizeBinary _),
     "embed_outliers" -> (embedOutliers _),
     "embed_standardize" -> (embedStandardize _),
     "dedup_semantic" -> (dedupSemantic _),
@@ -337,6 +495,53 @@ object EmbedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sample_coreset" -> coresetOracleSql,
+    // same 32-bit word packing (sign ≥ 0), same Hamming fold, same
+    // rounded-cosine exact leg; codes and top-3 emitted as joined strings
+    // (the driver-portable list rule)
+    "embed_quantize_binary" ->
+      """WITH emb AS (SELECT vec_id,
+        |                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |             FROM embeddings),
+        |codes AS (
+        |  SELECT e.vec_id, t.w,
+        |         CAST(sum(CASE WHEN e.v[i.i + 1] >= 0
+        |                       THEN CAST(1 AS BIGINT) << (i.i - t.w * 32)
+        |                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS word
+        |  FROM emb e
+        |  CROSS JOIN generate_series(0, 7) t(w)
+        |  CROSS JOIN generate_series(0, 255) i(i)
+        |  WHERE t.w * 32 < len(e.v)
+        |    AND i.i >= t.w * 32 AND i.i < least(t.w * 32 + 32, len(e.v))
+        |  GROUP BY 1, 2),
+        |cl AS MATERIALIZED (SELECT vec_id, list(word ORDER BY w) AS code
+        |      FROM codes GROUP BY vec_id),
+        |pr AS (SELECT c.vec_id AS qid, c.code AS qcode, e.v AS qv
+        |       FROM cl c JOIN emb e ON e.vec_id = c.vec_id
+        |       WHERE c.vec_id < 10),
+        |pairs AS (
+        |  SELECT p.qid, c2.vec_id AS nid,
+        |         CAST(list_sum(list_transform(generate_series(1, len(p.qcode)),
+        |                j -> bit_count(xor(p.qcode[j], c2.code[j])))) AS BIGINT) AS hamming,
+        |         round(list_cosine_similarity(p.qv, e2.v), 6) AS cos
+        |  FROM pr p
+        |  CROSS JOIN cl c2
+        |  JOIN emb e2 ON e2.vec_id = c2.vec_id
+        |  WHERE c2.vec_id <> p.qid),
+        |r AS (SELECT *,
+        |             row_number() OVER (PARTITION BY qid ORDER BY hamming, nid) AS rn_h,
+        |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn_c
+        |      FROM pairs),
+        |top AS (SELECT qid,
+        |               string_agg(CAST(nid AS VARCHAR) || ':' || CAST(hamming AS VARCHAR),
+        |                          ',' ORDER BY rn_h) AS top3_hamming,
+        |               CAST(sum(CASE WHEN rn_c <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_exact3
+        |        FROM r WHERE rn_h <= 3 GROUP BY qid)
+        |SELECT c.vec_id,
+        |       array_to_string(list_transform(c.code, x -> CAST(x AS VARCHAR)), ',') AS code,
+        |       t.top3_hamming, t.n_hit_exact3
+        |FROM cl c LEFT JOIN top t ON t.qid = c.vec_id
+        |ORDER BY c.vec_id""".stripMargin,
     // identical rounding ladder: centroid means @6dp, squared distance
     // @6dp, per-label μ/σ_pop over the rounded distances @6dp, z and the
     // flag from the rounded operands

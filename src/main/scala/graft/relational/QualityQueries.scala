@@ -195,6 +195,42 @@ object QualityQueries {
       .orderBy(col("event_type"))
   }
 
+  /** VOLUME-ANOMALY MONITOR — the partition-volume half of pipeline
+    * observability (dq_freshness watches "did the feed stop", this
+    * watches "did the feed's VOLUME break": a half-empty hour from an
+    * upstream outage, a 10× hour from a replay storm). Per event type:
+    * hourly arrival counts, the type's population mean/σ over its hours,
+    * and a |z| > 3 flag per hour. Cross-engine parity is exact: counts
+    * are integers, the second moment accumulates in DECIMAL(38,0) (the
+    * embed_outliers device — a LONG square wraps at ~3e9 rows/hour while
+    * the oracle's HUGEINT doesn't), and μ/σ are single divisions/sqrt of
+    * identical exact values, so the rounded z and the flag cannot flip.
+    * 100-TB shape: one map-side-combinable (type, hour) count, then all
+    * stats on the tiny hours×types frame; the stats side broadcasts. */
+  private def dqVolumeAnomaly(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.eventsTsUs(s, d)
+      .withColumn("h", expr("ts_us div 3600000000"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("s1"),
+        sum(col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)")).as("s2"))
+      .select(col("event_type"),
+        (col("s1").cast("double") / col("n_hours")).as("mu"),
+        sqrt(greatest(col("s2").cast("double") / col("n_hours")
+          - (col("s1").cast("double") / col("n_hours"))
+            * (col("s1").cast("double") / col("n_hours")),
+          lit(0.0))).as("sd"))
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("h"), col("n"),
+        round(col("mu"), 6).as("mu_r"),
+        when(col("sd") > 0, round((col("n") - col("mu")) / col("sd"), 6))
+          .otherwise(lit(0.0)).as("z_r"),
+        (col("sd") > 0 &&
+          abs(when(col("sd") > 0, round((col("n") - col("mu")) / col("sd"), 6))
+            .otherwise(lit(0.0))) > lit(3.0)).as("is_anomalous"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   /** WRITE-AUDIT-PUBLISH — the atomic-visibility pattern (Iceberg/Delta
     * WAP) that makes a 100-TB sink safe to read mid-ingest: (1) WRITE the
     * cleaned batch to a staging location and capture the exact file list
@@ -395,6 +431,7 @@ object QualityQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_volume_anomaly" -> (dqVolumeAnomaly _),
     "dq_schema_drift" -> (dqSchemaDrift _),
     "observe_metrics" -> (observeMetrics _),
     "sink_parquet_encrypted" -> (sinkParquetEncrypted _),
@@ -407,6 +444,32 @@ object QualityQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // identical exact-moment ladder: integer counts, DECIMAL second
+    // moment (HUGEINT-exact here), single divisions, rounded z
+    "dq_volume_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type,
+        |         CAST(sum(n) AS DOUBLE) / count(*) AS mu,
+        |         sqrt(greatest(
+        |           CAST(sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+        |                AS DOUBLE) / count(*)
+        |           - (CAST(sum(n) AS DOUBLE) / count(*))
+        |             * (CAST(sum(n) AS DOUBLE) / count(*)), 0.0)) AS sd
+        |  FROM hourly GROUP BY 1)
+        |SELECT h.event_type, CAST(h.h AS BIGINT) AS h, h.n,
+        |       round(st.mu, 6) AS mu_r,
+        |       CASE WHEN st.sd > 0 THEN round((h.n - st.mu) / st.sd, 6)
+        |            ELSE CAST(0.0 AS DOUBLE) END AS z_r,
+        |       st.sd > 0 AND
+        |         abs(CASE WHEN st.sd > 0 THEN round((h.n - st.mu) / st.sd, 6)
+        |                  ELSE CAST(0.0 AS DOUBLE) END) > 3.0 AS is_anomalous
+        |FROM hourly h JOIN st USING (event_type)
+        |ORDER BY h.event_type, h.h""".stripMargin,
     // the same two parity snapshots, the same micro-int means
     "dq_schema_drift" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,

@@ -606,6 +606,60 @@ object SeriesQueries {
         round(expr("regr_r2(value, th)"), 6).as("r2"))
       .orderBy(col("user_id"))
 
+  // --------------------------------------------------- seasonal decomposition
+  /** CLASSICAL SEASONAL DECOMPOSITION (STL's additive shape, by moving
+    * averages) of each event type's hourly VOLUME series: n = trend +
+    * seasonal + residual. The hour grid is DENSIFIED first (per-type
+    * min..max hour via `sequence` + explode; an empty hour is a real
+    * observation of 0 for a volume series — a mean-value series can't be
+    * densified this way, which is why the volume axis is the right
+    * decomposition target at any fixture sparsity). Trend is the
+    * centered 25-hour window average, emitted only where all 25 hours
+    * exist (honest NULL at the 12-hour series edges); seasonal is the
+    * per-(type, hour-of-day) mean of the detrended series; residual is
+    * what remains — the de-seasonalized anomaly axis dq_volume_anomaly's
+    * global z-score can't see (a 3am dip is normal FOR 3AM).
+    *
+    * Cross-engine parity is exact by construction, not by rounding luck:
+    * counts are integers, trend is one double division of an integer
+    * window sum, the detrended value re-quantizes to integer MICROS
+    * before the seasonal mean (the agg_incremental_merge device), and
+    * the residual is a pure integer subtraction. The only doubles that
+    * flow between stages are single divisions of identical integers.
+    *
+    * 100-TB shape: the raw scan folds into one map-side-combinable
+    * (type, hour) count — everything after operates on the tiny
+    * hours×types frame (one RANGE window sharing one exchange, one
+    * 24·|type|-key aggregate, one broadcast-sized join back). */
+  private def tsStlDecompose(s: SparkSession, d: String): DataFrame = {
+    val hourly = eventsUs(s, d)
+      .withColumn("h", expr("ts_us div 3600000000"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("cnt"))
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+    val dense = grid.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("n", coalesce(col("cnt"), lit(0L)))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rangeBetween(-12, 12)
+    val t = dense
+      .withColumn("hcnt", count(lit(1)).over(w))
+      .withColumn("wsum", sum(col("n")).over(w))
+      .withColumn("trend", when(col("hcnt") === 25,
+        col("wsum").cast("double") / 25.0))
+      .withColumn("d_mic", expr("cast(round((n - trend) * 1e6) as long)"))
+      .withColumn("hod", expr("h % 24"))
+    val seas = t.groupBy(col("event_type"), col("hod"))
+      .agg(expr("cast(round(cast(sum(d_mic) as double) / count(d_mic)) as long)")
+        .as("s_mic"))
+    t.join(seas, Seq("event_type", "hod"), "left")
+      .select(col("event_type"), col("h"), col("hod"), col("n"),
+        round(col("trend"), 6).as("trend_r"),
+        round(col("s_mic").cast("double") / 1000000.0, 6).as("seasonal_r"),
+        round((col("d_mic") - col("s_mic")).cast("double") / 1000000.0, 6).as("resid_r"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   // ------------------------------------------------------------ gzip CSV scan
   /** Round-trip through gzip-compressed CSV — the interchange format the
     * landing zone actually receives. Write side: metadata projection of
@@ -999,6 +1053,7 @@ object SeriesQueries {
     "ts_rolling_median" -> (tsRollingMedian _),
     "ts_peak_hours" -> (tsPeakHours _),
     "ts_trend" -> (tsTrend _),
+    "ts_stl_decompose" -> (tsStlDecompose _),
     "scan_csv_gzip" -> (scanCsvGzip _),
     "window_streaks" -> (windowStreaks _),
     "agg_user_paths" -> (aggUserPaths _),
@@ -1010,6 +1065,40 @@ object SeriesQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the same integer-micro quantization at every aggregation boundary;
+    // windowed sums CAST to BIGINT immediately (the HUGEINT driver rule)
+    "ts_stl_decompose" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM bounds),
+        |dense AS (SELECT g.event_type, g.h, CAST(coalesce(hh.cnt, 0) AS BIGINT) AS n
+        |          FROM grid g LEFT JOIN hourly hh USING (event_type, h)),
+        |win AS (
+        |  SELECT *,
+        |         count(*) OVER (PARTITION BY event_type ORDER BY h
+        |                        RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS hcnt,
+        |         CAST(sum(n) OVER (PARTITION BY event_type ORDER BY h
+        |                           RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS BIGINT) AS wsum
+        |  FROM dense),
+        |dm AS (
+        |  SELECT event_type, h, h % 24 AS hod, n,
+        |         CASE WHEN hcnt = 25 THEN CAST(wsum AS DOUBLE) / 25.0 END AS trend
+        |  FROM win),
+        |dmic AS (SELECT *, CAST(round((n - trend) * 1e6) AS BIGINT) AS d_mic FROM dm),
+        |seas AS (
+        |  SELECT event_type, hod,
+        |         CAST(round(CAST(sum(d_mic) AS DOUBLE) / count(d_mic)) AS BIGINT) AS s_mic
+        |  FROM dmic GROUP BY 1, 2)
+        |SELECT d.event_type, CAST(d.h AS BIGINT) AS h, CAST(d.hod AS BIGINT) AS hod, d.n,
+        |       round(d.trend, 6) AS trend_r,
+        |       round(CAST(s.s_mic AS DOUBLE) / 1000000.0, 6) AS seasonal_r,
+        |       round(CAST(d.d_mic - s.s_mic AS DOUBLE) / 1000000.0, 6) AS resid_r
+        |FROM dmic d LEFT JOIN seas s USING (event_type, hod)
+        |ORDER BY d.event_type, d.h""".stripMargin,
     // recursive-CTE replay of the sequential selection with the SAME
     // n-scaled all-integer area argmax (NOT-EXISTS, ties to earlier rn)
     "ts_downsample_lttb" ->
