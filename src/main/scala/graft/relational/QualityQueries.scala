@@ -231,6 +231,43 @@ object QualityQueries {
       .orderBy(col("event_type"), col("h"))
   }
 
+  /** REFERENTIAL-INTEGRITY audit — the orphan-foreign-key check every
+    * warehouse DQ suite runs (dbt relationship tests, Deequ isContainedIn):
+    * per declared FK edge, how many child rows reference a missing parent.
+    * The four TPC-H edges hold by construction (the generator is
+    * consistent — their rows prove the CLEAN branch); the fifth audits
+    * events.user_id against the customer table, where the fixture's user
+    * space genuinely exceeds the customer space — real orphans exercise
+    * the violation branch at every SF. Plan per edge: distinct parent
+    * keys, one LEFT join, two combinable counts — the anti-join shape; at
+    * 100 TB the standard prepass is a bloom filter of parent keys
+    * (join_bloom_prune demonstrates exactly that) so only candidate
+    * orphans shuffle. */
+  private def dqReferentialIntegrity(s: SparkSession, d: String): DataFrame = {
+    def audit(name: String, child: DataFrame, fk: String,
+              parent: DataFrame, pk: String): DataFrame =
+      child.select(col(fk).cast("long").as("k")).filter(col("k").isNotNull)
+        .join(parent.select(col(pk).cast("long").as("k")).distinct()
+          .withColumn("hit", lit(1)), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("relationship"), col("n_rows"), col("n_orphans"),
+          round(col("n_orphans").cast("double") / col("n_rows"), 6).as("orphan_rate"),
+          (col("n_orphans") === 0L).as("ok"))
+    val edges = Seq(
+      audit("lineitem.l_orderkey->orders", Tables.tbl(s, d, "lineitem"), "l_orderkey",
+        Tables.tbl(s, d, "orders"), "o_orderkey"),
+      audit("lineitem.l_partkey->part", Tables.tbl(s, d, "lineitem"), "l_partkey",
+        Tables.tbl(s, d, "part"), "p_partkey"),
+      audit("lineitem.l_suppkey->supplier", Tables.tbl(s, d, "lineitem"), "l_suppkey",
+        Tables.tbl(s, d, "supplier"), "s_suppkey"),
+      audit("orders.o_custkey->customer", Tables.tbl(s, d, "orders"), "o_custkey",
+        Tables.tbl(s, d, "customer"), "c_custkey"),
+      audit("events.user_id->customer", Tables.events(s, d), "user_id",
+        Tables.tbl(s, d, "customer"), "c_custkey"))
+    edges.reduce(_ unionByName _).orderBy(col("relationship"))
+  }
+
   /** WRITE-AUDIT-PUBLISH — the atomic-visibility pattern (Iceberg/Delta
     * WAP) that makes a 100-TB sink safe to read mid-ingest: (1) WRITE the
     * cleaned batch to a staging location and capture the exact file list
@@ -431,6 +468,7 @@ object QualityQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_referential_integrity" -> (dqReferentialIntegrity _),
     "dq_volume_anomaly" -> (dqVolumeAnomaly _),
     "dq_schema_drift" -> (dqSchemaDrift _),
     "observe_metrics" -> (observeMetrics _),
@@ -444,6 +482,27 @@ object QualityQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the same five FK edges, the same LEFT-join orphan counts
+    "dq_referential_integrity" -> {
+      val edges = Seq(
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"))
+      val parts = edges.map { case (name, ct, fk, pt, pk) =>
+        s"""SELECT '$name' AS relationship,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+           |FROM (SELECT CAST($fk AS BIGINT) AS k FROM $ct WHERE $fk IS NOT NULL) c
+           |LEFT JOIN (SELECT DISTINCT CAST($pk AS BIGINT) AS k FROM $pt) p USING (k)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT relationship, n_rows, n_orphans,
+         |       round(CAST(n_orphans AS DOUBLE) / n_rows, 6) AS orphan_rate,
+         |       n_orphans = 0 AS ok
+         |FROM ($parts)
+         |ORDER BY relationship""".stripMargin
+    },
     // identical exact-moment ladder: integer counts, DECIMAL second
     // moment (HUGEINT-exact here), single divisions, rounded z
     "dq_volume_anomaly" ->
