@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses a JSON line out of a ~2,000-char stdout TAIL of
+// `sbt runMain graft.Bench`. Two sbt behaviors defeated that in rounds
+// 8-9: the logger prefixes forked output with "[info] " (not JSON), and
+// the "[success] Total time..." epilogue lands after the metric line.
+// StdoutOutput routes the forked JVM's stdout straight through (bare
+// lines), and showSuccess drops the epilogue — so the compact summary
+// Bench prints last IS the final stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consulted by the command engine, not another setting —
+// lintUnused can't see that (verified live: the epilogue is gone)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

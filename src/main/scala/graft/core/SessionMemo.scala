@@ -13,15 +13,26 @@ import scala.collection.concurrent.TrieMap
   *
   * Values must be pure driver-side data or session-owned frames (eagerly
   * localCheckpoint'ed), so a value's lifetime never outlives its key's
-  * session. Entries of stopped sessions are evicted on the next lookup;
-  * a corpus REWRITTEN in place under the same path within one live
-  * session would serve the stale artifact — acceptable over immutable
-  * fixture data, and every call site keeps an unmemoized bypass. */
-final class SessionMemo[V] {
+  * session. Entries of stopped sessions are evicted on the next lookup,
+  * and `onEvict` (e.g. a temp-dir delete for values that name on-disk
+  * artifacts) runs for each evicted value — plus once per surviving value
+  * from a single JVM shutdown hook, so a long-lived multi-session process
+  * cannot accumulate orphaned artifacts. A corpus REWRITTEN in place
+  * under the same path within one live session would serve the stale
+  * artifact — acceptable over immutable fixture data, and every call
+  * site keeps an unmemoized bypass. */
+final class SessionMemo[V](onEvict: V => Unit = (_: V) => ()) {
   private val m = TrieMap.empty[(SparkSession, String), V]
+  private lazy val hookOnce: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => m.values.foreach(v => scala.util.Try(onEvict(v)))))
 
   def getOrBuild(s: SparkSession, dir: String)(build: => V): V = {
-    m.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    hookOnce
+    m.filterInPlace { case ((sess, _), v) =>
+      val live = !sess.sparkContext.isStopped
+      if (!live) scala.util.Try(onEvict(v))
+      live
+    }
     m.getOrElseUpdate((s, new java.io.File(dir).getCanonicalPath), build)
   }
 

@@ -553,7 +553,8 @@ object AnalyticsQueries {
     * the next insert). A corpus REWRITTEN under the same path within one
     * session would serve stale edges — fine for immutable fixture data,
     * and [[annKnnEdges]] remains the uncached bypass. */
-  private val edgeMemo = new graft.core.SessionMemo[String]
+  private val edgeMemo = new graft.core.SessionMemo[String](dir =>
+    DataPipelineQueries.deleteRecursively(java.nio.file.Paths.get(dir)))
 
   private[relational] def sharedAnnEdges(s: SparkSession, d: String): DataFrame =
     s.read.parquet(edgeMemo.getOrBuild(s, d) {
@@ -565,10 +566,11 @@ object AnalyticsQueries {
       // over the written edge table survives any block-manager hygiene,
       // and "derived k-NN graph persisted as a table, analytics scan it"
       // is the literal production shape anyway. ≤ k·N rows.
+      // dir lifecycle is the memo's: deleted when the owning session's
+      // entry evicts, or by the memo's single JVM shutdown sweep — no
+      // per-build hooks, no orphans in long-lived multi-session reuse
       val tmp = java.nio.file.Files.createTempDirectory("graft_knn_edges_")
       annKnnEdges(emb).write.mode("overwrite").parquet(tmp.toString)
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        DataPipelineQueries.deleteRecursively(tmp)))
       tmp.toString
     })
 

@@ -40,7 +40,9 @@ class JoinSkewAqeSpec extends AnyFunSuite {
     assert(hot.getLong(1) >= (total * 0.75).toLong, "80% of events collapse onto key 0")
     val direct = Tables.events(spark, sf)
       .withColumn("hot_key",
-        when(col("event_id") % 10 < 8, lit(0L)).otherwise(pmod(col("user_id"), lit(50L))))
+        // sign-preserving %, same as the registered query and the oracle —
+        // pmod would diverge on a negative user_id fixture
+        when(col("event_id") % 10 < 8, lit(0L)).otherwise(col("user_id") % 50L))
       .groupBy(col("hot_key")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach(r => assert(r.getLong(1) === direct(r.getLong(0))))
