@@ -287,10 +287,14 @@ object AnalyticsQueries {
         new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("sk"))))
       .reduce((a, b) => { a.mergeInPlace(b); a })
     val bound = math.ceil(eps * merged.totalCount()).toLong
-    val mb = s.sparkContext.broadcast(merged)
-    val est = udf((id: Long) => mb.value.estimateCount(id))
+    // native codegen probe (graft.functions.CmsEstimate) — the sketch is a
+    // plan-referenced object like BloomFilterMightContain's build side; the
+    // previous ScalaUDF here was the last UDF on the analytics surface
+    val est = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.CmsEstimate(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("user_id")), merged))
     e.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
-      .withColumn("cms", est(col("user_id")))
+      .withColumn("cms", est)
       .select(col("user_id"), col("n_exact"),
         (col("cms") >= col("n_exact")).as("no_underestimate"),
         (col("cms") <= col("n_exact") + lit(bound)).as("within_eps"))

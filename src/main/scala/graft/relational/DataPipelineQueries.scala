@@ -56,7 +56,7 @@ object DataPipelineQueries {
     * its buckets to the cap — and with them its own duplicate pairs.
     * Collapsed, the swarm reaches the LSH domain as one row (its
     * within-group partners are Jaccard 1.0 by construction, no banding
-    * needed) and the signature UDF runs once per distinct text. (A swarm of
+    * needed) and the signature aggregate runs once per distinct text. (A swarm of
     * set-equal but text-distinct docs — anagram corpora — stays in the LSH
     * domain; the bucket cap still bounds it, the documented trade.) */
   private def dedupMinhash(s: SparkSession, d: String): DataFrame = {
@@ -69,12 +69,16 @@ object DataPipelineQueries {
     val withKey = docs(s, d)
       .select(col("doc_id"), TextOps.normalized("text").as("norm"))
       .withColumn("set_key", md5(col("norm")))
+    // md5-parity native signature (r9 verdict ask #5): one digest per
+    // shingle in a codegen'd loop (graft.functions.MinHashSig) — no UDF
+    // boundary, no extra exchange, and every signature value replays in
+    // the DuckDB oracle's SQL image of the same construction
     val sig = withKey.groupBy(col("set_key"))
       .agg(min(col("doc_id")).as("rep_id"), first(col("norm")).as("norm"),
         count(lit(1)).as("grp_n"))
       .withColumn("sh", TextOps.charShingles("norm", 5))
       .drop("norm")
-      .withColumn("sig", TextOps.minhashSigUdf(64, 42L)(col("sh")))
+      .withColumn("sig", TextOps.minhashSigCol(col("sh"), 64))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // RAW pairs (multi-band duplicates kept): the agreement filter below is
     // per-row and cheap, so dedup runs AFTER it on the ~5k survivors
@@ -106,7 +110,7 @@ object DataPipelineQueries {
       .join(features.select(col("rep_id").as("id_b"), col("sig").as("sig_b"),
         col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
-        when(TextOps.sigAgreeUdf(col("sig_a"), col("sig_b")) >= 24, // est. J ≥ ~0.375
+        when(TextOps.sigAgree(col("sig_a"), col("sig_b")) >= 24, // est. J ≥ ~0.375
           round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
             size(array_union(col("sh_a"), col("sh_b"))), 6)))
       .filter(col("jaccard").isNotNull)
@@ -123,11 +127,6 @@ object DataPipelineQueries {
       .groupBy(col("set_key")).agg(min(col("doc_id")).as("m2"))
     val directed = verified.select(col("id_a").as("rep_id"), col("id_b").as("other"), col("jaccard"))
       .union(verified.select(col("id_b").as("rep_id"), col("id_a").as("other"), col("jaccard")))
-    // cross-group candidate volume per group: every member of a verified
-    // partner group is a candidate for every member of this group
-    val crossN = directed
-      .join(groups.select(col("rep_id").as("other"), col("grp_n").as("o_n")), "other")
-      .groupBy(col("rep_id")).agg(sum(col("o_n")).as("cross_n"))
     val bestCross = directed.filter(col("jaccard") >= 0.5)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("rep_id")).orderBy(col("jaccard").desc, col("other"))))
@@ -135,7 +134,6 @@ object DataPipelineQueries {
       .select(col("rep_id"), col("other").as("cross_partner"), col("jaccard").as("cross_j"))
     members.join(groups, "set_key")
       .join(g2, Seq("set_key"), "left")
-      .join(crossN, Seq("rep_id"), "left")
       .join(bestCross, Seq("rep_id"), "left")
       // best-partner order stays (jaccard desc, smaller id) across BOTH
       // sources: a cross-group partner at jaccard 1.0 (set-equal but
@@ -145,26 +143,17 @@ object DataPipelineQueries {
       .withColumn("use_within", col("within_id").isNotNull &&
         (col("cross_j").isNull || col("cross_j") < 1.0 ||
           (col("cross_j") === 1.0 && col("within_id") < col("cross_partner"))))
-      .withColumn("dup_of",
-        when(col("use_within"), col("within_id")).otherwise(col("cross_partner")))
-      .withColumn("jaccard",
-        when(col("use_within"), lit(1.0)).otherwise(col("cross_j")))
-      // verdict projection (the oracle-checkable surface): `n_exact_copies`
-      // is checked against an INDEPENDENT DuckDB recompute of the
-      // normalization + grouping (so the md5(norm) collapse that everything
-      // downstream rides on is value-verified), and `exact_dup_covered`
-      // pins the group-bookkeeping totality — every doc of a multi-member
-      // group must come out paired at jaccard 1.0 (a dropped g2/rep join
-      // row or fan-out bug breaks it). Post-collapse, within-group pairing
-      // is structural rather than LSH-dependent, so the behavioral
-      // swarm-vs-cap recall evidence lives in TextOpsSpec's 300-doc swarm
-      // test, and the LSH-found cross-group pairs stay exposed via
-      // TextOps.candidatePairs + TextOpsSpec; their membership is
-      // LSH-geometry-dependent, so they can't be part of a deterministic
-      // oracle surface.
+      // value-level projection (r10 — the md5-parity signatures made the
+      // WHOLE pipeline deterministic SQL): the oracle replays normalize →
+      // collapse → shingle → 64-min signature → banded buckets → cap →
+      // agreement ≥ 24 → exact Jaccard → best-partner selection and
+      // hash-checks dup_of AND jaccard per doc, not just a verdict (the
+      // pre-r10 surface gated only n_exact_copies + a coverage boolean;
+      // swarm-vs-cap recall evidence stays in TextOpsSpec's 300-doc test).
       .select(col("doc_id"), col("grp_n").as("n_exact_copies"),
-        (col("grp_n") <= 1 ||
-          (col("dup_of").isNotNull && col("jaccard") === 1.0)).as("exact_dup_covered"))
+        when(col("use_within"), col("within_id")).otherwise(col("cross_partner"))
+          .as("dup_of"),
+        when(col("use_within"), lit(1.0)).otherwise(col("cross_j")).as("jaccard"))
       .orderBy(col("doc_id"))
   }
 
@@ -236,7 +225,9 @@ object DataPipelineQueries {
     * exists (hamming 0), else the nearest code's smallest doc.
     *
     * FULL value-level DuckDB oracle (r5): the md5-derived token hash
-    * ([[TextOps.simhashUdf]]) lets SQL recompute every code bit-for-bit
+    * ([[TextOps.simhashCol]] — since r10 the native codegen expression
+    * [[graft.functions.SimHash64]], no UDF) lets SQL recompute every code
+    * bit-for-bit
     * (64 bit-majority votes per doc), re-derive the 4×16-bit band
     * collisions, and replay the nearest-code choice — so codes, partners
     * AND hamming distances are all hash-checked, not just a verdict —
@@ -249,7 +240,7 @@ object DataPipelineQueries {
     * engines. */
   private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val sh = docs(s, d)
-      .select(col("doc_id"), TextOps.simhashUdf(TextOps.tokens("text")).as("simhash"))
+      .select(col("doc_id"), TextOps.simhashCol(TextOps.tokens("text")).as("simhash"))
     // per-code group: smallest member m1 (the representative), group size,
     // second-smallest m2 (= m1's own best partner) — three key-partitioned
     // aggs/joins on the code, never a per-group row collect
@@ -2481,6 +2472,98 @@ object DataPipelineQueries {
     "multimodal_framesample" -> (multimodalFramesample _),
   )
 
+  /** Full value-level DuckDB replay of [[dedupMinhash]] (r10 — possible
+    * because every hash in the pipeline is md5-derived, TextOps §md5-parity):
+    * normalize → md5 exact-collapse → distinct 5-gram shingles per
+    * representative → 32-bit md5 base hash → 64 (aᵢ·h+bᵢ) mod P minima
+    * (coefficients inlined below, [[graft.text.TextOps.minhashCoeffs]]) →
+    * 16 banded md5 buckets → 256-cap whole-bucket drop → candidate self-join
+    * → signature-agreement ≥ 24 → exact Jaccard over the shingle sets →
+    * the same within/cross best-partner selection. dup_of AND jaccard are
+    * hash-checked per doc — not a verdict. */
+  private def minhashOracleSql: String = {
+    val (as, bs) = graft.text.TextOps.minhashCoeffs(64)
+    val aList = as.mkString("[", ", ", "]")
+    val bList = bs.mkString("[", ", ", "]")
+    val bandParts = (1 to 4).map(r => s"CAST(ms[4 * bb.b + $r] AS VARCHAR)")
+      .mkString(" || ',' || ")
+    s"""WITH consts AS (SELECT $aList::BIGINT[] AS a, $bList::BIGINT[] AS b),
+       |d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+       |      FROM documents),
+       |mem AS (SELECT doc_id, md5(norm) AS set_key FROM d),
+       |grp AS MATERIALIZED (
+       |  SELECT md5(norm) AS set_key, min(doc_id) AS rep_id, count(*) AS grp_n,
+       |         min(norm) AS norm
+       |  FROM d GROUP BY 1),
+       |sh AS MATERIALIZED (
+       |  SELECT DISTINCT rep_id,
+       |         unnest(list_transform(generate_series(1, greatest(length(norm) - 4, 1)),
+       |                               i -> substr(norm, CAST(i AS INT), 5))) AS s
+       |  FROM grp),
+       |hs AS MATERIALIZED (
+       |  SELECT rep_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS hm FROM sh),
+       |sigl AS MATERIALIZED (
+       |  SELECT h.rep_id,
+       |         list_transform(generate_series(1, 64),
+       |           i -> list_min(list_transform(h.hml, x -> (c.a[i] * x + c.b[i]) % 2147483647))) AS ms
+       |  FROM (SELECT rep_id, list(hm) AS hml FROM hs GROUP BY rep_id) h, consts c),
+       |bands AS MATERIALIZED (
+       |  SELECT rep_id, bb.b,
+       |         ('0x' || substr(md5($bandParts), 1, 15))::BIGINT AS bucket
+       |  FROM sigl, (SELECT unnest(generate_series(0, 15)) AS b) bb),
+       |ok AS (SELECT b, bucket FROM bands GROUP BY b, bucket HAVING count(*) <= 256),
+       |small AS (SELECT bands.* FROM bands JOIN ok USING (b, bucket)),
+       |cand AS (SELECT DISTINCT a.rep_id AS id_a, o.rep_id AS id_b
+       |         FROM small a JOIN small o ON a.b = o.b AND a.bucket = o.bucket
+       |                                  AND a.rep_id < o.rep_id),
+       |agree AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c JOIN sigl sa ON sa.rep_id = c.id_a
+       |              JOIN sigl sb ON sb.rep_id = c.id_b
+       |  WHERE len(list_filter(generate_series(1, 64), i -> sa.ms[i] = sb.ms[i])) >= 24),
+       |sizes AS (SELECT rep_id, count(*) AS n FROM sh GROUP BY rep_id),
+       |inter AS (
+       |  SELECT p.id_a, p.id_b, count(*) AS common
+       |  FROM agree p JOIN sh a ON a.rep_id = p.id_a
+       |               JOIN sh b ON b.rep_id = p.id_b AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |ver AS (
+       |  SELECT p.id_a, p.id_b,
+       |         round(coalesce(i.common, 0) * 1.0
+       |               / (sa.n + sb.n - coalesce(i.common, 0)), 6) AS jaccard
+       |  FROM agree p
+       |  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+       |  JOIN sizes sa ON sa.rep_id = p.id_a
+       |  JOIN sizes sb ON sb.rep_id = p.id_b),
+       |g2 AS (SELECT m.set_key, min(m.doc_id) AS m2
+       |       FROM mem m JOIN grp g USING (set_key)
+       |       WHERE m.doc_id <> g.rep_id GROUP BY 1),
+       |directed AS (SELECT id_a AS rep_id, id_b AS other, jaccard FROM ver
+       |             UNION ALL SELECT id_b, id_a, jaccard FROM ver),
+       |best AS (SELECT rep_id, other AS cross_partner, jaccard AS cross_j FROM (
+       |           SELECT rep_id, other, jaccard,
+       |                  row_number() OVER (PARTITION BY rep_id
+       |                                     ORDER BY jaccard DESC, other) AS rn
+       |           FROM directed WHERE jaccard >= 0.5) WHERE rn = 1),
+       |assembled AS (
+       |  SELECT m.doc_id, g.grp_n,
+       |         CASE WHEN g.grp_n > 1
+       |              THEN CASE WHEN m.doc_id = g.rep_id THEN g2.m2 ELSE g.rep_id END
+       |         END AS within_id,
+       |         bb.cross_partner, bb.cross_j
+       |  FROM mem m JOIN grp g USING (set_key)
+       |  LEFT JOIN g2 USING (set_key)
+       |  LEFT JOIN best bb ON bb.rep_id = g.rep_id)
+       |SELECT doc_id, grp_n AS n_exact_copies,
+       |       CASE WHEN use_within THEN within_id ELSE cross_partner END AS dup_of,
+       |       CASE WHEN use_within THEN CAST(1.0 AS DOUBLE) ELSE cross_j END AS jaccard
+       |FROM (SELECT *,
+       |        within_id IS NOT NULL AND (cross_j IS NULL OR cross_j < 1.0
+       |          OR (cross_j = 1.0 AND within_id < cross_partner)) AS use_within
+       |      FROM assembled)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     // C4 line-dedup replay: DuckDB's lockstep UNNEST pairs each span with
     // its ordinal; first occurrence = row_number over (doc_id, pos), the
@@ -2516,12 +2599,7 @@ object DataPipelineQueries {
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     // recall-floor verdict for the LSH pipeline — same normalization +
     // grouping as dedup_exact; see dedupMinhash's projection comment
-    "dedup_minhash" ->
-      """SELECT doc_id,
-        |       count(*) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
-        |         AS n_exact_copies,
-        |       true AS exact_dup_covered
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_minhash" -> minhashOracleSql,
     // full value-level recompute — md5-derived token hash makes the 64
     // bit-majority votes, band collisions and nearest-code choice exact SQL
     // (the bucket cap is a measured no-op at gate scale; see the scaladoc)

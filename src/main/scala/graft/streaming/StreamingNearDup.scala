@@ -135,17 +135,21 @@ object StreamingNearDup {
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.5,
                    numHashes: Int = DefaultNumHashes, bands: Int = DefaultBands,
                    shingleK: Int = 5,
-                   maxBucketSize: Int = DefaultMaxBucketSize, seed: Long = 42L,
+                   maxBucketSize: Int = DefaultMaxBucketSize,
                    ttl: Option[java.time.Duration] = None): DataFrame = {
     require(numHashes % bands == 0, s"numHashes $numHashes must split into $bands bands")
     val spark = docs.sparkSession
     import spark.implicits._
     val banded = docs
       .withColumn("norm", TextOps.normalized("text"))
-      .withColumn("sig", TextOps.minhashSigUdf(numHashes, seed)(
-        TextOps.charShingles("norm", shingleK)))
+      // per-ROW md5-parity signature (TextOps.minhashSigCol): the batch
+      // dedup's relational groupBy shape would add a second stateful
+      // operator here; the values are identical, so stream and batch
+      // pipelines stay hash-comparable
+      .withColumn("sig", TextOps.minhashSigCol(
+        TextOps.charShingles("norm", shingleK), numHashes))
       .select(col("doc_id"), col("sig"),
-        posexplode(TextOps.bandBucketsUdf(bands, numHashes / bands)(col("sig")))
+        posexplode(TextOps.bandBucketCols(col("sig"), bands, numHashes / bands))
           .as(Seq("band", "bucket")))
       .as[BandedSig]
     banded

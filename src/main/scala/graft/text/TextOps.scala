@@ -1,10 +1,8 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.{UserDefinedFunction, Window}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-
-import scala.util.hashing.MurmurHash3
 
 /** Text-dedup building blocks for the training-data-pipeline surface:
   * normalization, character shingles, MinHash signatures with LSH banding,
@@ -13,9 +11,10 @@ import scala.util.hashing.MurmurHash3
   *
   * Scale design: every candidate-generation step is a key-partitioned
   * shuffle on (band, bucket); hot buckets (degenerate near-identical swarms)
-  * are capped by `maxBucketSize` so no join side goes quadratic. The only
-  * UDFs are per-row signature kernels (O(shingles·hashes)), the same shape
-  * as the Llk kernel.
+  * are capped by `maxBucketSize` so no join side goes quadratic. UDF-free
+  * (r9 verdict ask #5): the signature kernels are md5-parity relational
+  * aggregates or native codegen expressions, so the DuckDB oracle replays
+  * their VALUES and nothing breaks the whole-stage codegen span.
   */
 object TextOps {
 
@@ -46,74 +45,106 @@ object TextOps {
   def shingleSetKey(shCol: Column): Column =
     md5(concat_ws("\u0001", array_sort(shCol)))
 
-  /** MinHash signature: numHashes permutation-min values over the shingle
-    * set, hᵢ(s) = (aᵢ·murmur3(s) + bᵢ) mod 2⁶³ with (aᵢ, bᵢ) drawn once from
-    * `seed` — deterministic across runs and executors. */
-  def minhashSigUdf(numHashes: Int, seed: Long): UserDefinedFunction = {
-    val rnd = new scala.util.Random(seed)
-    val as = Array.fill(numHashes)(rnd.nextLong() | 1L) // odd multipliers
-    val bs = Array.fill(numHashes)(rnd.nextLong())
-    udf { shingles: Seq[String] =>
-      val sig = Array.fill(numHashes)(Long.MaxValue)
-      shingles.foreach { s =>
-        val h = MurmurHash3.stringHash(s).toLong & 0xffffffffL
-        var i = 0
-        while (i < numHashes) {
-          val v = (as(i) * h + bs(i)) & Long.MaxValue
-          if (v < sig(i)) sig(i) = v
-          i += 1
-        }
-      }
-      sig.toSeq
-    }
-  }
+  // -------------------------------------------------- md5-parity base hashes
+  // Every hash below derives from md5 of the value's UTF-8 bytes — NOT a
+  // JVM-private mixer (the r9 graph codes' technique, Pfsa.hashUniform's
+  // before them): a hash both engines compute identically is what lets the
+  // DuckDB gate recompute signatures, band collisions and simhash codes
+  // value-for-value in SQL instead of verdict-gating them.
 
-  /** LSH banding: signature → one bucket id per band (hash of the band's
-    * `rowsPerBand` slice). Docs sharing ANY band bucket become candidates —
-    * P(candidate) = 1 − (1 − s^r)^b for Jaccard s. */
-  def bandBucketsUdf(bands: Int, rowsPerBand: Int): UserDefinedFunction =
-    udf { sig: Seq[Long] =>
-      (0 until bands).map { b =>
-        MurmurHash3.orderedHash(sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand), b).toLong
-      }
-    }
+  /** 32-bit base hash: first 8 hex digits of md5 as a long in [0, 2³²).
+    * DuckDB parity: `('0x' || substr(md5(x), 1, 8))::BIGINT`. */
+  def md5Bits32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** 64-bit SimHash over the token bag: per-token 64-bit hash votes on each
-    * bit; near-dups differ in few bits (checked via bit_count(xor)).
-    *
-    * The token hash is the BIG-ENDIAN first 8 bytes of md5(token) — i.e.
-    * the first 16 hex digits — NOT a JVM-private mixer: like
-    * [[graft.core.Pfsa.hashUniform]], choosing a hash both engines compute
-    * identically is what lets the DuckDB gate recompute the ENTIRE simhash
-    * pipeline (codes, band collisions, hamming distances) value-for-value
-    * in SQL. md5 costs more per token than murmur; the cross-engine
-    * replayability is the trade, and the UDF is already off the 100-TB hot
-    * path (one call per doc, not per pair). */
-  def simhashUdf: UserDefinedFunction = udf { tokens: Seq[String] =>
+  /** 64-bit base hash: big-endian first 8 bytes of md5 (16 hex digits) as
+    * a signed long, bit-identical to the retired UDF's byte fold.
+    * DuckDB parity: `('0x' || substr(md5(x), 1, 16))::UBIGINT`. */
+  def md5Bits64(c: Column): Column =
+    shiftleft(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(c), 9, 8), 16, 10).cast("long"))
+
+  // --------------------------------------------------------------- MinHash
+  /** Modulus of the permutation family: 2³¹ − 1 (Mersenne prime). Products
+    * aᵢ·h stay under 2⁶² — no 64-bit overflow in EITHER engine (Spark ANSI
+    * mode and DuckDB both throw on BIGINT overflow rather than wrap, so
+    * the classic mod-2⁶⁴ construction is not portable). */
+  val MinhashP = 2147483647L
+
+  /** Deterministic permutation coefficients hᵢ(x) = (aᵢ·x + bᵢ) mod P,
+    * derived from md5("mh-a:i") / md5("mh-b:i") — reproducible anywhere
+    * (the oracle inlines them as literals), aᵢ ∈ [1, P−1], bᵢ ∈ [0, P−1]. */
+  def minhashCoeffs(numHashes: Int): (IndexedSeq[Long], IndexedSeq[Long]) = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val votes = new Array[Int](64)
-    tokens.foreach { t =>
-      val d = md.digest(t.getBytes("UTF-8")) // digest() resets for the next token
-      var h = 0L
-      var j = 0
-      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
-      var i = 0
-      while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
-        i += 1
-      }
+    def h32(s: String): Long = {
+      val d = md.digest(s.getBytes("UTF-8")) // digest() resets per call
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
     }
-    var out = 0L
-    var i = 0
-    while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
-    out
+    ((0 until numHashes).map(i => h32(s"mh-a:$i") % (MinhashP - 1) + 1),
+      (0 until numHashes).map(i => h32(s"mh-b:$i") % MinhashP))
   }
 
-  /** (id, band, bucket) rows from (id, sig). */
+  /** Per-row MinHash signature — the native codegen expression
+    * [[graft.functions.MinHashSig]]: one md5 digest per shingle and a
+    * JIT'd min loop fused into whole-stage codegen. Values are EXACTLY
+    * [[minhashSigColComposed]]'s (the spec pins the parity), which is the
+    * construction the DuckDB oracle replays. */
+  def minhashSigCol(shCol: Column, numHashes: Int = 64): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(graft.functions.MinHashSig(
+      org.apache.spark.sql.graft.ColumnBridge.expression(shCol), numHashes))
+
+  /** The COMPOSED built-in-function form of [[minhashSigCol]] — one md5 per
+    * shingle (`transform`), then a single `aggregate` fold keeping the
+    * running elementwise min. Semantically identical and the direct image
+    * of the oracle's SQL; HOF lambdas interpret per element (~numHashes·
+    * |shingles| evaluations per row — measured 4× the whole query on the
+    * sf0.1 dedup corpus), so this form exists as the independent in-engine
+    * comparator for the native expression, not the production path. */
+  def minhashSigColComposed(shCol: Column, numHashes: Int = 64): Column = {
+    val (as, bs) = minhashCoeffs(numHashes)
+    val ab = typedLit(as.zip(bs))
+    aggregate(
+      transform(shCol, s => md5Bits32(s) % MinhashP),
+      array_repeat(lit(MinhashP), numHashes),
+      (acc, h) => zip_with(acc, ab, (m, p) =>
+        least(m, (p.getField("_1") * h + p.getField("_2")) % MinhashP)))
+  }
+
+  /** LSH band bucket ids from a signature ARRAY: bucket b = first 15 hex
+    * digits (60 bits, always positive) of md5 over the band's
+    * comma-joined `rowsPerBand` values. Docs sharing ANY band bucket
+    * become candidates — P(candidate) = 1 − (1 − s^r)^b for Jaccard s.
+    * (band, bucket) is the join key, so no per-band salt is needed.
+    * DuckDB parity: `('0x' || substr(md5(v0 || ',' || ...), 1, 15))::BIGINT`. */
+  def bandBucketCols(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      conv(substring(md5(concat_ws(",",
+        (0 until rowsPerBand).map(r =>
+          element_at(sig, b * rowsPerBand + r + 1).cast("string")): _*)), 1, 15),
+        16, 10).cast("long")
+    }: _*)
+
+  /** (id, band, bucket) rows from (id, sig array). */
   def bandBuckets(df: DataFrame, idCol: String, sigCol: String,
                   bands: Int, rowsPerBand: Int): DataFrame =
     df.select(col(idCol),
-      posexplode(bandBucketsUdf(bands, rowsPerBand)(col(sigCol))).as(Seq("band", "bucket")))
+      posexplode(bandBucketCols(col(sigCol), bands, rowsPerBand))
+        .as(Seq("band", "bucket")))
+
+  // --------------------------------------------------------------- SimHash
+  /** 64-bit SimHash over a token bag — the native codegen expression
+    * [[graft.functions.SimHash64]]: one [[md5Bits64]]-parity digest per
+    * token and a JIT'd vote loop, tokenless rows coding to 0. Near-dups
+    * differ in few bits (checked via bit_count(xor)); the md5-derived
+    * token hash keeps every code replayable in the DuckDB oracle. */
+  def simhashCol(tokCol: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(graft.functions.SimHash64(
+      org.apache.spark.sql.graft.ColumnBridge.expression(tokCol)))
+
+  /** (id, simhash) per row of `df`. */
+  def simhashCodes(df: DataFrame, idCol: String, tokCol: Column): DataFrame =
+    df.select(col(idCol), simhashCol(tokCol).as("simhash"))
 
   /** EXACT-complete candidate pairs for Jaccard ≥ `t` — prefix filtering
     * (the AllPairs/PPJoin family), the deterministic alternative to banding:
@@ -274,18 +305,13 @@ object TextOps {
       .select(col("id_a"), col("id_b"))
   }
 
-  /** Count of agreeing positions between two equal-length MinHash
-    * signatures — the estimated-Jaccard kernel of the two-stage verify. A
-    * hand loop, NOT `aggregate(zip_with(...))`: the Catalyst HOF pair
-    * allocates an intermediate array and interprets its lambda per element,
-    * which the r8 profile put at a large share of dedup_minhash's cost on
-    * the 200k-row banding noise floor; this JIT-compiled loop does the same
-    * 64 comparisons allocation-free. */
-  val sigAgreeUdf: UserDefinedFunction = udf { (a: Seq[Long], b: Seq[Long]) =>
-    val n = math.min(a.length, b.length)
-    var agree = 0
-    var i = 0
-    while (i < n) { if (a(i) == b(i)) agree += 1; i += 1 }
-    agree
-  }
+  /** Count of agreeing positions between two MinHash signatures — the
+    * estimated-Jaccard kernel of the two-stage verify, as the native
+    * codegen expression [[graft.functions.SigAgree]] (replacing the r8
+    * ScalaUDF loop: same 64 comparisons, now fused into whole-stage
+    * codegen instead of an opaque serialization boundary). */
+  def sigAgree(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(graft.functions.SigAgree(
+      org.apache.spark.sql.graft.ColumnBridge.expression(a),
+      org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 }

@@ -26,11 +26,47 @@ class TextOpsSpec extends AnyFunSuite {
     (3L, "tiny"), (4L, base.toUpperCase)) // case variant → exact dup after normalize
     .toDF("doc_id", "text")
 
+  test("native MinHashSig equals the composed HOF form the oracle replays") {
+    val both = corpus
+      .select(col("doc_id"), TextOps.normalized("text").as("norm"))
+      .withColumn("sh", TextOps.charShingles("norm", 5))
+      .select(col("doc_id"),
+        TextOps.minhashSigCol(col("sh"), 64).as("native"),
+        TextOps.minhashSigColComposed(col("sh"), 64).as("composed"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"signature divergence for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("native SimHash64 equals an in-engine md5Bits64 vote recompute") {
+    // independent composed recompute: one md5Bits64 per token (exploded),
+    // 64 vote sums, OR-fold of the majority bits — the oracle's SQL image
+    val toks = corpus.select(col("doc_id"), explode(TextOps.tokens("text")).as("t"))
+      .select(col("doc_id"), TextOps.md5Bits64(col("t")).as("h"))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$i"))
+    val code = (0 until 64).map(i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val composed = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), code.as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = corpus
+      .select(col("doc_id"), TextOps.simhashCol(TextOps.tokens("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    composed.foreach { case (id, c) =>
+      assert(native(id) == c, s"simhash divergence for doc $id")
+    }
+  }
+
   test("minhash signatures: identical after normalization, close for near-dups") {
     val sigDf = corpus
       .select(col("doc_id"), TextOps.normalized("text").as("norm"))
       .withColumn("sh", TextOps.charShingles("norm", 5))
-      .withColumn("sig", TextOps.minhashSigUdf(64, 42L)(col("sh")))
+      .withColumn("sig", TextOps.minhashSigCol(col("sh"), 64))
     val sigs = sigDf.select("doc_id", "sig").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(0L) == sigs(4L), "case variant must hash identically")
@@ -44,7 +80,7 @@ class TextOpsSpec extends AnyFunSuite {
     val sigDf = corpus
       .select(col("doc_id"), TextOps.normalized("text").as("norm"))
       .withColumn("sh", TextOps.charShingles("norm", 5))
-      .withColumn("sig", TextOps.minhashSigUdf(64, 42L)(col("sh")))
+      .withColumn("sig", TextOps.minhashSigCol(col("sh"), 64))
     val pairs = TextOps.candidatePairs(
       TextOps.bandBuckets(sigDf, "doc_id", "sig", bands = 16, rowsPerBand = 4), "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -60,7 +96,7 @@ class TextOpsSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
       .select(col("doc_id"), TextOps.normalized("text").as("norm"))
       .withColumn("sh", TextOps.charShingles("norm", 5))
-      .withColumn("sig", TextOps.minhashSigUdf(16, 42L)(col("sh")))
+      .withColumn("sig", TextOps.minhashSigCol(col("sh"), 16))
     val buckets = TextOps.bandBuckets(swarm, "doc_id", "sig", bands = 4, rowsPerBand = 4)
     assert(TextOps.candidatePairs(buckets, "doc_id", maxBucketSize = 100).count() == 0L)
     // with a big enough cap the pairs appear (bounded quadratic is allowed)
@@ -200,18 +236,27 @@ class TextOpsSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val rows = graft.relational.DataPipelineQueries.queries("dedup_minhash")(spark, dir)
       .collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
     (0L until 300L).foreach { i =>
-      assert(rows(i) == (300L, true), s"swarm doc $i lost its dup: ${rows(i)}")
+      val (n, dupOf, j) = rows(i)
+      assert(n == 300L && dupOf >= 0L && dupOf != i && j == 1.0,
+        s"swarm doc $i lost its dup: ${rows(i)}")
     }
-    assert(rows(300L) == (1L, true) && rows(301L) == (1L, true) && rows(302L) == (1L, true),
-      s"singleton verdicts: ${rows(300L)} ${rows(301L)} ${rows(302L)}")
+    // the singletons: the near-dup pair points at each other with the
+    // verified exact Jaccard; the unrelated doc has no partner
+    assert(rows(300L)._1 == 1L && rows(300L)._2 == 301L && rows(300L)._3 >= 0.5,
+      s"near-dup verdict: ${rows(300L)}")
+    assert(rows(301L)._1 == 1L && rows(301L)._2 == 300L && rows(301L)._3 >= 0.5,
+      s"near-dup verdict: ${rows(301L)}")
+    assert(rows(302L) == ((1L, -1L, -1.0)), s"unrelated verdict: ${rows(302L)}")
     // the near-dup pair itself (distinct texts, jaccard ≥ 0.5) must still
     // surface through the banding path the query is built on
     val base = docsSeq.toDF("doc_id", "source", "lang", "text")
       .select(col("doc_id"), TextOps.normalized("text").as("norm"))
       .withColumn("sh", TextOps.charShingles("norm", 5))
-      .withColumn("sig", TextOps.minhashSigUdf(64, 42L)(col("sh")))
+      .withColumn("sig", TextOps.minhashSigCol(col("sh"), 64))
     val pairs = TextOps.candidatePairs(
       TextOps.bandBuckets(base, "doc_id", "sig", bands = 16, rowsPerBand = 4), "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -264,7 +309,8 @@ class TextOpsSpec extends AnyFunSuite {
 
   test("simhash: near-dups within small Hamming distance, unrelated far") {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
-    val hs = corpus.select(col("doc_id"), TextOps.simhashUdf(TextOps.tokens("text")).as("h"))
+    val hs = TextOps.simhashCodes(corpus.withColumn("toks", TextOps.tokens("text")), "doc_id", col("toks"))
+      .withColumnRenamed("simhash", "h")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ham(hs(0L), hs(1L)) <= 6, s"near-dup hamming ${ham(hs(0L), hs(1L))}")
     assert(ham(hs(0L), hs(2L)) > 10, s"unrelated hamming ${ham(hs(0L), hs(2L))}")
