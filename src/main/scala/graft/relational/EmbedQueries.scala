@@ -495,7 +495,98 @@ object EmbedQueries {
        |ORDER BY e.vec_id""".stripMargin
   }
 
+  // ------------------------------------------------- max-inner-product search
+  /** MAX-INNER-PRODUCT top-k (MIPS) — the retrieval contract of
+    * recommender scoring and unnormalized-embedding search, distinct
+    * from the cosine family: magnitude MATTERS (a long vector can beat a
+    * better-aligned short one). The scale story is the classic
+    * MIPS→cosine reduction (Bachrach et al. 2014 / Shrivastava-Li
+    * asymmetric LSH): augment corpus vectors to [x, √(M²−‖x‖²)] (all
+    * augmented norms = M = max corpus norm) and queries to [q, 0]; then
+    * augmented cosine = q·x/(‖q‖·M) — MONOTONE in the inner product, so
+    * every cosine-ANN index in this library (similarity_ann/ivf/pq)
+    * serves MIPS unchanged after a one-pass corpus augmentation. The
+    * gate runs the exact leg (broadcast 10-probe × corpus, the
+    * similarity_topk shape, LINEAR in N) and verifies the reduction
+    * in-query: `aug_consistent` = the augmented-space cosine
+    * reconstructs this pair's inner product to 1e-9 (fp-tolerant — the
+    * algebraic identity, not a rounding race). */
+  private def similarityMips(s: SparkSession, d: String): DataFrame = {
+    import graft.text.Similarity
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def dot(x: String, y: String) = ColumnBridge.column(graft.functions.VecDot(
+      ColumnBridge.expression(col(x)), ColumnBridge.expression(col(y))))
+    val withNorm = e.withColumn("nrm", sqrt(dot("v", "v")))
+    val m = withNorm.agg(max(col("nrm"))).head().getDouble(0)
+    // augmented corpus column: [x..., sqrt(M^2 - |x|^2)] — norm M for every row
+    val aug = withNorm.withColumn("va",
+      concat(col("v"), array(sqrt(greatest(lit(m * m) - dot("v", "v"), lit(0.0))))))
+    val probes = aug.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        concat(col("v"), array(lit(0.0))).as("qa"))
+    broadcast(probes)
+      .crossJoin(aug.select(col("vec_id").as("neighbor"), col("v").as("nv"),
+        col("va").as("na"), col("nrm").as("nnrm")))
+      .filter(col("qid") =!= col("neighbor"))
+      .withColumn("dp", dot("qv", "nv"))
+      .withColumn("dot_r", round(col("dp"), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dot_r").desc, col("neighbor"))))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn").cast("long").as("rank"), col("neighbor"),
+        col("dot_r"),
+        (abs(Similarity.cosine("qa", "na") * sqrt(dot("qv", "qv")) * lit(m)
+          - col("dp")) <= lit(1e-9)).as("aug_consistent"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  // ------------------------------------------- Matryoshka truncation recall
+  /** MATRYOSHKA (MRL) TRUNCATION EVALUATION — modern embedding models
+    * train nested prefixes so a deployment can store/search the first
+    * d′ ≪ d dims at d/d′× less memory and compute; whether that is safe
+    * for THIS corpus is an empirical recall question. Per probe (the 10
+    * similarity_topk queries): exact rounded-cosine top-3 on the FULL 64
+    * dims vs on the 16-dim PREFIX, overlap count and recall@3 — both
+    * legs deterministic, so the oracle replays every value (the
+    * embed_quantize_binary pattern). Scale: the truncated leg is the
+    * production path (4× less scan); the gate's full-vs-truncated
+    * comparison is the bounded broadcast-probe audit a pipeline runs on
+    * a sample before committing to the truncation. */
+  private def embedMatryoshka(s: SparkSession, d: String): DataFrame = {
+    import graft.text.Similarity
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("vt", slice(col("v"), 1, 16))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("vt").as("qt"))
+    val pairs = broadcast(probes)
+      .crossJoin(e.select(col("vec_id").as("nid"), col("v").as("nv"), col("vt").as("nt")))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos_full", round(Similarity.cosine("qv", "nv"), 6))
+      .withColumn("cos_trunc", round(Similarity.cosine("qt", "nt"), 6))
+      .withColumn("rn_f", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos_full").desc, col("nid"))))
+      .withColumn("rn_t", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos_trunc").desc, col("nid"))))
+    pairs.filter(col("rn_f") <= 3 || col("rn_t") <= 3)
+      .groupBy(col("qid"))
+      .agg(
+        concat_ws(",", expr(
+          "transform(array_sort(collect_list(CASE WHEN rn_f <= 3 THEN struct(rn_f, nid) END)), " +
+            "x -> cast(x.nid as string))")).as("full_top3"),
+        concat_ws(",", expr(
+          "transform(array_sort(collect_list(CASE WHEN rn_t <= 3 THEN struct(rn_t, nid) END)), " +
+            "x -> cast(x.nid as string))")).as("trunc_top3"),
+        sum(when(col("rn_f") <= 3 && col("rn_t") <= 3, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("qid"), col("full_top3"), col("trunc_top3"), col("n_hit"),
+        round(col("n_hit") / lit(3.0), 6).as("recall_at_3"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "similarity_mips" -> (similarityMips _),
+    "embed_matryoshka" -> (embedMatryoshka _),
     "sample_coreset" -> (sampleCoreset _),
     "embed_quantize_binary" -> (embedQuantizeBinary _),
     "embed_outliers" -> (embedOutliers _),
@@ -508,6 +599,53 @@ object EmbedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // exact inner-product top-3 replay (the similarity_topk pattern with
+    // dot instead of cosine); aug_consistent is the in-query fp-tolerant
+    // reduction identity, enumerated TRUE
+    "similarity_mips" ->
+      """WITH e AS (SELECT vec_id,
+        |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.qid, e.vec_id AS neighbor,
+        |         round(CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+        |                 i -> q.qv[i] * e.v[i])) AS DOUBLE), 6) AS dot_r
+        |  FROM q CROSS JOIN e WHERE e.vec_id <> q.qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |                                   ORDER BY dot_r DESC, neighbor) AS rn
+        |      FROM p)
+        |SELECT qid, CAST(rn AS BIGINT) AS rank, neighbor, dot_r,
+        |       TRUE AS aug_consistent
+        |FROM r WHERE rn <= 3 ORDER BY qid, rank""".stripMargin,
+    // both legs replayed value-for-value: full-64 and prefix-16 rounded
+    // cosines, both rankings, the overlap count and recall
+    "embed_matryoshka" ->
+      """WITH et AS (SELECT vec_id,
+        |                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |                   list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS vt
+        |            FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv, vt AS qt FROM et WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.qid, e2.vec_id AS nid,
+        |         round(list_cosine_similarity(q.qv, e2.v), 6) AS cf,
+        |         round(list_cosine_similarity(q.qt, e2.vt), 6) AS ct
+        |  FROM q CROSS JOIN et e2 WHERE e2.vec_id <> q.qid),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cf DESC, nid) AS rn_f,
+        |        row_number() OVER (PARTITION BY qid ORDER BY ct DESC, nid) AS rn_t
+        |      FROM p)
+        |SELECT qid,
+        |       string_agg(CASE WHEN rn_f <= 3 THEN CAST(nid AS VARCHAR) END,
+        |                  ',' ORDER BY rn_f) AS full_top3,
+        |       string_agg(CASE WHEN rn_t <= 3 THEN CAST(nid AS VARCHAR) END,
+        |                  ',' ORDER BY rn_t) AS trunc_top3,
+        |       CAST(sum(CASE WHEN rn_f <= 3 AND rn_t <= 3 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_hit,
+        |       round(CAST(sum(CASE WHEN rn_f <= 3 AND rn_t <= 3 THEN 1 ELSE 0 END)
+        |                  AS BIGINT) / 3.0, 6) AS recall_at_3
+        |FROM r WHERE rn_f <= 3 OR rn_t <= 3
+        |GROUP BY qid ORDER BY qid""".stripMargin,
     "sample_coreset" -> coresetOracleSql,
     // same 32-bit word packing (sign ≥ 0), same Hamming fold, same
     // rounded-cosine exact leg; codes and top-3 emitted as joined strings

@@ -467,7 +467,61 @@ object QualityQueries {
           .as("mean_within_tolerance"))
   }
 
+  /** PER-FEATURE DISTRIBUTION DRIFT via the Population Stability Index —
+    * the standard model-monitoring / training-data-freshness gate
+    * (PSI < 0.1 stable, 0.1–0.2 moderate, > 0.2 drifted), complementing
+    * dq_schema_drift (shape) and dq_volume_anomaly (row counts) with
+    * VALUE-distribution drift. Baseline/current = the event_id parity
+    * split (dedup_incremental's convention); per event_type, `value` is
+    * binned into 10 fixed-width bins derived from the BASELINE's exact
+    * micro-unit [min, max] (integer arithmetic end-to-end, so bin
+    * assignment is bit-identical cross-engine; current-side outliers
+    * clamp into the edge bins), Laplace-smoothed (+0.5/bin) so empty
+    * bins stay finite, and PSI = Σ (p_c − p_b)·ln(p_c/p_b) folds in bin
+    * order (deterministic accumulation — the embed_outliers lesson).
+    *
+    * 100-TB shape: two combinable aggregates (per-(type, side, bin)
+    * counts; per-type totals) over one scan + a 10-bin-universe
+    * broadcast — no shuffle grows with the corpus, and the output is
+    * |types| rows. */
+  private def dqDistributionDrift(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("event_type"),
+      (col("event_id") % 2 === 0).as("is_base"),
+      expr("cast(round(value * 1e6) as bigint)").as("vmic"))
+    val edges = e.filter(col("is_base"))
+      .groupBy(col("event_type"))
+      .agg(min(col("vmic")).as("lo"), max(col("vmic")).as("hi"))
+    val counts = e.join(broadcast(edges), "event_type")
+      .withColumn("bin", when(col("hi") === col("lo"), lit(0L))
+        .otherwise(greatest(lit(0L), least(lit(9L),
+          expr("((vmic - lo) * 10) div (hi - lo)")))))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("nb"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("nc"))
+    // the full 10-bin universe per type: empty bins still contribute
+    // their smoothed term (the standard PSI definition)
+    val universe = edges.select(col("event_type"))
+      .crossJoin(s.range(10).select(col("id").as("bin")))
+    val terms = universe.join(counts, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("nb"), lit(0L)).as("nb"), coalesce(col("nc"), lit(0L)).as("nc"))
+      .withColumn("tb", sum(col("nb")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("tc", sum(col("nc")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("pb", (col("nb") + lit(0.5)) / (col("tb") + lit(5.0)))
+      .withColumn("pc", (col("nc") + lit(0.5)) / (col("tc") + lit(5.0)))
+      .withColumn("term", (col("pc") - col("pb")) * log(col("pc") / col("pb")))
+    terms.groupBy(col("event_type"))
+      .agg(first(col("tb")).as("n_base"), first(col("tc")).as("n_cur"),
+        round(expr(
+          "aggregate(transform(array_sort(collect_list(struct(bin, term))), x -> x.term), 0D, (a, x) -> a + x)"),
+          6).as("psi"))
+      .select(col("event_type"), col("n_base"), col("n_cur"), col("psi"),
+        (col("psi") > 0.2).as("drifted"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_distribution_drift" -> (dqDistributionDrift _),
     "dq_referential_integrity" -> (dqReferentialIntegrity _),
     "dq_volume_anomaly" -> (dqVolumeAnomaly _),
     "dq_schema_drift" -> (dqSchemaDrift _),
@@ -482,6 +536,47 @@ object QualityQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // identical ladder: exact micro-unit baseline edges, integer-division
+    // bin assignment (clamped — trunc-vs-floor cannot diverge after the
+    // clamp because the numerator's sign decides both), Laplace +0.5
+    // smoothing, ln-ratio terms folded in bin order, round@6 BEFORE the
+    // 0.2 comparison
+    "dq_distribution_drift" ->
+      """WITH e AS (SELECT event_type, event_id % 2 = 0 AS is_base,
+        |                  CAST(round(value * 1e6) AS BIGINT) AS vmic FROM events),
+        |edges AS (SELECT event_type, min(vmic) AS lo, max(vmic) AS hi
+        |          FROM e WHERE is_base GROUP BY 1),
+        |binned AS (
+        |  SELECT e.event_type, e.is_base,
+        |         CASE WHEN g.hi = g.lo THEN 0
+        |              ELSE greatest(0, least(9, (e.vmic - g.lo) * 10 // (g.hi - g.lo)))
+        |         END AS bin
+        |  FROM e JOIN edges g USING (event_type)),
+        |counts AS (
+        |  SELECT event_type, bin,
+        |         CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |         CAST(sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS BIGINT) AS nc
+        |  FROM binned GROUP BY 1, 2),
+        |uni AS (SELECT event_type, b.bin FROM edges,
+        |        (SELECT unnest(generate_series(0, 9)) AS bin) b),
+        |terms AS (
+        |  SELECT u.event_type, u.bin,
+        |         coalesce(c.nb, 0) AS nb, coalesce(c.nc, 0) AS nc
+        |  FROM uni u LEFT JOIN counts c USING (event_type, bin)),
+        |tot AS (SELECT event_type, CAST(sum(nb) AS BIGINT) AS tb,
+        |               CAST(sum(nc) AS BIGINT) AS tc
+        |        FROM terms GROUP BY 1),
+        |tv AS (
+        |  SELECT t.event_type, t.bin, o.tb, o.tc,
+        |         ((t.nc + 0.5) / (o.tc + 5.0) - (t.nb + 0.5) / (o.tb + 5.0))
+        |           * ln(((t.nc + 0.5) / (o.tc + 5.0))
+        |                / ((t.nb + 0.5) / (o.tb + 5.0))) AS term
+        |  FROM terms t JOIN tot o USING (event_type))
+        |SELECT event_type, tb AS n_base, tc AS n_cur,
+        |       round(CAST(list_sum(list(term ORDER BY bin)) AS DOUBLE), 6) AS psi,
+        |       round(CAST(list_sum(list(term ORDER BY bin)) AS DOUBLE), 6) > 0.2 AS drifted
+        |FROM tv GROUP BY event_type, tb, tc
+        |ORDER BY event_type""".stripMargin,
     // the same five FK edges, the same LEFT-join orphan counts
     "dq_referential_integrity" -> {
       val edges = Seq(
