@@ -589,20 +589,19 @@ object AnalyticsQueries {
       return emb.select(col("vec_id").as("src"), col("vec_id").as("dst")).limit(0)
     val bits = graphBits(head.getLong(0))
     val dim = head.getInt(1)
-    // signs depend only on (t, b, i): computed once on the driver, baked
-    // into the plan as literal arrays — each code is a codegen'd chain of
-    // literal-weighted dot products, no UDF, no shuffle. The literals are
-    // trimmed to the ACTUAL dimensionality (the oracle's fixed-width
-    // GraphMaxDim lists agree on every index a vector can touch):
-    // tables·bits arrays of GraphMaxDim constants quadrupled the
-    // generated code and janino compile time dominated the tiny-fixture
-    // wall clock
+    // signs depend only on (t, b, i): computed once on the driver, shipped
+    // as referenced double[] constants into the native VecDotConst kernel
+    // (r10) — each code is tables·bits fused codegen loops per row, no
+    // UDF, no shuffle, no interpreted HOF lambdas (the aggregate+transform
+    // form this replaces was the dominant term of the edge build's wall at
+    // the 10× fixture), and no typedLit arrays bloating the generated
+    // code (the r9 janino-compile-time hazard). Signs are trimmed to the
+    // ACTUAL dimensionality (the oracle's fixed-width GraphMaxDim lists
+    // agree on every index a vector can touch).
     def dotTb(t: Int, b: Int): Column = {
-      val signs = (1 to dim).map(i => md5Sign(t, b, i))
-      aggregate(
-        transform(col("v"), (x, i) =>
-          x * element_at(typedLit(signs), (i + lit(1)).cast("int"))),
-        lit(0.0), (acc, y) => acc + y)
+      val signs = (1 to dim).map(i => md5Sign(t, b, i)).toArray
+      org.apache.spark.sql.graft.ColumnBridge.column(graft.functions.VecDotConst(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("v")), signs))
     }
     def code(t: Int): Column = (0 until bits)
       .map(b => when(dotTb(t, b) >= 0, lit(1L << b)).otherwise(lit(0L)))
