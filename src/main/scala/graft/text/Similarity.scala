@@ -3,7 +3,8 @@ package graft.text
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.{UserDefinedFunction, Window}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graft.{ColumnBridge => ColumnBridgeRef}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`):
@@ -12,8 +13,10 @@ import org.apache.spark.sql.functions._
   * on candidates — never all-pairs at corpus scale).
   *
   * The cosine rides the native [[graft.functions.VecDot]] codegen kernel
-  * (HOF-free, allocation-free, inside whole-stage codegen); only the
-  * hyperplane signer is a UDF.
+  * and the hyperplane signer the native [[graft.functions.HyperplaneCodes]]
+  * kernel (both HOF-free, allocation-free, inside whole-stage codegen);
+  * the remaining UDFs are bounded legs — per-query probes, MLlib Vector
+  * interop, PQ codebook work over ≤4096-row samples.
   */
 object Similarity {
 
@@ -59,31 +62,21 @@ object Similarity {
     * signs against Gaussian hyperplanes drawn once from `seed`. Two vectors
     * at angle θ agree on one bit w.p. 1 − θ/π; `tables` independent tables
     * trade memory for recall. */
-  def hyperplaneUdf(tables: Int, bits: Int, dim: Int, seed: Long): UserDefinedFunction = {
+  def hyperplaneCodesCol(emb: Column, tables: Int, bits: Int, dim: Int,
+                         seed: Long): Column = {
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(tables, bits, dim)(rnd.nextGaussian())
-    udf { emb: Seq[Float] =>
-      val arr = emb.toArray
-      (0 until tables).map { t =>
-        var code = 0L
-        var b = 0
-        while (b < bits) {
-          var dot = 0.0
-          var i = 0
-          val n = math.min(dim, arr.length)
-          while (i < n) { dot += planes(t)(b)(i) * arr(i); i += 1 }
-          if (dot >= 0) code |= (1L << b)
-          b += 1
-        }
-        code
-      }
-    }
+    ColumnBridgeRef.column(graft.functions.HyperplaneCodes(
+      ColumnBridgeRef.expression(emb), planes))
   }
 
-  /** (vec_id, table, code) bucket rows for the corpus. */
+  /** (vec_id, table, code) bucket rows for the corpus — the native
+    * [[graft.functions.HyperplaneCodes]] kernel (r10; values identical to
+    * the retired per-row UDF, so every recall grid is unchanged). */
   def buckets(df: DataFrame, tables: Int, bits: Int, dim: Int, seed: Long): DataFrame =
     df.select(col("vec_id"),
-      posexplode(hyperplaneUdf(tables, bits, dim, seed)(col("embedding"))).as(Seq("tbl", "code")))
+      posexplode(hyperplaneCodesCol(col("embedding"), tables, bits, dim, seed))
+        .as(Seq("tbl", "code")))
 
   /** Code width that keeps the expected bucket near `targetBucket` members:
     * bits ≈ log₂(N / targetBucket), clamped to [4, 24]. Fixed bits are the
@@ -116,7 +109,7 @@ object Similarity {
               tables: Int = 8, bits: Int = 0, dim: Int = 64,
               seed: Long = 42L, maxBucketSize: Int = 256): DataFrame = {
     val nBits = if (bits > 0) bits else adaptiveBits(corpus.count())
-    // the signer UDF is O(tables·bits·dim) per row and the bucket frame
+    // the signer kernel is O(tables·bits·dim) per row and the bucket frame
     // feeds both the cap aggregation and the probe join — persist it for
     // the duration of the candidate join, then release (the candidate set
     // is the bounded relation that lives on)

@@ -34,4 +34,15 @@ class DedupNoUdfSpec extends AnyFunSuite {
     val nodes = udfNodes(AnalyticsQueries.queries("agg_count_min")(spark, sf))
     assert(nodes.isEmpty, s"ScalaUDF under node(s): ${nodes.mkString(", ")}")
   }
+
+  // r10: the corpus-side hyperplane signer (the one LSH leg that scales
+  // with N, under similarity_ann and dedup_embedding) is the native
+  // HyperplaneCodes kernel — asserted on the UN-checkpointed bucket frame
+  // because the registered queries truncate lineage mid-plan (query-side
+  // probe/interop UDFs on the IVF/PQ paths are bounded legs, out of scope)
+  test("LSH corpus bucket frame is ScalaUDF-free") {
+    val corpus = Tables.embeddings(spark, sf)
+    val nodes = udfNodes(graft.text.Similarity.buckets(corpus, 4, 8, 64, 42L))
+    assert(nodes.isEmpty, s"ScalaUDF under node(s): ${nodes.mkString(", ")}")
+  }
 }
