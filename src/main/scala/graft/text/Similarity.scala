@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.graft.{ColumnBridge => ColumnBridgeRef}
@@ -12,11 +11,13 @@ import org.apache.spark.sql.functions._
   * buckets as the scale path (candidates from bucket joins, exact cosine only
   * on candidates — never all-pairs at corpus scale).
   *
-  * The cosine rides the native [[graft.functions.VecDot]] codegen kernel
-  * and the hyperplane signer the native [[graft.functions.HyperplaneCodes]]
-  * kernel (both HOF-free, allocation-free, inside whole-stage codegen);
-  * the remaining UDFs are bounded legs — per-query probes, MLlib Vector
-  * interop, PQ codebook work over ≤4096-row samples.
+  * Every corpus-scaling kernel is a native codegen expression (r10):
+  * cosine = [[graft.functions.VecDot]], hyperplane signing =
+  * [[graft.functions.HyperplaneCodes]], PQ encode / reconstructed norms /
+  * ADC lookups = the [[graft.functions.PqEncode]] family, MLlib interop =
+  * Spark's own `array_to_vector`. The only remaining UDFs run on BOUNDED
+  * query-side rows (per-query cell probes and ADC tables — |queries|
+  * evaluations, never the corpus).
   */
 object Similarity {
 
@@ -216,9 +217,11 @@ object Similarity {
   /** Fit the IVF coarse quantizer: seeded KMeans over the corpus embeddings,
     * `nCells = 0` → ≈√N cells (see [[ivfTopK]]). */
   def ivfIndex(corpus: DataFrame, nCells: Int = 0, seed: Long = 42L): IvfIndex = {
-    val toVec = udf { emb: Seq[Float] => Vectors.dense(emb.map(_.toDouble).toArray) }
+    // Spark's own codegen'd interop function, not a UDF — float→double
+    // widening is exact, so the fitted centers are unchanged
     val cf = corpus.select(col("vec_id"), col("embedding"))
-      .withColumn("features", toVec(col("embedding")))
+      .withColumn("features", org.apache.spark.ml.functions.array_to_vector(
+        col("embedding").cast("array<double>")))
     val cells0 =
       if (nCells > 0) nCells
       else math.max(4, math.min(4096, math.ceil(math.sqrt(corpus.count().toDouble)).toInt))
@@ -283,30 +286,14 @@ object Similarity {
       val pts = sample.map(e => Array.tabulate(subDim)(j => e(s * subDim + j).toDouble))
       localKMeans(pts, math.min(k, pts.length), new scala.util.Random(seed + s))
     }
-    val bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
-    val encodeUdf = udf { emb: Seq[Float] =>
-      val cbs = bc.value
-      Array.tabulate(cbs.length) { s =>
-        val cb = cbs(s)
-        var best = 0
-        var bestD = Double.MaxValue
-        var j = 0
-        while (j < cb.length) {
-          var d = 0.0
-          var i = 0
-          while (i < cb(j).length) {
-            val t = cb(j)(i) - emb(s * cb(j).length + i); d += t * t; i += 1
-          }
-          if (d < bestD) { bestD = d; best = j }
-          j += 1
-        }
-        best
-      }
-    }
     // codes materialize EAGERLY (localCheckpoint) — they are the hot tier
     // of the PQ layout by design (8 ints per vector), so repeat callers
-    // never re-run the encode scan
-    val codes = base.select(col("vec_id"), encodeUdf(col("embedding")).as("codes"))
+    // never re-run the encode scan. Encode = the native PqEncode kernel
+    // (r10): codebooks ride as a referenced object, the argmin loop fuses
+    // into the scan's codegen — no UDF boundary on the corpus pass
+    val codes = base.select(col("vec_id"),
+        ColumnBridgeRef.column(graft.functions.PqEncode(
+          ColumnBridgeRef.expression(col("embedding")), codebooks)).as("codes"))
       .localCheckpoint(true)
     PqIndex(codes, codebooks, m, k, subDim)
   }
@@ -404,35 +391,23 @@ object Similarity {
       }
       t
     }
-    // per-code-word reconstructed norm² (tiny k^m domain never materializes —
-    // it's m lookups per corpus row, same shape as the ADC sum)
-    val normUdf = udf { codes: Seq[Int] =>
-      val cbs = bc.value
-      var n2 = 0.0
-      var s = 0
-      while (s < cbs.length) {
-        val c = cbs(s)(codes(s))
-        var i = 0
-        while (i < c.length) { n2 += c(i) * c(i); i += 1 }
-        s += 1
-      }
-      math.sqrt(n2)
-    }
-    val adcUdf = udf { (t: Seq[Double], codes: Seq[Int]) =>
-      val kk = bc.value(0).length
-      var ip = 0.0
-      var s = 0
-      while (s < codes.length) { ip += t(s * kk + codes(s)); s += 1 }
-      ip
-    }
+    // per-code-word reconstructed norm and the ADC lookup sum run on
+    // every corpus code row — native kernels (r10), not UDFs
+    def normCol(codes: Column): Column =
+      ColumnBridgeRef.column(graft.functions.PqReconNorm(
+        ColumnBridgeRef.expression(codes), idx.codebooks))
+    def adcCol(t: Column, codes: Column): Column =
+      ColumnBridgeRef.column(graft.functions.PqAdc(
+        ColumnBridgeRef.expression(t), ColumnBridgeRef.expression(codes),
+        idx.codebooks(0).length))
     val qNorm = expr("sqrt(aggregate(zip_with(qe, qe, (p, q) -> double(p) * double(q)), 0D, (acc, v) -> acc + v))")
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .withColumn("tbl", tableUdf(col("qe")))
       .withColumn("qn", qNorm)
-    val coded = idx.codes.withColumn("xn", normUdf(col("codes")))
+    val coded = idx.codes.withColumn("xn", normCol(col("codes")))
     val adc = coded.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("vec_id"))
-      .withColumn("adc", adcUdf(col("tbl"), col("codes")) /
+      .withColumn("adc", adcCol(col("tbl"), col("codes")) /
         greatest(col("qn") * col("xn"), lit(1e-12)))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id"))))
@@ -481,14 +456,11 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val subDim = dim / m
     val ivf = ivfIndex(corpus, nCells, seed)
-    val bcC = corpus.sparkSession.sparkContext.broadcast(ivf.centers)
-    val residualUdf = udf { (emb: Seq[Float], cell: Int) =>
-      val c = bcC.value(cell)
-      Array.tabulate(c.length)(i => emb(i).toDouble - c(i))
-    }
     val withRes = corpus.select(col("vec_id"), col("embedding"))
       .join(ivf.cells, "vec_id")
-      .withColumn("residual", residualUdf(col("embedding"), col("cell")))
+      .withColumn("residual", ColumnBridgeRef.column(graft.functions.CellResidual(
+        ColumnBridgeRef.expression(col("embedding")),
+        ColumnBridgeRef.expression(col("cell")), ivf.centers)))
     // deterministic bounded sample of residuals (see pqIndex)
     val sample = withRes
       .select(col("vec_id"), col("residual"))
@@ -500,28 +472,10 @@ object Similarity {
       val pts = sample.map(e => Array.tabulate(subDim)(j => e(s * subDim + j)))
       localKMeans(pts, math.min(k, pts.length), new scala.util.Random(seed + s))
     }
-    val bcB = corpus.sparkSession.sparkContext.broadcast(codebooks)
-    val encodeUdf = udf { res: Seq[Double] =>
-      val cbs = bcB.value
-      Array.tabulate(cbs.length) { s =>
-        val cb = cbs(s)
-        var best = 0
-        var bestD = Double.MaxValue
-        var j = 0
-        while (j < cb.length) {
-          var d = 0.0
-          var i = 0
-          while (i < cb(j).length) {
-            val t = cb(j)(i) - res(s * cb(j).length + i); d += t * t; i += 1
-          }
-          if (d < bestD) { bestD = d; best = j }
-          j += 1
-        }
-        best
-      }
-    }
     val coded = withRes
-      .select(col("vec_id"), col("cell"), encodeUdf(col("residual")).as("codes"))
+      .select(col("vec_id"), col("cell"),
+        ColumnBridgeRef.column(graft.functions.PqEncode(
+          ColumnBridgeRef.expression(col("residual")), codebooks)).as("codes"))
       .localCheckpoint(true)
     IvfPqIndex(coded, ivf.centers, codebooks, m, k, subDim)
   }
@@ -587,30 +541,16 @@ object Similarity {
       while (i < n) { ip += c(i) * qe(i); i += 1 }
       ip
     }
-    // reconstructed |x̃| from (cell, codes) — m lookups + the cached |c|²
-    val xnUdf = udf { (cell: Int, codes: Seq[Int]) =>
-      val c = bcC.value(cell)
-      val cbs = bcB.value
-      var n2 = 0.0
-      var i = 0
-      while (i < c.length) { n2 += c(i) * c(i); i += 1 }
-      var s = 0
-      while (s < cbs.length) {
-        val e = cbs(s)(codes(s))
-        var j = 0
-        val off = s * e.length
-        while (j < e.length) { n2 += e(j) * e(j) + 2.0 * c(off + j) * e(j); j += 1 }
-        s += 1
-      }
-      math.sqrt(math.max(n2, 0.0))
-    }
-    val adcUdf = udf { (t: Seq[Double], codes: Seq[Int]) =>
-      val kk = bcB.value(0).length
-      var ip = 0.0
-      var s = 0
-      while (s < codes.length) { ip += t(s * kk + codes(s)); s += 1 }
-      ip
-    }
+    // reconstructed |x̃| and the ADC lookup sum run on every PROBED code
+    // row — native kernels (r10), not UDFs
+    def xnCol(cell: Column, codes: Column): Column =
+      ColumnBridgeRef.column(graft.functions.IvfPqNorm(
+        ColumnBridgeRef.expression(cell), ColumnBridgeRef.expression(codes),
+        idx.centers, idx.codebooks))
+    def adcCol(t: Column, codes: Column): Column =
+      ColumnBridgeRef.column(graft.functions.PqAdc(
+        ColumnBridgeRef.expression(t), ColumnBridgeRef.expression(codes),
+        idx.codebooks(0).length))
     val qNorm = expr("sqrt(aggregate(zip_with(qe, qe, (p, q) -> double(p) * double(q)), 0D, (acc, v) -> acc + v))")
     val qCells = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .withColumn("tbl", tableUdf(col("qe")))
@@ -622,8 +562,8 @@ object Similarity {
       .filter(col("qid") =!= col("vec_id"))
     val nScanned = scanned.groupBy(col("qid")).agg(count(lit(1)).as("n_scanned"))
     val adc = scanned
-      .withColumn("adc", (col("qc") + adcUdf(col("tbl"), col("codes"))) /
-        greatest(col("qn") * xnUdf(col("cell"), col("codes")), lit(1e-12)))
+      .withColumn("adc", (col("qc") + adcCol(col("tbl"), col("codes"))) /
+        greatest(col("qn") * xnCol(col("cell"), col("codes")), lit(1e-12)))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id"))))
       .filter(col("rn") <= k * rerank)
