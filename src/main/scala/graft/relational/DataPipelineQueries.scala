@@ -1852,6 +1852,150 @@ object DataPipelineQueries {
       .orderBy(col("word"))
   }
 
+  /** Unigram-tokenizer lattice constants, shared verbatim with the DuckDB
+    * oracle: candidate pieces run up to [[UnigramMaxPiece]] chars, the
+    * trained vocabulary keeps the [[UnigramVocabK]] highest-frequency
+    * multi-char pieces (plus every occurring single letter, which makes
+    * segmentation total — no [UNK] path), and words over
+    * [[UnigramMaxWord]] chars are excluded, the same cap real tokenizers
+    * apply (WordPiece's max_input_chars_per_word). */
+  private[relational] val UnigramMaxPiece = 4
+  private[relational] val UnigramVocabK = 48
+  private[relational] val UnigramMaxWord = 16
+
+  /** UNIGRAM-LM segmentation (Kudo 2018, the SentencePiece `unigram`
+    * model) — completes the tokenizer triad next to BPE (merge by pair
+    * frequency) and WordPiece (greedy max-munch): every word is segmented
+    * by the HIGHEST-SCORING path through its piece lattice, found by a
+    * backward Viterbi pass. Integer surrogate weights (piece corpus
+    * frequency × len²) stand in for EM-estimated log-probs so both
+    * engines agree bit-exactly — float log-prob sums would hash-flip at
+    * near-ties, an integer lattice cannot — while the lattice/Viterbi
+    * machinery is the real algorithm. The tie-break (score DESC,
+    * piece-count ASC, length-sequence string DESC) is a total order and
+    * DP-compatible: candidates at one position whose length-sequences
+    * share the first digit are the SAME piece, so their comparison
+    * reduces to the stored suffix order and one best suffix per position
+    * suffices.
+    *
+    * 100-TB shape: the only corpus-sized work is one token-count shuffle;
+    * candidate enumeration (distinct words × ≤ maxlen·[[UnigramMaxPiece]]
+    * substrings), the top-K cut, and the per-word Viterbi all run on the
+    * lexicon dimension, and the ≤ K+26-entry weight table ships as a
+    * broadcast map. Segmenting a full corpus afterwards is a broadcast
+    * join of tokens against this word→pieces table (the
+    * [[tokenizeBpeApply]] pattern). */
+  private def tokenizeUnigram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wordCounts = docs(s, d)
+      .select(explode(TextOps.tokens("text")).as("token"))
+      .filter(length(col("token")) <= UnigramMaxWord)
+      .groupBy(col("token")).agg(count(lit(1)).as("wc"))
+    val cand = wordCounts
+      .select(col("token"), col("wc"),
+        explode(sequence(lit(1), length(col("token")))).as("p"))
+      .select(col("token"), col("wc"), col("p"),
+        explode(sequence(lit(1),
+          least(lit(UnigramMaxPiece), length(col("token")) - col("p") + 1))).as("l"))
+      .select(expr("substring(token, p, l)").as("piece"), col("l"), col("wc"))
+      .groupBy(col("piece"), col("l")).agg(sum(col("wc")).as("freq"))
+    val letters = cand.filter(col("l") === 1)
+    val top = cand.filter(col("l") >= 2)
+      .orderBy(col("freq").desc, col("piece")).limit(UnigramVocabK)
+    // ≤ K + 26 rows: the lexicon dimension, bounded by construction
+    val vocab: Map[String, Long] = letters.union(top)
+      .select(col("piece"), (col("freq") * col("l") * col("l")).as("w"))
+      .as[(String, Long)].collect().toMap
+    val bcV = s.sparkContext.broadcast(vocab)
+    wordCounts.select(col("token")).as[String].mapPartitions { it =>
+      val voc = bcV.value
+      it.map { w =>
+        val n = w.length
+        // backward Viterbi: best (score, pieces, length-sequence) per suffix
+        val score = new Array[Long](n + 1)
+        val np = new Array[Int](n + 1)
+        val lseq = new Array[String](n + 1)
+        lseq(n) = ""
+        var i = n - 1
+        while (i >= 0) {
+          var bs = 0L; var bn = 0; var bq: String = null
+          val lm = math.min(UnigramMaxPiece, n - i)
+          var l = 1
+          while (l <= lm) {
+            if (lseq(i + l) != null) voc.get(w.substring(i, i + l)).foreach { wt =>
+              val cs = wt + score(i + l)
+              val cn = 1 + np(i + l)
+              val cq = l.toString + lseq(i + l)
+              if (bq == null || cs > bs || (cs == bs &&
+                  (cn < bn || (cn == bn && cq > bq)))) { bs = cs; bn = cn; bq = cq }
+            }
+            l += 1
+          }
+          score(i) = bs; np(i) = bn; lseq(i) = bq
+          i -= 1
+        }
+        // every letter of w occurs in w and is therefore in the
+        // vocabulary, so position 0 is always reachable
+        val sb = new StringBuilder
+        var pos = 0; var k = 0
+        while (pos < n) {
+          val pl = lseq(0).charAt(k) - '0'
+          if (pos > 0) sb.append(' ')
+          sb.append(w.substring(pos, pos + pl))
+          pos += pl; k += 1
+        }
+        (w, sb.toString, np(0).toLong, score(0))
+      }
+    }.toDF("word", "pieces", "n_pieces", "score")
+      .orderBy(col("word"))
+  }
+
+  /** DuckDB replay of [[tokenizeUnigram]]: the identical vocabulary
+    * build, then ALL segmentations of each word via a recursive CTE
+    * (compositions of len(word) into parts ≤ [[UnigramMaxPiece]] — ≤
+    * 2^(len−1) paths per DISTINCT word, bounded by the word-length cap)
+    * with the identical (score DESC, n ASC, lenseq DESC) argmax.
+    * Enumeration replaces the Viterbi DP because SQL recursion cannot
+    * carry a per-position argmax; the comparator is the same total
+    * order, so the winners coincide. */
+  private def unigramOracleSql: String =
+    s"""WITH RECURSIVE
+       |alltok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+       |           FROM documents),
+       |uwords AS (SELECT token AS word, count(*) AS wc FROM alltok
+       |           WHERE len(token) <= $UnigramMaxWord GROUP BY token),
+       |cand AS (SELECT substr(word, s.i, l.j) AS piece, l.j AS plen,
+       |                CAST(sum(wc) AS BIGINT) AS freq
+       |         FROM uwords, generate_series(1, $UnigramMaxWord) s(i),
+       |              generate_series(1, $UnigramMaxPiece) l(j)
+       |         WHERE s.i + l.j - 1 <= len(word)
+       |         GROUP BY 1, 2),
+       |vocab AS (SELECT piece, plen, freq * plen * plen AS w FROM (
+       |  SELECT piece, plen, freq FROM cand WHERE plen = 1
+       |  UNION ALL
+       |  SELECT piece, plen, freq FROM (
+       |    SELECT piece, plen, freq FROM cand WHERE plen >= 2
+       |    ORDER BY freq DESC, piece LIMIT $UnigramVocabK))),
+       |paths AS (
+       |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS score, 0 AS n,
+       |         '' AS seg, '' AS lenseq
+       |  FROM uwords
+       |  UNION ALL
+       |  SELECT p.word, p.pos + CAST(v.plen AS INTEGER), p.score + v.w, p.n + 1,
+       |         CASE WHEN p.pos = 0 THEN v.piece
+       |              ELSE p.seg || ' ' || v.piece END,
+       |         p.lenseq || CAST(v.plen AS VARCHAR)
+       |  FROM paths p JOIN vocab v
+       |    ON substr(p.word, p.pos + 1, CAST(v.plen AS INTEGER)) = v.piece
+       |  WHERE p.pos < len(p.word)),
+       |best AS (SELECT word, score, n, seg,
+       |                row_number() OVER (PARTITION BY word
+       |                  ORDER BY score DESC, n ASC, lenseq DESC) AS rn
+       |         FROM paths WHERE pos = len(word))
+       |SELECT word, seg AS pieces, CAST(n AS BIGINT) AS n_pieces,
+       |       CAST(score AS BIGINT) AS score
+       |FROM best WHERE rn = 1 ORDER BY word""".stripMargin
+
   /** Apply the trained tokenizer to the whole corpus — the pass that turns
     * a merge list into training-data statistics (token budgets, packing
     * inputs): train (vocab-sized iterations, see [[tokenizeBpeTrain]]),
@@ -2440,6 +2584,7 @@ object DataPipelineQueries {
     "tokenize_bpe_train" -> (tokenizeBpeTrain _),
     "tokenize_bpe_apply" -> (tokenizeBpeApply _),
     "tokenize_wordpiece" -> (tokenizeWordpiece _),
+    "tokenize_unigram" -> (tokenizeUnigram _),
     "sink_partitioned" -> (sinkPartitioned _),
     "similarity_topk" -> (similarityTopK _),
     "similarity_ann" -> (similarityAnn _),
@@ -2964,6 +3109,8 @@ object DataPipelineQueries {
         |                      AND substr(s.word, s.pos + 1, len(v2.piece)) = v2.piece))
         |SELECT word, acc AS wp_tokens, CAST(n AS BIGINT) AS n_pieces
         |FROM step WHERE pos = len(word) ORDER BY word""".stripMargin,
+    // same vocab build + all-paths argmax with the DP's total order
+    "tokenize_unigram" -> unigramOracleSql,
     // one partition of the round-trip, value-exact
     "sink_partitioned" ->
       """SELECT doc_id, lang, n_chars
