@@ -586,7 +586,8 @@ object AnalyticsQueries {
     // instead of letting getInt NPE (the pre-trim code's behavior)
     val head = emb.agg(count(lit(1)), max(size(col("v")))).head()
     if (head.getLong(0) == 0L)
-      return emb.select(col("vec_id").as("src"), col("vec_id").as("dst")).limit(0)
+      return emb.select(col("vec_id").as("src"), col("vec_id").as("dst"),
+        lit(0d).as("cos")).limit(0)
     val bits = graphBits(head.getLong(0))
     val dim = head.getInt(1)
     // signs depend only on (t, b, i): computed once on the driver, shipped
@@ -651,7 +652,10 @@ object AnalyticsQueries {
       .select(col("src"), col("dst"), round(Similarity.cosine("va", "vb"), 6).as("cos"))
       .groupBy(col("src")).agg(topk.as("tk"))
       .select(col("src"), explode(col("tk")).as("e"))
-      .select(col("src"), col("e.id").as("dst"))
+      // the edge WEIGHT rides along: a materialized k-NN graph table that
+      // drops the similarity would force every weighted consumer (sssp)
+      // to re-join the corpus and recompute k·N cosines it already paid for
+      .select(col("src"), col("e.id").as("dst"), col("e.value").as("cos"))
     // checkpoint=false is the spec hook: localCheckpoint truncates lineage,
     // so the no-cartesian plan assertion needs the raw frame
     if (checkpoint) { val e = edges.localCheckpoint(true); bk.unpersist(false); e }
@@ -844,7 +848,7 @@ object AnalyticsQueries {
   private def graphKhop(s: SparkSession, d: String): DataFrame = {
     // the edge build is referenced three times below (both join sides +
     // the union); it returns eagerly localCheckpoint'ed, so reuse is free
-    val edges = sharedAnnEdges(s, d)
+    val edges = sharedAnnEdges(s, d).select(col("src"), col("dst"))
     val hop2 = edges.join(
       edges.select(col("src").as("mid"), col("dst").as("dst2")),
       col("dst") === col("mid"))
@@ -921,6 +925,86 @@ object AnalyticsQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Shortest-path hop budget and source-set size — fixed so the DuckDB
+    * oracle's walk enumeration stays bounded and both engines agree on
+    * exactly which relaxation rounds ran. */
+  private[relational] val SsspSources = 4
+  private[relational] val SsspHops = 4
+
+  /** HOP-BOUNDED WEIGHTED SHORTEST PATHS over the k-NN similarity graph
+    * (single-source-set Bellman–Ford): distance from the nearest of
+    * [[SsspSources]] seed nodes within ≤ [[SsspHops]] undirected edges,
+    * edge weight = integer micro-distance `1e6 − round(cos·1e6)` read
+    * straight off the materialized edge table ([[sharedAnnEdges]] now
+    * carries the rounded cosine, so no consumer re-pays the k·N cosine
+    * pass). This is the semantic-neighborhood expansion query (how far is
+    * every document from a seed set, weighted by similarity) — khop's
+    * reachability with a metric. Each round is ONE keyed join of the
+    * (node, dist) state against the edge relation plus a combinable
+    * struct-min — the Pregel-on-DataFrames shape of [[graphPagerank]];
+    * state is ≤ N rows and localCheckpoint'ed per round (it is read twice
+    * per round — the label_prop 2ᵏ-lineage rule). At 100 TB: H keyed
+    * shuffles of (node, dist) pairs against a k·N edge table, degree
+    * bounded by 2k — linear per round at any corpus size. The (dist,
+    * hops) pair is minimized LEXICOGRAPHICALLY; adding the constant
+    * (w, 1) per relaxation is strictly monotone in that order, so the
+    * per-round DP equals the argmin over all ≤H-hop walks — which is
+    * exactly what the oracle enumerates (weights ≥ 0 make walks ⊇ paths
+    * share the minimum). Integer weights from the hash-proven rounded
+    * cosine: one representable answer, cross-engine by construction. */
+  private def graphSssp(s: SparkSession, d: String): DataFrame = {
+    val ed = sharedAnnEdges(s, d)
+    // undirected: reciprocal directed edges carry the bit-identical cos
+    // (dot products commute term-by-term), max() is just the dedup
+    val und = ed.select(col("src"), col("dst"), col("cos"))
+      .union(ed.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
+      .groupBy(col("src"), col("dst")).agg(max(col("cos")).as("cos"))
+      .select(col("src"), col("dst"),
+        (lit(1000000L) - round(col("cos") * 1e6).cast("long")).as("w"))
+      .localCheckpoint(true) // read SsspHops times; ≤ 2k·N rows
+    var dist = Tables.embeddings(s, d)
+      .filter(col("vec_id") < SsspSources)
+      .select(col("vec_id").as("node"), lit(0L).as("dist"), lit(0L).as("hops"))
+    for (_ <- 1 to SsspHops) {
+      val relaxed = dist.join(und, dist("node") === und("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"),
+          (col("hops") + lit(1L)).as("hops"))
+      dist = dist.union(relaxed)
+        .groupBy(col("node"))
+        .agg(min(struct(col("dist"), col("hops"))).as("b"))
+        .select(col("node"), col("b.dist").as("dist"), col("b.hops").as("hops"))
+        .localCheckpoint(true)
+    }
+    dist.select(col("node").as("vec_id"), col("dist").as("dist_micros"), col("hops"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The DuckDB replay of [[graphSssp]]: identical weighted undirected
+    * edge relation, then ALL walks of ≤ [[SsspHops]] hops from the seed
+    * set via a recursive CTE (fan-out ≤ (2k)^H per source — bounded by
+    * the hop budget, fine at gate scale; the engine side never
+    * enumerates, it relaxes). min(dist) per node, then min(hop) among
+    * minimal-dist walks — the same lexicographic order the Spark
+    * struct-min folds. */
+  private def ssspOracleSql: String =
+    s"""WITH RECURSIVE ${annEdgesCteSql(withLabel = false)},
+       |und AS MATERIALIZED (
+       |  SELECT src, dst, 1000000 - CAST(round(max(cos) * 1e6) AS BIGINT) AS w
+       |  FROM (SELECT src, dst, cos FROM edges
+       |        UNION ALL SELECT dst AS src, src AS dst, cos FROM edges)
+       |  GROUP BY src, dst),
+       |walk(node, dist, hop) AS (
+       |  SELECT vec_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM emb WHERE vec_id < $SsspSources
+       |  UNION
+       |  SELECT e.dst, p.dist + e.w, p.hop + 1
+       |  FROM walk p JOIN und e ON e.src = p.node
+       |  WHERE p.hop < $SsspHops),
+       |best AS (SELECT node, min(dist) AS dist_micros FROM walk GROUP BY node)
+       |SELECT w.node AS vec_id, b.dist_micros, CAST(min(w.hop) AS BIGINT) AS hops
+       |FROM walk w JOIN best b ON b.node = w.node AND w.dist = b.dist_micros
+       |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
+
   /** The recursive min-label flood replaying [[graphComponents]]: a
     * (node, label) pair enters whenever a smaller label reaches a node
     * through the bidirectional edge relation; min per node = the
@@ -987,8 +1071,8 @@ object AnalyticsQueries {
        |pairs AS (SELECT c.src, c.dst, round(list_cosine_similarity(a.v, b.v), 6) AS cos
        |          FROM cand c JOIN emb a ON a.vec_id = c.src
        |                      JOIN emb b ON b.vec_id = c.dst),
-       |edges AS MATERIALIZED (SELECT src, dst
-       |          FROM (SELECT src, dst,
+       |edges AS MATERIALIZED (SELECT src, dst, cos
+       |          FROM (SELECT src, dst, cos,
        |                       row_number() OVER (PARTITION BY src
        |                                          ORDER BY cos DESC, dst) AS rn
        |                FROM pairs)
@@ -1621,6 +1705,7 @@ object AnalyticsQueries {
     "graph_khop" -> (graphKhop _),
     "graph_knn_recall" -> (graphKnnRecall _),
     "graph_components" -> (graphComponents _),
+    "graph_sssp" -> (graphSssp _),
     "join_point_in_time" -> (joinPointInTime _),
     "agg_incremental_merge" -> (aggIncrementalMerge _),
     "corpus_mix" -> (corpusMix _),
@@ -1929,6 +2014,8 @@ object AnalyticsQueries {
          |ORDER BY emb.vec_id""".stripMargin,
     "graph_label_prop" -> labelPropOracleSql,
     "graph_components" -> componentsOracleSql,
+    // same weighted edge relation, bounded walk enumeration + lex argmin
+    "graph_sssp" -> ssspOracleSql,
     // bounded exact leg (probe nodes only) vs the bucketed edges, both
     // replayed exactly — recall is a VALUE here, not just a verdict
     "graph_knn_recall" ->

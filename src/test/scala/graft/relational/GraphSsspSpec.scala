@@ -1,0 +1,81 @@
+package graft.relational
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graph_sssp against a THIRD independent implementation: plain-Scala
+  * Bellman–Ford over GraphTestUtil's recomputed weighted ANN edges —
+  * plus the invariants the lexicographic DP must honor (seed rows pinned
+  * at (0, 0), nonnegative distances, hop budget respected).
+  */
+class GraphSsspSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fixture(seed: Long, n: Int): (String, Map[Long, Array[Double]]) = {
+    val rnd = new scala.util.Random(seed)
+    // quantize through float32 up front: the parquet fixture stores
+    // float embeddings and the engine casts them BACK to double, so the
+    // recompute must fold over the float-truncated values or it differs
+    // by an ulp — enough to flip a 6-dp cosine boundary
+    val emb = (0L until n.toLong).map { v =>
+      v -> Array.fill(8)(rnd.nextGaussian().toFloat.toDouble)
+    }.toMap
+    val dir = java.nio.file.Files.createTempDirectory("sssp").toString
+    emb.toSeq.sortBy(_._1)
+      .map { case (v, a) => (v, a.map(_.toFloat), 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    (dir, emb)
+  }
+
+  /** Driver Bellman–Ford with the query's exact (dist, hops) lex order
+    * over the recomputed undirected weighted edge set. */
+  private def refSssp(emb: Map[Long, Array[Double]]): Map[Long, (Long, Long)] = {
+    val und = scala.collection.mutable.Map.empty[(Long, Long), Double]
+    for ((s, ds) <- GraphTestUtil.annEdgesCos(emb); (d, c) <- ds; e <- Seq((s, d), (d, s)))
+      und(e) = math.max(und.getOrElse(e, -2.0), c)
+    val w = und.map { case ((a, b), c) => (a, b) -> (1000000L - math.round(c * 1e6)) }
+    var dist = emb.keys.filter(_ < AnalyticsQueries.SsspSources)
+      .map(v => v -> (0L, 0L)).toMap
+    for (_ <- 1 to AnalyticsQueries.SsspHops) {
+      val relaxed = w.toSeq.flatMap { case ((a, b), wt) =>
+        dist.get(a).map { case (dv, h) => b -> (dv + wt, h + 1L) }
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (v, cands) => v -> cands.map(_._2).min }
+    }
+    dist
+  }
+
+  test("sssp equals the independent Bellman-Ford on random corpora") {
+    Seq(7L, 21L).foreach { seed =>
+      val (dir, emb) = fixture(seed, 160)
+      val got = AnalyticsQueries.queries("graph_sssp")(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got === refSssp(emb), s"sssp diverged from driver recompute, seed $seed")
+    }
+  }
+
+  test("seed nodes sit at distance 0 hop 0; everything else costs hops and micros") {
+    val (dir, _) = fixture(3L, 120)
+    val rows = AnalyticsQueries.queries("graph_sssp")(spark, dir).collect()
+    val (seeds, rest) = rows.partition(_.getLong(0) < AnalyticsQueries.SsspSources)
+    assert(seeds.length == AnalyticsQueries.SsspSources.toInt)
+    seeds.foreach(r => assert(r.getLong(1) == 0L && r.getLong(2) == 0L))
+    rest.foreach { r =>
+      assert(r.getLong(1) > 0L, s"non-seed at zero distance: $r")
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= AnalyticsQueries.SsspHops.toLong)
+    }
+  }
+
+  test("edge table carries the rounded cosine the weights are derived from") {
+    val (dir, emb) = fixture(11L, 100)
+    val edges = AnalyticsQueries.sharedAnnEdges(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = GraphTestUtil.annEdgesCos(emb)
+      .flatMap { case (s, ds) => ds.map { case (d, c) => (s, d) -> c } }
+    assert(edges === want, "materialized (src, dst, cos) diverged from recompute")
+  }
+}

@@ -16,7 +16,10 @@ object GraphTestUtil {
   def cos(a: Array[Double], b: Array[Double]): Double = {
     var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-    d / math.sqrt(na * nb)
+    // sqrt(na)·sqrt(nb), NOT sqrt(na·nb): the engine's Similarity.cosine
+    // divides by the product of the two square roots, and the two forms
+    // differ by an ulp — enough to flip a 6-dp rounding boundary
+    d / (math.sqrt(na) * math.sqrt(nb))
   }
 
   private def md5Sign(t: Int, b: Int, i1: Int): Double = {
@@ -56,7 +59,12 @@ object GraphTestUtil {
 
   /** Directed top-`k` ANN edges exactly as the engine and oracle build
     * them; a node whose candidates are empty is absent from the map. */
-  def annEdges(emb: Map[Long, Array[Double]], k: Int = 3): Map[Long, Seq[Long]] = {
+  def annEdges(emb: Map[Long, Array[Double]], k: Int = 3): Map[Long, Seq[Long]] =
+    annEdgesCos(emb, k).view.mapValues(_.map(_._1)).toMap
+
+  /** [[annEdges]] keeping the rounded cosine per edge — the weight the
+    * materialized edge table carries for sssp. */
+  def annEdgesCos(emb: Map[Long, Array[Double]], k: Int = 3): Map[Long, Seq[(Long, Double)]] = {
     val n = emb.size
     val bits = bitsFor(n)
     val tables = 8
@@ -78,7 +86,7 @@ object GraphTestUtil {
       if (cands.isEmpty) None
       else Some(v -> cands.toSeq
         .map(d => (d, r6(cos(emb(v), emb(d)))))
-        .sortBy { case (d, c) => (-c, d) }.take(k).map(_._1))
+        .sortBy { case (d, c) => (-c, d) }.take(k).map { case (d, c) => (d, c) })
     }.toMap
   }
 }
