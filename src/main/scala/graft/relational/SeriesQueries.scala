@@ -913,6 +913,75 @@ object SeriesQueries {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  // ---------------------------------------------------------- Kalman filter
+  /** Local-level Kalman noise constants in micro-variance units:
+    * σ_proc = 4/hour (Q = 4²·1e6) and σ_obs = 12 (R = 12²·1e6) — sized so
+    * the 3σ innovation gate genuinely splits at EVERY fixture scale
+    * (steady-state threshold 3·√(P′+R) ≈ 42.5; measured max |innovation|
+    * is 294 at sf0.01 but only 45 at sf0.1, where denser hours smooth
+    * the series — a wider σ_obs would leave the flag a dead branch
+    * there). */
+  private[relational] val KalmanQ = 16000000L
+  private[relational] val KalmanR = 144000000L
+
+  /** LOCAL-LEVEL KALMAN FILTER per event type over the hourly mean
+    * series, with a 3σ innovation OUTLIER gate — the state-space
+    * (random-walk level + observation noise) smoother: a probabilistic
+    * EWMA whose gain ADAPTS to uncertainty instead of a fixed α
+    * (high after gaps/starts, converging as evidence accumulates),
+    * completing the online-monitor row next to ts_anomaly_zscore's
+    * windowed z-score and ts_ewma's fixed smoother. ALL-INTEGER
+    * recurrence: state x (level) and P (variance) in int64 micro-units,
+    * predict P′ = P+Q, gain K = P′·1e6 div (P′+R) as a micro-fraction,
+    * update x += K·(z−x) div 1e6, P = (1e6−K)·P′ div 1e6 — every division
+    * TRUNCATING, and Scala `Long./` and DuckDB `//` both truncate toward
+    * zero, so the whole trajectory is bit-identical across engines by
+    * construction; the outlier gate compares SQUARED integers
+    * (e² > 9·(P′+R)·1e6) — no sqrt, no float compare anywhere (the
+    * embed_pca integer-ladder rule applied to a recursive filter).
+    * Same two-stage scale shape as [[tsHoltForecast]]: the corpus-sized
+    * work is ONE map-side-combinable hourly aggregate; the inherently
+    * sequential filter then runs per key over the bucket-count-bounded
+    * series (O(time-span hours), independent of event volume). */
+  private def tsKalman(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourly = eventsUs(s, d).filter(col("value").isNotNull)
+      .withColumn("bucket", expr("ts_us div 3600000000"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(expr("cast(round(value * 1e6) as long)")).as("micros"),
+        count(lit(1)).as("n"))
+      // z = the 6-dp hourly mean (the hash-proven quantity) as exact micros
+      .select(col("event_type"), col("bucket"),
+        expr("cast(round(round(cast(micros as double) / 1e6 / n, 6) * 1e6) as long)")
+          .as("z"))
+    hourly.as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (tpe, it) =>
+        val zs = it.toArray.sortBy(_._2)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Long, Long, Long, Long, Boolean)]
+        var x = zs(0)._3
+        var p = KalmanR // diffuse start: first observation fully trusted
+        out += ((tpe, zs(0)._2, zs(0)._3, x, p, 1000000L, false))
+        var t = 1
+        while (t < zs.length) {
+          val z = zs(t)._3
+          val pp = p + KalmanQ
+          val k = pp * 1000000L / (pp + KalmanR)
+          val e = z - x
+          val outlier = e * e > 9L * (pp + KalmanR) * 1000000L
+          x = x + k * e / 1000000L
+          p = (1000000L - k) * pp / 1000000L
+          out += ((tpe, zs(t)._2, z, x, p, k, outlier))
+          t += 1
+        }
+        out.iterator
+      }
+      .toDF("event_type", "bucket", "z_micros", "x_micros", "p_micros",
+        "k_micros", "is_outlier")
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   /** LTTB DOWNSAMPLING (Largest-Triangle-Three-Buckets, Steinarsson
     * 2013) of each type's hourly series to 20 points — the
     * shape-preserving decimation dashboards run before plotting a
@@ -1060,6 +1129,7 @@ object SeriesQueries {
     "agg_entropy_by_key" -> (aggEntropyByKey _),
     "agg_gini" -> (aggGini _),
     "ts_holt_forecast" -> (tsHoltForecast _),
+    "ts_kalman" -> (tsKalman _),
     "multimodal_audio_fft" -> (multimodalAudioFft _),
     "multimodal_scene_detect" -> (multimodalSceneDetect _),
   )
@@ -1246,6 +1316,38 @@ object SeriesQueries {
         |FROM h JOIN tmax ON h.event_type = tmax.event_type AND h.rn = tmax.t,
         |     generate_series(1, 3) g(g)
         |ORDER BY event_type, bucket""".stripMargin,
+    // the identical all-integer recurrence: truncating BIGINT division
+    // (DuckDB // and Scala Long./ both truncate toward zero), squared
+    // integer outlier gate — bit-equal trajectories, no rounding at all
+    "ts_kalman" ->
+      s"""WITH RECURSIVE
+        |e AS (SELECT event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket,
+        |             CAST(round(value * 1e6) AS BIGINT) AS vmic
+        |      FROM events WHERE value IS NOT NULL),
+        |y AS (SELECT event_type, bucket,
+        |             CAST(round(round(CAST(sum(vmic) AS DOUBLE) / 1e6 / count(*), 6)
+        |                        * 1e6) AS BIGINT) AS z,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+        |      FROM e GROUP BY 1, 2),
+        |kal AS (
+        |  SELECT event_type, rn, bucket, z, z AS x,
+        |         CAST($KalmanR AS BIGINT) AS p,
+        |         CAST(1000000 AS BIGINT) AS k, FALSE AS is_outlier
+        |  FROM y WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.event_type, n.rn, n.bucket, n.z,
+        |         kal.x + ((kal.p + $KalmanQ) * 1000000
+        |                  // (kal.p + $KalmanQ + $KalmanR)) * (n.z - kal.x) // 1000000,
+        |         (1000000 - (kal.p + $KalmanQ) * 1000000
+        |                    // (kal.p + $KalmanQ + $KalmanR)) * (kal.p + $KalmanQ) // 1000000,
+        |         (kal.p + $KalmanQ) * 1000000 // (kal.p + $KalmanQ + $KalmanR),
+        |         (n.z - kal.x) * (n.z - kal.x)
+        |           > 9 * (kal.p + $KalmanQ + $KalmanR) * 1000000
+        |  FROM kal JOIN y n ON n.event_type = kal.event_type AND n.rn = kal.rn + 1)
+        |SELECT event_type, bucket, z AS z_micros, x AS x_micros, p AS p_micros,
+        |       k AS k_micros, is_outlier
+        |FROM kal ORDER BY event_type, bucket""".stripMargin,
     // mean/std rounded FIRST; z from the rounded operands; flag from the
     // rounded z — no comparison ever sees an unrounded float
     "ts_anomaly_zscore" ->
