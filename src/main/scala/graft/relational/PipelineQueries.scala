@@ -342,6 +342,28 @@ object PipelineQueries {
     }.toDF("cluster", "pfsa_text", "roundtrip_ok").orderBy("cluster")
   }
 
+  /** source_pfsa_table: the machines [[sinkPfsaFile]] writes read BACK
+    * through the `pfsa` DataSource V2 CONNECTOR
+    * ([[graft.sources.PfsaDataSource]]) — `spark.read.format("pfsa")`
+    * resolves via the DataSourceRegister service file and exposes each
+    * `*.pfsa` file as transition rows, one InputPartition per file, with
+    * real column pruning (spec-asserted on the scan output). The golden
+    * machines are fixed, so the oracle pins every row's value; a codec
+    * drift, a mis-projected column, or a broken service registration
+    * hash-fails the gate. */
+  def sourcePfsaTable(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pfsa_src")
+    try {
+      Seq("m2" -> Pfsa.m2, "m2u" -> Pfsa.m2u).foreach { case (n, p) =>
+        java.nio.file.Files.write(tmp.resolve(s"$n.pfsa"),
+          p.toText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      s.read.format("pfsa").load(tmp.toString)
+        .orderBy(col("machine"), col("state"), col("symbol"))
+        .localCheckpoint(true)
+    } finally DataPipelineQueries.deleteRecursively(tmp)
+  }
+
   /** sink_model_dill + source_model_dill (detection.py:166-243): JSON model
     * save → load (pickle replaced by JSON), SELF-VERIFIED as serialization
     * fidelity: per cluster the verdict row asserts the loaded machine and
@@ -549,6 +571,7 @@ object PipelineQueries {
     "cluster_reduce_scc" -> (clusterReduceScc _),
     "union_find" -> (unionFind _),
     "sink_pfsa_file" -> (sinkPfsaFile _),
+    "source_pfsa_table" -> (sourcePfsaTable _),
     "sink_model_dill" -> (modelRoundtrip _),
     "sink_dot" -> (sinkDot _),
     "predict_scalar_or_vec" -> (predictScalar _),
@@ -730,6 +753,20 @@ object PipelineQueries {
         |  (0, E'digraph PFSA {\n  q0 -> q0 [label="0:0.600"];\n  q0 -> q1 [label="1:0.400"];\n  q1 -> q0 [label="0:0.300"];\n  q1 -> q1 [label="1:0.700"];\n}'),
         |  (1, E'digraph PFSA {\n  q0 -> q0 [label="0:0.400"];\n  q0 -> q1 [label="1:0.600"];\n  q1 -> q0 [label="0:0.600"];\n  q1 -> q1 [label="1:0.400"];\n}')
         |) AS t(cluster, dot) ORDER BY cluster""".stripMargin,
+    // golden machines → every transition row pinned by value; doubles
+    // CAST so DuckDB's DECIMAL literals never reach the driver compare
+    "source_pfsa_table" ->
+      """SELECT * FROM (VALUES
+        |  ('m2', 0, 0, CAST(0.6 AS DOUBLE), 0, CAST(0.5 AS DOUBLE)),
+        |  ('m2', 0, 1, CAST(0.4 AS DOUBLE), 1, CAST(0.5 AS DOUBLE)),
+        |  ('m2', 1, 0, CAST(0.3 AS DOUBLE), 0, CAST(0.5 AS DOUBLE)),
+        |  ('m2', 1, 1, CAST(0.7 AS DOUBLE), 1, CAST(0.5 AS DOUBLE)),
+        |  ('m2u', 0, 0, CAST(0.4 AS DOUBLE), 0, CAST(0.5 AS DOUBLE)),
+        |  ('m2u', 0, 1, CAST(0.6 AS DOUBLE), 1, CAST(0.5 AS DOUBLE)),
+        |  ('m2u', 1, 0, CAST(0.6 AS DOUBLE), 0, CAST(0.5 AS DOUBLE)),
+        |  ('m2u', 1, 1, CAST(0.4 AS DOUBLE), 1, CAST(0.5 AS DOUBLE))
+        |) AS t(machine, state, symbol, pitilde, next_state, sym_frq)
+        |ORDER BY machine, state, symbol""".stripMargin,
     "sink_pfsa_file" ->
       """SELECT * FROM (VALUES
         |  (0, E'%ANN_ERR: 0.0\n%MRG_EPS: 0.0\n%SYN_STR: \n%SYM_FRQ: 0.5 0.5\n%PITILDE:\n#PITILDE\n0.6 0.4\n0.3 0.7\n%CONNX:\n#CONNX\n0 1\n0 1\n', true),

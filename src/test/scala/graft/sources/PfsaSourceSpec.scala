@@ -1,0 +1,75 @@
+package graft.sources
+
+import graft.TestSpark
+import graft.core.Pfsa
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pfsa DataSource V2 connector: value round-trip against the codec
+  * on random machines, real column pruning at the scan, one input
+  * partition per model file, and short-name registration through the
+  * DataSourceRegister service loader. */
+class PfsaSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def write(dir: java.nio.file.Path, name: String, p: Pfsa): Unit =
+    java.nio.file.Files.write(dir.resolve(s"$name.pfsa"),
+      p.toText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def randomMachine(seed: Long, states: Int, alpha: Int): Pfsa = {
+    val rnd = new scala.util.Random(seed)
+    // rows of exact 3-dp probabilities summing to 1 (text codec carries
+    // shortest-round-trip doubles, so exact decimals round-trip bit-equal)
+    def row(): Array[Double] = {
+      val cuts = Array.fill(alpha - 1)(rnd.nextInt(1000)).sorted
+      val parts = (cuts :+ 1000).zip(0 +: cuts.toSeq).map { case (b, a) => (b - a) / 1000.0 }
+      parts.toArray
+    }
+    Pfsa(
+      conn = Array.fill(states)(Array.fill(alpha)(rnd.nextInt(states))),
+      pitilde = Array.fill(states)(row()),
+      symFrq = row(),
+      annErr = 0.0, mrgEps = 0.0, synStr = None)
+  }
+
+  test("connector rows equal the codec's parse for random machines") {
+    val dir = java.nio.file.Files.createTempDirectory("pfsasrc")
+    val machines = Map(
+      "a" -> randomMachine(1L, 4, 3),
+      "b" -> randomMachine(2L, 2, 5),
+      "c" -> Pfsa.m2)
+    machines.foreach { case (n, p) => write(dir, n, p) }
+    val got = spark.read.format("pfsa").load(dir.toString)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) ->
+        (r.getDouble(3), r.getInt(4), r.getDouble(5))).toMap
+    val want = (for {
+      (n, p) <- machines.toSeq
+      q <- p.conn.indices
+      sym <- 0 until p.alphabetSize
+    } yield (n, q, sym) -> (p.pitilde(q)(sym), p.conn(q)(sym), p.symFrq(sym))).toMap
+    assert(got === want)
+  }
+
+  test("column pruning reaches the scan and one partition per file") {
+    val dir = java.nio.file.Files.createTempDirectory("pfsaprune")
+    write(dir, "m2", Pfsa.m2); write(dir, "m2u", Pfsa.m2u)
+    val df = spark.read.format("pfsa").load(dir.toString).select("pitilde")
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty, "expected a DSv2 BatchScanExec")
+    assert(scans.head.output.map(_.name) == Seq("pitilde"),
+      s"pruned schema must reach the scan: ${scans.head.output}")
+    assert(df.rdd.getNumPartitions == 2, "one input partition per model file")
+    assert(df.collect().map(_.getDouble(0)).sorted.toSeq
+      == Seq(0.3, 0.4, 0.4, 0.4, 0.6, 0.6, 0.6, 0.7))
+  }
+
+  test("non-pfsa files are ignored; empty dir yields an empty table") {
+    val dir = java.nio.file.Files.createTempDirectory("pfsamixed")
+    write(dir, "only", Pfsa.m2)
+    java.nio.file.Files.write(dir.resolve("readme.txt"), "not a machine".getBytes)
+    assert(spark.read.format("pfsa").load(dir.toString).count() == 4L)
+    val empty = java.nio.file.Files.createTempDirectory("pfsaempty")
+    assert(spark.read.format("pfsa").load(empty.toString).count() == 0L)
+  }
+}
