@@ -364,6 +364,34 @@ object PipelineQueries {
     } finally DataPipelineQueries.deleteRecursively(tmp)
   }
 
+  /** sink_pfsa_connector: the WRITE side of the pfsa DSv2 connector —
+    * transition rows go in scrambled (reversed row order, repartition(7))
+    * and `df.write.format("pfsa")` must reassemble one file per machine.
+    * The connector's Write declares RequiresDistributionAndOrdering
+    * (clustered by machine, sorted (machine, state, symbol)), so SPARK
+    * plans the shuffle+sort; a violated distribution cannot pass silently
+    * — a split machine leaves each writer a partial grid and the
+    * complete-matrix validation throws. Read back through the same
+    * connector; the golden grid oracle pins every value, so a lossy
+    * writer, a bad rename, or a stale-file leak under overwrite
+    * hash-fails. */
+  def sinkPfsaConnector(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pfsa_sink")
+    try {
+      val rows = for {
+        (n, p) <- Seq("m2" -> Pfsa.m2, "m2u" -> Pfsa.m2u)
+        q <- p.conn.indices; sym <- 0 until p.alphabetSize
+      } yield (n, q, sym, p.pitilde(q)(sym), p.conn(q)(sym), p.symFrq(sym))
+      rows.reverse.toDF("machine", "state", "symbol", "pitilde", "next_state", "sym_frq")
+        .repartition(7)
+        .write.format("pfsa").mode("overwrite").save(tmp.toString)
+      s.read.format("pfsa").load(tmp.toString)
+        .orderBy(col("machine"), col("state"), col("symbol"))
+        .localCheckpoint(true)
+    } finally DataPipelineQueries.deleteRecursively(tmp)
+  }
+
   /** sink_model_dill + source_model_dill (detection.py:166-243): JSON model
     * save → load (pickle replaced by JSON), SELF-VERIFIED as serialization
     * fidelity: per cluster the verdict row asserts the loaded machine and
@@ -572,6 +600,7 @@ object PipelineQueries {
     "union_find" -> (unionFind _),
     "sink_pfsa_file" -> (sinkPfsaFile _),
     "source_pfsa_table" -> (sourcePfsaTable _),
+    "sink_pfsa_connector" -> (sinkPfsaConnector _),
     "sink_model_dill" -> (modelRoundtrip _),
     "sink_dot" -> (sinkDot _),
     "predict_scalar_or_vec" -> (predictScalar _),
@@ -753,6 +782,20 @@ object PipelineQueries {
         |  (0, E'digraph PFSA {\n  q0 -> q0 [label="0:0.600"];\n  q0 -> q1 [label="1:0.400"];\n  q1 -> q0 [label="0:0.300"];\n  q1 -> q1 [label="1:0.700"];\n}'),
         |  (1, E'digraph PFSA {\n  q0 -> q0 [label="0:0.400"];\n  q0 -> q1 [label="1:0.600"];\n  q1 -> q0 [label="0:0.600"];\n  q1 -> q1 [label="1:0.400"];\n}')
         |) AS t(cluster, dot) ORDER BY cluster""".stripMargin,
+    // write-then-read through the connector lands on the identical golden
+    // grid — any loss in the write path diverges from these values
+    "sink_pfsa_connector" ->
+      """SELECT * FROM (VALUES
+        |  ('m2', 0, 0, CAST(0.6 AS DOUBLE), 0, CAST(0.5 AS DOUBLE)),
+        |  ('m2', 0, 1, CAST(0.4 AS DOUBLE), 1, CAST(0.5 AS DOUBLE)),
+        |  ('m2', 1, 0, CAST(0.3 AS DOUBLE), 0, CAST(0.5 AS DOUBLE)),
+        |  ('m2', 1, 1, CAST(0.7 AS DOUBLE), 1, CAST(0.5 AS DOUBLE)),
+        |  ('m2u', 0, 0, CAST(0.4 AS DOUBLE), 0, CAST(0.5 AS DOUBLE)),
+        |  ('m2u', 0, 1, CAST(0.6 AS DOUBLE), 1, CAST(0.5 AS DOUBLE)),
+        |  ('m2u', 1, 0, CAST(0.6 AS DOUBLE), 0, CAST(0.5 AS DOUBLE)),
+        |  ('m2u', 1, 1, CAST(0.4 AS DOUBLE), 1, CAST(0.5 AS DOUBLE))
+        |) AS t(machine, state, symbol, pitilde, next_state, sym_frq)
+        |ORDER BY machine, state, symbol""".stripMargin,
     // golden machines → every transition row pinned by value; doubles
     // CAST so DuckDB's DECIMAL literals never reach the driver compare
     "source_pfsa_table" ->

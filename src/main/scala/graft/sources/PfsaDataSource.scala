@@ -58,14 +58,20 @@ object PfsaSource {
     StructField("sym_frq", DoubleType, nullable = false)))
 }
 
-class PfsaTable(path: String) extends Table with SupportsRead {
-  require(path != null, "pfsa source needs a load(path)")
+class PfsaTable(path: String) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  require(path != null, "pfsa source needs a load(path)/save(path)")
   override def name(): String = s"pfsa:$path"
   override def schema(): StructType = PfsaSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PfsaScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new PfsaWriteBuilder(path, info.schema())
 }
 
 class PfsaScanBuilder(path: String) extends ScanBuilder with SupportsPushDownRequiredColumns {
@@ -131,5 +137,153 @@ class PfsaPartitionReader(file: String, fields: Array[String])
   private var cur: InternalRow = _
   override def next(): Boolean = rows.hasNext && { cur = rows.next(); true }
   override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}
+
+// ------------------------------------------------------------- write path
+
+/** Write side of the connector: `df.write.format("pfsa").save(dir)` turns
+  * transition rows back into one `.pfsa` file per machine. The machinery
+  * is the part worth having on Spark: the Write declares
+  * `RequiresDistributionAndOrdering` — CLUSTERED by `machine`, sorted by
+  * (machine, state, symbol) — and Spark plans the shuffle + sort itself,
+  * so every machine arrives whole and ordered at exactly one writer, at
+  * any input partitioning. Writers stage `.<machine>.pfsa.<task>.staged`
+  * files and the driver-side commit renames them into place (truncating
+  * stale `*.pfsa` first under SaveMode.Overwrite via SupportsTruncate);
+  * abort deletes the staged files — the usual two-phase file protocol.
+  * The table view carries the transition structure only: `ann_err`,
+  * `mrg_eps`, `syn_str` write as their defaults (the codec's scalars are
+  * model-fit metadata, not transitions). */
+class PfsaWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  require(schema.fieldNames.toSeq == PfsaSource.Schema.fieldNames.toSeq &&
+    schema.fields.map(_.dataType).toSeq == PfsaSource.Schema.fields.map(_.dataType).toSeq,
+    s"pfsa write needs the canonical schema ${PfsaSource.Schema.simpleString}, got ${schema.simpleString}")
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new PfsaWrite(path, doTruncate)
+}
+
+class PfsaWrite(path: String, doTruncate: Boolean)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.identity("machine")))
+  override def requiredOrdering(): Array[SortOrder] = Array(
+    Expressions.sort(Expressions.identity("machine"), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.identity("state"), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.identity("symbol"), SortDirection.ASCENDING))
+
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new PfsaBatchWrite(path, doTruncate)
+}
+
+/** One (staged, final) rename per machine file, carried back to the
+  * driver for the two-phase commit. */
+case class PfsaCommit(pairs: Seq[(String, String)])
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class PfsaBatchWrite(path: String, doTruncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new PfsaWriterFactory(path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.mkdirs(p)
+    if (doTruncate && fs.exists(p))
+      fs.listStatus(p).foreach { st =>
+        if (st.isFile && st.getPath.getName.endsWith(".pfsa")) fs.delete(st.getPath, false)
+      }
+    messages.foreach {
+      case PfsaCommit(pairs) => pairs.foreach { case (staged, fin) =>
+        val f = new org.apache.hadoop.fs.Path(fin)
+        if (fs.exists(f)) fs.delete(f, false)
+        require(fs.rename(new org.apache.hadoop.fs.Path(staged), f),
+          s"pfsa commit failed to rename $staged -> $fin")
+      }
+      case _ =>
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    messages.foreach {
+      case PfsaCommit(pairs) => pairs.foreach { case (staged, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(staged), false)
+      }
+      case _ =>
+    }
+  }
+}
+
+class PfsaWriterFactory(path: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new PfsaDataWriter(path, taskId)
+}
+
+/** Streams the (machine, state, symbol)-ordered rows the required
+  * distribution guarantees: on machine change, the accumulated matrix is
+  * validated (complete S×A grid) and staged as one file. */
+class PfsaDataWriter(path: String, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val fs = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(new org.apache.hadoop.conf.Configuration())
+  fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+
+  private var cur: String = _
+  private val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double, Int, Double)]
+  private val staged = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+
+  private def flush(): Unit = if (cur != null && rows.nonEmpty) {
+    val nStates = rows.iterator.map(r => math.max(r._1, r._4)).max + 1
+    val nSyms = rows.iterator.map(_._2).max + 1
+    require(rows.length == nStates * nSyms && rows.map(r => (r._1, r._2)).distinct.length == rows.length,
+      s"machine $cur: transition grid is not a complete ${nStates}x$nSyms matrix")
+    val pit = Array.ofDim[Double](nStates, nSyms)
+    val conn = Array.ofDim[Int](nStates, nSyms)
+    val frq = new Array[Double](nSyms)
+    rows.foreach { case (q, sym, p, nxt, f) =>
+      pit(q)(sym) = p; conn(q)(sym) = nxt; if (q == 0) frq(sym) = f
+    }
+    val machine = graft.core.Pfsa(conn = conn, pitilde = pit, symFrq = frq,
+      annErr = 0.0, mrgEps = 0.0, synStr = None)
+    val fin = new org.apache.hadoop.fs.Path(path, s"$cur.pfsa")
+    val stage = new org.apache.hadoop.fs.Path(path, s".$cur.pfsa.$taskId.staged")
+    val out = fs.create(stage, true)
+    try out.write(machine.toText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    staged += ((stage.toString, fin.toString))
+    rows.clear()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val m = row.getUTF8String(0).toString
+    if (m != cur) { flush(); cur = m }
+    rows += ((row.getInt(1), row.getInt(2), row.getDouble(3), row.getInt(4), row.getDouble(5)))
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    flush()
+    PfsaCommit(staged.toSeq)
+  }
+
+  override def abort(): Unit =
+    staged.foreach { case (s, _) => fs.delete(new org.apache.hadoop.fs.Path(s), false) }
+
   override def close(): Unit = ()
 }

@@ -64,6 +64,62 @@ class PfsaSourceSpec extends AnyFunSuite {
       == Seq(0.3, 0.4, 0.4, 0.4, 0.6, 0.6, 0.6, 0.7))
   }
 
+  test("write path reassembles scrambled multi-partition rows per machine") {
+    import spark.implicits._
+    val machines = Map("x" -> randomMachine(7L, 5, 4), "y" -> randomMachine(8L, 3, 2),
+      "z" -> randomMachine(9L, 2, 6))
+    val rows = for {
+      (n, p) <- machines.toSeq
+      q <- p.conn.indices; sym <- 0 until p.alphabetSize
+    } yield (n, q, sym, p.pitilde(q)(sym), p.conn(q)(sym), p.symFrq(sym))
+    val dir = java.nio.file.Files.createTempDirectory("pfsawrite").toString
+    // reversed + repartitioned: only the connector's required
+    // distribution/ordering can put each machine whole and sorted in one
+    // writer — a split machine fails the complete-matrix validation, so
+    // success here PROVES Spark planned the clustering shuffle
+    rows.reverse.toDF("machine", "state", "symbol", "pitilde", "next_state", "sym_frq")
+      .repartition(5)
+      .write.format("pfsa").mode("overwrite").save(dir)
+    val back = spark.read.format("pfsa").load(dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) ->
+        (r.getDouble(3), r.getInt(4), r.getDouble(5))).toMap
+    assert(back === rows.map(t => (t._1, t._2, t._3) -> (t._4, t._5, t._6)).toMap)
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".staged")),
+      "no staged files may survive the commit")
+  }
+
+  test("overwrite truncates stale machine files; append keeps them") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pfsatrunc")
+    write(dir, "stale", Pfsa.m2u)
+    def df(n: String) = (for {
+      q <- Pfsa.m2.conn.indices; sym <- 0 until Pfsa.m2.alphabetSize
+    } yield (n, q, sym, Pfsa.m2.pitilde(q)(sym), Pfsa.m2.conn(q)(sym), Pfsa.m2.symFrq(sym)))
+      .toDF("machine", "state", "symbol", "pitilde", "next_state", "sym_frq")
+    df("fresh").write.format("pfsa").mode("overwrite").save(dir.toString)
+    val names1 = spark.read.format("pfsa").load(dir.toString)
+      .select("machine").distinct().collect().map(_.getString(0)).toSet
+    assert(names1 === Set("fresh"), s"overwrite must remove stale files: $names1")
+    df("extra").write.format("pfsa").mode("append").save(dir.toString)
+    val names2 = spark.read.format("pfsa").load(dir.toString)
+      .select("machine").distinct().collect().map(_.getString(0)).toSet
+    assert(names2 === Set("fresh", "extra"))
+  }
+
+  test("write rejects a non-canonical schema") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pfsabad").toString
+    val bad = Seq(("m", 0, 0)).toDF("machine", "state", "symbol")
+    val e = intercept[Exception] {
+      bad.write.format("pfsa").mode("overwrite").save(dir)
+    }
+    // Spark's analyzer rejects against Table.schema() before the builder
+    // runs (INCOMPATIBLE_DATA_FOR_TABLE); the builder's own "canonical
+    // schema" require is the backstop for non-DataFrameWriter entry points
+    assert(e.getMessage.contains("INCOMPATIBLE_DATA_FOR_TABLE") ||
+      e.getMessage.contains("canonical schema"), e.toString)
+  }
+
   test("non-pfsa files are ignored; empty dir yields an empty table") {
     val dir = java.nio.file.Files.createTempDirectory("pfsamixed")
     write(dir, "only", Pfsa.m2)
