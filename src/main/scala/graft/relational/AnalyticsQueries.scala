@@ -1005,6 +1005,65 @@ object AnalyticsQueries {
        |FROM walk w JOIN best b ON b.node = w.node AND w.dist = b.dist_micros
        |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
 
+  /** SHORTEST-PATH COUNTS (the σ forward pass of Brandes' betweenness)
+    * from the [[SsspSources]] seed set over the UNWEIGHTED undirected
+    * k-NN graph: per node, the minimal hop distance and HOW MANY
+    * hop-minimal paths achieve it — the redundancy census of the
+    * similarity manifold (σ=1 nodes hang off bridges; high-σ nodes sit
+    * in braided regions), and the exact quantity betweenness
+    * accumulates. BFS as iterated DataFrames: per level, ONE keyed join
+    * of the frontier against the edge table, a combinable σ-sum, and a
+    * LEFT ANTI join against the visited set (the de-novo-nodes filter
+    * sssp's relax-everything recurrence never needs) — each level is two
+    * keyed shuffles of ≤N-row state, H levels, visited set
+    * localCheckpoint'ed per round. All-integer (hop counts, path
+    * counts): engine-exact by construction. The σ recurrence
+    * σ(v)=Σ_{u∈N(v), d(u)=d(v)−1} σ(u) equals the count of minimal-hop
+    * walks from the seed set (a minimal walk's prefix is minimal), which
+    * is exactly what the oracle's UNION ALL walk enumeration counts. */
+  private def graphPathCounts(s: SparkSession, d: String): DataFrame = {
+    val ed = sharedAnnEdges(s, d)
+    val und = ed.select(col("src"), col("dst"))
+      .union(ed.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // read SsspHops times; ≤ 2k·N rows
+    var vis = Tables.embeddings(s, d)
+      .filter(col("vec_id") < SsspSources)
+      .select(col("vec_id").as("node"), lit(0L).as("dist_hops"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    for (h <- 1 to SsspHops) {
+      val frontier = vis.filter(col("dist_hops") === (h - 1))
+      val cand = frontier.join(und, frontier("node") === und("src"))
+        .groupBy(col("dst")).agg(sum(col("sigma")).as("sig"))
+      val fresh = cand.join(vis, cand("dst") === vis("node"), "left_anti")
+        .select(col("dst").as("node"), lit(h.toLong).as("dist_hops"),
+          col("sig").as("sigma"))
+      vis = vis.union(fresh).localCheckpoint(true)
+    }
+    vis.select(col("node").as("vec_id"), col("dist_hops"), col("sigma"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The DuckDB replay of [[graphPathCounts]]: UNION ALL walk
+    * enumeration (duplicates preserved — each walk is one row) bounded
+    * by the hop budget; per node, min(hop) is the distance and the COUNT
+    * of rows at that hop is σ, because walks of minimal length are
+    * exactly the minimal paths. */
+  private def pathCountsOracleSql: String =
+    s"""WITH RECURSIVE ${annEdgesCteSql(withLabel = false)},
+       |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)),
+       |walks(node, hop) AS (
+       |  SELECT vec_id, 0 FROM emb WHERE vec_id < $SsspSources
+       |  UNION ALL
+       |  SELECT u.dst, w.hop + 1 FROM walks w JOIN und u ON u.src = w.node
+       |  WHERE w.hop < $SsspHops),
+       |md AS (SELECT node, min(hop) AS dist_hops FROM walks GROUP BY node)
+       |SELECT w.node AS vec_id, CAST(m.dist_hops AS BIGINT) AS dist_hops,
+       |       CAST(count(*) AS BIGINT) AS sigma
+       |FROM walks w JOIN md m ON m.node = w.node AND w.hop = m.dist_hops
+       |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin
+
   /** The recursive min-label flood replaying [[graphComponents]]: a
     * (node, label) pair enters whenever a smaller label reaches a node
     * through the bidirectional edge relation; min per node = the
@@ -1706,6 +1765,7 @@ object AnalyticsQueries {
     "graph_knn_recall" -> (graphKnnRecall _),
     "graph_components" -> (graphComponents _),
     "graph_sssp" -> (graphSssp _),
+    "graph_path_counts" -> (graphPathCounts _),
     "join_point_in_time" -> (joinPointInTime _),
     "agg_incremental_merge" -> (aggIncrementalMerge _),
     "corpus_mix" -> (corpusMix _),
@@ -2016,6 +2076,8 @@ object AnalyticsQueries {
     "graph_components" -> componentsOracleSql,
     // same weighted edge relation, bounded walk enumeration + lex argmin
     "graph_sssp" -> ssspOracleSql,
+    // unweighted walk enumeration WITH duplicates: min hop + row count
+    "graph_path_counts" -> pathCountsOracleSql,
     // bounded exact leg (probe nodes only) vs the bucketed edges, both
     // replayed exactly — recall is a VALUE here, not just a verdict
     "graph_knn_recall" ->

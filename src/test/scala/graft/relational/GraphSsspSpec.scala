@@ -70,6 +70,40 @@ class GraphSsspSpec extends AnyFunSuite {
     }
   }
 
+  /** Independent BFS with path counting over the recomputed edges —
+    * graph_path_counts' (dist, σ) per node under the same seed set. */
+  private def refSigma(emb: Map[Long, Array[Double]]): Map[Long, (Long, Long)] = {
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    for ((s, ds) <- GraphTestUtil.annEdgesCos(emb); (t, _) <- ds) {
+      adj(s) += t; adj(t) += s
+    }
+    val dist = scala.collection.mutable.Map.empty[Long, Long]
+    val sigma = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    var frontier = emb.keys.filter(_ < AnalyticsQueries.SsspSources).toSet
+    frontier.foreach { v => dist(v) = 0L; sigma(v) = 1L }
+    for (h <- 1 to AnalyticsQueries.SsspHops) {
+      val next = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (u <- frontier; v <- adj(u) if !dist.contains(v)) next(v) += sigma(u)
+      next.foreach { case (v, s0) => dist(v) = h.toLong; sigma(v) = s0 }
+      frontier = next.keySet.toSet
+    }
+    dist.keys.map(v => v -> (dist(v), sigma(v))).toMap
+  }
+
+  test("path counts equal the independent BFS-sigma on random corpora") {
+    Seq(5L, 13L).foreach { seed =>
+      val (dir, emb) = fixture(seed, 150)
+      val got = AnalyticsQueries.queries("graph_path_counts")(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got === refSigma(emb), s"sigma diverged from BFS recompute, seed $seed")
+      // consistency with sssp: same seed set, so the reached sets agree
+      // on hop-reachability (weighted dist differs, reachability doesn't)
+      val sssp = AnalyticsQueries.queries("graph_sssp")(spark, dir)
+        .collect().map(_.getLong(0)).toSet
+      assert(got.keySet === sssp, "sssp and path_counts must reach the same nodes")
+    }
+  }
+
   test("edge table carries the rounded cosine the weights are derived from") {
     val (dir, emb) = fixture(11L, 100)
     val edges = AnalyticsQueries.sharedAnnEdges(spark, dir)
