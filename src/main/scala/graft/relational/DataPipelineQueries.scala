@@ -1887,10 +1887,14 @@ object DataPipelineQueries {
     * [[tokenizeBpeApply]] pattern). */
   private def tokenizeUnigram(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // localCheckpoint: the lexicon is read TWICE (the vocab collect and
+    // the final segmentation job) — without it the corpus-sized
+    // tokenize+count shuffle would run once per action
     val wordCounts = docs(s, d)
       .select(explode(TextOps.tokens("text")).as("token"))
       .filter(length(col("token")) <= UnigramMaxWord)
       .groupBy(col("token")).agg(count(lit(1)).as("wc"))
+      .localCheckpoint(true)
     val cand = wordCounts
       .select(col("token"), col("wc"),
         explode(sequence(lit(1), length(col("token")))).as("p"))

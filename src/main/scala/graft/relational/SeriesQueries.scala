@@ -969,7 +969,15 @@ object SeriesQueries {
           val pp = p + KalmanQ
           val k = pp * 1000000L / (pp + KalmanR)
           val e = z - x
-          val outlier = e * e > 9L * (pp + KalmanR) * 1000000L
+          // |e| clamped to 1.7e9 µ before squaring: e² would overflow
+          // Long (and raise in DuckDB) on a >3000-unit jump, flipping the
+          // flag instead of setting it. The clamp is exact — the gate
+          // threshold 9(P′+R)·1e6 is provably ≤ 2.74e18 (P ≤ R invariant
+          // ⇒ P′+R ≤ 2R+Q) and the clamped square is 2.89e18, so any
+          // clamped innovation still reads "outlier". Branch-free, so the
+          // SQL replay needs no lazily-evaluated CASE.
+          val ec = math.min(math.abs(e), 1700000000L)
+          val outlier = ec * ec > 9L * (pp + KalmanR) * 1000000L
           x = x + k * e / 1000000L
           p = (1000000L - k) * pp / 1000000L
           out += ((tpe, zs(t)._2, z, x, p, k, outlier))
@@ -1342,7 +1350,7 @@ object SeriesQueries {
         |         (1000000 - (kal.p + $KalmanQ) * 1000000
         |                    // (kal.p + $KalmanQ + $KalmanR)) * (kal.p + $KalmanQ) // 1000000,
         |         (kal.p + $KalmanQ) * 1000000 // (kal.p + $KalmanQ + $KalmanR),
-        |         (n.z - kal.x) * (n.z - kal.x)
+        |         least(abs(n.z - kal.x), 1700000000) * least(abs(n.z - kal.x), 1700000000)
         |           > 9 * (kal.p + $KalmanQ + $KalmanR) * 1000000
         |  FROM kal JOIN y n ON n.event_type = kal.event_type AND n.rn = kal.rn + 1)
         |SELECT event_type, bucket, z AS z_micros, x AS x_micros, p AS p_micros,

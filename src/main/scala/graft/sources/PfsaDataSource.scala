@@ -56,6 +56,29 @@ object PfsaSource {
     StructField("pitilde", DoubleType, nullable = false),
     StructField("next_state", IntegerType, nullable = false),
     StructField("sym_frq", DoubleType, nullable = false)))
+
+  /** The SESSION's Hadoop configuration as a serializable map — a bare
+    * `new Configuration()` would drop every `spark.hadoop.*` session
+    * setting (S3 credentials, defaultFS), silently breaking non-local
+    * URIs. Captured on the driver at plan/write time, rebuilt wherever
+    * the FS is touched (Spark's own SerializableConfiguration is
+    * `private[spark]`; the map is the dependency-free equivalent). */
+  def sessionConfMap(): Map[String, String] = {
+    val c = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val it = c.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+    b.result()
+  }
+
+  def confOf(m: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    m.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  def fsOf(path: String, m: Map[String, String]): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(confOf(m))
 }
 
 class PfsaTable(path: String) extends Table with SupportsRead
@@ -84,10 +107,12 @@ class PfsaScan(path: String, required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  // captured once on the driver; ships inside the factory to executors
+  private val conf = PfsaSource.sessionConfMap()
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    fs.listStatus(p).iterator
+    val fs = PfsaSource.fsOf(path, conf)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path)).iterator
       .filter(st => st.isFile && st.getPath.getName.endsWith(".pfsa"))
       .map(st => PfsaInputPartition(st.getPath.toString): InputPartition)
       .toArray
@@ -95,24 +120,25 @@ class PfsaScan(path: String, required: StructType) extends Scan with Batch {
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PfsaReaderFactory(required.fieldNames)
+    new PfsaReaderFactory(required.fieldNames, conf)
 }
 
 case class PfsaInputPartition(file: String) extends InputPartition
 
-class PfsaReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+class PfsaReaderFactory(fields: Array[String], conf: Map[String, String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PfsaPartitionReader(partition.asInstanceOf[PfsaInputPartition].file, fields)
+    new PfsaPartitionReader(partition.asInstanceOf[PfsaInputPartition].file, fields, conf)
 }
 
 /** Parses one machine file on the executor it was assigned to and emits
   * its transition rows, already projected to the pruned schema. */
-class PfsaPartitionReader(file: String, fields: Array[String])
+class PfsaPartitionReader(file: String, fields: Array[String], conf: Map[String, String])
     extends PartitionReader[InternalRow] {
 
   private val rows: Iterator[InternalRow] = {
     val hp = new org.apache.hadoop.fs.Path(file)
-    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = PfsaSource.fsOf(file, conf)
     val buf = new Array[Byte](fs.getFileStatus(hp).getLen.toInt) // model files are KBs
     val in = fs.open(hp)
     try in.readFully(0, buf) finally in.close()
@@ -120,18 +146,21 @@ class PfsaPartitionReader(file: String, fields: Array[String])
     val p = graft.core.Pfsa.fromText(text)
     val stem = hp.getName.stripSuffix(".pfsa")
     val machine = UTF8String.fromString(stem)
+    // one extractor per projected column, resolved ONCE at reader
+    // construction (an unknown field also fails here, not mid-emission)
+    val extract: Array[(Int, Int) => Any] = fields.map {
+      case "machine"    => (_: Int, _: Int) => machine
+      case "state"      => (q: Int, _: Int) => q
+      case "symbol"     => (_: Int, sym: Int) => sym
+      case "pitilde"    => (q: Int, sym: Int) => p.pitilde(q)(sym)
+      case "next_state" => (q: Int, sym: Int) => p.conn(q)(sym)
+      case "sym_frq"    => (_: Int, sym: Int) => p.symFrq(sym)
+      case other => throw new IllegalArgumentException(s"unknown pfsa column $other")
+    }
     for {
       q <- p.conn.indices.iterator
       sym <- (0 until p.alphabetSize).iterator
-    } yield InternalRow.fromSeq(fields.toSeq.map {
-      case "machine"    => machine
-      case "state"      => q
-      case "symbol"     => sym
-      case "pitilde"    => p.pitilde(q)(sym)
-      case "next_state" => p.conn(q)(sym)
-      case "sym_frq"    => p.symFrq(sym)
-      case other => throw new IllegalArgumentException(s"unknown pfsa column $other")
-    })
+    } yield InternalRow.fromSeq(extract.toSeq.map(f => f(q, sym)))
   }
 
   private var cur: InternalRow = _
@@ -196,15 +225,29 @@ class PfsaBatchWrite(path: String, doTruncate: Boolean)
   import org.apache.spark.sql.connector.write._
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new PfsaWriterFactory(path)
+    new PfsaWriterFactory(path, conf)
+
+  private val conf = PfsaSource.sessionConfMap()
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = PfsaSource.fsOf(path, conf)
     fs.mkdirs(p)
+    // the committed set is authoritative: under truncate, sweep stale
+    // model files AND any .staged debris a crashed executor left behind
+    // (its abort() never ran; nothing else ever deletes those)
+    // compare staged files by NAME: listStatus returns scheme-qualified
+    // paths (file:/...) while the writers recorded raw strings
+    val committedStages = messages.collect {
+      case PfsaCommit(pairs) =>
+        pairs.map { case (staged, _) => new org.apache.hadoop.fs.Path(staged).getName }
+    }.flatten.toSet
     if (doTruncate && fs.exists(p))
       fs.listStatus(p).foreach { st =>
-        if (st.isFile && st.getPath.getName.endsWith(".pfsa")) fs.delete(st.getPath, false)
+        val n = st.getPath.getName
+        if (st.isFile && (n.endsWith(".pfsa") ||
+            (n.endsWith(".staged") && !committedStages.contains(n))))
+          fs.delete(st.getPath, false)
       }
     messages.foreach {
       case PfsaCommit(pairs) => pairs.foreach { case (staged, fin) =>
@@ -218,8 +261,7 @@ class PfsaBatchWrite(path: String, doTruncate: Boolean)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = PfsaSource.fsOf(path, conf)
     messages.foreach {
       case PfsaCommit(pairs) => pairs.foreach { case (staged, _) =>
         fs.delete(new org.apache.hadoop.fs.Path(staged), false)
@@ -229,20 +271,19 @@ class PfsaBatchWrite(path: String, doTruncate: Boolean)
   }
 }
 
-class PfsaWriterFactory(path: String)
+class PfsaWriterFactory(path: String, conf: Map[String, String])
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new PfsaDataWriter(path, taskId)
+    new PfsaDataWriter(path, taskId, conf)
 }
 
 /** Streams the (machine, state, symbol)-ordered rows the required
   * distribution guarantees: on machine change, the accumulated matrix is
   * validated (complete S×A grid) and staged as one file. */
-class PfsaDataWriter(path: String, taskId: Long)
+class PfsaDataWriter(path: String, taskId: Long, conf: Map[String, String])
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-  private val fs = new org.apache.hadoop.fs.Path(path)
-    .getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private val fs = PfsaSource.fsOf(path, conf)
   fs.mkdirs(new org.apache.hadoop.fs.Path(path))
 
   private var cur: String = _
@@ -259,6 +300,14 @@ class PfsaDataWriter(path: String, taskId: Long)
     val frq = new Array[Double](nSyms)
     rows.foreach { case (q, sym, p, nxt, f) =>
       pit(q)(sym) = p; conn(q)(sym) = nxt; if (q == 0) frq(sym) = f
+    }
+    // sym_frq is a per-SYMBOL quantity replicated across states in the
+    // table view; silently keeping state 0's copy would make an
+    // inconsistent input a lossy write — reject it instead
+    rows.foreach { case (q, sym, _, _, f) =>
+      require(java.lang.Double.doubleToLongBits(f)
+          == java.lang.Double.doubleToLongBits(frq(sym)),
+        s"machine $cur: sym_frq for symbol $sym differs between state 0 and state $q")
     }
     val machine = graft.core.Pfsa(conn = conn, pitilde = pit, symFrq = frq,
       annErr = 0.0, mrgEps = 0.0, synStr = None)

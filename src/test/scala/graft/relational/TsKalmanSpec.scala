@@ -67,6 +67,14 @@ class TsKalmanSpec extends AnyFunSuite {
     assert(bySeries("b").forall(!_._7), "constant-ish series must stay quiet")
   }
 
+  test("an extreme jump whose e-squared would overflow Long still flags") {
+    // |e| ~ 3.99e9 micros: unclamped e*e wraps negative (1.6e19 > Long.Max)
+    // and the flag would silently read false; the clamp keeps it true
+    val got = run(Seq(("a", 0L, 10.0), ("a", 1L, 4000.0), ("a", 2L, 10.0)))
+      .sortBy(_._2)
+    assert(got(1)._7, s"overflow-range innovation must be flagged: ${got.toSeq}")
+  }
+
   test("variance converges to a steady state and the gain starts diffuse") {
     val got = run((0L until 140L).map(h => ("a", h, 100.0))).sortBy(_._2)
     assert(got.head._6 == 1000000L, "diffuse start: first gain = 1")

@@ -120,6 +120,23 @@ class PfsaSourceSpec extends AnyFunSuite {
       e.getMessage.contains("canonical schema"), e.toString)
   }
 
+  test("write rejects per-state inconsistent sym_frq instead of dropping it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pfsafrq").toString
+    // state-1 rows disagree with state-0 on symbol 0's frequency: keeping
+    // state 0's copy silently would be a lossy write
+    val rows = Seq(
+      ("m", 0, 0, 0.6, 0, 0.5), ("m", 0, 1, 0.4, 1, 0.5),
+      ("m", 1, 0, 0.3, 0, 0.9), ("m", 1, 1, 0.7, 1, 0.5))
+    val e = intercept[Exception] {
+      rows.toDF("machine", "state", "symbol", "pitilde", "next_state", "sym_frq")
+        .write.format("pfsa").mode("overwrite").save(dir)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("sym_frq")), e.toString)
+  }
+
   test("non-pfsa files are ignored; empty dir yields an empty table") {
     val dir = java.nio.file.Files.createTempDirectory("pfsamixed")
     write(dir, "only", Pfsa.m2)
