@@ -88,6 +88,22 @@ class TokenizeUnigramSpec extends AnyFunSuite {
     assert(runOn(texts) == want)
   }
 
+  test("DP equals brute-force argmax on seeded random corpora") {
+    Seq(31L, 77L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // skewed alphabet → shared substrings; lengths 1..12 under the cap
+      val words = Seq.fill(60)(
+        (1 to (1 + rnd.nextInt(12))).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString)
+      val texts = Seq(words.mkString(" "))
+      val counts = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val voc = vocabOf(counts)
+      val want = counts.keys.toSeq.sorted.map { w =>
+        val (p, n, s) = bruteBest(w, voc); (w, p, n, s)
+      }
+      assert(runOn(texts) == want, s"random corpus diverged, seed $seed")
+    }
+  }
+
   test("pieces always reconstruct the word and stay inside the vocabulary") {
     val texts = Seq("banana bandana ana ban nab dan", "banana banana nabnab")
     val words = texts.flatMap(_.split(' ')).filter(_.nonEmpty)
