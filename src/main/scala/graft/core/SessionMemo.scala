@@ -33,7 +33,21 @@ final class SessionMemo[V](onEvict: V => Unit = (_: V) => ()) {
       if (!live) scala.util.Try(onEvict(v))
       live
     }
-    m.getOrElseUpdate((s, new java.io.File(dir).getCanonicalPath), build)
+    val key = (s, new java.io.File(dir).getCanonicalPath)
+    m.get(key) match {
+      case Some(v) => v
+      case None =>
+        // TrieMap.getOrElseUpdate is not atomic for the build side: two
+        // racing callers would both run `build` and the loser's value —
+        // possibly naming an on-disk artifact — would leak without
+        // onEvict. putIfAbsent decides one winner; the loser evicts its
+        // own freshly built value.
+        val built = build
+        m.putIfAbsent(key, built) match {
+          case Some(winner) => scala.util.Try(onEvict(built)); winner
+          case None => built
+        }
+    }
   }
 
   private[graft] def size: Int = m.size

@@ -518,7 +518,14 @@ object EmbedQueries {
     def dot(x: String, y: String) = ColumnBridge.column(graft.functions.VecDot(
       ColumnBridge.expression(col(x)), ColumnBridge.expression(col(y))))
     val withNorm = e.withColumn("nrm", sqrt(dot("v", "v")))
-    val m = withNorm.agg(max(col("nrm"))).head().getDouble(0)
+    // empty-corpus guard (the embedQuantizeBinary pattern): max(nrm) over
+    // zero rows is a single NULL row — head(1) + isNullAt instead of an NPE
+    val mRow = withNorm.agg(max(col("nrm"))).head(1)
+    if (mRow.isEmpty || mRow(0).isNullAt(0))
+      return e.select(col("vec_id").as("qid"), lit(null).cast("long").as("rank"),
+        col("vec_id").as("neighbor"), lit(null).cast("double").as("dot_r"),
+        lit(null).cast("boolean").as("aug_consistent")).limit(0)
+    val m = mRow(0).getDouble(0)
     // augmented corpus column: [x..., sqrt(M^2 - |x|^2)] — norm M for every row
     val aug = withNorm.withColumn("va",
       concat(col("v"), array(sqrt(greatest(lit(m * m) - dot("v", "v"), lit(0.0))))))

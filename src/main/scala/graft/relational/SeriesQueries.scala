@@ -978,7 +978,10 @@ object SeriesQueries {
           // SQL replay needs no lazily-evaluated CASE.
           val ec = math.min(math.abs(e), 1700000000L)
           val outlier = ec * ec > 9L * (pp + KalmanR) * 1000000L
-          x = x + k * e / 1000000L
+          // multiplyExact: k ≤ 1e6, so k·e overflows only past |e| ≈ 9.2e12 µ
+          // — DuckDB's BIGINT multiply RAISES there, so the JVM must throw
+          // too (a silent wrap would diverge instead of failing loudly)
+          x = x + Math.multiplyExact(k, e) / 1000000L
           p = (1000000L - k) * pp / 1000000L
           out += ((tpe, zs(t)._2, z, x, p, k, outlier))
           t += 1

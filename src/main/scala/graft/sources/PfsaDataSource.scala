@@ -15,7 +15,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * (the `%ANN_ERR`/`%PITILDE`/`#CONNX` codec of detection.py:502-547 /
   * examples/M2.cfg:3-10, already emitted by `sink_pfsa_file` through
   * [[graft.core.Pfsa.toText]]): `spark.read.format("pfsa").load(dir)`
-  * exposes every `*.pfsa` machine under `dir` as a TABLE of transition
+  * exposes every `*.pfsa` machine at the TOP LEVEL of `dir` (flat
+  * library layout — the shape the write side emits; subdirectories are
+  * deliberately not recursed) as a TABLE of transition
   * rows `(machine, state, symbol, pitilde, next_state, sym_frq)` — the
   * relational view a fleet of fitted machines needs for SQL-side
   * inspection (per-state entropy, transition audits, cross-model joins)
@@ -62,7 +64,11 @@ object PfsaSource {
     * setting (S3 credentials, defaultFS), silently breaking non-local
     * URIs. Captured on the driver at plan/write time, rebuilt wherever
     * the FS is touched (Spark's own SerializableConfiguration is
-    * `private[spark]`; the map is the dependency-free equivalent). */
+    * `private[spark]`; the map is the dependency-free equivalent).
+    * INVARIANT: driver-side only — `SparkSession.active` is unusable on
+    * executors; every call site is plan-time (PfsaScan ctor) or
+    * write-build time (PfsaBatchWrite ctor), and the RESULT map is what
+    * ships to executors. Keep it that way. */
   def sessionConfMap(): Map[String, String] = {
     val c = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
     val it = c.iterator()
@@ -97,23 +103,61 @@ class PfsaTable(path: String) extends Table with SupportsRead
     new PfsaWriteBuilder(path, info.schema())
 }
 
-class PfsaScanBuilder(path: String) extends ScanBuilder with SupportsPushDownRequiredColumns {
+/** `machine` IS the file name stem, so predicates on it prune at
+  * FILE-LISTING time — the connector's analog of parquet partition
+  * pruning: `.where($"machine" === "m2")` plans exactly one
+  * InputPartition instead of opening every model in the library.
+  * Equality / IN / prefix / IsNotNull on `machine` are handled FULLY
+  * (machine is non-nullable and bijective with the file name, so no
+  * residual evaluation is needed); every other filter stays with Spark. */
+class PfsaScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull, StringStartsWith}
   private var required: StructType = PfsaSource.Schema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new PfsaScan(path, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo("machine", _: String) => true
+      case In("machine", vs) => vs.forall(_.isInstanceOf[String])
+      case StringStartsWith("machine", _) => true
+      case IsNotNull("machine") => true // non-nullable: vacuously true
+      case _ => false
+    }
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new PfsaScan(path, required, pushed)
 }
 
-class PfsaScan(path: String, required: StructType) extends Scan with Batch {
+class PfsaScan(path: String, required: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
+  import org.apache.spark.sql.sources.{EqualTo, In, IsNotNull, StringStartsWith}
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"PfsaScan path=$path, PushedFilters: [${filters.mkString(", ")}]"
 
   // captured once on the driver; ships inside the factory to executors
   private val conf = PfsaSource.sessionConfMap()
 
+  private def keep(stem: String): Boolean = filters.forall {
+    case EqualTo("machine", v: String) => stem == v
+    case In("machine", vs) => vs.exists(_ == stem)
+    case StringStartsWith("machine", p) => stem.startsWith(p)
+    case IsNotNull("machine") => true
+    case _ => true // pushFilters never accepts anything else
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = PfsaSource.fsOf(path, conf)
+    // top-level listing BY CONTRACT: the write side emits a flat library
+    // (one dir = one model fleet), and a single listStatus keeps planning
+    // one RPC; machines in subdirectories are out of scope, not skipped
     fs.listStatus(new org.apache.hadoop.fs.Path(path)).iterator
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".pfsa"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".pfsa") &&
+        keep(st.getPath.getName.stripSuffix(".pfsa")))
       .map(st => PfsaInputPartition(st.getPath.toString): InputPartition)
       .toArray
       .sortBy(_.asInstanceOf[PfsaInputPartition].file) // deterministic plan

@@ -137,6 +137,40 @@ class PfsaSourceSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("sym_frq")), e.toString)
   }
 
+  test("machine filters push down and prune input partitions at listing time") {
+    val dir = java.nio.file.Files.createTempDirectory("pfsapush")
+    write(dir, "m1", Pfsa.m2); write(dir, "m2", Pfsa.m2u)
+    write(dir, "m3", randomMachine(3L, 3, 3)); write(dir, "probe_a", Pfsa.m2)
+    val base = spark.read.format("pfsa").load(dir.toString)
+
+    // equality: exactly one partition planned, not one per file
+    val eq = base.where(org.apache.spark.sql.functions.col("machine") === "m2")
+    assert(eq.rdd.getNumPartitions == 1,
+      s"equality on machine must prune to 1 file, got ${eq.rdd.getNumPartitions}")
+    assert(eq.select("machine").distinct().collect().map(_.getString(0)).toSeq == Seq("m2"))
+    val scan = eq.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }.head
+    assert(scan.scan.asInstanceOf[PfsaScan].description().contains("machine"),
+      "pushed filter must be visible in the scan description")
+    // fully handled: no residual Filter node survives above the scan
+    assert(!eq.queryExecution.executedPlan.toString.contains("Filter ("),
+      s"machine equality must leave no residual filter:\n${eq.queryExecution.executedPlan}")
+
+    // IN and prefix prune to their member counts
+    val in = base.where(org.apache.spark.sql.functions.col("machine").isin("m1", "m3", "nope"))
+    assert(in.rdd.getNumPartitions == 2)
+    val pre = base.where(org.apache.spark.sql.functions.col("machine").startsWith("probe_"))
+    assert(pre.rdd.getNumPartitions == 1)
+    assert(pre.select("machine").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("probe_a"))
+
+    // a non-machine predicate is NOT claimed: it stays a residual filter
+    // and partition count is unpruned
+    val res = base.where(org.apache.spark.sql.functions.col("state") === 0)
+    assert(res.rdd.getNumPartitions == 4, "state filter must not prune files")
+    assert(res.collect().forall(_.getInt(1) == 0))
+  }
+
   test("non-pfsa files are ignored; empty dir yields an empty table") {
     val dir = java.nio.file.Files.createTempDirectory("pfsamixed")
     write(dir, "only", Pfsa.m2)
