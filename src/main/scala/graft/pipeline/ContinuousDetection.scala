@@ -118,7 +118,27 @@ object ContinuousDetection {
     * stream; at 100-TB scale the fleet of streams distributes while each
     * stream stays executor-sized.
     */
-  def fitStream(spark: SparkSession, longDf: DataFrame, p: Params): DataFrame = {
+  def fitStream(spark: SparkSession, longDf: DataFrame, p: Params): DataFrame =
+    fitStreamEvidence(spark, longDf, p)
+      .select(col("seq_id"), col("win_id"), col("emerged"), col("llk"),
+        col("closest"), col("n_patterns"))
+
+  /** Per-window EVIDENCE row: the [[WindowScore]] fields plus the library
+    * size BEFORE the window and, on emergence, the newborn entry serialized
+    * through the PFSA text codec with its bootstrapped stats — everything a
+    * second, fold-free pass needs to re-certify the order-dependent library
+    * state (see [[verdictGrid]]). `symbols` rides along (windowSize bytes)
+    * so the recompute never re-joins the segmentation. */
+  final case class WindowEvidence(
+      seq_id: Long, win_id: Long, emerged: Boolean, llk: Double, closest: Int,
+      n_before: Int, n_patterns: Int,
+      born_pfsa: Option[String], born_mean: Double, born_std: Double,
+      symbols: Seq[Byte])
+
+  /** The [[fitStream]] fold, emitting [[WindowEvidence]] rows. Seeds and
+    * step semantics are identical — [[fitStream]] is a projection of this. */
+  def fitStreamEvidence(spark: SparkSession, longDf: DataFrame, p: Params)
+      : org.apache.spark.sql.Dataset[WindowEvidence] = {
     import spark.implicits._
     // Seq[Byte] (ArrayType(ByteType)), not Array[Byte] (Spark would demand
     // an up-cast to BINARY)
@@ -130,12 +150,94 @@ object ContinuousDetection {
         val sorted = it.toArray.sortBy(_._2)
         var lib = Vector.empty[LibEntry]
         sorted.iterator.map { case (_, wid, syms) =>
+          val before = lib.size
           val (next, emerged, llk, closest) =
             step(lib, syms.toArray, p, seedBase = p.seed + sid * 7919L + wid * 104729L)
+          val (bp, bm, bs) =
+            if (emerged) { val e = next.last; (Some(e.pfsa.toText), e.mean, e.std) }
+            else (None, 0.0, 0.0)
           lib = next
-          WindowScore(sid, wid, emerged, llk, closest, lib.size)
+          WindowEvidence(sid, wid, emerged, llk, closest, before, next.size, bp, bm, bs, syms)
         }
       }
-      .toDF()
+  }
+
+  /** SELF-VERIFYING grid for the online loop — the pipeline_fit_predict
+    * verdict-grid pattern applied PER STEP, which is what makes the one
+    * order-dependent gate entry DuckDB-oracleable: the oracle enumerates
+    * the stride-window universe (pure arithmetic) with literal TRUEs, and
+    * every invariant is recomputed here OUTSIDE the fold, from evidence
+    * carried as data:
+    *
+    *  - machines are re-parsed from the TEXT CODEC (so a lossy
+    *    serialization breaks the grid), and each window's llk against every
+    *    library member is recomputed through the LONG-ENGINE MATRIX path
+    *    ([[graft.functions.LlkLongScore.Buffer]] with t starting at 1 —
+    *    a genuinely different numeric route than the fold's
+    *    [[graft.core.Llk.llk]] vector walk, the llk_score_long parity
+    *    pattern), with library VERSIONS reconstructed from birth order
+    *    rather than threaded fold state;
+    *  - `rule_matches`: emerged ⇔ the reference's emergence rule
+    *    (detection.py:661-676) — library empty, or EVERY member's llk above
+    *    its own mean + sensitivity·std (bounds from the birth-time
+    *    bootstrap, carried as literals; ±1e-9 tolerant so the cross-engine
+    *    recompute can't flip a boundary);
+    *  - `growth_ok`: the library grows by exactly 1 on emergence and is
+    *    exactly the birth count before the window otherwise (the
+    *    order-dependent bookkeeping itself);
+    *  - `closest_ok`: a newborn pattern gets index n_before; an explained
+    *    window's closest achieves the library-version minimum llk
+    *    (tie-agnostic, recomputed values);
+    *  - `llk_matches`: the fold's reported llk equals the independent
+    *    recompute on the explaining/new entry (≤1e-9, +∞ ≡ +∞). */
+  def verdictGrid(spark: SparkSession, longDf: DataFrame, p: Params): DataFrame =
+    verdictGrid0(fitStreamEvidence(spark, longDf, p), p)
+
+  /** Grading stage of [[verdictGrid]], split out so specs can feed it
+    * tampered evidence and watch the right verdict go false. */
+  private[graft] def verdictGrid0(
+      ev: org.apache.spark.sql.Dataset[WindowEvidence], p: Params): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val eps = 1e-9
+    ev
+      .groupByKey(_.seq_id)
+      .flatMapGroups { (sid: Long, it: Iterator[WindowEvidence]) =>
+        val rows = it.toArray.sortBy(_.win_id)
+        val births = rows.filter(_.emerged)
+        val lib: Array[Pfsa] = births.map(b => Pfsa.fromText(b.born_pfsa.get))
+        val bounds: Array[Double] =
+          births.map(b => b.born_mean + p.anomalySensitivity * b.born_std)
+        var seen = 0
+        rows.iterator.map { w =>
+          val nBefore = seen
+          if (w.emerged) seen += 1
+          val nAfter = nBefore + (if (w.emerged) 1 else 0)
+          // long-engine matrix-mode llk of this window vs every machine
+          // (t from 1 keeps the run off the vector-mode head path)
+          val buf = new graft.functions.LlkLongScore.Buffer
+          var t = 0
+          while (t < w.symbols.length) {
+            buf.add((t + 1).toLong, w.symbols(t).toInt, lib); t += 1
+          }
+          val llk2 = buf.result(lib)
+          val ruleMatches =
+            if (nBefore == 0) w.emerged
+            else if (w.emerged) (0 until nBefore).forall(j => llk2(j) > bounds(j) - eps)
+            else (0 until nBefore).exists(j => llk2(j) <= bounds(j) + eps)
+          val growthOk = w.n_before == nBefore && w.n_patterns == nAfter
+          val closestOk =
+            if (w.emerged) w.closest == nBefore
+            else w.closest >= 0 && w.closest < nBefore &&
+              llk2(w.closest) <= (0 until nBefore).map(llk2).min + eps
+          val llkMatches = w.closest >= 0 && w.closest < llk2.length && {
+            val l2 = llk2(w.closest)
+            w.llk == l2 || math.abs(w.llk - l2) <= eps
+          }
+          (sid, w.win_id, ruleMatches, growthOk, closestOk, llkMatches)
+        }
+      }
+      .toDF("seq_id", "win_id", "rule_matches", "growth_ok", "closest_ok", "llk_matches")
+      .orderBy("seq_id", "win_id")
   }
 }

@@ -494,16 +494,24 @@ object PipelineQueries {
   }
 
   /** stream_continuous (ContinuousStreamingDetection, detection.py:616-734):
-    * online per-stream pattern-library growth, batch-replayed. `emerged`
-    * rows are the pattern_emergence_times. */
+    * online per-stream pattern-library growth, batch-replayed — emitted as
+    * the SELF-VERIFYING per-step grid of
+    * [[graft.pipeline.ContinuousDetection.verdictGrid]] (r10 verdict ask
+    * #1), which is what gives the one order-dependent entry a DuckDB
+    * oracle: one row per complete stride window (size 20, stride 10 — the
+    * stream_fit_predict universe) with the emergence rule, the
+    * grows-by-exactly-1 library bookkeeping, argmin membership, and llk
+    * parity each recomputed OUTSIDE the fold, from codec-round-tripped
+    * machines, through the long-engine matrix llk path. The raw
+    * (emerged, llk, closest, n_patterns) surface stays available as
+    * [[graft.pipeline.ContinuousDetection.fitStream]] and is spec-covered
+    * (emergence/checkpoint/watermark specs). */
   def streamContinuous(s: SparkSession, d: String): DataFrame = {
     val long = Tables.eventsLong(s, d).withColumnRenamed("user_id", "seq_id")
     val p = graft.pipeline.ContinuousDetection.Params(
       windowSize = 20, windowOverlap = 10, anomalySensitivity = 2.0,
       quantize = true, quantizeType = "simple", eps = 0.2, bootstrapRepeats = 50)
-    graft.pipeline.ContinuousDetection.fitStream(s, long, p)
-      .withColumn("llk", round(col("llk"), 6))
-      .orderBy("seq_id", "win_id")
+    graft.pipeline.ContinuousDetection.verdictGrid(s, long, p)
   }
 
   /** multilevel_pipeline (examples/Agitation_multilevel.ipynb cells 1-2):
@@ -752,6 +760,17 @@ object PipelineQueries {
         |       true AS machines_agree
         |FROM (SELECT DISTINCT event_type FROM events)
         |ORDER BY cluster""".stripMargin,
+    // per-step verdict grid for the online loop — see streamContinuous's
+    // scaladoc: same stride-window universe as stream_fit_predict; every
+    // order-dependent invariant arrives literally TRUE
+    "stream_continuous" ->
+      """WITH n AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+        |SELECT user_id AS seq_id,
+        |       unnest(generate_series(CAST(0 AS BIGINT), CAST(floor((n - 20) / 10.0) AS BIGINT))) AS win_id,
+        |       TRUE AS rule_matches, TRUE AS growth_ok, TRUE AS closest_ok,
+        |       TRUE AS llk_matches
+        |FROM n WHERE n >= 20
+        |ORDER BY seq_id, win_id""".stripMargin,
     // window-coverage verdict — see streamFitPredict's scaladoc: complete
     // stride windows (size 20, stride 10) per stream, ragged tail dropped
     "stream_fit_predict" ->

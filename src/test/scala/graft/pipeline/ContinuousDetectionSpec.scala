@@ -65,6 +65,36 @@ class ContinuousDetectionSpec extends AnyFunSuite {
     }
   }
 
+  test("verdict grid is all-true over the full window universe, including a grown library") {
+    // the regime-change stream: library provably reaches size ≥ 2, so the
+    // grid exercises multi-entry rule evaluation, version reconstruction,
+    // and the codec round-trip — not just the window-0 bootstrap
+    val grid = ContinuousDetection.verdictGrid(spark, longForm(stream), params).collect()
+    assert(grid.length == 30, s"expected 30 windows, got ${grid.length}")
+    grid.foreach { r =>
+      assert((2 to 5).forall(r.getBoolean),
+        s"verdict failed at win ${r.getLong(1)}: $r")
+    }
+    // sanity: the fold really emerged at least twice on this stream (the
+    // grid certifying a 1-entry library throughout would be a weaker test)
+    val births = ContinuousDetection.fitStream(spark, longForm(stream), params)
+      .filter($"emerged").count()
+    assert(births >= 2, s"expected >= 2 emergences, got $births")
+  }
+
+  test("verdict grid catches a tampered fold (wrong n_patterns bookkeeping)") {
+    // feed the verdict pass evidence whose n_patterns is off by one: the
+    // growth invariant must go false — proves the grid can actually fail
+    import org.apache.spark.sql.functions.{col, lit}
+    val ev = ContinuousDetection.fitStreamEvidence(spark, longForm(stream), params)
+    val tampered = ev.withColumn("n_patterns", (col("n_patterns") + lit(1)).cast("int"))
+      .as[ContinuousDetection.WindowEvidence]
+    val grid = ContinuousDetection.verdictGrid0(tampered, params).collect()
+    assert(grid.forall(!_.getBoolean(3)), "tampered n_patterns must fail growth_ok")
+    assert(grid.forall(r => r.getBoolean(2) && r.getBoolean(5)),
+      "unrelated verdicts must stay true")
+  }
+
   test("streaming state handler matches the batch replay") {
     val wins = ContinuousDetection.segments(longForm(stream), params)
       .select($"seq_id".cast("long"), $"win_id".cast("long"), $"symbols")
