@@ -1022,6 +1022,16 @@ object AnalyticsQueries {
     * walks from the seed set (a minimal walk's prefix is minimal), which
     * is exactly what the oracle's UNION ALL walk enumeration counts. */
   private def graphPathCounts(s: SparkSession, d: String): DataFrame = {
+    val (_, vis) = bfsSigmaForward(s, d)
+    vis.select(col("node").as("vec_id"), col("dist_hops"), col("sigma"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The multi-source BFS σ forward pass shared by [[graphPathCounts]] and
+    * [[graphBetweenness]]: returns the deduped undirected edge relation and
+    * the reached-node state `(node, dist_hops, sigma)`, both
+    * localCheckpoint'ed (each is read once per BFS/accumulation round). */
+  private def bfsSigmaForward(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val ed = sharedAnnEdges(s, d)
     val und = ed.select(col("src"), col("dst"))
       .union(ed.select(col("dst").as("src"), col("src").as("dst")))
@@ -1040,9 +1050,91 @@ object AnalyticsQueries {
           col("sig").as("sigma"))
       vis = vis.union(fresh).localCheckpoint(true)
     }
-    vis.select(col("node").as("vec_id"), col("dist_hops"), col("sigma"))
+    (und, vis)
+  }
+
+  /** BETWEENNESS BACKWARD PASS (Brandes' dependency accumulation, run on
+    * the multi-source BFS DAG of [[bfsSigmaForward]]) in its EXACT-INTEGER
+    * form: per reached node, `psi` = the number of non-empty downward
+    * paths from the node in the shortest-path DAG, accumulated over
+    * reverse levels by the Brandes recursion ψ(v) = Σ_{w: v∈pred(w)}
+    * (1 + ψ(w)), and `stress` = σ(v)·ψ(v) = the number of minimal walks
+    * from the seed set that pass THROUGH v on the way to a strictly
+    * farther node — Shimbel's stress centrality, the σ-weighted
+    * unnormalized member of the betweenness family (Brandes 2008, "On
+    * variants of shortest-path betweenness centrality", computes exactly
+    * this via the same backward pass). The fractional δ(v) =
+    * Σ σ(v)/σ(w)·(1+δ(w)) is the same DAG recursion with a per-edge
+    * σ-ratio; the gate pins the integer form so both engines agree
+    * bit-for-bit with no float accumulation order to defend (the
+    * integer-micro rule every cross-engine stat here follows).
+    *
+    * Scale shape: the DAG relation is ONE three-way keyed join of the
+    * edge table against the level labels (≤ 2k·N rows, checkpointed);
+    * each of the H backward rounds is one keyed join of the next level's
+    * ψ against the DAG plus a combinable sum — the exact mirror of the
+    * forward BFS cost, linear per round at any corpus size, state ≤ N. */
+  private def graphBetweenness(s: SparkSession, d: String): DataFrame = {
+    val (und, vis) = bfsSigmaForward(s, d)
+    val dagE = und
+      .join(vis.select(col("node").as("src"), col("dist_hops").as("sl")), "src")
+      .join(vis.select(col("node").as("dst"), col("dist_hops").as("dl")), "dst")
+      .filter(col("dl") === col("sl") + 1)
+      .select(col("src"), col("dst"), col("sl"))
+      .localCheckpoint(true) // read once per backward round
+    // deepest-possible level seeds the recursion with ψ = 0 (no successors)
+    var psiKnown = vis.filter(col("dist_hops") === SsspHops.toLong)
+      .select(col("node"), lit(0L).as("psi"))
+      .localCheckpoint(true)
+    for (h <- (SsspHops - 1) to 0 by -1) {
+      val contrib = dagE.filter(col("sl") === h.toLong)
+        .join(psiKnown.select(col("node").as("dst"), col("psi").as("wp")), "dst")
+        .groupBy(col("src")).agg(sum(col("wp") + lit(1L)).as("psi"))
+      val lvlPsi = vis.filter(col("dist_hops") === h.toLong).select(col("node"))
+        .join(contrib.select(col("src").as("node"), col("psi")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("psi"), lit(0L)).as("psi"))
+      psiKnown = psiKnown.union(lvlPsi).localCheckpoint(true)
+    }
+    vis.join(psiKnown, Seq("node"))
+      .select(col("node").as("vec_id"), col("dist_hops"), col("sigma"),
+        col("psi"), (col("sigma") * col("psi")).as("stress"))
       .orderBy(col("vec_id"))
   }
+
+  /** The DuckDB replay of [[graphBetweenness]]: the pathCounts walk
+    * enumeration gives dist and σ; the DAG is the level-respecting edge
+    * subset; ψ is recomputed INDEPENDENTLY of the backward recursion by
+    * enumerating every downward DAG walk per start node with a recursive
+    * CTE (acyclic — levels strictly increase — so it terminates without a
+    * hop bound) and counting the non-empty ones. */
+  private def betweennessOracleSql: String =
+    s"""WITH RECURSIVE ${annEdgesCteSql(withLabel = false)},
+       |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)),
+       |walks(node, hop) AS (
+       |  SELECT vec_id, 0 FROM emb WHERE vec_id < $SsspSources
+       |  UNION ALL
+       |  SELECT u.dst, w.hop + 1 FROM walks w JOIN und u ON u.src = w.node
+       |  WHERE w.hop < $SsspHops),
+       |md AS MATERIALIZED (SELECT node, min(hop) AS dist_hops FROM walks GROUP BY node),
+       |sig AS MATERIALIZED (
+       |  SELECT w.node, CAST(count(*) AS BIGINT) AS sigma
+       |  FROM walks w JOIN md m ON m.node = w.node AND w.hop = m.dist_hops
+       |  GROUP BY 1),
+       |dag AS MATERIALIZED (
+       |  SELECT u.src, u.dst FROM und u
+       |  JOIN md a ON a.node = u.src JOIN md b ON b.node = u.dst
+       |  WHERE b.dist_hops = a.dist_hops + 1),
+       |down(start, node) AS (
+       |  SELECT node, node FROM md
+       |  UNION ALL
+       |  SELECT d.start, g.dst FROM down d JOIN dag g ON g.src = d.node),
+       |psi AS (SELECT start AS node, CAST(count(*) - 1 AS BIGINT) AS psi
+       |        FROM down GROUP BY start)
+       |SELECT m.node AS vec_id, CAST(m.dist_hops AS BIGINT) AS dist_hops,
+       |       s.sigma, p.psi, s.sigma * p.psi AS stress
+       |FROM md m JOIN sig s ON s.node = m.node JOIN psi p ON p.node = m.node
+       |ORDER BY vec_id""".stripMargin
 
   /** The DuckDB replay of [[graphPathCounts]]: UNION ALL walk
     * enumeration (duplicates preserved — each walk is one row) bounded
@@ -1766,6 +1858,7 @@ object AnalyticsQueries {
     "graph_components" -> (graphComponents _),
     "graph_sssp" -> (graphSssp _),
     "graph_path_counts" -> (graphPathCounts _),
+    "graph_betweenness" -> (graphBetweenness _),
     "join_point_in_time" -> (joinPointInTime _),
     "agg_incremental_merge" -> (aggIncrementalMerge _),
     "corpus_mix" -> (corpusMix _),
@@ -2078,6 +2171,7 @@ object AnalyticsQueries {
     "graph_sssp" -> ssspOracleSql,
     // unweighted walk enumeration WITH duplicates: min hop + row count
     "graph_path_counts" -> pathCountsOracleSql,
+    "graph_betweenness" -> betweennessOracleSql,
     // bounded exact leg (probe nodes only) vs the bucketed edges, both
     // replayed exactly — recall is a VALUE here, not just a verdict
     "graph_knn_recall" ->
