@@ -591,7 +591,115 @@ object EmbedQueries {
       .orderBy(col("qid"))
   }
 
+  // ------------------------------------------- streaming embedding near-dup
+  /** stream_embed_neardup — incremental near-duplicate detection for an
+    * embedding STREAM ([[graft.streaming.StreamingEmbedNearDup]]: the
+    * dedup_embedding semantics under `transformWithState`, coordinate-
+    * hyperplane bucket keyed state with capped occupancy — the
+    * stream_neardup pattern applied to vectors; r10 verdict ask #7), run
+    * as a REAL Structured Streaming query into a memory sink.
+    *
+    * Because the sign-code geometry is plain SQL (that is WHY the
+    * coordinate-hyperplane variant was chosen over the batch family's
+    * Gaussian kernel — see the module scaladoc), the gate is a FULL
+    * value-level replay, not just a synthesized recall floor: the
+    * expected universe is every pair that shares ≥ 1 UNDER-CAP bucket
+    * (occupancy SQL-computable; under-cap buckets admit every arrival, so
+    * every qualifying pair in them provably surfaces regardless of
+    * arrival order or micro-batch split) with 6-dp rounded exact cosine
+    * ≥ 0.99 — enumerated identically by DuckDB, cosines and all. A
+    * synthesized twin per `vec_id % 100 = 0` (identical embedding, copy
+    * id `-vec_id - 1`, riding the same input row so ids never collide
+    * with real ones) keeps the grid populated at every sf. Verdicts:
+    * `found` (the pair surfaced with a raw cosine that rounds to the
+    * recomputed value) plus the stream_neardup state-bound checks off the
+    * real StreamingQueryProgress. */
+  private def streamEmbedNearDup(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingEmbedNearDup
+    import StreamingEmbedNearDup.{DefaultBits, DefaultMaxBucketSize, DefaultTables}
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey, graft.streaming.StreamingNearDup.RocksDbProvider)
+    try {
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val src =
+        if (new java.io.File(s"$d/embeddings.parquet").isDirectory)
+          s.readStream.schema(schema).parquet(s"$d/embeddings.parquet")
+        else
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+      // the twin rides the SAME input row (explode), so both members of a
+      // synthesized pair always share a micro-batch
+      def withCopies(df: DataFrame) = df.select(
+        explode(when(col("vec_id") % 100 === 0,
+            array(col("vec_id"), -col("vec_id") - lit(1L)))
+          .otherwise(array(col("vec_id")))).as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val qname = "stream_embed_nd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = StreamingEmbedNearDup.nearDupVecs(withCopies(src))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sops = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      val stRows = if (sops.isEmpty) -1L else sops.map(_.numRowsTotal).max
+      val stUpdated = sops.map(_.numRowsUpdated).sum
+      val stBytes = if (sops.isEmpty) -1L else sops.map(_.memoryUsedBytes).max
+      val emitted = s.table(qname)
+        .groupBy(col("id_a"), col("id_b")).agg(min(col("cos")).as("cos_lo"),
+          max(col("cos")).as("cos_hi"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(qname)
+      // expected universe, recomputed relationally with the SAME signCode
+      // projection: pairs sharing >= 1 under-cap bucket, rounded cosine
+      // >= 0.99 (cosine via the VecDot kernel — bit-identical fold to the
+      // handler's, so `found` never sits on a rounding race)
+      val all = withCopies(Tables.embeddings(s, d)).localCheckpoint(true)
+      val nAll = all.count()
+      val dim = all.select(size(col("v"))).head(1)
+        .headOption.map(_.getInt(0)).getOrElse(0)
+      val coded = all.select(col("vec_id"),
+        posexplode(array((0 until DefaultTables).map(t =>
+          StreamingEmbedNearDup.signCode(col("v"), t, DefaultBits)): _*))
+          .as(Seq("table", "code")))
+      val underCap = coded
+        .withColumn("occ", count(lit(1)).over(
+          Window.partitionBy(col("table"), col("code"))))
+        .filter(col("occ") <= DefaultMaxBucketSize)
+      val pairIds = underCap.as("x")
+        .join(underCap.as("y"),
+          col("x.table") === col("y.table") && col("x.code") === col("y.code") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        .distinct()
+      import graft.text.Similarity
+      val expected = pairIds
+        .join(all.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+        .join(all.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+        .withColumn("cos_r", round(Similarity.cosine("va", "vb"), 6))
+        .filter(col("cos_r") >= 0.99)
+      val bytesBound =
+        4L * nAll * DefaultTables * (8L + 8L * dim) + (1L << 20)
+      expected
+        .join(emitted, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("cos_r"),
+          (col("cos_lo").isNotNull &&
+            round(col("cos_hi"), 6) === col("cos_r") &&
+            round(col("cos_lo"), 6) === col("cos_r")).as("found"))
+        .withColumn("state_rows_bounded",
+          lit(stRows > 0 && stRows <= DefaultTables.toLong * nAll && stUpdated > 0))
+        .withColumn("state_bytes_bounded", lit(stBytes > 0 && stBytes <= bytesBound))
+        .orderBy(col("id_a"), col("id_b"))
+    } finally prev match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_embed_neardup" -> (streamEmbedNearDup _),
     "similarity_mips" -> (similarityMips _),
     "embed_matryoshka" -> (embedMatryoshka _),
     "sample_coreset" -> (sampleCoreset _),
@@ -606,6 +714,44 @@ object EmbedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // full value-level replay of the streaming vector near-dup — see
+    // streamEmbedNearDup's scaladoc: the same corpus+twins, the same
+    // coordinate-sign codes, the same under-cap bucket restriction, the
+    // same rounded exact cosine; verdicts enumerate TRUE
+    "stream_embed_neardup" ->
+      """WITH all_v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT -vec_id - 1, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |codes AS MATERIALIZED (
+        |  SELECT vec_id, t.t AS tbl,
+        |         CAST(list_sum(list_transform(generate_series(0, 11),
+        |           j -> CASE WHEN v[t.t * 12 + j + 1] >= 0 THEN 1 << j ELSE 0 END))
+        |              AS BIGINT) AS code
+        |  FROM all_v CROSS JOIN generate_series(0, 3) t(t)),
+        |occ AS (SELECT tbl, code, count(*) AS n FROM codes GROUP BY 1, 2),
+        |ok AS (SELECT c.vec_id, c.tbl, c.code FROM codes c
+        |       JOIN occ o ON o.tbl = c.tbl AND o.code = c.code AND o.n <= 256),
+        |pr AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM ok a JOIN ok b ON a.tbl = b.tbl AND a.code = b.code
+        |                     AND a.vec_id < b.vec_id),
+        |sc AS (
+        |  SELECT p.id_a, p.id_b,
+        |         round(
+        |           list_sum(list_transform(generate_series(1, len(x.v)),
+        |                                   i -> x.v[i]::DOUBLE * y.v[i])) /
+        |           (sqrt(list_sum(list_transform(generate_series(1, len(x.v)),
+        |                                         i -> x.v[i]::DOUBLE * x.v[i]))) *
+        |            sqrt(list_sum(list_transform(generate_series(1, len(y.v)),
+        |                                         i -> y.v[i]::DOUBLE * y.v[i])))), 6) AS cos_r
+        |  FROM pr p JOIN all_v x ON x.vec_id = p.id_a
+        |            JOIN all_v y ON y.vec_id = p.id_b)
+        |SELECT id_a, id_b, cos_r, TRUE AS found,
+        |       TRUE AS state_rows_bounded, TRUE AS state_bytes_bounded
+        |FROM sc WHERE cos_r >= 0.99 ORDER BY id_a, id_b""".stripMargin,
     // exact inner-product top-3 replay (the similarity_topk pattern with
     // dot instead of cosine); aug_consistent is the in-query fp-tolerant
     // reduction identity, enumerated TRUE
