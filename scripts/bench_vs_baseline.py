@@ -30,9 +30,11 @@ def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_FULL_local.json"
     bench = json.loads(open(path).read().strip())
     qs = bench["queries"]
+    norm = bench.get("queries_norm", {})
     print(f"bench artifact: {path}  sf={bench.get('sf')}  "
           f"calib_s={bench.get('calib_s')}  steal={bench.get('steal_pct')}%")
-    print(f"{'query':24} {'ours(s)':>8} {'ref(s)':>8} {'ratio':>8}  reference shape")
+    print(f"{'query':24} {'ours(s)':>8} {'norm(x)':>8} {'ref(s)':>8} "
+          f"{'ratio':>8}  reference shape")
     ratios = []
     missing = []
     for q, ref, desc in PAIRS:
@@ -41,9 +43,13 @@ def main():
             missing.append(q)
             continue
         ours = qs[q]
+        # calibration-normalized multiple (seconds / calib_s): the
+        # round-over-round comparable number — box-speed drift cancels
+        nval = norm.get(q)
+        nstr = f"{float(nval):8.2f}" if nval is not None else f"{'-':>8}"
         ratio = ours / ref
         ratios.append(ratio)
-        print(f"{q:24} {ours:8.2f} {ref:8.1f} {ratio:8.4f}  {desc}")
+        print(f"{q:24} {ours:8.2f} {nstr} {ref:8.1f} {ratio:8.4f}  {desc}")
     if ratios:
         gm = 1.0
         for r in ratios:

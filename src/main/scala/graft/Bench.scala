@@ -100,6 +100,14 @@ object Bench {
     def pct(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // calibration-NORMALIZED per-query values (seconds / calib_s): the
+    // round-over-round comparable number. r10's driver window ran at
+    // calib 0.53 vs r9's 0.37 and every raw total regressed ~20% while
+    // the code got faster — normalized values make such deltas
+    // attributable without forensic A/B against steal windows.
+    val qsNorm = results.map { case (k, v, _) =>
+      s"\"" + k + "\":" + pct(if (calibS > 0) v / calibS else -1.0) }
+      .mkString("{", ",", "}")
     val qsSteal = results.map { case (k, _, s) => s"\"" + k + "\":" + pct(s) }
       .mkString("{", ",", "}")
     // full JSON string escape shared with Verify: a Spark
@@ -125,8 +133,11 @@ object Bench {
       s""""steal_pct":${pct(stealPct)},"query_steal_pct":$qsSteal,""" +
       s""""calib_s":${pct(calibS)},"schemas":$schemasJson,""" +
       s""""started_at_ms":$startedAtMs,"finished_at_ms":${System.currentTimeMillis()}"""
+    val totalNorm = pct(if (calibS > 0) total / calibS else -1.0)
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,$env,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_norm":$qsNorm,"total_norm":$totalNorm,""" +
+      s""""errors":$errJson,$env,"sf":"$sfDir"}"""
     // The driver keeps only a ~2,000-char TAIL of stdout and parses a JSON
     // line out of it. Round 8's single detail line (198-entry query + steal
     // dicts) outgrew that window, so the artifact landed with parsed:null —
@@ -159,7 +170,8 @@ object Bench {
       (if (errors.size > 5) Seq(q(s"...and ${errors.size - 5} more")) else Nil))
       .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
-      s""""errors":$errCompact,"calib_s":${pct(calibS)},"steal_pct":${pct(stealPct)},""" +
+      s""""errors":$errCompact,"calib_s":${pct(calibS)},"total_norm":$totalNorm,""" +
+      s""""steal_pct":${pct(stealPct)},""" +
       s""""top_queries":$top,"detail_file":${q(fullPath)},"sf":"$sfDir"}""")
     spark.stop()
   }

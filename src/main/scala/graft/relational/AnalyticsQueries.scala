@@ -578,7 +578,15 @@ object AnalyticsQueries {
       tmp.toString
     })
 
-  private[relational] def annKnnEdges(emb: DataFrame, checkpoint: Boolean = true): DataFrame = {
+  /** @param bitsOverride dev-only geometry knob for [[AnnKnobStudy]]:
+    *                      > 0 pins the code width instead of
+    *                      [[graphBits]]; the gate path always passes the
+    *                      default (adaptive), which the oracle replays.
+    * @param cap           bucket-cap knob, same study; default is the
+    *                      oracle-pinned [[GraphBucketCap]]. */
+  private[relational] def annKnnEdges(emb: DataFrame, checkpoint: Boolean = true,
+                                      bitsOverride: Int = -1,
+                                      cap: Long = GraphBucketCap.toLong): DataFrame = {
     import graft.text.Similarity
     // one bounded job for both plan-time scalars: corpus size (code
     // width) and dimensionality (sign-literal length). max(size) is NULL
@@ -588,7 +596,7 @@ object AnalyticsQueries {
     if (head.getLong(0) == 0L)
       return emb.select(col("vec_id").as("src"), col("vec_id").as("dst"),
         lit(0d).as("cos")).limit(0)
-    val bits = graphBits(head.getLong(0))
+    val bits = if (bitsOverride > 0) bitsOverride else graphBits(head.getLong(0))
     val dim = head.getInt(1)
     // signs depend only on (t, b, i): computed once on the driver, shipped
     // as referenced double[] constants into the native VecDotConst kernel
@@ -618,7 +626,7 @@ object AnalyticsQueries {
     // swarm guard: a bucket over the cap is dropped entirely (deterministic,
     // oracle-replayable) — the capped-join bound from Similarity.nearDupPairs
     val ok = bk.groupBy(col("t"), col("code")).agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= GraphBucketCap).select(col("t"), col("code"))
+      .filter(col("bn") <= cap).select(col("t"), col("code"))
     val bk2 = bk.join(ok, Seq("t", "code")).select(col("t"), col("code"), col("vec_id"))
     // Hamming-radius-1 multiprobe on the src side (the similarity_ann
     // recall boost): each node probes its own code plus the `bits`
