@@ -193,6 +193,62 @@ object DataPipelineQueries {
     * (line text, then doc_id), so the plan scales with corpus size, and a
     * hot line (boilerplate repeated millions of times) aggregates to ONE
     * row before the join — AQE skew handling covers the explode side. */
+  /** EXACT SUBSTRING DEDUP CENSUS (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * operator): a fixed-width window (40 normalized chars here; the paper
+    * uses 50 BPE tokens) occurring ≥ 2 times ANYWHERE in the corpus marks
+    * every position it covers as duplicated text, and training pipelines
+    * drop exactly those spans. The paper builds a corpus-wide suffix
+    * array; the Spark-native shape is the window-hash join — per doc,
+    * every window start becomes a row, a corpus-wide groupBy finds
+    * windows with multiplicity ≥ 2, and the covered-character count per
+    * doc is the UNION length of the flagged [s, s+W) intervals, computed
+    * with one lead() window per doc (sorted starts: each start
+    * contributes min(W, next−s)).
+    *
+    * Per doc: total chars, window count, flagged starts, duplicated
+    * chars (interval union), retained chars — ALL integers, so the
+    * DuckDB replay is exact. Docs shorter than W contribute no windows
+    * but keep their census row.
+    *
+    * 100-TB shape: the corpus-sized stages are one explode (len rows per
+    * doc — at scale you'd ship substring HASHES instead of the 40-char
+    * keys; the join key is the only change) and two keyed shuffles (the
+    * multiplicity groupBy and the join back); the per-doc union fold
+    * shuffles only flagged starts. No suffix array, no global sort —
+    * the published alternative (Lee et al. §3.1) needs a corpus-wide
+    * suffix sort, which is exactly the all-to-all a 1000-executor job
+    * wants to avoid; multiplicity-by-hash-join is how the dedup families
+    * here already scale. */
+  private def textSubstringDedup(s: SparkSession, d: String): DataFrame = {
+    val W = 40
+    val norm = docs(s, d).select(col("doc_id"), TextOps.normalized("text").as("t"))
+      .localCheckpoint(true) // read by the window leg AND the census join
+    val w = norm.filter(length(col("t")) >= W)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("t")) - lit(W - 1))).as("p"),
+        col("t"))
+      .select(col("doc_id"), col("p"), expr(s"substring(t, p, $W)").as("sub"))
+    val dup = w.groupBy(col("sub")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("sub"))
+    val cov = w.join(dup, "sub")
+      .select(col("doc_id"), col("p"))
+      .withColumn("nxt", lead(col("p"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("p"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_starts"),
+        sum(least(lit(W), coalesce(col("nxt") - col("p"), lit(W))))
+          .as("dup_chars"))
+    norm.select(col("doc_id"), length(col("t")).cast("long").as("n_chars"),
+        greatest(length(col("t")) - lit(W - 1), lit(0)).cast("long").as("n_windows"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"), col("n_windows"),
+        coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        (col("n_chars") - coalesce(col("dup_chars"), lit(0L))).as("keep_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   private def textLineDedup(s: SparkSession, d: String): DataFrame = {
     val lines = docs(s, d).select(col("doc_id"),
       posexplode(split(col("text"), "\\. ")).as(Seq("pos", "line")))
@@ -2560,6 +2616,7 @@ object DataPipelineQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental" -> (dedupIncremental _),
     "text_line_dedup" -> (textLineDedup _),
+    "text_substring_dedup" -> (textSubstringDedup _),
     "scan_orc" -> (scanOrc _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -2715,6 +2772,30 @@ object DataPipelineQueries {
 
   val oracle: Map[String, String] = Map(
     // C4 line-dedup replay: DuckDB's lockstep UNNEST pairs each span with
+    // exact replay of the ExactSubstr census — same normalization, same
+    // 40-char windows (fixed-width position enumeration bounded by each
+    // doc's own length; fixture max ~600), same multiplicity >= 2 rule,
+    // same lead()-based interval-union fold; all integers
+    "text_substring_dedup" ->
+      """WITH n AS (SELECT doc_id,
+        |             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |           FROM documents),
+        |w AS (SELECT doc_id, p.p AS p, substr(t, p.p, 40) AS sub
+        |      FROM n CROSS JOIN generate_series(1, 4000) p(p)
+        |      WHERE p.p <= len(t) - 39),
+        |d AS (SELECT sub FROM w GROUP BY sub HAVING count(*) >= 2),
+        |ds AS (SELECT w.doc_id, w.p,
+        |         lead(w.p) OVER (PARTITION BY w.doc_id ORDER BY w.p) AS nxt
+        |       FROM w JOIN d USING (sub)),
+        |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_starts,
+        |          CAST(sum(least(40, coalesce(nxt - p, 40))) AS BIGINT) AS dup_chars
+        |        FROM ds GROUP BY doc_id)
+        |SELECT n.doc_id, CAST(len(t) AS BIGINT) AS n_chars,
+        |       CAST(greatest(len(t) - 39, 0) AS BIGINT) AS n_windows,
+        |       coalesce(c.n_dup_starts, 0) AS n_dup_starts,
+        |       coalesce(c.dup_chars, 0) AS dup_chars,
+        |       CAST(len(t) AS BIGINT) - coalesce(c.dup_chars, 0) AS keep_chars
+        |FROM n LEFT JOIN cov c USING (doc_id) ORDER BY n.doc_id""".stripMargin,
     // its ordinal; first occurrence = row_number over (doc_id, pos), the
     // same rule as Spark's min(struct(doc_id, pos))
     "text_line_dedup" ->

@@ -698,7 +698,44 @@ object EmbedQueries {
     }
   }
 
+  /** dq_embedding_drift — per-DIMENSION embedding-distribution drift
+    * between the corpus halves (vec_id parity splits baseline vs current,
+    * the dq_distribution_drift convention): the monitor a pipeline runs
+    * when a new embedding-model version or a new ingestion source starts
+    * writing into a served corpus — a mean shift on any dimension is the
+    * cheapest first-order signature of upstream model/source change.
+    * ALL-INTEGER (the ts_kalman / embed_pca ladder): values as exact
+    * round(v·1e6) micros, per-half sums as BIGINT, means via TRUNCATING
+    * division (Scala `Long div` ≡ DuckDB `//`), the drift flag compares
+    * integer micros against an integer threshold — zero float surface,
+    * bit-identical across engines by construction.
+    *
+    * Scale: one corpus-sized posexplode into a map-side-combinable
+    * d-group aggregate (the only shuffle moves ≤ parts·d partial rows);
+    * at 100 TB this is the canonical one-pass columnar profile. */
+  private def dqEmbeddingDrift(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select((col("vec_id") % 2 === 0).as("is_base"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .select(col("is_base"), col("dim").cast("long").as("dim"),
+        expr("cast(round(v * 1e6) as bigint)").as("vmic"))
+    e.groupBy(col("dim"))
+      .agg(
+        sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_cur"),
+        sum(when(col("is_base"), col("vmic")).otherwise(0L)).as("sb"),
+        sum(when(!col("is_base"), col("vmic")).otherwise(0L)).as("sc"))
+      .select(col("dim"), col("n_base"), col("n_cur"),
+        expr("sb div n_base").as("mean_base_micros"),
+        expr("sc div n_cur").as("mean_cur_micros"))
+      .withColumn("shift_micros",
+        abs(col("mean_cur_micros") - col("mean_base_micros")))
+      .withColumn("drifted", col("shift_micros") > lit(20000L))
+      .orderBy(col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_embedding_drift" -> (dqEmbeddingDrift _),
     "stream_embed_neardup" -> (streamEmbedNearDup _),
     "similarity_mips" -> (similarityMips _),
     "embed_matryoshka" -> (embedMatryoshka _),
@@ -714,6 +751,29 @@ object EmbedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // identical integer ladder — exact micros, BIGINT sums, truncating
+    // division on both engines, integer threshold compare (see
+    // dqEmbeddingDrift's scaladoc); fixed-width dim enumeration bounded
+    // by each vector's own length (the annEdges convention)
+    "dq_embedding_drift" ->
+      """WITH x AS (
+        |  SELECT vec_id % 2 = 0 AS is_base, d.i - 1 AS dim,
+        |         CAST(round(embedding[d.i]::DOUBLE * 1e6) AS BIGINT) AS vmic
+        |  FROM embeddings CROSS JOIN generate_series(1, 256) d(i)
+        |  WHERE d.i <= len(embedding)),
+        |a AS (
+        |  SELECT dim,
+        |         CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+        |         CAST(sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+        |         CAST(sum(CASE WHEN is_base THEN vmic ELSE 0 END) AS BIGINT) AS sb,
+        |         CAST(sum(CASE WHEN NOT is_base THEN vmic ELSE 0 END) AS BIGINT) AS sc
+        |  FROM x GROUP BY dim)
+        |SELECT dim, n_base, n_cur,
+        |       sb // n_base AS mean_base_micros,
+        |       sc // n_cur AS mean_cur_micros,
+        |       abs(sc // n_cur - sb // n_base) AS shift_micros,
+        |       abs(sc // n_cur - sb // n_base) > 20000 AS drifted
+        |FROM a ORDER BY dim""".stripMargin,
     // full value-level replay of the streaming vector near-dup — see
     // streamEmbedNearDup's scaladoc: the same corpus+twins, the same
     // coordinate-sign codes, the same under-cap bucket restriction, the
