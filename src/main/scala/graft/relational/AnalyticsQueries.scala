@@ -1030,9 +1030,28 @@ object AnalyticsQueries {
     * walks from the seed set (a minimal walk's prefix is minimal), which
     * is exactly what the oracle's UNION ALL walk enumeration counts. */
   private def graphPathCounts(s: SparkSession, d: String): DataFrame = {
-    val (_, vis) = bfsSigmaForward(s, d)
+    val (_, vis) = sharedBfsSigma(s, d)
     vis.select(col("node").as("vec_id"), col("dist_hops"), col("sigma"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Session memo of the (und, vis) BFS forward state shared by
+    * [[graphPathCounts]] and [[graphBetweenness]] — the identical forward
+    * pass, amortized like the family's edge table (parquet-backed for the
+    * same block-manager-hygiene reason as [[edgeMemo]]);
+    * [[bfsSigmaForward]] stays the unmemoized bypass. */
+  private val bfsMemo = new graft.core.SessionMemo[String](dir =>
+    DataPipelineQueries.deleteRecursively(java.nio.file.Paths.get(dir)))
+
+  private def sharedBfsSigma(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val dir = bfsMemo.getOrBuild(s, d) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bfs_")
+      val (und, vis) = bfsSigmaForward(s, d)
+      und.write.mode("overwrite").parquet(s"$tmp/und")
+      vis.write.mode("overwrite").parquet(s"$tmp/vis")
+      tmp.toString
+    }
+    (s.read.parquet(s"$dir/und"), s.read.parquet(s"$dir/vis"))
   }
 
   /** The multi-source BFS σ forward pass shared by [[graphPathCounts]] and
@@ -1083,7 +1102,7 @@ object AnalyticsQueries {
     * ψ against the DAG plus a combinable sum — the exact mirror of the
     * forward BFS cost, linear per round at any corpus size, state ≤ N. */
   private def graphBetweenness(s: SparkSession, d: String): DataFrame = {
-    val (und, vis) = bfsSigmaForward(s, d)
+    val (und, vis) = sharedBfsSigma(s, d)
     val dagE = und
       .join(vis.select(col("node").as("src"), col("dist_hops").as("sl")), "src")
       .join(vis.select(col("node").as("dst"), col("dist_hops").as("dl")), "dst")
