@@ -50,6 +50,11 @@ class PfsaDataSource extends TableProvider with DataSourceRegister {
 }
 
 object PfsaSource {
+  /** Library manifest maintained by the write side: one machine name per
+    * line. When present, scans plan from it instead of listing the
+    * directory — the million-model path (see PfsaScan). */
+  val ManifestName = "_manifest"
+
   /** One row per (state, symbol) transition of each machine. */
   val Schema: StructType = StructType(Seq(
     StructField("machine", StringType, nullable = false),
@@ -152,13 +157,32 @@ class PfsaScan(path: String, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = PfsaSource.fsOf(path, conf)
-    // top-level listing BY CONTRACT: the write side emits a flat library
-    // (one dir = one model fleet), and a single listStatus keeps planning
-    // one RPC; machines in subdirectories are out of scope, not skipped
-    fs.listStatus(new org.apache.hadoop.fs.Path(path)).iterator
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".pfsa") &&
-        keep(st.getPath.getName.stripSuffix(".pfsa")))
-      .map(st => PfsaInputPartition(st.getPath.toString): InputPartition)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    // MANIFEST-FIRST planning (the million-model caveat): the write side
+    // maintains a `_manifest` of machine names, so a library of any size
+    // plans from ONE small file read instead of a directory listing —
+    // and the pushed machine filters prune manifest LINES before any
+    // path is even constructed. When present the manifest is
+    // authoritative (a hand-dropped stray .pfsa is invisible until the
+    // next connector write refreshes it — documented trade; delete the
+    // manifest to fall back to listing). Absent → one listStatus over
+    // the top level (flat library BY CONTRACT: the write side emits a
+    // flat dir; subdirectories are out of scope, not skipped).
+    val manifest = new org.apache.hadoop.fs.Path(dir, PfsaSource.ManifestName)
+    val stems: Iterator[String] =
+      if (fs.exists(manifest)) {
+        val in = fs.open(manifest)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      } else
+        fs.listStatus(dir).iterator
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".pfsa"))
+          .map(_.getPath.getName.stripSuffix(".pfsa"))
+    stems.filter(keep)
+      .map(n => PfsaInputPartition(new org.apache.hadoop.fs.Path(dir, s"$n.pfsa").toString)
+        : InputPartition)
       .toArray
       .sortBy(_.asInstanceOf[PfsaInputPartition].file) // deterministic plan
   }
@@ -302,6 +326,39 @@ class PfsaBatchWrite(path: String, doTruncate: Boolean)
       }
       case _ =>
     }
+    // refresh the library manifest (read side plans from it without a
+    // directory listing — the million-model path). Under append, prior
+    // names come from the existing manifest when present (no listing at
+    // any library size) or one listing on a pre-manifest dir; truncate
+    // starts from the committed set alone, since the sweep above removed
+    // everything else. Written via stage-and-rename like the model files
+    // so a racing reader never sees a torn manifest.
+    val committedNames = messages.collect {
+      case PfsaCommit(pairs) => pairs.map { case (_, fin) =>
+        new org.apache.hadoop.fs.Path(fin).getName.stripSuffix(".pfsa") }
+    }.flatten.toSet
+    val manifestPath = new org.apache.hadoop.fs.Path(p, PfsaSource.ManifestName)
+    val prior: Set[String] =
+      if (doTruncate) Set.empty
+      else if (fs.exists(manifestPath)) {
+        val in = fs.open(manifestPath)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
+      } else
+        fs.listStatus(p).iterator
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".pfsa"))
+          .map(_.getPath.getName.stripSuffix(".pfsa")).toSet
+    val stagedManifest =
+      new org.apache.hadoop.fs.Path(p, s".${PfsaSource.ManifestName}.staged")
+    val out = fs.create(stagedManifest, true)
+    try out.write((prior ++ committedNames).toSeq.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(manifestPath)) fs.delete(manifestPath, false)
+    require(fs.rename(stagedManifest, manifestPath),
+      s"pfsa commit failed to publish $manifestPath")
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

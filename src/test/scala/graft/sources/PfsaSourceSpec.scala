@@ -171,6 +171,37 @@ class PfsaSourceSpec extends AnyFunSuite {
     assert(res.collect().forall(_.getInt(1) == 0))
   }
 
+  test("connector writes maintain an authoritative _manifest; scans plan from it") {
+    import spark.implicits._
+    def df(n: String) = (for {
+      q <- Pfsa.m2.conn.indices; sym <- 0 until Pfsa.m2.alphabetSize
+    } yield (n, q, sym, Pfsa.m2.pitilde(q)(sym), Pfsa.m2.conn(q)(sym), Pfsa.m2.symFrq(sym)))
+      .toDF("machine", "state", "symbol", "pitilde", "next_state", "sym_frq")
+    val dir = java.nio.file.Files.createTempDirectory("pfsamani")
+    df("alpha").write.format("pfsa").mode("overwrite").save(dir.toString)
+    df("beta").write.format("pfsa").mode("append").save(dir.toString)
+    val manifest = dir.resolve("_manifest")
+    assert(java.nio.file.Files.exists(manifest))
+    assert(new String(java.nio.file.Files.readAllBytes(manifest), "UTF-8")
+      .split("\n").toSeq == Seq("alpha", "beta"),
+      "append must merge the prior manifest")
+    // a hand-dropped stray machine is invisible while the manifest stands
+    write(dir, "stray", Pfsa.m2u)
+    val seen = spark.read.format("pfsa").load(dir.toString)
+      .select("machine").distinct().collect().map(_.getString(0)).toSet
+    assert(seen == Set("alpha", "beta"),
+      s"manifest must be authoritative over the listing: $seen")
+    // pushed machine filter prunes manifest LINES: one partition planned
+    val one = spark.read.format("pfsa").load(dir.toString)
+      .where(org.apache.spark.sql.functions.col("machine") === "beta")
+    assert(one.rdd.getNumPartitions == 1)
+    // deleting the manifest falls back to the directory listing
+    java.nio.file.Files.delete(manifest)
+    val all = spark.read.format("pfsa").load(dir.toString)
+      .select("machine").distinct().collect().map(_.getString(0)).toSet
+    assert(all == Set("alpha", "beta", "stray"))
+  }
+
   test("non-pfsa files are ignored; empty dir yields an empty table") {
     val dir = java.nio.file.Files.createTempDirectory("pfsamixed")
     write(dir, "only", Pfsa.m2)
