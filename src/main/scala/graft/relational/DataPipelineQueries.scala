@@ -439,6 +439,32 @@ object DataPipelineQueries {
     groupsFromPairs(docs(s, d).select(col("doc_id")), ngramJaccardPairs(s, d))
       .orderBy(col("doc_id"))
 
+  /** QUALITY-AWARE representative selection — the step a production
+    * dedup pipeline runs AFTER grouping: within each near-dup component
+    * (the [[dedupGroups]] pointer-jumping CC over verified n-gram-Jaccard
+    * pairs), keep the member with the highest quality score (the
+    * text_quality composite, already 6-dp-rounded and hash-proven on
+    * both engines; ties break to the smaller doc_id, so the rounded-value
+    * ordering is total and deterministic). Min-id canonicalization
+    * ([[dedupGroups]]' `is_canonical`) keeps ARBITRARY members;
+    * quality-argmax keeps the BEST — what Gopher/RefinedWeb-style
+    * pipelines actually ship to training.
+    *
+    * Scale: the group frame and quality frame are both one pass each
+    * (shapes audited under their own gate entries); the selection adds
+    * one group-keyed window over ≤ N rows. */
+  private def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val groups = groupsFromPairs(docs(s, d).select(col("doc_id")), ngramJaccardPairs(s, d))
+    val q = textQuality(s, d).select(col("doc_id"), col("quality_score"))
+    groups.join(q, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("group_id"))
+          .orderBy(col("quality_score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("group_id"), col("group_size"),
+        col("quality_score"), (col("rn") === 1).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Group assembly from an EXPLICIT, already-verified pair set — the
     * amortization surface (the `IvfIndex` pattern): a pipeline that just
     * ran dedup_ngram_jaccard feeds its pair frame here instead of paying
@@ -2622,6 +2648,7 @@ object DataPipelineQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_groups" -> (dedupGroups _),
+    "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_embedding" -> (dedupEmbedding _),
     "stream_dedup" -> (streamDedup _),
     "stream_dedup_watermark" -> (streamDedupWatermark _),
@@ -2934,6 +2961,49 @@ object DataPipelineQueries {
         |gs AS (SELECT group_id, count(*) AS group_size FROM lbl GROUP BY group_id)
         |SELECT l.doc_id, l.group_id, l.doc_id = l.group_id AS is_canonical, g.group_size
         |FROM lbl l JOIN gs g USING (group_id)
+        |ORDER BY l.doc_id""".stripMargin,
+    // the dedup_groups CC replay composed with text_quality's proven
+    // score; keep = row_number() = 1 under the identical
+    // (rounded score DESC, doc_id) total order
+    "dedup_keep_best" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, source, lang, g FROM (
+        |    SELECT doc_id, source, lang,
+        |           unnest(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+        |                                 i -> substr(text, CAST(i AS INT), 3))) AS g
+        |    FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM sh a JOIN sh b
+        |    ON a.source = b.source AND a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i.doc_a, i.doc_b FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.doc_a
+        |  JOIN sizes sb ON sb.doc_id = i.doc_b
+        |  WHERE round(i.common * 1.0 / (sa.n + sb.n - i.common), 6) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |comp(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, c.label FROM comp c JOIN edges e ON e.a = c.node
+        |  WHERE c.label < e.b),
+        |lbl AS (SELECT node AS doc_id, min(label) AS group_id FROM comp GROUP BY node),
+        |gs AS (SELECT group_id, count(*) AS group_size FROM lbl GROUP BY group_id),
+        |q AS (
+        |  SELECT doc_id,
+        |         round(least(n_tokens, 50) / 50.0
+        |               * (1.0 - n_stop * 1.0 / greatest(n_tokens, 1)), 6) AS quality_score
+        |  FROM (SELECT doc_id, len(toks) AS n_tokens,
+        |               len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS n_stop
+        |        FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |              FROM documents)))
+        |SELECT l.doc_id, l.group_id, g.group_size, q.quality_score,
+        |       row_number() OVER (PARTITION BY l.group_id
+        |                          ORDER BY q.quality_score DESC, l.doc_id) = 1 AS keep
+        |FROM lbl l JOIN gs g USING (group_id) JOIN q USING (doc_id)
         |ORDER BY l.doc_id""".stripMargin,
     // brute-force exact recomputation: the LSH pipeline can only emit pairs
     // exact cosine confirms (no false positives, checked here pair-for-pair);
