@@ -907,6 +907,54 @@ object AnalyticsQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** k-NN LABEL CONSISTENCY over the shared ANN edge table — the standard
+    * embedding-quality probe (a good representation places same-label
+    * points among each other's nearest neighbors; kNN-classification
+    * accuracy on held labels is the canonical intrinsic benchmark,
+    * cf. the linear/kNN probes of the SimCLR/DINO evaluation protocol):
+    * per node, the MAJORITY label of its ≤ k out-neighbors (ties to the
+    * smaller label — total order), compared against the node's own label.
+    * Rides the session-memoized edge relation like every graph-family
+    * member, adding one keyed vote aggregate and one top-1 window over
+    * ≤ k·N rows; nodes whose buckets were all cap-dropped keep a row with
+    * a NULL prediction (consistent = false). Deterministic end-to-end
+    * (the edge table is md5-parity replayable; votes are integers), so
+    * the oracle recomputes the whole probe. */
+  private def graphKnnClassify(s: SparkSession, d: String): DataFrame = {
+    val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val votes = sharedAnnEdges(s, d)
+      .join(lbl.select(col("vec_id").as("dst"), col("label").as("nl")), "dst")
+      .groupBy(col("src"), col("nl")).agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("votes").desc, col("nl"))))
+      .filter(col("rn") === 1)
+      .select(col("src").as("vec_id"), col("nl").as("pred_label"), col("votes"))
+    lbl.join(votes, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("pred_label"),
+        coalesce(col("votes"), lit(0L)).as("votes"),
+        coalesce(col("label") === col("pred_label"), lit(false)).as("consistent"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The DuckDB replay of [[graphKnnClassify]]: identical edge relation,
+    * integer vote counts, the same (votes DESC, label) top-1 order. */
+  private def knnClassifyOracleSql: String =
+    s"""WITH RECURSIVE ${annEdgesCteSql(withLabel = true)},
+       |votes AS (
+       |  SELECT e.src, b.label AS nl, CAST(count(*) AS BIGINT) AS votes
+       |  FROM edges e JOIN emb b ON b.vec_id = e.dst
+       |  GROUP BY 1, 2),
+       |best AS (
+       |  SELECT src, nl, votes,
+       |         row_number() OVER (PARTITION BY src ORDER BY votes DESC, nl) AS rn
+       |  FROM votes)
+       |SELECT m.vec_id, m.label, b.nl AS pred_label,
+       |       coalesce(b.votes, 0) AS votes,
+       |       coalesce(m.label = b.nl, FALSE) AS consistent
+       |FROM emb m LEFT JOIN (SELECT src, nl, votes FROM best WHERE rn = 1) b
+       |  ON b.src = m.vec_id
+       |ORDER BY m.vec_id""".stripMargin
+
   /** CONNECTED COMPONENTS over the k-NN similarity graph — the
     * corpus-structure census (how many semantic islands, how big the
     * giant component): the component id is the minimum vec_id reachable
@@ -1886,6 +1934,7 @@ object AnalyticsQueries {
     "graph_sssp" -> (graphSssp _),
     "graph_path_counts" -> (graphPathCounts _),
     "graph_betweenness" -> (graphBetweenness _),
+    "graph_knn_classify" -> (graphKnnClassify _),
     "join_point_in_time" -> (joinPointInTime _),
     "agg_incremental_merge" -> (aggIncrementalMerge _),
     "corpus_mix" -> (corpusMix _),
@@ -2199,6 +2248,7 @@ object AnalyticsQueries {
     // unweighted walk enumeration WITH duplicates: min hop + row count
     "graph_path_counts" -> pathCountsOracleSql,
     "graph_betweenness" -> betweennessOracleSql,
+    "graph_knn_classify" -> knnClassifyOracleSql,
     // bounded exact leg (probe nodes only) vs the bucketed edges, both
     // replayed exactly — recall is a VALUE here, not just a verdict
     "graph_knn_recall" ->
