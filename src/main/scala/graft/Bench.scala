@@ -105,8 +105,11 @@ object Bench {
     // calib 0.53 vs r9's 0.37 and every raw total regressed ~20% while
     // the code got faster — normalized values make such deltas
     // attributable without forensic A/B against steal windows.
-    val qsNorm = results.map { case (k, v, _) =>
-      s"\"" + k + "\":" + pct(if (calibS > 0) v / calibS else -1.0) }
+    // 4 dp, not the 2-dp percent helper: a 0.02-normalized query at 2 dp
+    // carries up to ~25% quantization error — defeating the purpose
+    def norm4(v: Double): String = String.format(java.util.Locale.ROOT,
+      "%.4f", Double.box(if (calibS > 0) v / calibS else -1.0))
+    val qsNorm = results.map { case (k, v, _) => s"\"" + k + "\":" + norm4(v) }
       .mkString("{", ",", "}")
     val qsSteal = results.map { case (k, _, s) => s"\"" + k + "\":" + pct(s) }
       .mkString("{", ",", "}")
@@ -133,7 +136,7 @@ object Bench {
       s""""steal_pct":${pct(stealPct)},"query_steal_pct":$qsSteal,""" +
       s""""calib_s":${pct(calibS)},"schemas":$schemasJson,""" +
       s""""started_at_ms":$startedAtMs,"finished_at_ms":${System.currentTimeMillis()}"""
-    val totalNorm = pct(if (calibS > 0) total / calibS else -1.0)
+    val totalNorm = norm4(total)
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_norm":$qsNorm,"total_norm":$totalNorm,""" +

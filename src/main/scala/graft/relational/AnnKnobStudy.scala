@@ -1,7 +1,6 @@
 package graft.relational
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dev-only measurement harness for the ANN edge-build geometry (r10
@@ -19,17 +18,16 @@ import org.apache.spark.sql.functions._
   * driver; classpath-only cost. */
 object AnnKnobStudy {
 
+  /** Exact-leg recall via the family's ONE brute-force baseline
+    * ([[graft.text.Similarity.bruteForceTopK]] — same tie order, same
+    * rounding; re-implementing it here would let the two baseline
+    * definitions drift and silently change published knob-study numbers). */
   private def recallOf(emb: DataFrame, edges: DataFrame, k: Int, sample: Int): Double = {
     import graft.text.Similarity
-    val s = emb.filter(col("vec_id") < sample)
-    val exact = broadcast(s.select(col("vec_id").as("src"), col("v").as("va")))
-      .crossJoin(emb.select(col("vec_id").as("dst"), col("v").as("vb")))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"), round(Similarity.cosine("va", "vb"), 6).as("cos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))))
-      .filter(col("rn") <= k)
-      .select(col("src"), col("dst"))
+    val asEmb = emb.select(col("vec_id"), col("v").as("embedding"))
+    val exact = Similarity
+      .bruteForceTopK(asEmb, asEmb.filter(col("vec_id") < sample), k)
+      .select(col("qid").as("src"), col("neighbor").as("dst"))
     val row = exact
       .join(edges.filter(col("src") < sample).withColumn("hit", lit(1)),
         Seq("src", "dst"), "left")

@@ -220,13 +220,23 @@ object DataPipelineQueries {
     * suffix sort, which is exactly the all-to-all a 1000-executor job
     * wants to avoid; multiplicity-by-hash-join is how the dedup families
     * here already scale. */
+  /** Window-census horizon shared VERBATIM with the DuckDB oracle's
+    * non-lateral `generate_series(1, …)` (DuckDB cannot make the series
+    * bound row-dependent): window starts beyond this position are out of
+    * the census on BOTH engines by construction — engine/oracle parity at
+    * any document length, not just the fixture's ~600-char max. A
+    * production deployment parameterizes or removes the cap (the Spark
+    * side needs no bound; it exists to keep the gate replayable). */
+  private val SubstrMaxStart = 4000
+
   private def textSubstringDedup(s: SparkSession, d: String): DataFrame = {
     val W = 40
     val norm = docs(s, d).select(col("doc_id"), TextOps.normalized("text").as("t"))
       .localCheckpoint(true) // read by the window leg AND the census join
     val w = norm.filter(length(col("t")) >= W)
       .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("t")) - lit(W - 1))).as("p"),
+        explode(sequence(lit(1),
+          least(length(col("t")) - lit(W - 1), lit(SubstrMaxStart)))).as("p"),
         col("t"))
       .select(col("doc_id"), col("p"), expr(s"substring(t, p, $W)").as("sub"))
     val dup = w.groupBy(col("sub")).agg(count(lit(1)).as("cnt"))
@@ -240,7 +250,8 @@ object DataPipelineQueries {
         sum(least(lit(W), coalesce(col("nxt") - col("p"), lit(W))))
           .as("dup_chars"))
     norm.select(col("doc_id"), length(col("t")).cast("long").as("n_chars"),
-        greatest(length(col("t")) - lit(W - 1), lit(0)).cast("long").as("n_windows"))
+        least(greatest(length(col("t")) - lit(W - 1), lit(0)), lit(SubstrMaxStart))
+          .cast("long").as("n_windows"))
       .join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chars"), col("n_windows"),
         coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
@@ -2800,15 +2811,16 @@ object DataPipelineQueries {
   val oracle: Map[String, String] = Map(
     // C4 line-dedup replay: DuckDB's lockstep UNNEST pairs each span with
     // exact replay of the ExactSubstr census — same normalization, same
-    // 40-char windows (fixed-width position enumeration bounded by each
-    // doc's own length; fixture max ~600), same multiplicity >= 2 rule,
-    // same lead()-based interval-union fold; all integers
+    // 40-char windows, same multiplicity >= 2 rule, same lead()-based
+    // interval-union fold; all integers. The 4000-start series bound IS
+    // the engine's SubstrMaxStart census horizon (enforced on both
+    // sides — see textSubstringDedup's scaladoc), not a fixture guess.
     "text_substring_dedup" ->
-      """WITH n AS (SELECT doc_id,
-        |             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      s"""WITH n AS (SELECT doc_id,
+        |             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
         |           FROM documents),
         |w AS (SELECT doc_id, p.p AS p, substr(t, p.p, 40) AS sub
-        |      FROM n CROSS JOIN generate_series(1, 4000) p(p)
+        |      FROM n CROSS JOIN generate_series(1, $SubstrMaxStart) p(p)
         |      WHERE p.p <= len(t) - 39),
         |d AS (SELECT sub FROM w GROUP BY sub HAVING count(*) >= 2),
         |ds AS (SELECT w.doc_id, w.p,
@@ -2818,7 +2830,7 @@ object DataPipelineQueries {
         |          CAST(sum(least(40, coalesce(nxt - p, 40))) AS BIGINT) AS dup_chars
         |        FROM ds GROUP BY doc_id)
         |SELECT n.doc_id, CAST(len(t) AS BIGINT) AS n_chars,
-        |       CAST(greatest(len(t) - 39, 0) AS BIGINT) AS n_windows,
+        |       CAST(least(greatest(len(t) - 39, 0), $SubstrMaxStart) AS BIGINT) AS n_windows,
         |       coalesce(c.n_dup_starts, 0) AS n_dup_starts,
         |       coalesce(c.dup_chars, 0) AS dup_chars,
         |       CAST(len(t) AS BIGINT) - coalesce(c.dup_chars, 0) AS keep_chars

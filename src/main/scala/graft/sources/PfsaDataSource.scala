@@ -55,6 +55,32 @@ object PfsaSource {
     * directory — the million-model path (see PfsaScan). */
   val ManifestName = "_manifest"
 
+  /** Machine names must survive the line-based manifest VERBATIM: reject
+    * names the format cannot round-trip (line breaks, edge whitespace —
+    * which a defensive reader could neither keep nor safely trim) and
+    * path separators at WRITE time, where the producer sees the failure.
+    * Listing-based reads handled such names by accident; the manifest
+    * makes the contract explicit. */
+  def validMachineName(n: String): Boolean =
+    n.nonEmpty && n == n.trim && !n.exists(c => c == '\n' || c == '\r' || c == '/')
+
+  /** The manifest's machine names, or None when no manifest exists —
+    * ONE parse shared by the scan and the commit refresh so the read and
+    * write sides can never disagree about library membership. Lines
+    * arrive verbatim (names are validated at write, so no trimming). */
+  def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                   dir: org.apache.hadoop.fs.Path): Option[Seq[String]] = {
+    val m = new org.apache.hadoop.fs.Path(dir, ManifestName)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(text.split("\n").toSeq.filter(_.nonEmpty))
+    }
+  }
+
   /** One row per (state, symbol) transition of each machine. */
   val Schema: StructType = StructType(Seq(
     StructField("machine", StringType, nullable = false),
@@ -168,18 +194,13 @@ class PfsaScan(path: String, required: StructType,
     // manifest to fall back to listing). Absent → one listStatus over
     // the top level (flat library BY CONTRACT: the write side emits a
     // flat dir; subdirectories are out of scope, not skipped).
-    val manifest = new org.apache.hadoop.fs.Path(dir, PfsaSource.ManifestName)
-    val stems: Iterator[String] =
-      if (fs.exists(manifest)) {
-        val in = fs.open(manifest)
-        val text =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-      } else
+    val stems: Iterator[String] = PfsaSource.readManifest(fs, dir) match {
+      case Some(names) => names.iterator
+      case None =>
         fs.listStatus(dir).iterator
           .filter(st => st.isFile && st.getPath.getName.endsWith(".pfsa"))
           .map(_.getPath.getName.stripSuffix(".pfsa"))
+    }
     stems.filter(keep)
       .map(n => PfsaInputPartition(new org.apache.hadoop.fs.Path(dir, s"$n.pfsa").toString)
         : InputPartition)
@@ -327,12 +348,18 @@ class PfsaBatchWrite(path: String, doTruncate: Boolean)
       case _ =>
     }
     // refresh the library manifest (read side plans from it without a
-    // directory listing — the million-model path). Under append, prior
-    // names come from the existing manifest when present (no listing at
-    // any library size) or one listing on a pre-manifest dir; truncate
-    // starts from the committed set alone, since the sweep above removed
-    // everything else. Written via stage-and-rename like the model files
-    // so a racing reader never sees a torn manifest.
+    // directory listing — the million-model path). Prior names under
+    // append come from the existing manifest UNION one directory listing:
+    // the listing costs this (rare) write one RPC and makes the refresh
+    // SELF-HEALING — names another concurrent append renamed into place
+    // before our listing are re-absorbed instead of lost-updated away,
+    // and any past divergence converges on the next write. The residual
+    // race (a commit whose renames land after our listing but whose
+    // manifest write lands before ours) still last-wins — concurrent
+    // writers to ONE library dir should coordinate, as with any
+    // file-listing table format; readers are never torn (stage-and-rename
+    // publish). Truncate starts from the committed set alone, since the
+    // sweep above removed everything else.
     val committedNames = messages.collect {
       case PfsaCommit(pairs) => pairs.map { case (_, fin) =>
         new org.apache.hadoop.fs.Path(fin).getName.stripSuffix(".pfsa") }
@@ -340,16 +367,11 @@ class PfsaBatchWrite(path: String, doTruncate: Boolean)
     val manifestPath = new org.apache.hadoop.fs.Path(p, PfsaSource.ManifestName)
     val prior: Set[String] =
       if (doTruncate) Set.empty
-      else if (fs.exists(manifestPath)) {
-        val in = fs.open(manifestPath)
-        val text =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
-      } else
-        fs.listStatus(p).iterator
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".pfsa"))
-          .map(_.getPath.getName.stripSuffix(".pfsa")).toSet
+      else
+        PfsaSource.readManifest(fs, p).map(_.toSet).getOrElse(Set.empty) ++
+          fs.listStatus(p).iterator
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".pfsa"))
+            .map(_.getPath.getName.stripSuffix(".pfsa")).toSet
     val stagedManifest =
       new org.apache.hadoop.fs.Path(p, s".${PfsaSource.ManifestName}.staged")
     val out = fs.create(stagedManifest, true)
@@ -392,6 +414,9 @@ class PfsaDataWriter(path: String, taskId: Long, conf: Map[String, String])
   private val staged = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
 
   private def flush(): Unit = if (cur != null && rows.nonEmpty) {
+    require(PfsaSource.validMachineName(cur),
+      s"machine name cannot round-trip the manifest/file layout: '$cur' " +
+        "(empty, edge whitespace, line breaks, and '/' are rejected)")
     val nStates = rows.iterator.map(r => math.max(r._1, r._4)).max + 1
     val nSyms = rows.iterator.map(_._2).max + 1
     require(rows.length == nStates * nSyms && rows.map(r => (r._1, r._2)).distinct.length == rows.length,

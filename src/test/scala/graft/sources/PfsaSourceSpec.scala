@@ -202,6 +202,23 @@ class PfsaSourceSpec extends AnyFunSuite {
     assert(all == Set("alpha", "beta", "stray"))
   }
 
+  test("write rejects machine names the manifest cannot round-trip") {
+    import spark.implicits._
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    Seq("a ", " a", "a\nb", "a/b").foreach { bad =>
+      val dir = java.nio.file.Files.createTempDirectory("pfsabadname").toString
+      val rows = for {
+        q <- Pfsa.m2.conn.indices; sym <- 0 until Pfsa.m2.alphabetSize
+      } yield (bad, q, sym, Pfsa.m2.pitilde(q)(sym), Pfsa.m2.conn(q)(sym), Pfsa.m2.symFrq(sym))
+      val e = intercept[Exception] {
+        rows.toDF("machine", "state", "symbol", "pitilde", "next_state", "sym_frq")
+          .write.format("pfsa").mode("overwrite").save(dir)
+      }
+      assert(messages(e).exists(_.contains("round-trip")), s"'$bad': $e")
+    }
+  }
+
   test("non-pfsa files are ignored; empty dir yields an empty table") {
     val dir = java.nio.file.Files.createTempDirectory("pfsamixed")
     write(dir, "only", Pfsa.m2)
