@@ -908,7 +908,7 @@ object DataPipelineQueries {
     * session (specs + gate + bench share a JVM) never accumulate
     * driver-resident result sets. Shared by every stream_* gate query that
     * doesn't need the live query handle afterwards. */
-  private def runMemorySink(streamed: DataFrame, prefix: String,
+  private[relational] def runMemorySink(streamed: DataFrame, prefix: String,
                             mode: String): DataFrame = {
     val qname = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = streamed.writeStream.format("memory").queryName(qname)

@@ -498,8 +498,16 @@ object QualityQueries {
       .groupBy(col("event_type"), col("bin"))
       .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("nb"),
         sum(when(!col("is_base"), 1L).otherwise(0L)).as("nc"))
-    // the full 10-bin universe per type: empty bins still contribute
-    // their smoothed term (the standard PSI definition)
+    psiVerdict(s, edges, counts)
+  }
+
+  /** Universe join + Laplace smoothing + ordered PSI fold — shared by the
+    * batch monitor and its streaming replay (one copy: a smoothing or
+    * fold-order change must reach both or they diverge under the gate).
+    * `counts` carries (event_type, bin, nb, nc); the full 10-bin universe
+    * per type keeps empty bins contributing their smoothed term (the
+    * standard PSI definition). */
+  private def psiVerdict(s: SparkSession, edges: DataFrame, counts: DataFrame): DataFrame = {
     val universe = edges.select(col("event_type"))
       .crossJoin(s.range(10).select(col("id").as("bin")))
     val terms = universe.join(counts, Seq("event_type", "bin"), "left")
@@ -520,8 +528,50 @@ object QualityQueries {
       .orderBy(col("event_type"))
   }
 
+  /** stream_dq_drift — the PSI monitor as a LIVE monitoring query (the
+    * production deployment shape: baseline bin edges are pinned OFFLINE
+    * from the reference corpus and broadcast; the event stream bins
+    * against them and per-(type, bin) counts accumulate in COMPLETE-mode
+    * aggregation state across triggers — the stream_vocab state shape
+    * applied to the dq family). After the bounded AvailableNow replay the
+    * sink's accumulated counts are exactly the batch counts, so the PSI
+    * verdict computed from them matches dq_distribution_drift
+    * value-for-value — directly hash-gated against the SAME DuckDB
+    * replay. At 100 TB: the only streaming state is |types|·10 count
+    * rows; every trigger's work is one broadcast join plus a combinable
+    * count update. */
+  private def streamDqDrift(s: SparkSession, d: String): DataFrame = {
+    val batchE = Tables.events(s, d).select(col("event_type"),
+      (col("event_id") % 2 === 0).as("is_base"),
+      expr("cast(round(value * 1e6) as bigint)").as("vmic"))
+    val edges = batchE.filter(col("is_base"))
+      .groupBy(col("event_type"))
+      .agg(min(col("vmic")).as("lo"), max(col("vmic")).as("hi"))
+      .localCheckpoint(true) // pinned baseline: read by the stream AND the verdict
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val src =
+      if (new java.io.File(s"$d/events.parquet").isDirectory)
+        s.readStream.schema(schema).parquet(s"$d/events.parquet")
+      else
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+    val counts = src.select(col("event_type"),
+        (col("event_id") % 2 === 0).as("is_base"),
+        expr("cast(round(value * 1e6) as bigint)").as("vmic"))
+      .join(broadcast(edges), "event_type")
+      .withColumn("bin", when(col("hi") === col("lo"), lit(0L))
+        .otherwise(greatest(lit(0L), least(lit(9L),
+          expr("((vmic - lo) * 10) div (hi - lo)")))))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("nb"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("nc"))
+    val sunk = DataPipelineQueries.runMemorySink(counts, "stream_dq_drift_", "complete")
+    psiVerdict(s, edges, sunk)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_distribution_drift" -> (dqDistributionDrift _),
+    "stream_dq_drift" -> (streamDqDrift _),
     "dq_referential_integrity" -> (dqReferentialIntegrity _),
     "dq_volume_anomaly" -> (dqVolumeAnomaly _),
     "dq_schema_drift" -> (dqSchemaDrift _),
@@ -535,13 +585,22 @@ object QualityQueries {
     "scd2_build" -> (scd2Build _),
   )
 
-  val oracle: Map[String, String] = Map(
+  private val oracle1: Map[String, String] = Map(
+    // the streaming replay's accumulated complete-mode counts equal the
+    // batch counts after the bounded run, so the SAME replay gates it
+    "stream_dq_drift" -> DriftOracleSql,
     // identical ladder: exact micro-unit baseline edges, integer-division
     // bin assignment (clamped — trunc-vs-floor cannot diverge after the
     // clamp because the numerator's sign decides both), Laplace +0.5
     // smoothing, ln-ratio terms folded in bin order, round@6 BEFORE the
     // 0.2 comparison
-    "dq_distribution_drift" ->
+    "dq_distribution_drift" -> DriftOracleSql,
+  )
+
+  /** The PSI replay shared verbatim by the batch monitor and its
+    * streaming counterpart (their outputs are value-identical). */
+  // lazy: referenced from oracle1, which initializes first in object order
+  private lazy val DriftOracleSql: String =
       """WITH e AS (SELECT event_type, event_id % 2 = 0 AS is_base,
         |                  CAST(round(value * 1e6) AS BIGINT) AS vmic FROM events),
         |edges AS (SELECT event_type, min(vmic) AS lo, max(vmic) AS hi
@@ -576,7 +635,9 @@ object QualityQueries {
         |       round(CAST(list_sum(list(term ORDER BY bin)) AS DOUBLE), 6) AS psi,
         |       round(CAST(list_sum(list(term ORDER BY bin)) AS DOUBLE), 6) > 0.2 AS drifted
         |FROM tv GROUP BY event_type, tb, tc
-        |ORDER BY event_type""".stripMargin,
+        |ORDER BY event_type""".stripMargin
+
+  private val oracle2: Map[String, String] = Map(
     // the same five FK edges, the same LEFT-join orphan counts
     "dq_referential_integrity" -> {
       val edges = Seq(
@@ -766,4 +827,6 @@ object QualityQueries {
         |FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |ORDER BY user_id, version""".stripMargin,
   )
+
+  val oracle: Map[String, String] = oracle1 ++ oracle2
 }
