@@ -46,7 +46,7 @@ def main():
         # calibration-normalized multiple (seconds / calib_s): the
         # round-over-round comparable number — box-speed drift cancels
         nval = norm.get(q)
-        nstr = f"{float(nval):8.2f}" if nval is not None else f"{'-':>8}"
+        nstr = f"{float(nval):8.4f}" if nval is not None else f"{'-':>8}"
         ratio = ours / ref
         ratios.append(ratio)
         print(f"{q:24} {ours:8.2f} {nstr} {ref:8.1f} {ratio:8.4f}  {desc}")

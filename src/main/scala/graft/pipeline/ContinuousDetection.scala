@@ -135,6 +135,12 @@ object ContinuousDetection {
       born_pfsa: Option[String], born_mean: Double, born_std: Double,
       symbols: Seq[Byte])
 
+  /** Deterministic per-window bootstrap seed — a pure function of
+    * (base seed, stream, window) shared by the fold and the verdict
+    * grid's bounds recompute, so neither threads RNG state. */
+  private[graft] def seedBase(pSeed: Long, sid: Long, wid: Long): Long =
+    pSeed + sid * 7919L + wid * 104729L
+
   /** The [[fitStream]] fold, emitting [[WindowEvidence]] rows. Seeds and
     * step semantics are identical — [[fitStream]] is a projection of this. */
   def fitStreamEvidence(spark: SparkSession, longDf: DataFrame, p: Params)
@@ -152,7 +158,7 @@ object ContinuousDetection {
         sorted.iterator.map { case (_, wid, syms) =>
           val before = lib.size
           val (next, emerged, llk, closest) =
-            step(lib, syms.toArray, p, seedBase = p.seed + sid * 7919L + wid * 104729L)
+            step(lib, syms.toArray, p, seedBase = seedBase(p.seed, sid, wid))
           val (bp, bm, bs) =
             if (emerged) { val e = next.last; (Some(e.pfsa.toText), e.mean, e.std) }
             else (None, 0.0, 0.0)
@@ -189,7 +195,16 @@ object ContinuousDetection {
     *    window's closest achieves the library-version minimum llk
     *    (tie-agnostic, recomputed values);
     *  - `llk_matches`: the fold's reported llk equals the independent
-    *    recompute on the explaining/new entry (≤1e-9, +∞ ≡ +∞). */
+    *    recompute on the explaining/new entry (≤1e-9, +∞ ≡ +∞);
+    *  - `bounds_ok` (r11 verdict ask #3 — the grid's last trust edge):
+    *    on emergence, the newborn's `born_mean`/`born_std` literals are
+    *    RE-DERIVED from scratch — the codec-round-tripped machine is
+    *    re-sampled through the seeded counter-based md5 sampler
+    *    ([[Pfsa.sample]], the pfsa_sample value-oracled kernel) at the
+    *    recomputed per-window seed, each path re-scored, and the
+    *    mean/sample-std recomputed — so a tampered bound, a lossy codec,
+    *    or a seed drift now breaks the grid instead of riding through as
+    *    trusted evidence. Non-emergence windows are vacuously true. */
   def verdictGrid(spark: SparkSession, longDf: DataFrame, p: Params): DataFrame =
     verdictGrid0(fitStreamEvidence(spark, longDf, p), p)
 
@@ -234,10 +249,28 @@ object ContinuousDetection {
             val l2 = llk2(w.closest)
             w.llk == l2 || math.abs(w.llk - l2) <= eps
           }
-          (sid, w.win_id, ruleMatches, growthOk, closestOk, llkMatches)
+          // bounds recompute: the full birth-time bootstrap, re-run from
+          // the re-parsed machine and the recomputed seed (bit-identical
+          // in the untampered case — the codec round-trips doubles via
+          // shortest-repr toString and the sampler is counter-based)
+          val boundsOk = !w.emerged || (nBefore < lib.length && {
+            val pf = lib(nBefore)
+            val sb = seedBase(p.seed, sid, w.win_id)
+            val own = Llk.llk(w.symbols.toArray, pf)
+            val boot = Array.tabulate(p.bootstrapRepeats)(i =>
+              Llk.llk(pf.sample(p.windowSize, sb + i), pf))
+            val all = own +: boot.toVector
+            val mean = all.sum / all.size
+            val std =
+              if (all.size < 2) 0.0
+              else math.sqrt(all.map(v => (v - mean) * (v - mean)).sum / (all.size - 1))
+            math.abs(mean - w.born_mean) <= eps && math.abs(std - w.born_std) <= eps
+          })
+          (sid, w.win_id, ruleMatches, growthOk, closestOk, llkMatches, boundsOk)
         }
       }
-      .toDF("seq_id", "win_id", "rule_matches", "growth_ok", "closest_ok", "llk_matches")
+      .toDF("seq_id", "win_id", "rule_matches", "growth_ok", "closest_ok",
+        "llk_matches", "bounds_ok")
       .orderBy("seq_id", "win_id")
   }
 }

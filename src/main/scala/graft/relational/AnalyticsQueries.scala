@@ -1149,14 +1149,21 @@ object AnalyticsQueries {
     * each of the H backward rounds is one keyed join of the next level's
     * ψ against the DAG plus a combinable sum — the exact mirror of the
     * forward BFS cost, linear per round at any corpus size, state ≤ N. */
-  private def graphBetweenness(s: SparkSession, d: String): DataFrame = {
-    val (und, vis) = sharedBfsSigma(s, d)
-    val dagE = und
+  /** The shortest-path DAG of the memoized BFS forward state: the
+    * level-respecting edge subset (src one hop shallower than dst),
+    * checkpointed — shared by the stress backward pass and the fractional
+    * pair census. ≤ 2k·N rows, one three-way keyed join. */
+  private def shortestPathDag(und: DataFrame, vis: DataFrame): DataFrame =
+    und
       .join(vis.select(col("node").as("src"), col("dist_hops").as("sl")), "src")
       .join(vis.select(col("node").as("dst"), col("dist_hops").as("dl")), "dst")
       .filter(col("dl") === col("sl") + 1)
       .select(col("src"), col("dst"), col("sl"))
-      .localCheckpoint(true) // read once per backward round
+      .localCheckpoint(true) // read once per backward/extension round
+
+  private def graphBetweenness(s: SparkSession, d: String): DataFrame = {
+    val (und, vis) = sharedBfsSigma(s, d)
+    val dagE = shortestPathDag(und, vis)
     // deepest-possible level seeds the recursion with ψ = 0 (no successors)
     var psiKnown = vis.filter(col("dist_hops") === SsspHops.toLong)
       .select(col("node"), lit(0L).as("psi"))
@@ -1173,6 +1180,62 @@ object AnalyticsQueries {
     vis.join(psiKnown, Seq("node"))
       .select(col("node").as("vec_id"), col("dist_hops"), col("sigma"),
         col("psi"), (col("sigma") * col("psi")).as("stress"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** CANONICAL (fractional) betweenness on the same memoized DAG — what
+    * "betweenness centrality" means to most users, δ(v) = Σ_t
+    * σ_st(v)/σ_st (Brandes' dependency of the seed set on v), gated in
+    * the integer-micro regime every cross-engine stat here follows:
+    * σ_st(v) = σ(v)·cnt(v,t) with cnt(v,t) = the number of downward DAG
+    * walks v→t, so each (v,t) pair contributes the exact-integer term
+    * (10^6·σ(v)·cnt(v,t)) div σ(t), and `delta_micros` is their sum —
+    * term-wise truncating division is the pinned semantics, making both
+    * engines bit-identical with zero float accumulation order to defend
+    * (σ max 3, cnt ≤ ψ max 138 at sf0.1: ~10^9 per term, far inside
+    * BIGINT). The engine computes cnt(v,t) by length-DP over the DAG —
+    * per extension round ONE keyed join of the (start, node, cnt) pair
+    * relation against the checkpointed DAG edges plus a combinable sum,
+    * H rounds — while the oracle enumerates every downward walk as a
+    * recursive-CTE row and counts them raw: independent computational
+    * paths meeting only at the math.
+    *
+    * Scale note: the pair relation is Σ_v |DAG-reach(v)| rows — bounded
+    * by the seed set's H-hop reach (the whole betweenness family here is
+    * seeded, not all-sources), NOT by the corpus; for corpus-wide serving
+    * at 100 TB the float Brandes σ-ratio recursion over the same DAG
+    * (H keyed joins, O(edges) per round) is the shape to run, traded here
+    * for the exactness-auditable census the gate can pin. */
+  private def graphBetweennessFrac(s: SparkSession, d: String): DataFrame = {
+    val (und, vis) = sharedBfsSigma(s, d)
+    val dagE = shortestPathDag(und, vis)
+    // length-DP walk counts: level L holds all length-L downward walks as
+    // (start, node, cnt) with multiplicity; a walk from level l has length
+    // ≤ SsspHops − l, so SsspHops rounds exhaust the DAG (levels strictly
+    // increase — the frame just empties early for deeper starts)
+    var level = dagE.select(col("src").as("start"), col("dst").as("node"),
+      lit(1L).as("cnt")).localCheckpoint(true)
+    var pairs = level
+    for (_ <- 2 to SsspHops) {
+      level = level
+        .join(dagE.select(col("src").as("node"), col("dst").as("nxt")), "node")
+        .groupBy(col("start"), col("nxt")).agg(sum(col("cnt")).as("cnt"))
+        .select(col("start"), col("nxt").as("node"), col("cnt"))
+        .localCheckpoint(true)
+      pairs = pairs.union(level)
+    }
+    val cnts = pairs.groupBy(col("start"), col("node")).agg(sum(col("cnt")).as("cnt"))
+    val sig = vis.select(col("node"), col("sigma"))
+    val delta = cnts
+      .join(sig.select(col("node").as("start"), col("sigma").as("sig_v")), "start")
+      .join(sig.select(col("node"), col("sigma").as("sig_t")), "node")
+      .select(col("start"),
+        expr("(1000000L * sig_v * cnt) div sig_t").as("term"))
+      .groupBy(col("start")).agg(sum(col("term")).as("delta_micros"))
+    vis.join(delta.select(col("start").as("node"), col("delta_micros")),
+        Seq("node"), "left")
+      .select(col("node").as("vec_id"), col("dist_hops"), col("sigma"),
+        coalesce(col("delta_micros"), lit(0L)).as("delta_micros"))
       .orderBy(col("vec_id"))
   }
 
@@ -1209,6 +1272,49 @@ object AnalyticsQueries {
        |SELECT m.node AS vec_id, CAST(m.dist_hops AS BIGINT) AS dist_hops,
        |       s.sigma, p.psi, s.sigma * p.psi AS stress
        |FROM md m JOIN sig s ON s.node = m.node JOIN psi p ON p.node = m.node
+       |ORDER BY vec_id""".stripMargin
+
+  /** The DuckDB recompute of [[graphBetweennessFrac]]: dist and σ from the
+    * walk enumeration (as in the stress oracle); cnt(v,t) by enumerating
+    * EVERY downward DAG walk as one recursive-CTE row (UNION ALL — raw
+    * multiplicity, no DP) and counting per (start, end); then the identical
+    * pinned term formula (10^6·σ_v·cnt) // σ_t summed per start. */
+  private def betweennessFracOracleSql: String =
+    s"""WITH RECURSIVE ${annEdgesCteSql(withLabel = false)},
+       |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)),
+       |walks(node, hop) AS (
+       |  SELECT vec_id, 0 FROM emb WHERE vec_id < $SsspSources
+       |  UNION ALL
+       |  SELECT u.dst, w.hop + 1 FROM walks w JOIN und u ON u.src = w.node
+       |  WHERE w.hop < $SsspHops),
+       |md AS MATERIALIZED (SELECT node, min(hop) AS dist_hops FROM walks GROUP BY node),
+       |sig AS MATERIALIZED (
+       |  SELECT w.node, CAST(count(*) AS BIGINT) AS sigma
+       |  FROM walks w JOIN md m ON m.node = w.node AND w.hop = m.dist_hops
+       |  GROUP BY 1),
+       |dag AS MATERIALIZED (
+       |  SELECT u.src, u.dst FROM und u
+       |  JOIN md a ON a.node = u.src JOIN md b ON b.node = u.dst
+       |  WHERE b.dist_hops = a.dist_hops + 1),
+       |down(start, node) AS (
+       |  SELECT src, dst FROM dag
+       |  UNION ALL
+       |  SELECT d.start, g.dst FROM down d JOIN dag g ON g.src = d.node),
+       |cnts AS (SELECT start, node, CAST(count(*) AS BIGINT) AS cnt
+       |         FROM down GROUP BY 1, 2),
+       |delta AS (
+       |  SELECT c.start AS node,
+       |         CAST(sum((1000000 * sv.sigma * c.cnt) // st.sigma) AS BIGINT)
+       |           AS delta_micros
+       |  FROM cnts c
+       |  JOIN sig sv ON sv.node = c.start
+       |  JOIN sig st ON st.node = c.node
+       |  GROUP BY 1)
+       |SELECT m.node AS vec_id, CAST(m.dist_hops AS BIGINT) AS dist_hops,
+       |       s.sigma, COALESCE(d.delta_micros, CAST(0 AS BIGINT)) AS delta_micros
+       |FROM md m JOIN sig s ON s.node = m.node
+       |LEFT JOIN delta d ON d.node = m.node
        |ORDER BY vec_id""".stripMargin
 
   /** The DuckDB replay of [[graphPathCounts]]: UNION ALL walk
@@ -1934,6 +2040,7 @@ object AnalyticsQueries {
     "graph_sssp" -> (graphSssp _),
     "graph_path_counts" -> (graphPathCounts _),
     "graph_betweenness" -> (graphBetweenness _),
+    "graph_betweenness_frac" -> (graphBetweennessFrac _),
     "graph_knn_classify" -> (graphKnnClassify _),
     "join_point_in_time" -> (joinPointInTime _),
     "agg_incremental_merge" -> (aggIncrementalMerge _),
@@ -2248,6 +2355,7 @@ object AnalyticsQueries {
     // unweighted walk enumeration WITH duplicates: min hop + row count
     "graph_path_counts" -> pathCountsOracleSql,
     "graph_betweenness" -> betweennessOracleSql,
+    "graph_betweenness_frac" -> betweennessFracOracleSql,
     "graph_knn_classify" -> knnClassifyOracleSql,
     // bounded exact leg (probe nodes only) vs the bucketed edges, both
     // replayed exactly — recall is a VALUE here, not just a verdict

@@ -725,6 +725,11 @@ object EmbedQueries {
         sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_cur"),
         sum(when(col("is_base"), col("vmic")).otherwise(0L)).as("sb"),
         sum(when(!col("is_base"), col("vmic")).otherwise(0L)).as("sc"))
+      // degenerate-half guard (both engines): a corpus whose vec_ids are
+      // all one parity would otherwise diverge — Spark div yields NULL
+      // rows while DuckDB // raises division-by-zero. Dropping empty-half
+      // dims keeps the engines bit-identical on ANY corpus.
+      .filter(col("n_base") > 0 && col("n_cur") > 0)
       .select(col("dim"), col("n_base"), col("n_cur"),
         expr("sb div n_base").as("mean_base_micros"),
         expr("sc div n_cur").as("mean_cur_micros"))
@@ -756,10 +761,10 @@ object EmbedQueries {
     // dqEmbeddingDrift's scaladoc); fixed-width dim enumeration bounded
     // by each vector's own length (the annEdges convention)
     "dq_embedding_drift" ->
-      """WITH x AS (
+      s"""WITH x AS (
         |  SELECT vec_id % 2 = 0 AS is_base, d.i - 1 AS dim,
         |         CAST(round(embedding[d.i]::DOUBLE * 1e6) AS BIGINT) AS vmic
-        |  FROM embeddings CROSS JOIN generate_series(1, 256) d(i)
+        |  FROM embeddings CROSS JOIN generate_series(1, ${AnalyticsQueries.GraphMaxDim}) d(i)
         |  WHERE d.i <= len(embedding)),
         |a AS (
         |  SELECT dim,
@@ -773,7 +778,7 @@ object EmbedQueries {
         |       sc // n_cur AS mean_cur_micros,
         |       abs(sc // n_cur - sb // n_base) AS shift_micros,
         |       abs(sc // n_cur - sb // n_base) > 20000 AS drifted
-        |FROM a ORDER BY dim""".stripMargin,
+        |FROM a WHERE n_base > 0 AND n_cur > 0 ORDER BY dim""".stripMargin,
     // full value-level replay of the streaming vector near-dup — see
     // streamEmbedNearDup's scaladoc: the same corpus+twins, the same
     // coordinate-sign codes, the same under-cap bucket restriction, the

@@ -768,7 +768,7 @@ object PipelineQueries {
         |SELECT user_id AS seq_id,
         |       unnest(generate_series(CAST(0 AS BIGINT), CAST(floor((n - 20) / 10.0) AS BIGINT))) AS win_id,
         |       TRUE AS rule_matches, TRUE AS growth_ok, TRUE AS closest_ok,
-        |       TRUE AS llk_matches
+        |       TRUE AS llk_matches, TRUE AS bounds_ok
         |FROM n WHERE n >= 20
         |ORDER BY seq_id, win_id""".stripMargin,
     // window-coverage verdict — see streamFitPredict's scaladoc: complete

@@ -81,6 +81,44 @@ object PfsaSource {
     }
   }
 
+  /** Stage-and-rename manifest publish — the single write path shared by
+    * the connector's commit refresh and [[reconcile]], so a reader can
+    * never observe a torn manifest. */
+  def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+                    dir: org.apache.hadoop.fs.Path, names: Seq[String]): Unit = {
+    val manifestPath = new org.apache.hadoop.fs.Path(dir, ManifestName)
+    val staged = new org.apache.hadoop.fs.Path(dir, s".$ManifestName.staged")
+    val out = fs.create(staged, true)
+    try out.write(names.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(manifestPath)) fs.delete(manifestPath, false)
+    require(fs.rename(staged, manifestPath),
+      s"pfsa manifest publish failed: $manifestPath")
+  }
+
+  /** One-call library repair for the manifest-first read path's documented
+    * blind spot: the manifest is authoritative, so a `.pfsa` file dropped
+    * into (or deleted from) the directory by hand is invisible (or a
+    * planned-but-missing partition) until the next connector write.
+    * `reconcile(dir)` re-lists the directory and republishes the manifest
+    * as the disk's ACTUAL membership — strays become visible, ghosts
+    * drop out — without touching any model file or the read path itself.
+    * Returns the reconciled names. One listing + one KB-scale manifest
+    * write; safe to run any time no concurrent write is committing. */
+  def reconcile(dir: String,
+                conf: Map[String, String] = sessionConfMap()): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(dir, conf)
+    val names =
+      if (!fs.exists(p)) Seq.empty[String]
+      else fs.listStatus(p).iterator
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".pfsa"))
+        .map(_.getPath.getName.stripSuffix(".pfsa")).toSeq.sorted
+    writeManifest(fs, p, names)
+    names
+  }
+
   /** One row per (state, symbol) transition of each machine. */
   val Schema: StructType = StructType(Seq(
     StructField("machine", StringType, nullable = false),
@@ -349,11 +387,14 @@ class PfsaBatchWrite(path: String, doTruncate: Boolean)
     }
     // refresh the library manifest (read side plans from it without a
     // directory listing — the million-model path). Prior names under
-    // append come from the existing manifest UNION one directory listing:
-    // the listing costs this (rare) write one RPC and makes the refresh
-    // SELF-HEALING — names another concurrent append renamed into place
-    // before our listing are re-absorbed instead of lost-updated away,
-    // and any past divergence converges on the next write. The residual
+    // append come from ONE directory listing (not the old manifest): the
+    // listing costs this (rare) write one RPC and makes the refresh
+    // SELF-HEALING in BOTH directions — names another concurrent append
+    // renamed into place before our listing are re-absorbed instead of
+    // lost-updated away, and a stale manifest name whose .pfsa was
+    // deleted out-of-band drops out instead of being carried forward
+    // forever into a planned-but-missing read partition (unioning the
+    // old manifest would pin such ghosts permanently). The residual
     // race (a commit whose renames land after our listing but whose
     // manifest write lands before ours) still last-wins — concurrent
     // writers to ONE library dir should coordinate, as with any
@@ -364,23 +405,13 @@ class PfsaBatchWrite(path: String, doTruncate: Boolean)
       case PfsaCommit(pairs) => pairs.map { case (_, fin) =>
         new org.apache.hadoop.fs.Path(fin).getName.stripSuffix(".pfsa") }
     }.flatten.toSet
-    val manifestPath = new org.apache.hadoop.fs.Path(p, PfsaSource.ManifestName)
     val prior: Set[String] =
       if (doTruncate) Set.empty
       else
-        PfsaSource.readManifest(fs, p).map(_.toSet).getOrElse(Set.empty) ++
-          fs.listStatus(p).iterator
-            .filter(st => st.isFile && st.getPath.getName.endsWith(".pfsa"))
-            .map(_.getPath.getName.stripSuffix(".pfsa")).toSet
-    val stagedManifest =
-      new org.apache.hadoop.fs.Path(p, s".${PfsaSource.ManifestName}.staged")
-    val out = fs.create(stagedManifest, true)
-    try out.write((prior ++ committedNames).toSeq.sorted.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (fs.exists(manifestPath)) fs.delete(manifestPath, false)
-    require(fs.rename(stagedManifest, manifestPath),
-      s"pfsa commit failed to publish $manifestPath")
+        fs.listStatus(p).iterator
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".pfsa"))
+          .map(_.getPath.getName.stripSuffix(".pfsa")).toSet
+    PfsaSource.writeManifest(fs, p, (prior ++ committedNames).toSeq)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

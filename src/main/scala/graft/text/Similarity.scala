@@ -215,19 +215,39 @@ object Similarity {
   final case class IvfIndex(cells: DataFrame, centers: Array[Array[Double]])
 
   /** Fit the IVF coarse quantizer: seeded KMeans over the corpus embeddings,
-    * `nCells = 0` → ≈√N cells (see [[ivfTopK]]). */
-  def ivfIndex(corpus: DataFrame, nCells: Int = 0, seed: Long = 42L): IvfIndex = {
+    * `nCells = 0` → ≈√N cells (see [[ivfTopK]]).
+    *
+    * The KMeans FIT trains on a bounded deterministic sample (the same
+    * md5-hash-ordered take as [[pqIndex]]'s codebook fit) whenever the
+    * corpus exceeds `fitSampleSize`; only the single cell-ASSIGNMENT pass
+    * touches every row. Lloyd iterations over the full corpus were the
+    * one super-linear term in the IVFPQ build (the r11 10× row grew 4.3×
+    * on exactly this), and coarse-cell geometry needs ~tens of points per
+    * cell, not the whole corpus — √N cells from a ≥ 4·√N-point sample is
+    * the standard FAISS train regime. Below the cap the fit input is the
+    * full corpus, so small-corpus centers (and every gate verdict) are
+    * bit-unchanged. */
+  def ivfIndex(corpus: DataFrame, nCells: Int = 0, seed: Long = 42L,
+               fitSampleSize: Int = 4096): IvfIndex = {
     // Spark's own codegen'd interop function, not a UDF — float→double
     // widening is exact, so the fitted centers are unchanged
     val cf = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("features", org.apache.spark.ml.functions.array_to_vector(
         col("embedding").cast("array<double>")))
+    val n = corpus.count()
     val cells0 =
       if (nCells > 0) nCells
-      else math.max(4, math.min(4096, math.ceil(math.sqrt(corpus.count().toDouble)).toInt))
+      else math.max(4, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
+    // never sample below 4 points per requested cell (k ≤ |fit input|
+    // must hold, and degenerate cells would starve the probe geometry)
+    val fitCap = math.max(fitSampleSize, 4 * cells0)
+    val fitInput =
+      if (n <= fitCap) cf
+      else cf.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(fitCap)
     val km = new KMeans().setK(cells0).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(cf)
+    val model = km.fit(fitInput)
     IvfIndex(model.transform(cf).select(col("vec_id"), col("cell")),
       model.clusterCenters.map(_.toArray))
   }

@@ -72,7 +72,7 @@ class ContinuousDetectionSpec extends AnyFunSuite {
     val grid = ContinuousDetection.verdictGrid(spark, longForm(stream), params).collect()
     assert(grid.length == 30, s"expected 30 windows, got ${grid.length}")
     grid.foreach { r =>
-      assert((2 to 5).forall(r.getBoolean),
+      assert((2 to 6).forall(r.getBoolean),
         s"verdict failed at win ${r.getLong(1)}: $r")
     }
     // sanity: the fold really emerged at least twice on this stream (the
@@ -93,6 +93,30 @@ class ContinuousDetectionSpec extends AnyFunSuite {
     assert(grid.forall(!_.getBoolean(3)), "tampered n_patterns must fail growth_ok")
     assert(grid.forall(r => r.getBoolean(2) && r.getBoolean(5)),
       "unrelated verdicts must stay true")
+  }
+
+  test("verdict grid catches tampered bootstrap bounds (born_mean literal)") {
+    // the r11 trust edge: born_mean/born_std used to ride as believed
+    // literals — now the grid re-derives them through the seeded sampler,
+    // so a nudged mean must fail bounds_ok at every emergence window and
+    // nowhere else (non-emergence windows are vacuously true)
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val ev = ContinuousDetection.fitStreamEvidence(spark, longForm(stream), params)
+    val tampered = ev.withColumn("born_mean",
+        when(col("emerged"), col("born_mean") + lit(0.5)).otherwise(col("born_mean")))
+      .as[ContinuousDetection.WindowEvidence]
+    val emergedWins = ev.filter(_.emerged).collect().map(_.win_id).toSet
+    assert(emergedWins.nonEmpty)
+    val grid = ContinuousDetection.verdictGrid0(tampered, params).collect()
+    grid.foreach { r =>
+      val wid = r.getLong(1)
+      if (emergedWins.contains(wid))
+        assert(!r.getBoolean(6), s"tampered born_mean must fail bounds_ok at win $wid")
+      else
+        assert(r.getBoolean(6), s"non-emergence win $wid must stay vacuously true")
+      assert(r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5),
+        s"growth/closest/llk verdicts must be untouched at win $wid: $r")
+    }
   }
 
   test("streaming state handler matches the batch replay") {
