@@ -212,14 +212,18 @@ object DataPipelineQueries {
     * but keep their census row.
     *
     * 100-TB shape: the corpus-sized stages are one explode (len rows per
-    * doc — at scale you'd ship substring HASHES instead of the 40-char
-    * keys; the join key is the only change) and two keyed shuffles (the
-    * multiplicity groupBy and the join back); the per-doc union fold
-    * shuffles only flagged starts. No suffix array, no global sort —
-    * the published alternative (Lee et al. §3.1) needs a corpus-wide
-    * suffix sort, which is exactly the all-to-all a 1000-executor job
-    * wants to avoid; multiplicity-by-hash-join is how the dedup families
-    * here already scale. */
+    * doc) and two keyed shuffles (the multiplicity groupBy and the join
+    * back); the per-doc union fold shuffles only flagged starts. No
+    * suffix array, no global sort — the published alternative (Lee et
+    * al. §3.1) needs a corpus-wide suffix sort, which is exactly the
+    * all-to-all a 1000-executor job wants to avoid;
+    * multiplicity-by-hash-join is how the dedup families here already
+    * scale. At scale run [[substringDedupCensus]] with
+    * `hashKeys = true`: the shuffled join key is then the FIXED-WIDTH
+    * xxhash64 of each window instead of the W-char substring — W× less
+    * exchange volume, spec-proven equivalent at fixture scale
+    * (SubstringDedupSpec); the gate path pins `hashKeys = false` so the
+    * DuckDB oracle replays raw substrings. */
   /** Window-census horizon shared VERBATIM with the DuckDB oracle's
     * non-lateral `generate_series(1, …)` (DuckDB cannot make the series
     * bound row-dependent): window starts beyond this position are out of
@@ -229,19 +233,36 @@ object DataPipelineQueries {
     * side needs no bound; it exists to keep the gate replayable). */
   private val SubstrMaxStart = 4000
 
-  private def textSubstringDedup(s: SparkSession, d: String): DataFrame = {
-    val W = 40
-    val norm = docs(s, d).select(col("doc_id"), TextOps.normalized("text").as("t"))
+  private def textSubstringDedup(s: SparkSession, d: String): DataFrame =
+    substringDedupCensus(
+      docs(s, d).select(col("doc_id"), TextOps.normalized("text").as("t")),
+      w = 40, maxStart = SubstrMaxStart, hashKeys = false)
+
+  /** The parameterized census engine behind text_substring_dedup:
+    * `normDocs` is `(doc_id, t)` with `t` already normalized; `w` the
+    * window width, `maxStart` the census horizon (see [[SubstrMaxStart]];
+    * `Int.MaxValue` removes the cap for production runs), and `hashKeys`
+    * swaps the multiplicity-join key from the raw w-char substring to its
+    * xxhash64 — the fixed-width 100-TB key path (the substring itself
+    * never leaves its scan projection). A 64-bit collision could merge
+    * two distinct windows' multiplicities (flagging a span that occurs
+    * once); at p ≈ n²/2⁶⁵ that is the standard accepted ExactSubstr
+    * trade, and the gate path keeps raw keys so the oracle stays exact. */
+  private[relational] def substringDedupCensus(normDocs: DataFrame, w: Int,
+      maxStart: Int, hashKeys: Boolean): DataFrame = {
+    val W = w
+    val norm = normDocs.select(col("doc_id"), col("t"))
       .localCheckpoint(true) // read by the window leg AND the census join
-    val w = norm.filter(length(col("t")) >= W)
+    val key: Column => Column = if (hashKeys) xxhash64(_) else identity
+    val wins = norm.filter(length(col("t")) >= W)
       .select(col("doc_id"),
         explode(sequence(lit(1),
-          least(length(col("t")) - lit(W - 1), lit(SubstrMaxStart)))).as("p"),
+          least(length(col("t")) - lit(W - 1), lit(maxStart)))).as("p"),
         col("t"))
-      .select(col("doc_id"), col("p"), expr(s"substring(t, p, $W)").as("sub"))
-    val dup = w.groupBy(col("sub")).agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("p"), key(expr(s"substring(t, p, $W)")).as("sub"))
+    val dup = wins.groupBy(col("sub")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2).select(col("sub"))
-    val cov = w.join(dup, "sub")
+    val cov = wins.join(dup, "sub")
       .select(col("doc_id"), col("p"))
       .withColumn("nxt", lead(col("p"), 1).over(
         Window.partitionBy(col("doc_id")).orderBy(col("p"))))
@@ -250,7 +271,7 @@ object DataPipelineQueries {
         sum(least(lit(W), coalesce(col("nxt") - col("p"), lit(W))))
           .as("dup_chars"))
     norm.select(col("doc_id"), length(col("t")).cast("long").as("n_chars"),
-        least(greatest(length(col("t")) - lit(W - 1), lit(0)), lit(SubstrMaxStart))
+        least(greatest(length(col("t")) - lit(W - 1), lit(0)), lit(maxStart))
           .cast("long").as("n_windows"))
       .join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chars"), col("n_windows"),

@@ -72,6 +72,41 @@ class SubstringDedupSpec extends AnyFunSuite {
       s"self-repeat must flag spans: ${m(7L)}")
   }
 
+  test("hash-key census path is row-identical to the raw-substring key path") {
+    import spark.implicits._
+    // a corpus mixing every census regime: cross-doc duplicated block,
+    // identical full docs, self-repetition, a clean long doc, a short doc
+    // (pads: seeded random alphanumerics, distinct first chars — constant
+    // pads would make all-pad windows self-similar)
+    val rnd = new scala.util.Random(33L)
+    def pad(head: Char, n: Int) = head + rnd.alphanumeric.take(n - 1).mkString.toLowerCase
+    val block = "shared forty char block 0123456789 abcd" // 40 chars
+    val same = pad('m', 120)
+    val phrase = pad('r', 48)
+    val docs = Seq(
+      (0L, block + pad('q', 70)),
+      (1L, block + pad('z', 70)),
+      (2L, same), (3L, same),
+      (4L, phrase + " mid " + phrase),
+      (5L, pad('c', 200)),
+      (6L, "tiny"))
+      .toDF("doc_id", "t")
+    val raw = DataPipelineQueries
+      .substringDedupCensus(docs, w = 40, maxStart = 4000, hashKeys = false)
+      .collect().map(_.toSeq).toSeq
+    val hashed = DataPipelineQueries
+      .substringDedupCensus(docs, w = 40, maxStart = 4000, hashKeys = true)
+      .collect().map(_.toSeq).toSeq
+    assert(raw == hashed, s"hash-key census diverged:\nraw   =$raw\nhashed=$hashed")
+    // the fixture really exercises duplication (not a vacuously-equal zero grid)
+    assert(raw.exists(r => r(4).asInstanceOf[Long] > 0L))
+    // and the maxStart horizon parameterization caps the window census
+    val capped = DataPipelineQueries
+      .substringDedupCensus(docs, w = 40, maxStart = 50, hashKeys = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(capped(5L) == 50L, s"maxStart horizon must cap n_windows: $capped")
+  }
+
   test("dq_embedding_drift flags exactly the dimension with an injected mean shift") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("embdrift").toString

@@ -202,6 +202,57 @@ class PfsaSourceSpec extends AnyFunSuite {
     assert(all == Set("alpha", "beta", "stray"))
   }
 
+  test("reconcile republishes the manifest from disk: strays appear, ghosts drop") {
+    import spark.implicits._
+    def df(n: String) = (for {
+      q <- Pfsa.m2.conn.indices; sym <- 0 until Pfsa.m2.alphabetSize
+    } yield (n, q, sym, Pfsa.m2.pitilde(q)(sym), Pfsa.m2.conn(q)(sym), Pfsa.m2.symFrq(sym)))
+      .toDF("machine", "state", "symbol", "pitilde", "next_state", "sym_frq")
+    val dir = java.nio.file.Files.createTempDirectory("pfsarecon")
+    df("alpha").write.format("pfsa").mode("overwrite").save(dir.toString)
+    df("beta").write.format("pfsa").mode("append").save(dir.toString)
+    // out-of-band surgery the manifest cannot see: a hand-dropped stray
+    // and a hand-deleted committed model
+    write(dir, "stray", Pfsa.m2u)
+    java.nio.file.Files.delete(dir.resolve("beta.pfsa"))
+    def names() = spark.read.format("pfsa").load(dir.toString)
+      .select("machine").distinct().collect().map(_.getString(0)).toSet
+    // before: manifest-first planning is blind to both edits (the stray is
+    // invisible; the ghost would plan a partition for a missing file)
+    assert(new String(java.nio.file.Files.readAllBytes(dir.resolve("_manifest")), "UTF-8")
+      .split("\n").toSeq == Seq("alpha", "beta"))
+    val reconciled = PfsaSource.reconcile(dir.toString)
+    assert(reconciled == Seq("alpha", "stray"), s"reconcile returned $reconciled")
+    assert(new String(java.nio.file.Files.readAllBytes(dir.resolve("_manifest")), "UTF-8")
+      .split("\n").toSeq == Seq("alpha", "stray"))
+    // after: the scan (still manifest-first — the read path is untouched)
+    // sees exactly the disk's membership, and values are the codec's
+    assert(names() == Set("alpha", "stray"))
+    val strayRows = spark.read.format("pfsa").load(dir.toString)
+      .where(org.apache.spark.sql.functions.col("machine") === "stray")
+    assert(strayRows.rdd.getNumPartitions == 1, "manifest-line pruning must still plan 1 file")
+    assert(strayRows.collect().map(r => (r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+      === (for { q <- 0 to 1; s <- 0 to 1 } yield (q, s) -> Pfsa.m2u.pitilde(q)(s)).toMap)
+  }
+
+  test("append's manifest refresh self-heals an out-of-band deletion") {
+    import spark.implicits._
+    def df(n: String) = (for {
+      q <- Pfsa.m2.conn.indices; sym <- 0 until Pfsa.m2.alphabetSize
+    } yield (n, q, sym, Pfsa.m2.pitilde(q)(sym), Pfsa.m2.conn(q)(sym), Pfsa.m2.symFrq(sym)))
+      .toDF("machine", "state", "symbol", "pitilde", "next_state", "sym_frq")
+    val dir = java.nio.file.Files.createTempDirectory("pfsaheal")
+    df("alpha").write.format("pfsa").mode("overwrite").save(dir.toString)
+    df("beta").write.format("pfsa").mode("append").save(dir.toString)
+    java.nio.file.Files.delete(dir.resolve("beta.pfsa"))
+    // the next write rebuilds prior names from the LISTING, so the stale
+    // name drops instead of being carried forward forever
+    df("gamma").write.format("pfsa").mode("append").save(dir.toString)
+    assert(new String(java.nio.file.Files.readAllBytes(dir.resolve("_manifest")), "UTF-8")
+      .split("\n").toSeq == Seq("alpha", "gamma"),
+      "stale deleted name must not survive the next append's refresh")
+  }
+
   test("write rejects machine names the manifest cannot round-trip") {
     import spark.implicits._
     def messages(t: Throwable): Seq[String] =
