@@ -264,7 +264,14 @@ object ContinuousDetection {
             val std =
               if (all.size < 2) 0.0
               else math.sqrt(all.map(v => (v - mean) * (v - mean)).sum / (all.size - 1))
-            math.abs(mean - w.born_mean) <= eps && math.abs(std - w.born_std) <= eps
+            // bit-equality short-circuit first (the llk_matches guard): a
+            // zero-mass newborn yields mean = +Inf, std = NaN on BOTH the
+            // fold and this recompute — |Inf−Inf| = NaN would fail an
+            // untampered grid; Double.compare treats NaN ≡ NaN
+            (java.lang.Double.compare(mean, w.born_mean) == 0 ||
+              math.abs(mean - w.born_mean) <= eps) &&
+            (java.lang.Double.compare(std, w.born_std) == 0 ||
+              math.abs(std - w.born_std) <= eps)
           })
           (sid, w.win_id, ruleMatches, growthOk, closestOk, llkMatches, boundsOk)
         }

@@ -1078,28 +1078,38 @@ object AnalyticsQueries {
     * walks from the seed set (a minimal walk's prefix is minimal), which
     * is exactly what the oracle's UNION ALL walk enumeration counts. */
   private def graphPathCounts(s: SparkSession, d: String): DataFrame = {
-    val (_, vis) = sharedBfsSigma(s, d)
+    val (vis, _) = sharedBfsSigma(s, d)
     vis.select(col("node").as("vec_id"), col("dist_hops"), col("sigma"))
       .orderBy(col("vec_id"))
   }
 
-  /** Session memo of the (und, vis) BFS forward state shared by
-    * [[graphPathCounts]] and [[graphBetweenness]] — the identical forward
-    * pass, amortized like the family's edge table (parquet-backed for the
-    * same block-manager-hygiene reason as [[edgeMemo]]);
-    * [[bfsSigmaForward]] stays the unmemoized bypass. */
+  /** Session memo of the BFS forward state (und, vis) PLUS the derived
+    * shortest-path DAG, shared by [[graphPathCounts]],
+    * [[graphBetweenness]] and [[graphBetweennessFrac]] — the identical
+    * forward pass and DAG join, amortized like the family's edge table
+    * (parquet-backed for the same block-manager-hygiene reason as
+    * [[edgeMemo]]); [[bfsSigmaForward]] stays the unmemoized bypass. */
   private val bfsMemo = new graft.core.SessionMemo[String](dir =>
     DataPipelineQueries.deleteRecursively(java.nio.file.Paths.get(dir)))
 
+  /** Returns (vis, dag): the reached-node σ state and the level-respecting
+    * shortest-path DAG edges, both parquet-memoized per (session, corpus) —
+    * the DAG is DERIVED state shared by the two betweenness queries, so it
+    * lives in the memo beside its inputs instead of being re-joined (and
+    * re-checkpointed) once per consumer. */
   private def sharedBfsSigma(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val dir = bfsMemo.getOrBuild(s, d) {
       val tmp = java.nio.file.Files.createTempDirectory("graft_bfs_")
       val (und, vis) = bfsSigmaForward(s, d)
       und.write.mode("overwrite").parquet(s"$tmp/und")
       vis.write.mode("overwrite").parquet(s"$tmp/vis")
+      // the parquet write IS the eager materialization — no checkpoint
+      shortestPathDag(s.read.parquet(s"$tmp/und"), s.read.parquet(s"$tmp/vis"),
+        checkpoint = false)
+        .write.mode("overwrite").parquet(s"$tmp/dag")
       tmp.toString
     }
-    (s.read.parquet(s"$dir/und"), s.read.parquet(s"$dir/vis"))
+    (s.read.parquet(s"$dir/vis"), s.read.parquet(s"$dir/dag"))
   }
 
   /** The multi-source BFS σ forward pass shared by [[graphPathCounts]] and
@@ -1149,21 +1159,23 @@ object AnalyticsQueries {
     * each of the H backward rounds is one keyed join of the next level's
     * ψ against the DAG plus a combinable sum — the exact mirror of the
     * forward BFS cost, linear per round at any corpus size, state ≤ N. */
-  /** The shortest-path DAG of the memoized BFS forward state: the
-    * level-respecting edge subset (src one hop shallower than dst),
-    * checkpointed — shared by the stress backward pass and the fractional
-    * pair census. ≤ 2k·N rows, one three-way keyed join. */
-  private def shortestPathDag(und: DataFrame, vis: DataFrame): DataFrame =
-    und
+  /** The shortest-path DAG of the BFS forward state: the level-respecting
+    * edge subset (src one hop shallower than dst) — built ONCE inside the
+    * bfs memo (parquet-materialized, `checkpoint = false`) and scanned by
+    * both the stress backward pass and the fractional pair census.
+    * ≤ 2k·N rows, one three-way keyed join. */
+  private def shortestPathDag(und: DataFrame, vis: DataFrame,
+                              checkpoint: Boolean = true): DataFrame = {
+    val dag = und
       .join(vis.select(col("node").as("src"), col("dist_hops").as("sl")), "src")
       .join(vis.select(col("node").as("dst"), col("dist_hops").as("dl")), "dst")
       .filter(col("dl") === col("sl") + 1)
       .select(col("src"), col("dst"), col("sl"))
-      .localCheckpoint(true) // read once per backward/extension round
+    if (checkpoint) dag.localCheckpoint(true) else dag
+  }
 
   private def graphBetweenness(s: SparkSession, d: String): DataFrame = {
-    val (und, vis) = sharedBfsSigma(s, d)
-    val dagE = shortestPathDag(und, vis)
+    val (vis, dagE) = sharedBfsSigma(s, d)
     // deepest-possible level seeds the recursion with ψ = 0 (no successors)
     var psiKnown = vis.filter(col("dist_hops") === SsspHops.toLong)
       .select(col("node"), lit(0L).as("psi"))
@@ -1207,8 +1219,7 @@ object AnalyticsQueries {
     * (H keyed joins, O(edges) per round) is the shape to run, traded here
     * for the exactness-auditable census the gate can pin. */
   private def graphBetweennessFrac(s: SparkSession, d: String): DataFrame = {
-    val (und, vis) = sharedBfsSigma(s, d)
-    val dagE = shortestPathDag(und, vis)
+    val (vis, dagE) = sharedBfsSigma(s, d)
     // length-DP walk counts: level L holds all length-L downward walks as
     // (start, node, cnt) with multiplicity; a walk from level l has length
     // ≤ SsspHops − l, so SsspHops rounds exhaust the DAG (levels strictly

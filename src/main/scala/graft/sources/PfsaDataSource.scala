@@ -110,11 +110,12 @@ object PfsaSource {
                 conf: Map[String, String] = sessionConfMap()): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = fsOf(dir, conf)
-    val names =
-      if (!fs.exists(p)) Seq.empty[String]
-      else fs.listStatus(p).iterator
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".pfsa"))
-        .map(_.getPath.getName.stripSuffix(".pfsa")).toSeq.sorted
+    // a typo'd path must FAIL, not fabricate a fresh directory holding an
+    // authoritative empty manifest while the real library stays broken
+    require(fs.exists(p), s"pfsa reconcile: no such library directory: $dir")
+    val names = fs.listStatus(p).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".pfsa"))
+      .map(_.getPath.getName.stripSuffix(".pfsa")).toSeq.sorted
     writeManifest(fs, p, names)
     names
   }
