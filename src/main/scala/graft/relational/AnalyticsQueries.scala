@@ -728,6 +728,47 @@ object AnalyticsQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT per node — Watts–Strogatz C(v) =
+    * 2·T(v) / (deg(v)·(deg(v)−1)) over the same undirected k-NN graph:
+    * the normalized companion of [[graphTriangles]] (raw triangle counts
+    * conflate density with degree; the coefficient is the probability two
+    * neighbors of v are themselves neighbors — THE standard tight-cluster
+    * vs hub-periphery discriminator). Gated in the integer-micro regime:
+    * `coeff_micros` = (2·10⁶·T) div (deg·(deg−1)) for deg ≥ 2, else 0
+    * (the deg ≤ 1 convention) — all-integer, truncating division, zero
+    * float surface. Shape: degree is one combinable aggregate over the
+    * undirected edges; triangles reuse the oriented wedge + LEFT SEMI
+    * closure (fan-out ≤ k² per node at any scale, same as
+    * [[graphTriangles]]); everything keyed, no cartesian. */
+  private def graphClusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"))
+    val und = sharedAnnEdges(s, d)
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .cache()
+    val deg = und.select(col("a").as("node")).union(und.select(col("b")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val wedges = und.select(col("a").as("x"), col("b").as("y"))
+      .join(und.select(col("a").as("y"), col("b").as("z")), "y")
+    val tri = wedges.join(und.select(col("a").as("x"), col("b").as("z")),
+        Seq("x", "z"), "left_semi")
+      .cache()
+    val perNode = tri.select(col("x").as("node"))
+      .union(tri.select(col("y")))
+      .union(tri.select(col("z")))
+      .groupBy(col("node")).agg(count(lit(1)).as("t"))
+    emb.join(deg, emb("vec_id") === deg("node"), "left")
+      .join(perNode, emb("vec_id") === perNode("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("deg"), lit(0L)).as("degree"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"))
+      .withColumn("coeff_micros",
+        when(col("degree") >= 2,
+          expr("(2000000L * n_triangles) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+      .orderBy(col("vec_id"))
+  }
+
   /** Label-propagation iterations — fixed so the oracle can unroll. */
   private[relational] val LpIters = 5
 
@@ -2044,6 +2085,7 @@ object AnalyticsQueries {
     "sort_zorder" -> (sortZorder _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_clustering_coeff" -> (graphClusteringCoeff _),
     "graph_label_prop" -> (graphLabelProp _),
     "graph_khop" -> (graphKhop _),
     "graph_knn_recall" -> (graphKnnRecall _),
@@ -2358,6 +2400,33 @@ object AnalyticsQueries {
          |         GROUP BY node)
          |SELECT emb.vec_id, CAST(coalesce(pern.t, 0) AS BIGINT) AS n_triangles
          |FROM emb LEFT JOIN pern ON emb.vec_id = pern.node
+         |ORDER BY emb.vec_id""".stripMargin,
+    // same undirected edge relation + wedge/closure triangles as the
+    // triangles oracle, plus the degree aggregate and the identical
+    // integer-micro truncating-division coefficient
+    "graph_clustering_coeff" ->
+      s"""WITH ${annEdgesCteSql(withLabel = false)},
+         |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+         |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+         |         SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+         |       GROUP BY node),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |        WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+         |pern AS (SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+         |           SELECT x AS node FROM tri
+         |           UNION ALL SELECT y FROM tri
+         |           UNION ALL SELECT z FROM tri)
+         |         GROUP BY node)
+         |SELECT emb.vec_id,
+         |       CAST(coalesce(dg.degree, 0) AS BIGINT) AS degree,
+         |       CAST(coalesce(pern.t, 0) AS BIGINT) AS n_triangles,
+         |       CAST(CASE WHEN coalesce(dg.degree, 0) >= 2
+         |                 THEN (2000000 * coalesce(pern.t, 0))
+         |                      // (dg.degree * (dg.degree - 1))
+         |                 ELSE 0 END AS BIGINT) AS coeff_micros
+         |FROM emb LEFT JOIN dg ON emb.vec_id = dg.node
+         |LEFT JOIN pern ON emb.vec_id = pern.node
          |ORDER BY emb.vec_id""".stripMargin,
     "graph_label_prop" -> labelPropOracleSql,
     "graph_components" -> componentsOracleSql,

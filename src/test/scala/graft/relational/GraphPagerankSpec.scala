@@ -58,4 +58,24 @@ class GraphPagerankSpec extends AnyFunSuite {
     }
     rank.collect().foreach(r => assert(math.abs(r.getDouble(1) - 1.0 / n) < 1e-12))
   }
+
+  test("clustering coefficient agrees with graph_triangles and its own formula") {
+    // cross-query consistency: the coefficient query's n_triangles column
+    // must equal the independently registered graph_triangles output
+    // node-for-node, and coeff_micros must be exactly the integer-micro
+    // formula over its own (degree, n_triangles) columns — bounded by 1e6
+    val cc = AnalyticsQueries.queries("graph_clustering_coeff")(spark, sf).collect()
+    val tri = AnalyticsQueries.queries("graph_triangles")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.length === 500)
+    cc.foreach { r =>
+      val (id, deg, t, cm) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(tri(id) == t, s"node $id: triangles $t != graph_triangles ${tri(id)}")
+      val want = if (deg >= 2) (2000000L * t) / (deg * (deg - 1)) else 0L
+      assert(cm == want, s"node $id: coeff_micros $cm != formula $want")
+      assert(cm >= 0L && cm <= 1000000L, s"node $id: coefficient out of [0,1]: $cm")
+    }
+    // non-degenerate fixture: some tight-cluster nodes, some periphery
+    assert(cc.exists(_.getLong(3) > 0L) && cc.exists(_.getLong(3) == 0L))
+  }
 }
