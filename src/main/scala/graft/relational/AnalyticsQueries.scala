@@ -769,6 +769,43 @@ object AnalyticsQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** EDGE EMBEDDEDNESS / neighborhood Jaccard per undirected edge —
+    * J(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)| — the standard local-similarity
+    * sparsification and link-strength score (Satuluri et al.'s local
+    * graph sparsification keeps each node's top-J edges; low-J edges are
+    * bridges, high-J edges sit inside communities — the edge-level dual
+    * of [[graphClusteringCoeff]]). Integer-micro surface:
+    * `jaccard_micros` = (10⁶·cn) div (deg_a + deg_b − cn) with cn the
+    * common-neighbor count — the denominator is |N(a)∪N(b)| by
+    * inclusion–exclusion and ≥ 2 for any existing edge (each endpoint
+    * neighbors the other), so no zero guard is needed. Shape: the
+    * common-neighbor relation is the wedge self-join (Σ deg(w)² rows,
+    * ≤ k² per node at any scale — the graphTriangles bound) restricted
+    * back to EXISTING edges by a keyed left join; degrees are one
+    * combinable aggregate. All integers, both engines exact. */
+  private def graphEdgeOverlap(s: SparkSession, d: String): DataFrame = {
+    val und = sharedAnnEdges(s, d)
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .cache()
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .union(und.select(col("b"), col("a")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val cn = adj.select(col("node").as("a"), col("nbr").as("w"))
+      .join(adj.select(col("node").as("b"), col("nbr").as("w")), "w")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+    und.join(cn, Seq("a", "b"), "left")
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a").as("node_a"), col("b").as("node_b"),
+        coalesce(col("cn"), lit(0L)).as("common_neighbors"),
+        col("deg_a"), col("deg_b"))
+      .withColumn("jaccard_micros",
+        expr("(1000000L * common_neighbors) div (deg_a + deg_b - common_neighbors)"))
+      .orderBy(col("node_a"), col("node_b"))
+  }
+
   /** Label-propagation iterations — fixed so the oracle can unroll. */
   private[relational] val LpIters = 5
 
@@ -2086,6 +2123,7 @@ object AnalyticsQueries {
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "graph_clustering_coeff" -> (graphClusteringCoeff _),
+    "graph_edge_overlap" -> (graphEdgeOverlap _),
     "graph_label_prop" -> (graphLabelProp _),
     "graph_khop" -> (graphKhop _),
     "graph_knn_recall" -> (graphKnnRecall _),
@@ -2428,6 +2466,26 @@ object AnalyticsQueries {
          |FROM emb LEFT JOIN dg ON emb.vec_id = dg.node
          |LEFT JOIN pern ON emb.vec_id = pern.node
          |ORDER BY emb.vec_id""".stripMargin,
+    // same undirected edges; common neighbors by the wedge self-join,
+    // inclusion–exclusion union size, identical truncating division
+    "graph_edge_overlap" ->
+      s"""WITH ${annEdgesCteSql(withLabel = false)},
+         |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+         |adj AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+         |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY node),
+         |cn AS (SELECT x.node AS a, y.node AS b, CAST(count(*) AS BIGINT) AS cn
+         |       FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+         |       GROUP BY 1, 2)
+         |SELECT e.a AS node_a, e.b AS node_b,
+         |       CAST(coalesce(c.cn, 0) AS BIGINT) AS common_neighbors,
+         |       da.deg AS deg_a, db.deg AS deg_b,
+         |       CAST((1000000 * coalesce(c.cn, 0))
+         |            // (da.deg + db.deg - coalesce(c.cn, 0)) AS BIGINT)
+         |         AS jaccard_micros
+         |FROM e LEFT JOIN cn c ON c.a = e.a AND c.b = e.b
+         |JOIN dg da ON da.node = e.a
+         |JOIN dg db ON db.node = e.b
+         |ORDER BY node_a, node_b""".stripMargin,
     "graph_label_prop" -> labelPropOracleSql,
     "graph_components" -> componentsOracleSql,
     // same weighted edge relation, bounded walk enumeration + lex argmin

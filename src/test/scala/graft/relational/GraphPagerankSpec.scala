@@ -78,4 +78,23 @@ class GraphPagerankSpec extends AnyFunSuite {
     // non-degenerate fixture: some tight-cluster nodes, some periphery
     assert(cc.exists(_.getLong(3) > 0L) && cc.exists(_.getLong(3) == 0L))
   }
+
+  test("edge overlap: common-neighbor mass equals 3x the triangle count; J in [0,1)") {
+    // every triangle {x,y,z} contributes exactly one common neighbor to
+    // each of its three edges, so Σ_edges cn = 3·Σ_nodes T(v)/3·3 = 3·T —
+    // a cross-query conservation law between graph_edge_overlap and
+    // graph_triangles that a wedge-join or restriction bug breaks
+    val eo = AnalyticsQueries.queries("graph_edge_overlap")(spark, sf).collect()
+    val triTotal = AnalyticsQueries.queries("graph_triangles")(spark, sf).collect()
+      .map(_.getLong(1)).sum / 3 // per-node counts triple-count each triangle
+    val cnSum = eo.map(_.getLong(2)).sum
+    assert(cnSum == 3 * triTotal, s"sum(cn)=$cnSum != 3*triangles=${3 * triTotal}")
+    eo.foreach { r =>
+      val (cn, da, db, jm) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // endpoints neighbor each other but never themselves: union >= cn + 2
+      assert(jm == (1000000L * cn) / (da + db - cn) && jm >= 0L && jm < 1000000L,
+        s"edge (${r.getLong(0)},${r.getLong(1)}): bad jaccard_micros $jm")
+    }
+    assert(eo.exists(_.getLong(2) > 0L), "fixture must have embedded edges")
+  }
 }
