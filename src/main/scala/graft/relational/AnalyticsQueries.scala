@@ -806,6 +806,35 @@ object AnalyticsQueries {
       .orderBy(col("node_a"), col("node_b"))
   }
 
+  /** Hard negatives per anchor — fixed so the oracle can replay. */
+  private[relational] val HardNegK = 3
+
+  /** HARD-NEGATIVE MINING for contrastive training — per anchor vector,
+    * the [[HardNegK]] highest-cosine neighbors whose label DIFFERS (the
+    * "hard" negatives: same-neighborhood, different class — exactly the
+    * pairs a contrastive or metric-learning objective needs most, and the
+    * standard mining step in SimCLR/CLIP-style pipelines). Served from
+    * the SAME memoized k-NN edge table as the graph family — in
+    * production the mining pass is one labeled join over the persisted
+    * similarity graph, not a fresh ANN build. Deterministic total order
+    * (cos DESC then neg_id); anchors whose entire neighborhood shares
+    * their label emit no rows (no negative is better than a fake-easy
+    * one). Cosines are the edge table's 6-dp-rounded values, already
+    * oracle-proven; rank is an exact integer. */
+  private def sampleHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    sharedAnnEdges(s, d)
+      .join(lbl.select(col("vec_id").as("src"), col("label").as("l_src")), "src")
+      .join(lbl.select(col("vec_id").as("dst"), col("label").as("l_dst")), "dst")
+      .filter(col("l_src") =!= col("l_dst"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))))
+      .filter(col("rank") <= HardNegK)
+      .select(col("src").as("vec_id"), col("dst").as("neg_id"),
+        col("cos").as("cos_r"), col("rank").cast("long").as("rank"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** Label-propagation iterations — fixed so the oracle can unroll. */
   private[relational] val LpIters = 5
 
@@ -2124,6 +2153,7 @@ object AnalyticsQueries {
     "graph_triangles" -> (graphTriangles _),
     "graph_clustering_coeff" -> (graphClusteringCoeff _),
     "graph_edge_overlap" -> (graphEdgeOverlap _),
+    "sample_hard_negatives" -> (sampleHardNegatives _),
     "graph_label_prop" -> (graphLabelProp _),
     "graph_khop" -> (graphKhop _),
     "graph_knn_recall" -> (graphKnnRecall _),
@@ -2486,6 +2516,21 @@ object AnalyticsQueries {
          |JOIN dg da ON da.node = e.a
          |JOIN dg db ON db.node = e.b
          |ORDER BY node_a, node_b""".stripMargin,
+    // same directed top-k edge relation WITH labels; different-label
+    // filter, identical (cos DESC, id) total order, top-HardNegK
+    "sample_hard_negatives" ->
+      s"""WITH ${annEdgesCteSql(withLabel = true)},
+         |neg AS (SELECT e.src, e.dst, e.cos,
+         |               row_number() OVER (PARTITION BY e.src
+         |                                  ORDER BY e.cos DESC, e.dst) AS rnk
+         |        FROM edges e
+         |        JOIN emb a ON a.vec_id = e.src
+         |        JOIN emb b ON b.vec_id = e.dst
+         |        WHERE a.label <> b.label)
+         |SELECT src AS vec_id, dst AS neg_id, cos AS cos_r,
+         |       CAST(rnk AS BIGINT) AS rank
+         |FROM neg WHERE rnk <= $HardNegK
+         |ORDER BY vec_id, rank""".stripMargin,
     "graph_label_prop" -> labelPropOracleSql,
     "graph_components" -> componentsOracleSql,
     // same weighted edge relation, bounded walk enumeration + lex argmin

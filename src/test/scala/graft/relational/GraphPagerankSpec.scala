@@ -97,4 +97,25 @@ class GraphPagerankSpec extends AnyFunSuite {
     }
     assert(eo.exists(_.getLong(2) > 0L), "fixture must have embedded edges")
   }
+
+  test("hard negatives carry a different label, descend in cosine, and cap at k") {
+    val labels = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val hn = AnalyticsQueries.queries("sample_hard_negatives")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(hn.nonEmpty)
+    hn.foreach { case (a, n, _, _) =>
+      assert(labels(a) != labels(n), s"negative $n shares anchor $a's label")
+    }
+    hn.groupBy(_._1).foreach { case (a, rows) =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to byRank.length).toSeq, s"ranks not dense for $a")
+      assert(byRank.length <= 3, s"anchor $a exceeds HardNegK")
+      // cosine non-increasing with rank (ties broken by id, so >= holds)
+      byRank.sliding(2).foreach {
+        case Array(x, y) => assert(x._3 >= y._3, s"anchor $a: cosine rose with rank")
+        case _ =>
+      }
+    }
+  }
 }
