@@ -806,6 +806,39 @@ object AnalyticsQueries {
       .orderBy(col("node_a"), col("node_b"))
   }
 
+  /** LABEL ASSORTATIVITY of the k-NN graph (Newman 2003, "Mixing patterns
+    * in networks", discrete form): r = (m·Σᵢeᵢᵢ − Σᵢaᵢ²) / (m² − Σᵢaᵢ²)
+    * over the symmetrized edge relation (each undirected edge counted in
+    * both directions, so the mixing matrix is symmetric and aᵢ = bᵢ) —
+    * r > 0 means same-label vectors preferentially neighbor each other
+    * (the one-number health check of an embedding space: a label-
+    * assortative k-NN graph is what makes graph_knn_classify, label_prop
+    * and hard-negative mining work at all). EVERY term is an exact
+    * integer — m (directed edge count), Σeᵢᵢ (same-label edges),
+    * Σaᵢ² (squared per-label degree masses) — so `r_micros` =
+    * (10⁶·(m·Σeᵢᵢ − Σaᵢ²)) div (m² − Σaᵢ²) is engine-exact, truncation
+    * toward zero on both engines incl. negative (disassortative) values.
+    * Shape: one labeled join over the memoized edges, two combinable
+    * aggregates; output is a single audit row. */
+  private def graphAssortativity(s: SparkSession, d: String): DataFrame = {
+    val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val und = sharedAnnEdges(s, d)
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val dir = und.union(und.select(col("b"), col("a")))
+      .join(lbl.select(col("vec_id").as("a"), col("label").as("la")), "a")
+      .join(lbl.select(col("vec_id").as("b"), col("label").as("lb")), "b")
+    val tot = dir.agg(
+      count(lit(1)).as("m_directed"),
+      sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("e_same"))
+    val aa = dir.groupBy(col("la")).agg(count(lit(1)).as("ai"))
+      .agg(sum(col("ai") * col("ai")).as("sum_a_sq"))
+    tot.crossJoin(aa)
+      .select(col("m_directed"), col("e_same"), col("sum_a_sq"),
+        expr("""(1000000L * (m_directed * e_same - sum_a_sq))
+                div (m_directed * m_directed - sum_a_sq)""").as("r_micros"))
+  }
+
   /** Hard negatives per anchor — fixed so the oracle can replay. */
   private[relational] val HardNegK = 3
 
@@ -2154,6 +2187,7 @@ object AnalyticsQueries {
     "graph_clustering_coeff" -> (graphClusteringCoeff _),
     "graph_edge_overlap" -> (graphEdgeOverlap _),
     "sample_hard_negatives" -> (sampleHardNegatives _),
+    "graph_assortativity" -> (graphAssortativity _),
     "graph_label_prop" -> (graphLabelProp _),
     "graph_khop" -> (graphKhop _),
     "graph_knn_recall" -> (graphKnnRecall _),
@@ -2516,6 +2550,24 @@ object AnalyticsQueries {
          |JOIN dg da ON da.node = e.a
          |JOIN dg db ON db.node = e.b
          |ORDER BY node_a, node_b""".stripMargin,
+    // symmetrized labeled edges; the same all-integer Newman terms and
+    // the identical truncating micro-division (negative = disassortative)
+    "graph_assortativity" ->
+      s"""WITH ${annEdgesCteSql(withLabel = true)},
+         |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+         |dir AS (SELECT x.a, x.b, la.label AS la, lb.label AS lb
+         |        FROM (SELECT a, b FROM e UNION ALL SELECT b, a FROM e) x
+         |        JOIN emb la ON la.vec_id = x.a
+         |        JOIN emb lb ON lb.vec_id = x.b),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS m_directed,
+         |               CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS e_same
+         |        FROM dir),
+         |aa AS (SELECT CAST(sum(ai * ai) AS BIGINT) AS sum_a_sq FROM (
+         |         SELECT CAST(count(*) AS BIGINT) AS ai FROM dir GROUP BY la))
+         |SELECT m_directed, e_same, sum_a_sq,
+         |       CAST((1000000 * (m_directed * e_same - sum_a_sq))
+         |            // (m_directed * m_directed - sum_a_sq) AS BIGINT) AS r_micros
+         |FROM tot CROSS JOIN aa""".stripMargin,
     // same directed top-k edge relation WITH labels; different-label
     // filter, identical (cos DESC, id) total order, top-HardNegK
     "sample_hard_negatives" ->

@@ -118,4 +118,27 @@ class GraphPagerankSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("assortativity: two separated label clusters score exactly r_micros = 1e6") {
+    // label-0 vectors near +e1, label-1 near -e1: every k-NN edge stays
+    // inside its cluster, so e_same = m and Newman's r is exactly 1 —
+    // (1e6*(m^2 - S)) div (m^2 - S) = 1000000 with zero tolerance.
+    // Fixture float32-quantized like the physical encoding.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("assort").toString
+    val rnd = new scala.util.Random(17L)
+    (0 until 40).map { i =>
+      val sign = if (i < 20) 1.0f else -1.0f
+      val v = Array.tabulate(8)(j =>
+        (if (j == 0) sign else rnd.nextGaussian().toFloat * 0.01f))
+      (i.toLong, v, if (i < 20) 0 else 1)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val row = AnalyticsQueries.queries("graph_assortativity")(spark, dir).collect().head
+    assert(row.getLong(1) == row.getLong(0), "all edges must be same-label")
+    assert(row.getLong(3) == 1000000L, s"perfectly mixed clusters must give r=1e6: $row")
+    // and the real fixture's r sits strictly inside (-1e6, 1e6)
+    val real = AnalyticsQueries.queries("graph_assortativity")(spark, sf).collect().head
+    assert(math.abs(real.getLong(3)) < 1000000L)
+  }
 }
