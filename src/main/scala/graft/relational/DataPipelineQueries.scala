@@ -58,7 +58,26 @@ object DataPipelineQueries {
     * within-group partners are Jaccard 1.0 by construction, no banding
     * needed) and the signature aggregate runs once per distinct text. (A swarm of
     * set-equal but text-distinct docs — anagram corpora — stays in the LSH
-    * domain; the bucket cap still bounds it, the documented trade.) */
+    * domain; the bucket cap still bounds it, the documented trade.)
+    *
+    * r12 (the 100×-fixture finding): the verify stage is additionally
+    * bounded by a PER-REP CANDIDATE DEGREE CAP — each rep verifies only
+    * its [[MinhashDegreeCap]] strongest candidates, ranked by SHARED-BAND
+    * COUNT (a deterministic, oracle-replayable proxy for signature
+    * similarity; ties to the smaller id) — and the verify join is SPLIT:
+    * signature agreement (64 longs/side) prunes before the ~350-string
+    * shingle arrays are ever fetched. On a swarm-heavy corpus (every doc
+    * in a 100-near-twin swarm) the uncapped fused join shipped both
+    * arrays on a quadratic-in-swarm candidate set — measured as a
+    * disk-exhausting TB-scale shuffle at the 100× fixture; capped, verify
+    * traffic is ≤ cap·N rows at ANY swarm profile, and the query's
+    * OUTPUT (each doc's best partner) needs only the top of each rep's
+    * candidate list anyway. */
+  /** Per-rep verify-degree cap shared VERBATIM with the DuckDB oracle
+    * (see dedupMinhash's r12 scaladoc): generous vs the 16-band collision
+    * ceiling, binding only on swarm-heavy corpora. */
+  private[relational] val MinhashDegreeCap = 128
+
   private def dedupMinhash(s: SparkSession, d: String): DataFrame = {
     // the collapse shuffles only (doc_id, set_key, norm) rows — the shingle
     // arrays (~350 strings/doc, ~5× the text bytes plus per-element
@@ -80,42 +99,47 @@ object DataPipelineQueries {
       .drop("norm")
       .withColumn("sig", TextOps.minhashSigCol(col("sh"), 64))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // RAW pairs (multi-band duplicates kept): the agreement filter below is
-    // per-row and cheap, so dedup runs AFTER it on the ~5k survivors
-    // instead of exchanging the ~200k-row banding noise floor first
+    // RAW pairs (multi-band duplicates kept): the multiplicity IS the
+    // shared-band count the degree cap ranks by
     val pairs = TextOps.candidatePairsRaw(
       TextOps.bandBuckets(sig, "rep_id", "sig", bands = 16, rowsPerBand = 4), "rep_id")
-    // two-stage verify, ONE join pass: (1) signature agreement — a 64-long
-    // loop, two orders of magnitude cheaper than intersecting ~300-string
-    // shingle sets — prunes the band noise floor (word-soup corpora share
-    // many 5-grams, so banding alone over-generates); (2) exact Jaccard,
-    // guarded by the when(): Catalyst's If short-circuits, so the intersect
-    // only ever evaluates on agreement survivors. Fusing both stages into
-    // the same (id_a, id_b) feature joins drops the standalone sig joins
-    // and the pair-sized exchange between the stages; the price is that a
-    // multi-band survivor pair computes its Jaccard once per shared band
-    // (band-count-bounded, and high-Jaccard pairs are exactly the rare
-    // output-sized ones), then collapses in the output-sized distinct.
-    val features = sig.select(col("rep_id"), col("sig"), col("sh"))
-    // the three relations every downstream branch reads are all small —
+    // per-rep degree cap (r12, scaladoc above): rank each rep's candidates
+    // by shared-band count (ties to the smaller partner id — deterministic,
+    // so the oracle replays it), keep the strongest MinhashDegreeCap on
+    // EACH side's view, undirect — verify traffic ≤ cap·N at any swarm
+    val pairCnt = pairs.groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("nb"))
+    val cand = pairCnt
+      .select(col("id_a").as("rep"), col("id_b").as("other"), col("nb"))
+      .union(pairCnt.select(col("id_b"), col("id_a"), col("nb")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("rep")).orderBy(col("nb").desc, col("other"))))
+      .filter(col("rn") <= MinhashDegreeCap)
+      .select(least(col("rep"), col("other")).as("id_a"),
+        greatest(col("rep"), col("other")).as("id_b"))
+      .distinct()
+    // two-stage verify, SPLIT joins (r12): (1) signature agreement — 64
+    // longs per side, two orders of magnitude narrower than the shingle
+    // arrays — prunes the band noise floor first; (2) exact Jaccard
+    // fetches the ~350-string arrays ONLY for agreement survivors, so the
+    // wide rows never ride the noise floor or a swarm's candidate set.
+    // The three relations every downstream branch reads are all small —
     // verified rep pairs (output-sized), the set→group info, and the narrow
     // doc→set membership. Materialize them eagerly, then release the big
     // shingle/signature cache: no large MEMORY_AND_DISK block outlives the
     // query (round-4 verdict #3). `members` recomputes scan+normalize+md5
     // (narrow, no shuffle) instead of riding a persisted block — cheaper
     // than caching the corpus for one extra pass.
-    val verified = pairs
-      .join(features.select(col("rep_id").as("id_a"), col("sig").as("sig_a"),
-        col("sh").as("sh_a")), "id_a")
-      .join(features.select(col("rep_id").as("id_b"), col("sig").as("sig_b"),
-        col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        when(TextOps.sigAgree(col("sig_a"), col("sig_b")) >= 24, // est. J ≥ ~0.375
-          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))), 6)))
-      .filter(col("jaccard").isNotNull)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-      .distinct()
+    val agree = cand
+      .join(sig.select(col("rep_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("rep_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .filter(TextOps.sigAgree(col("sig_a"), col("sig_b")) >= 24) // est. J ≥ ~0.375
+      .select(col("id_a"), col("id_b"))
+    val verified = agree
+      .join(sig.select(col("rep_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sig.select(col("rep_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
       .localCheckpoint(true)
     val groups = sig.select(col("set_key"), col("rep_id"), col("grp_n")).localCheckpoint(true)
     val members = withKey.select(col("doc_id"), col("set_key")).localCheckpoint(true)
@@ -2813,9 +2837,19 @@ object DataPipelineQueries {
        |  FROM sigl, (SELECT unnest(generate_series(0, 15)) AS b) bb),
        |ok AS (SELECT b, bucket FROM bands GROUP BY b, bucket HAVING count(*) <= 256),
        |small AS (SELECT bands.* FROM bands JOIN ok USING (b, bucket)),
-       |cand AS (SELECT DISTINCT a.rep_id AS id_a, o.rep_id AS id_b
-       |         FROM small a JOIN small o ON a.b = o.b AND a.bucket = o.bucket
-       |                                  AND a.rep_id < o.rep_id),
+       |candn AS (SELECT a.rep_id AS id_a, o.rep_id AS id_b, count(*) AS nb
+       |          FROM small a JOIN small o ON a.b = o.b AND a.bucket = o.bucket
+       |                                   AND a.rep_id < o.rep_id
+       |          GROUP BY 1, 2),
+       |keepc AS (SELECT rep, other FROM (
+       |            SELECT rep, other,
+       |                   row_number() OVER (PARTITION BY rep
+       |                                      ORDER BY nb DESC, other) AS rn
+       |            FROM (SELECT id_a AS rep, id_b AS other, nb FROM candn
+       |                  UNION ALL SELECT id_b, id_a, nb FROM candn))
+       |          WHERE rn <= $MinhashDegreeCap),
+       |cand AS (SELECT DISTINCT least(rep, other) AS id_a,
+       |                greatest(rep, other) AS id_b FROM keepc),
        |agree AS (
        |  SELECT c.id_a, c.id_b
        |  FROM cand c JOIN sigl sa ON sa.rep_id = c.id_a
