@@ -806,6 +806,78 @@ object AnalyticsQueries {
       .orderBy(col("node_a"), col("node_b"))
   }
 
+  /** k-core threshold and peel rounds — pinned so the oracle can unroll.
+    * The decomposition runs on the MUTUAL k-NN graph, not the raw
+    * symmetrized one: symmetrizing gives every node ≥ [[PrK]] undirected
+    * neighbors by construction, so any threshold ≤ PrK is vacuous and
+    * PrK + 1 empties under cascade (both measured at sf0.001: 100% and 0%
+    * membership). Mutual edges (each endpoint in the other's top-k — the
+    * standard mutual-kNN construction of density-based clustering) have
+    * variable degree 0..k, so the 2-core — nodes inside mutual CYCLES,
+    * peeled free of mutual trees/chains — is the real signal. */
+  private[relational] val KcoreK = 2
+  private[relational] val KcoreRounds = 16
+
+  /** K-CORE of the MUTUAL k-NN similarity graph (Seidman 1983 cores over
+    * the Brito et al. 1997 mutual-kNN construction): keep an edge only
+    * when BOTH endpoints rank each other in their top-k, then peel to the
+    * maximal subgraph where every node keeps ≥ [[KcoreK]] mutual
+    * neighbors — THE standard dense-region extractor (mutual edges demand
+    * reciprocated similarity, so core membership separates tight semantic
+    * clusters from one-way hub attraction, which raw degree can't).
+    * Computed by synchronous peeling: each round drops every node whose
+    * degree WITHIN the surviving set is < k, for [[KcoreRounds]] rounds —
+    * the distributed k-core algorithm (Montresor et al. 2013 is the
+    * message-passing form of the same fixpoint). Peeling is monotone (the
+    * alive set only shrinks), so a bounded unroll is oracle-replayable;
+    * the emitted `converged` flag is honest evidence the fixpoint was
+    * reached (one extra peel step changes nothing), not an assumption.
+    * Output per node: membership, degree inside the core (0 outside),
+    * converged.
+    *
+    * 100-TB shape: the mutual filter is one LEFT SEMI self-join of the
+    * ≤ k·N directed edges; per round, two LEFT SEMI joins of the ≤ 2·k·N
+    * adjacency against the alive set and one combinable count — all
+    * keyed, linear, and the alive frame is eagerly localCheckpoint'ed
+    * each round because it is referenced twice per step (the
+    * [[graphLabelProp]] lineage rule: carried lineage doubles the plan
+    * per round, 2^R growth). Rounds are a plan constant: synchronous
+    * peeling removes one leaf "wave" per round; at larger diameters you
+    * raise [[KcoreRounds]], not the per-round cost. */
+  private def graphKcore(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"))
+    val dir = sharedAnnEdges(s, d).select(col("src"), col("dst"))
+    val und = dir
+      .join(dir.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .union(und.select(col("b"), col("a")))
+      .localCheckpoint(true)
+    def coreDegrees(alive: DataFrame): DataFrame = adj
+      .join(alive, Seq("node"), "left_semi")
+      .join(alive.select(col("node").as("nbr")), Seq("nbr"), "left_semi")
+      .groupBy(col("node")).agg(count(lit(1)).as("c"))
+    var alive = adj.select(col("node")).distinct().localCheckpoint(true)
+    for (_ <- 1 to KcoreRounds)
+      alive = coreDegrees(alive).filter(col("c") >= KcoreK)
+        .select(col("node")).localCheckpoint(true)
+    // degree restricted to the final alive set — the output column, and
+    // one extra peel step's worth of evidence for the converged flag
+    val fin = coreDegrees(alive).localCheckpoint(true)
+    val converged =
+      fin.filter(col("c") >= KcoreK).count() == alive.count()
+    emb
+      .join(alive.select(col("node").as("vec_id"), lit(1L).as("m")), Seq("vec_id"), "left")
+      .join(fin.select(col("node").as("vec_id"), col("c")), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        col("m").isNotNull.as("in_kcore"),
+        coalesce(col("c"), lit(0L)).as("core_degree"),
+        lit(converged).as("converged"))
+      .orderBy(col("vec_id"))
+  }
+
   /** LABEL ASSORTATIVITY of the k-NN graph (Newman 2003, "Mixing patterns
     * in networks", discrete form): r = (m·Σᵢeᵢᵢ − Σᵢaᵢ²) / (m² − Σᵢaᵢ²)
     * over the symmetrized edge relation (each undirected edge counted in
@@ -1591,6 +1663,42 @@ object AnalyticsQueries {
        |FROM r$PrIters ORDER BY vec_id""".stripMargin
   }
 
+  /** The unrolled DuckDB replay of [[graphKcore]]: same mutual edge set,
+    * [[KcoreRounds]] synchronous peel rounds as chained MATERIALIZED CTEs
+    * (each alive set is referenced twice per round — the label_prop
+    * inlining-blowup lesson), then the same one-extra-peel convergence
+    * evidence. */
+  private def kcoreOracleSql: String = {
+    val iterCtes = (1 to KcoreRounds).map { i =>
+      s"""d$i AS (SELECT adj.node, CAST(count(*) AS BIGINT) AS c
+         |      FROM adj JOIN alive${i - 1} s ON adj.node = s.node
+         |               JOIN alive${i - 1} t ON adj.nbr = t.node
+         |      GROUP BY 1),
+         |alive$i AS MATERIALIZED (SELECT node FROM d$i WHERE c >= $KcoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${annEdgesCteSql(withLabel = false)},
+       |e AS (SELECT e1.src AS a, e1.dst AS b
+       |      FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+       |      WHERE e1.src < e1.dst),
+       |adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM e
+       |       UNION ALL SELECT b, a FROM e),
+       |alive0 AS MATERIALIZED (SELECT DISTINCT node FROM adj),
+       |$iterCtes,
+       |fin AS MATERIALIZED (SELECT adj.node, CAST(count(*) AS BIGINT) AS c
+       |       FROM adj JOIN alive$KcoreRounds s ON adj.node = s.node
+       |                JOIN alive$KcoreRounds t ON adj.nbr = t.node
+       |       GROUP BY 1),
+       |nxt AS (SELECT count(*) AS n FROM fin WHERE c >= $KcoreK),
+       |cur AS (SELECT count(*) AS n FROM alive$KcoreRounds)
+       |SELECT emb.vec_id,
+       |       (a.node IS NOT NULL) AS in_kcore,
+       |       CAST(coalesce(f.c, 0) AS BIGINT) AS core_degree,
+       |       (SELECT n FROM nxt) = (SELECT n FROM cur) AS converged
+       |FROM emb LEFT JOIN alive$KcoreRounds a ON emb.vec_id = a.node
+       |LEFT JOIN fin f ON emb.vec_id = f.node
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** The unrolled DuckDB replay of [[graphLabelProp]]: same edge set, same
     * [[LpIters]] majority-vote rounds as chained CTEs. */
   private def labelPropOracleSql: String = {
@@ -2188,6 +2296,7 @@ object AnalyticsQueries {
     "graph_edge_overlap" -> (graphEdgeOverlap _),
     "sample_hard_negatives" -> (sampleHardNegatives _),
     "graph_assortativity" -> (graphAssortativity _),
+    "graph_kcore" -> (graphKcore _),
     "graph_label_prop" -> (graphLabelProp _),
     "graph_khop" -> (graphKhop _),
     "graph_knn_recall" -> (graphKnnRecall _),
@@ -2583,6 +2692,7 @@ object AnalyticsQueries {
          |       CAST(rnk AS BIGINT) AS rank
          |FROM neg WHERE rnk <= $HardNegK
          |ORDER BY vec_id, rank""".stripMargin,
+    "graph_kcore" -> kcoreOracleSql,
     "graph_label_prop" -> labelPropOracleSql,
     "graph_components" -> componentsOracleSql,
     // same weighted edge relation, bounded walk enumeration + lex argmin

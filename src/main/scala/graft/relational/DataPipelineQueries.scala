@@ -1770,6 +1770,61 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Shard count of the balanced-shard plan and the doc-id bucket width of
+    * its rank decomposition — pinned so the oracle can replay. At 100 TB
+    * the bucket width is sized so |distinct token counts| × |buckets|
+    * stays a small driver-side relation (it is the ONLY globally-ordered
+    * object in the plan). */
+  private[relational] val CorpusShards = 8
+  private[relational] val ShardRankBucket = 1024L
+
+  /** BALANCED TRAINING-SHARD PLANNING — assign every document to one of
+    * [[CorpusShards]] output shards so that per-shard token totals are
+    * near-equal: rank docs by (n_tokens DESC, doc_id), then deal ranks in
+    * boustrophedon (snake) order — block b of S ranks gives shard s the
+    * s-th rank when b is even and the (S−1−s)-th when odd, so each shard
+    * alternates picking high and low within every window of 2S docs. This
+    * is the LPT-flavored deterministic shard planner a pre-training
+    * pipeline runs before writing token-balanced files (unbalanced shards
+    * straggle the training data-loader exactly like skewed tasks straggle
+    * a shuffle).
+    *
+    * 100-TB shape: the naive plan (row_number over a GLOBAL order) is a
+    * single-partition window — the classic scale cliff. Instead the global
+    * rank is decomposed exactly: rank = (rows in strictly-earlier
+    * (n_tokens, doc-id-bucket) groups) + (row_number WITHIN the group).
+    * The group tally is a tiny aggregate (≤ |distinct counts|·|buckets|
+    * rows — the only place a global ORDER BY runs), its cumulative offsets
+    * broadcast back, and the within-group window is partitioned with ≤
+    * [[ShardRankBucket]] rows per partition — skew-proof at any corpus
+    * size (a distributed counting sort, the same decomposition
+    * zipWithIndex uses but keyed by VALUE, not partition layout, so it is
+    * deterministic under any repartitioning). Bucket order equals doc_id
+    * order within a token count, so the decomposed rank is bit-equal to
+    * the oracle's straightforward global row_number. */
+  private def corpusShardPlan(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d).select(col("doc_id"),
+      expr("cast(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) as long)")
+        .as("n_tokens"))
+      .withColumn("bkt", expr(s"doc_id div $ShardRankBucket"))
+    val tally = toks.groupBy(col("n_tokens"), col("bkt")).agg(count(lit(1)).as("c"))
+    val off = tally.withColumn("offset", coalesce(
+      sum(col("c")).over(Window.orderBy(col("n_tokens").desc, col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    toks
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("n_tokens"), col("bkt")).orderBy(col("doc_id"))))
+      .join(broadcast(off.select(col("n_tokens"), col("bkt"), col("offset"))),
+        Seq("n_tokens", "bkt"))
+      .withColumn("rank", (col("offset") + col("rn")).cast("long"))
+      .withColumn("pos", expr(s"pmod(rank - 1, $CorpusShards)"))
+      .withColumn("shard_id",
+        when(expr(s"pmod((rank - 1) div $CorpusShards, 2)") === 0L, col("pos"))
+          .otherwise(lit(CorpusShards - 1L) - col("pos")).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("rank"), col("shard_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // per-language keep rates for the stratified sampler: rebalance the
   // en-heavy fixture. Deterministic hash sampling — keep iff the first 8
   // md5 hex digits of the doc_id (a uniform 32-bit draw both engines
@@ -2779,6 +2834,7 @@ object DataPipelineQueries {
     "text_decontaminate" -> (textDecontaminate _),
     "text_boilerplate" -> (textBoilerplate _),
     "pack_sequences" -> (packSequences _),
+    "corpus_shard_plan" -> (corpusShardPlan _),
     "sample_stratified" -> (sampleStratified _),
     "corpus_prep" -> (corpusPrep _),
     "text_fingerprint" -> (textFingerprint _),
@@ -3600,6 +3656,25 @@ object DataPipelineQueries {
         |            ELSE CAST(floor(greatest(end_tok - 1, end_tok - n_tokens) / 256.0) AS BIGINT)
         |               - CAST(floor((end_tok - n_tokens) / 256.0) AS BIGINT) + 1 END AS n_bins
         |FROM c ORDER BY doc_id""".stripMargin,
+    // INDEPENDENT recompute: the oracle ranks with a plain global
+    // row_number (no bucket decomposition) — same total order, so the
+    // engine's distributed two-level rank must match it bit-for-bit
+    "corpus_shard_plan" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rank
+        |  FROM t)
+        |SELECT doc_id, n_tokens, rank,
+        |       CAST(CASE WHEN ((rank - 1) // $CorpusShards) % 2 = 0
+        |                 THEN (rank - 1) % $CorpusShards
+        |                 ELSE ${CorpusShards - 1} - ((rank - 1) % $CorpusShards)
+        |            END AS BIGINT) AS shard_id
+        |FROM r ORDER BY doc_id""".stripMargin,
     // the end-to-end corpus-prep composition, recomputed as one CTE chain —
     // integration parity for dedup → decontaminate → quality → sample → pack
     "corpus_prep" ->

@@ -119,6 +119,51 @@ class GraphPagerankSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_kcore: mutual 2-core keeps tight clusters, peels one-way satellites") {
+    // two tight 4-point clusters: each point's top-3 are its cluster-mates
+    // (all reciprocated → mutual degree 3, survives the 2-core); two
+    // satellites whose nearest neighbors are not reciprocated by the
+    // clusters peel away in round one whether or not their own mutual
+    // edge forms. Fixture float32-quantized like the physical encoding.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kcore").toString
+    val rnd = new scala.util.Random(29L)
+    def cluster(axis: Int): Array[Float] = Array.tabulate(8)(j =>
+      (if (j == axis) 1.0f else 0.0f) + rnd.nextGaussian().toFloat * 0.01f)
+    val rows =
+      (0 until 4).map(i => (i.toLong, cluster(0), 0)) ++
+        (4 until 8).map(i => (i.toLong, cluster(1), 1)) ++
+        Seq((8L, Array.tabulate(8)(j => if (j == 2) 1.0f else 0.0f), 2),
+          (9L, Array.tabulate(8)(j =>
+            if (j == 2) 0.9f else if (j == 3) 0.45f else 0.0f), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = AnalyticsQueries.queries("graph_kcore")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getBoolean(3)))).toMap
+    (0L to 7L).foreach { id =>
+      assert(out(id) == ((true, 3L, true)), s"cluster node $id: ${out(id)}")
+    }
+    Seq(8L, 9L).foreach { id =>
+      assert(!out(id)._1 && out(id)._2 == 0L, s"satellite $id must peel: ${out(id)}")
+    }
+  }
+
+  test("graph_kcore invariants on the real fixture: converged, discriminating, degree-consistent") {
+    val rows = AnalyticsQueries.queries("graph_kcore")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.length === 500)
+    assert(rows.forall(_._4), "KcoreRounds must reach the fixpoint at sf0.001")
+    val members = rows.filter(_._2)
+    assert(members.nonEmpty && members.length < rows.length,
+      s"2-core must be discriminating, got ${members.length}/${rows.length}")
+    members.foreach { case (id, _, cd, _) =>
+      assert(cd >= AnalyticsQueries.KcoreK, s"converged member $id has core degree $cd")
+    }
+    rows.filterNot(_._2).foreach { case (id, _, cd, _) =>
+      assert(cd == 0L, s"non-member $id must report core degree 0, got $cd")
+    }
+  }
+
   test("assortativity: two separated label clusters score exactly r_micros = 1e6") {
     // label-0 vectors near +e1, label-1 near -e1: every k-NN edge stays
     // inside its cluster, so e_same = m and Newman's r is exactly 1 —

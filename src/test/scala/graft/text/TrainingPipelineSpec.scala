@@ -239,6 +239,47 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(rows(202L) == ((202L, true, 1L)), rows(202L).toString)
   }
 
+  test("corpus_shard_plan: permutation ranks, exact snake replay, balanced shards") {
+    def words(n: Int) = Seq.fill(n)("tok").mkString(" ")
+    // 19 docs, token counts with ties, > 2 full snake blocks of 8 shards
+    val docsSeq = (0 until 19).map(i => (i.toLong, "web", "en", words(1 + (i * 7) % 13)))
+    val dir = writeDocs(docsSeq, "shardplan")
+    val rows = graft.relational.DataPipelineQueries.queries("corpus_shard_plan")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 19)
+    // the decomposed distributed rank is a permutation of 1..N in the
+    // exact (n_tokens DESC, doc_id ASC) total order
+    assert(rows.map(_._3).sorted.toSeq == (1L to 19L).toSeq)
+    val expectRank = docsSeq.map { case (id, _, _, t) => (id, t.split(" ").length.toLong) }
+      .sortBy { case (id, n) => (-n, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    rows.foreach { case (id, _, rank, _) =>
+      assert(rank == expectRank(id), s"doc $id rank $rank != ${expectRank(id)}")
+    }
+    // boustrophedon assignment replayed by hand from the rank
+    // (8 = the pinned CorpusShards; the oracle interpolates the same value)
+    rows.foreach { case (id, _, rank, shard) =>
+      val block = (rank - 1) / 8L
+      val pos = (rank - 1) % 8L
+      val exp = if (block % 2L == 0L) pos else 7L - pos
+      assert(shard == exp, s"doc $id rank $rank: shard $shard != $exp")
+    }
+    // doc-count balance is exact-by-construction (round-robin blocks)
+    val sizes = rows.groupBy(_._4).map(_._2.length)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced shard sizes: $sizes")
+  }
+
+  test("corpus_shard_plan on the real fixture: token totals spread under one max-doc") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.relational.DataPipelineQueries.queries("corpus_shard_plan")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    val totals = rows.groupBy(_._2).map { case (_, g) => g.map(_._1).sum }
+    val spread = totals.max - totals.min
+    val maxDoc = rows.map(_._1).max
+    assert(spread <= maxDoc,
+      s"snake shard token spread $spread exceeds the largest doc ($maxDoc tokens)")
+  }
+
   test("sample_stratified: md5-hash keep decision matches a hand computation per stratum") {
     val docsSeq = Seq(
       (0L, "web", "en", "a"), (1L, "web", "en", "b"), (2L, "web", "de", "c"),
