@@ -826,8 +826,10 @@ object AnalyticsQueries {
     * reciprocated similarity, so core membership separates tight semantic
     * clusters from one-way hub attraction, which raw degree can't).
     * Computed by synchronous peeling: each round drops every node whose
-    * degree WITHIN the surviving set is < k, for [[KcoreRounds]] rounds —
-    * the distributed k-core algorithm (Montresor et al. 2013 is the
+    * degree WITHIN the surviving set is < k, for at most [[KcoreRounds]]
+    * rounds with early exit once a round removes nothing (monotonicity
+    * makes an unchanged count a proof of an unchanged set) — the
+    * distributed k-core algorithm (Montresor et al. 2013 is the
     * message-passing form of the same fixpoint). Peeling is monotone (the
     * alive set only shrinks), so a bounded unroll is oracle-replayable;
     * the emitted `converged` flag is honest evidence the fixpoint was
@@ -860,9 +862,22 @@ object AnalyticsQueries {
       .join(alive.select(col("node").as("nbr")), Seq("nbr"), "left_semi")
       .groupBy(col("node")).agg(count(lit(1)).as("c"))
     var alive = adj.select(col("node")).distinct().localCheckpoint(true)
-    for (_ <- 1 to KcoreRounds)
+    // early exit at the fixpoint: peeling is monotone (the alive set only
+    // shrinks), so an unchanged count PROVES an unchanged set — dead
+    // rounds cost a full pass each at scale and change nothing. The
+    // count is one cheap job on the just-checkpointed frame, and the
+    // result is bit-identical to the full unroll the oracle replays.
+    var prev = alive.count()
+    var r = 0
+    var fixed = false
+    while (r < KcoreRounds && !fixed) {
       alive = coreDegrees(alive).filter(col("c") >= KcoreK)
         .select(col("node")).localCheckpoint(true)
+      val n = alive.count()
+      fixed = n == prev
+      prev = n
+      r += 1
+    }
     // degree restricted to the final alive set — the output column, and
     // one extra peel step's worth of evidence for the converged flag
     val fin = coreDegrees(alive).localCheckpoint(true)
