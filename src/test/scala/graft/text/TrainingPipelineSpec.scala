@@ -303,6 +303,32 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(again == rows.map { case (k, v) => k -> v._3 }, "sampler must be deterministic")
   }
 
+  test("text_perplexity_buckets: rank replays the lm_score order, tertiles exact") {
+    val sf = "/root/testdata/sf0.001"
+    val scores = graft.relational.DataPipelineQueries.queries("text_lm_score")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val rows = graft.relational.DataPipelineQueries
+      .queries("text_perplexity_buckets")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val n = rows.length
+    assert(n == 500)
+    // the decomposed two-level rank is a permutation in the exact
+    // (lm_logp DESC, doc_id ASC) order of the gate-proven scores
+    assert(rows.map(_._3).sorted.toSeq == (1L to n.toLong).toSeq)
+    val expectRank = scores.toSeq.sortBy { case (id, lp) => (-lp, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    rows.foreach { case (id, lp, rank, bucket, name) =>
+      assert(lp == scores(id), s"doc $id: bucket score $lp != lm_score ${scores(id)}")
+      assert(rank == expectRank(id), s"doc $id: rank $rank != ${expectRank(id)}")
+      assert(bucket == ((rank - 1) * 3) / n, s"doc $id: bucket $bucket")
+      assert(name == Seq("head", "middle", "tail")(bucket.toInt), s"doc $id: $name")
+    }
+    // CCNet tertiles: sizes differ by at most 1
+    val sizes = rows.groupBy(_._4).map(_._2.length)
+    assert(sizes.size == 3 && sizes.max - sizes.min <= 1, s"tertiles: $sizes")
+  }
+
   test("text_lm_score: hand-computed bigram model on a 3-doc corpus") {
     // corpus norm texts: "ab", "abab", "" → bigram counts ab:3, ba:1;
     // first-char totals a:3, b:1; vocab {a, b} = 2; add-one smoothing:
