@@ -66,6 +66,24 @@ object Bench {
       require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     }
     val errors = scala.collection.mutable.ArrayBuffer[String]()
+    // observed plan metrics (Dataset.observe — e.g. dedup_minhash's
+    // cap-binding signal, r12 advice #3): collected by a listener during
+    // the normal action, zero extra passes, reported per metric name
+    val observed = scala.collection.concurrent.TrieMap[String, String]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          val rendered = try row.schema.fieldNames.zip(row.toSeq)
+            .map { case (k, v) => s"$k=$v" }.mkString(",")
+          catch { case _: Throwable => row.toString }
+          observed.put(name, rendered)
+        }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             error: Exception): Unit = ()
+    })
     // sorted: deterministic execution order makes per-round timings comparable
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -76,6 +94,12 @@ object Bench {
       // them. Jiffies sampled around each query let the gate discard the
       // TAINTED ROWS instead of the whole run.
       val (qBusy0, qSteal0) = cpuJiffies()
+      // family-build attribution (r12 verdict ask #4): memoized one-time
+      // builds (ANN edges, pair frame, LM scores, fitted model) land on
+      // whichever gated query runs them first — snapshot the named-memo
+      // build ledger around each query so the artifact reports build and
+      // serve separately instead of charging the first family member.
+      val ledger0 = graft.core.SessionMemo.buildLedger.size
       val t0 = System.nanoTime()
       // a crashing query must read as a FAILURE, not a fast time
       try { fn(spark, sfDir).count() } catch {
@@ -84,6 +108,7 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      val builds = graft.core.SessionMemo.buildLedger.drop(ledger0)
       val (qBusy1, qSteal1) = cpuJiffies()
       val qSteal =
         if (qBusy0 < 0 || qBusy1 + qSteal1 <= qBusy0 + qSteal0) -1.0
@@ -95,10 +120,10 @@ object Bench {
       // OUTSIDE the timed window: bench harness hygiene, not query cost,
       // and it keeps a query's time independent of what ran before it.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      (name, elapsed, qSteal)
+      (name, elapsed, qSteal, builds)
     }
     def pct(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // calibration-NORMALIZED per-query values (seconds / calib_s): the
     // round-over-round comparable number. r10's driver window ran at
@@ -109,9 +134,20 @@ object Bench {
     // carries up to ~25% quantization error — defeating the purpose
     def norm4(v: Double): String = String.format(java.util.Locale.ROOT,
       "%.4f", Double.box(if (calibS > 0) v / calibS else -1.0))
-    val qsNorm = results.map { case (k, v, _) => s"\"" + k + "\":" + norm4(v) }
+    val qsNorm = results.map { case (k, v, _, _) => s"\"" + k + "\":" + norm4(v) }
       .mkString("{", ",", "}")
-    val qsSteal = results.map { case (k, _, s) => s"\"" + k + "\":" + pct(s) }
+    val qsSteal = results.map { case (k, _, s, _) => s"\"" + k + "\":" + pct(s) }
+      .mkString("{", ",", "}")
+    // family-build accounting (r12 verdict ask #4): `family_builds` totals
+    // each named memo's one-time build (warm-up-paid builds included via
+    // the full ledger); `queries_build` lists the build seconds each query
+    // actually paid inline, so serve cost = queries[q] − queries_build[q]
+    val familyBuilds = graft.core.SessionMemo.buildLedger
+      .groupBy(_._1).map { case (n, xs) => (n, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
+    val familyJson = familyBuilds
+      .map { case (n, s) => "\"" + n + "\":" + pct(s) }.mkString("{", ",", "}")
+    val qsBuild = results.filter(_._4.nonEmpty)
+      .map { case (k, _, _, b) => s"\"" + k + "\":" + pct(b.map(_._2).sum) }
       .mkString("{", ",", "}")
     // full JSON string escape shared with Verify: a Spark
     // AnalysisException message is routinely multi-line — a raw \n inside
@@ -119,6 +155,8 @@ object Bench {
     // where errors matter
     def q(s: String): String = Verify.q(s)
     val errJson = errors.map(q).mkString("[", ",", "]")
+    val observedJson = observed.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val (busy1, steal1) = cpuJiffies()
     val stealPct =
@@ -140,6 +178,8 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_norm":$qsNorm,"total_norm":$totalNorm,""" +
+      s""""family_builds":$familyJson,"queries_build":$qsBuild,""" +
+      s""""observed":$observedJson,""" +
       s""""errors":$errJson,$env,"sf":"$sfDir"}"""
     // The driver keeps only a ~2,000-char TAIL of stdout and parses a JSON
     // line out of it. Round 8's single detail line (198-entry query + steal
@@ -159,7 +199,7 @@ object Bench {
     // top-10 slowest queries: the per-query signal that matters for grading,
     // small enough to always fit beside totals/errors/calibration
     val top = results.sortBy(-_._2).take(10)
-      .map { case (k, v, _) => "\"" + k + "\":" + pct(v) }.mkString("{", ",", "}")
+      .map { case (k, v, _, _) => "\"" + k + "\":" + pct(v) }.mkString("{", ",", "}")
     // errors capped at 5 (full list is in the detail file) so a
     // many-failure run cannot push the summary line past the tail window.
     // Sanitize BEFORE truncating: q() expands quotes/backslashes 2x and
@@ -172,9 +212,11 @@ object Bench {
     val errCompact = (errors.take(5).map(e => q(sanitize(e))) ++
       (if (errors.size > 5) Seq(q(s"...and ${errors.size - 5} more")) else Nil))
       .mkString("[", ",", "]")
+    // family_builds is tiny (≤ a handful of named memos) and is the
+    // round-over-round attribution signal — carried on the compact line too
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""errors":$errCompact,"calib_s":${pct(calibS)},"total_norm":$totalNorm,""" +
-      s""""steal_pct":${pct(stealPct)},""" +
+      s""""steal_pct":${pct(stealPct)},"family_builds":$familyJson,""" +
       s""""top_queries":$top,"detail_file":${q(fullPath)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -21,7 +21,8 @@ import scala.collection.concurrent.TrieMap
   * under the same path within one live session would serve the stale
   * artifact — acceptable over immutable fixture data, and every call
   * site keeps an unmemoized bypass. */
-final class SessionMemo[V](onEvict: V => Unit = (_: V) => ()) {
+final class SessionMemo[V](onEvict: V => Unit = (_: V) => (),
+                           name: String = "") {
   private val m = TrieMap.empty[(SparkSession, String), V]
   private lazy val hookOnce: Unit = Runtime.getRuntime.addShutdownHook(
     new Thread(() => m.values.foreach(v => scala.util.Try(onEvict(v)))))
@@ -42,7 +43,10 @@ final class SessionMemo[V](onEvict: V => Unit = (_: V) => ()) {
         // possibly naming an on-disk artifact — would leak without
         // onEvict. putIfAbsent decides one winner; the loser evicts its
         // own freshly built value.
+        val t0 = System.nanoTime()
         val built = build
+        if (name.nonEmpty)
+          SessionMemo.record(name, (System.nanoTime() - t0) / 1e9)
         m.putIfAbsent(key, built) match {
           case Some(winner) => scala.util.Try(onEvict(built)); winner
           case None => built
@@ -51,4 +55,26 @@ final class SessionMemo[V](onEvict: V => Unit = (_: V) => ()) {
   }
 
   private[graft] def size: Int = m.size
+}
+
+/** Build-time ledger for NAMED memos — the r12 verdict's observability
+  * ask: the one-time family builds (ANN edge table, dedup pair frame, LM
+  * score table, fitted model) are paid by whichever gated query runs
+  * first, and a bench artifact that can't tell build from serve makes
+  * round-over-round per-query tables lie. Each named memo appends
+  * (name, seconds) when its build lambda actually runs; Bench snapshots
+  * the ledger around every query and reports the builds as their own
+  * rows. Pure driver-side bookkeeping — no effect on values or plans. */
+object SessionMemo {
+  private val ledger =
+    new java.util.concurrent.CopyOnWriteArrayList[(String, Double)]()
+
+  private[core] def record(name: String, secs: Double): Unit =
+    ledger.add((name, secs))
+
+  /** Immutable snapshot of (memo name, build seconds) entries so far. */
+  def buildLedger: Seq[(String, Double)] = {
+    import scala.jdk.CollectionConverters._
+    ledger.asScala.toSeq
+  }
 }

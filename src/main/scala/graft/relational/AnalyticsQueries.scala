@@ -558,7 +558,8 @@ object AnalyticsQueries {
     * session would serve stale edges — fine for immutable fixture data,
     * and [[annKnnEdges]] remains the uncached bypass. */
   private val edgeMemo = new graft.core.SessionMemo[String](dir =>
-    DataPipelineQueries.deleteRecursively(java.nio.file.Paths.get(dir)))
+    DataPipelineQueries.deleteRecursively(java.nio.file.Paths.get(dir)),
+    name = "ann_edges")
 
   private[relational] def sharedAnnEdges(s: SparkSession, d: String): DataFrame =
     s.read.parquet(edgeMemo.getOrBuild(s, d) {
@@ -921,9 +922,14 @@ object AnalyticsQueries {
     val aa = dir.groupBy(col("la")).agg(count(lit(1)).as("ai"))
       .agg(sum(col("ai") * col("ai")).as("sum_a_sq"))
     tot.crossJoin(aa)
+      // degenerate-corpus guard (r12 advice): when every vector shares one
+      // label, m² = Σaᵢ² and the denominator is 0 — Spark `div` would yield
+      // NULL silently while DuckDB `//` raises, so BOTH engines emit an
+      // explicit NULL (assortativity is undefined on a one-label graph)
       .select(col("m_directed"), col("e_same"), col("sum_a_sq"),
-        expr("""(1000000L * (m_directed * e_same - sum_a_sq))
-                div (m_directed * m_directed - sum_a_sq)""").as("r_micros"))
+        expr("""CASE WHEN m_directed * m_directed = sum_a_sq THEN NULL
+                ELSE (1000000L * (m_directed * e_same - sum_a_sq))
+                     div (m_directed * m_directed - sum_a_sq) END""").as("r_micros"))
   }
 
   /** Hard negatives per anchor — fixed so the oracle can replay. */
@@ -1317,7 +1323,8 @@ object AnalyticsQueries {
     * (parquet-backed for the same block-manager-hygiene reason as
     * [[edgeMemo]]); [[bfsSigmaForward]] stays the unmemoized bypass. */
   private val bfsMemo = new graft.core.SessionMemo[String](dir =>
-    DataPipelineQueries.deleteRecursively(java.nio.file.Paths.get(dir)))
+    DataPipelineQueries.deleteRecursively(java.nio.file.Paths.get(dir)),
+    name = "bfs_sigma")
 
   /** Returns (vis, dag): the reached-node σ state and the level-respecting
     * shortest-path DAG edges, both parquet-memoized per (session, corpus) —
@@ -1468,8 +1475,23 @@ object AnalyticsQueries {
       .join(sig.select(col("node").as("start"), col("sigma").as("sig_v")), "start")
       .join(sig.select(col("node"), col("sigma").as("sig_t")), "node")
       .select(col("start"),
-        expr("(1000000L * sig_v * cnt) div sig_t").as("term"))
-      .groupBy(col("start")).agg(sum(col("term")).as("delta_micros"))
+        expr("(1000000L * sig_v * cnt) div sig_t").as("term"),
+        (col("sig_v") * col("cnt")).as("vw"))
+      .groupBy(col("start"))
+      .agg(sum(col("term")).as("delta_micros"), sum(col("vw")).as("vw_sum"))
+      // overflow fail-fast (r12 advice): walk counts grow combinatorially
+      // in dense DAGs, and the BIGINT-safety of the micro terms was only
+      // ARGUED from sf0.1 measurements (cnt ≤ 138). Assert the per-start
+      // pre-division mass Σ σ_v·cnt ≤ 8·10¹²: since σ_t ≥ 1 and div
+      // truncates, Σ terms ≤ 10⁶·Σ σ_v·cnt ≤ 8·10¹⁸ < 2⁶³ — so a fixture
+      // dense enough to overflow RAISES here instead of passing the gate
+      // with wrapped values. (vw_sum itself would need to exceed the
+      // ceiling by ~10⁶× AND wrap back under it to slip through — not a
+      // regime any graph reachable from this census occupies.)
+      .select(col("start"),
+        expr("""CASE WHEN assert_true(vw_sum <= 8000000000000L,
+                  'graph_betweenness_frac: walk-census mass exceeds the BIGINT-safe ceiling (8e12); delta_micros would overflow') IS NULL
+                THEN delta_micros END""").as("delta_micros"))
     vis.join(delta.select(col("start").as("node"), col("delta_micros")),
         Seq("node"), "left")
       .select(col("node").as("vec_id"), col("dist_hops"), col("sigma"),
@@ -2689,8 +2711,10 @@ object AnalyticsQueries {
          |aa AS (SELECT CAST(sum(ai * ai) AS BIGINT) AS sum_a_sq FROM (
          |         SELECT CAST(count(*) AS BIGINT) AS ai FROM dir GROUP BY la))
          |SELECT m_directed, e_same, sum_a_sq,
-         |       CAST((1000000 * (m_directed * e_same - sum_a_sq))
-         |            // (m_directed * m_directed - sum_a_sq) AS BIGINT) AS r_micros
+         |       CASE WHEN m_directed * m_directed = sum_a_sq THEN NULL
+         |            ELSE CAST((1000000 * (m_directed * e_same - sum_a_sq))
+         |                 // (m_directed * m_directed - sum_a_sq) AS BIGINT)
+         |       END AS r_micros
          |FROM tot CROSS JOIN aa""".stripMargin,
     // same directed top-k edge relation WITH labels; different-label
     // filter, identical (cos DESC, id) total order, top-HardNegK

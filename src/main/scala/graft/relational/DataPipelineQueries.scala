@@ -78,6 +78,14 @@ object DataPipelineQueries {
     * ceiling, binding only on swarm-heavy corpora. */
   private[relational] val MinhashDegreeCap = 128
 
+  /** n-gram pair-engine caps (r13, same recipe): whole-bucket cap on
+    * per-(block, trigram) buckets, per-rep candidate degree cap ranked by
+    * cold-shared-trigram count. Both replayed verbatim by the oracle;
+    * both non-binding at the gate SFs (measured max 111 for each at
+    * sf0.1). */
+  private[relational] val NgramBucketCap = 256
+  private[relational] val NgramDegreeCap = 128
+
   private def dedupMinhash(s: SparkSession, d: String): DataFrame = {
     // the collapse shuffles only (doc_id, set_key, norm) rows — the shingle
     // arrays (~350 strings/doc, ~5× the text bytes plus per-element
@@ -98,21 +106,44 @@ object DataPipelineQueries {
       .withColumn("sh", TextOps.charShingles("norm", 5))
       .drop("norm")
       .withColumn("sig", TextOps.minhashSigCol(col("sh"), 64))
+      // the 16 per-band bucket hashes as ONE narrow column: posexploded
+      // below for the bucket join, and zip_with-compared per candidate
+      // pair for the shared-band count — computed once per rep
+      .withColumn("bb", TextOps.bandBucketCols(col("sig"), 16, 4))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // RAW pairs (multi-band duplicates kept): the multiplicity IS the
-    // shared-band count the degree cap ranks by
-    val pairs = TextOps.candidatePairsRaw(
-      TextOps.bandBuckets(sig, "rep_id", "sig", bands = 16, rowsPerBand = 4), "rep_id")
+    // r13 (the r12 verdict's top ask): candidate generation COMPACTS each
+    // capped (band, bucket) into a sorted member array and emits every
+    // candidate pair EXACTLY ONCE — at its first surviving shared band —
+    // with the shared-band count computed inline from the two masked band
+    // vectors ([[TextOps.candidatePairsWithBandCounts]]). Nothing
+    // pair-keyed is ever shuffled or partial-agg-spilled: the 100× swarm
+    // fixture's 30+ GB of per-band pair-row shuffle collapses to the
+    // candidate set itself. nb is bit-identical to the r12 pair-row
+    // multiplicity (ok-bucket shared-band count), so the oracle's candn
+    // is unchanged and output parity holds at ANY scale, binding caps
+    // included.
+    // eagerly materialized because the directed union below consumes it
+    // TWICE — without this the whole mask/collect/enumerate pipeline ran
+    // once per direction (the r13 10× A/B measured the double-pay).
+    // Size is bounded: ≤ cap·N/2 candidate rows of three longs.
+    val pairCnt = TextOps.candidatePairsWithBandCounts(sig, "rep_id", "bb")
+      .localCheckpoint(true)
     // per-rep degree cap (r12, scaladoc above): rank each rep's candidates
     // by shared-band count (ties to the smaller partner id — deterministic,
     // so the oracle replays it), keep the strongest MinhashDegreeCap on
-    // EACH side's view, undirect — verify traffic ≤ cap·N at any swarm
-    val pairCnt = pairs.groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("nb"))
+    // EACH side's view, undirect — verify traffic ≤ cap·N at any swarm.
+    // The observe() metrics (r12 advice #3) make a BINDING cap visible to
+    // any QueryExecutionListener (Bench reports them): truncated_reps > 0
+    // means a swarm-heavy corpus where capped recall is in play.
     val cand = pairCnt
       .select(col("id_a").as("rep"), col("id_b").as("other"), col("nb"))
       .union(pairCnt.select(col("id_b"), col("id_a"), col("nb")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("rep")).orderBy(col("nb").desc, col("other"))))
+      .observe("dedup_minhash_cap",
+        sum(when(col("rn") === MinhashDegreeCap + 1, 1L).otherwise(0L))
+          .as("truncated_reps"),
+        max(col("rn")).as("max_degree"))
       .filter(col("rn") <= MinhashDegreeCap)
       .select(least(col("rep"), col("other")).as("id_a"),
         greatest(col("rep"), col("other")).as("id_b"))
@@ -203,6 +234,105 @@ object DataPipelineQueries {
       .select(col("doc_id"), col("norm_md5"),
         coalesce(col("seen"), lit(false)).as("dup_of_history"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The HISTORY side's persisted MinHash signature/band table — what a
+    * production continuous-ingest pipeline maintains between batches:
+    * one row per already-ingested doc with its distinct 5-gram shingles,
+    * 64-long signature and 16 band-bucket hashes, written once per corpus
+    * (session-memoized parquet). Probing it NEVER re-shingles or re-hashes
+    * history text — the whole point of the shape
+    * ([[dedupMinhashIncremental]]); at 100 TB this table is the bucketed
+    * layout scan_bucketed demonstrates, so the band probe is a co-located
+    * join. */
+  private val minhashHistMemo = new graft.core.SessionMemo[String](dir =>
+    deleteRecursively(java.nio.file.Paths.get(dir)), name = "minhash_history")
+
+  private[relational] def minhashHistoryTable(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(minhashHistMemo.getOrBuild(s, d) {
+      val h = docs(s, d).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), TextOps.normalized("text").as("norm"))
+        .withColumn("sh", TextOps.charShingles("norm", 5))
+        .drop("norm")
+        .withColumn("sig", TextOps.minhashSigCol(col("sh"), 64))
+        .withColumn("bb", TextOps.bandBucketCols(col("sig"), 16, 4))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_minhash_hist_")
+      h.write.mode("overwrite").parquet(tmp.toString)
+      tmp.toString
+    })
+
+  /** Batch INCREMENTAL near-dup — the r12 verdict's "what's missing" #2:
+    * an arrival batch (odd doc_ids — the dedup_incremental parity
+    * convention) probes the PERSISTED history signature/band table
+    * ([[minhashHistoryTable]], even doc_ids) for its best near-duplicate
+    * partner. History text is never rescanned: the probe side reads only
+    * the signature table (signatures, band hashes and shingle sets all
+    * come from parquet), and the arrival batch is the only side that
+    * shingles/hashes — IncrementalMinhashPlanSpec pins that plan shape.
+    *
+    * Same guardrails as dedup_minhash, replayed verbatim by the oracle:
+    * whole-bucket cap (256) on HISTORY band buckets, per-arrival degree
+    * cap ([[MinhashDegreeCap]], ranked by shared-band count, ties to the
+    * smaller history id), split verify (signature agreement ≥ 24 prunes
+    * before shingle arrays are fetched), exact Jaccard ≥ 0.5 on the
+    * survivors. Doc-level (no exact-dup collapse): an arrival that is an
+    * exact copy of history reports jaccard 1.0 through the normal path.
+    * Output: one row per arrival — its post-cap candidate count, its best
+    * history partner (jaccard DESC, smaller id) or NULL. */
+  private def dedupMinhashIncremental(s: SparkSession, d: String): DataFrame = {
+    val hist = minhashHistoryTable(s, d)
+    val arr = docs(s, d).filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), TextOps.normalized("text").as("norm"))
+      .withColumn("sh", TextOps.charShingles("norm", 5))
+      .drop("norm")
+      .withColumn("sig", TextOps.minhashSigCol(col("sh"), 64))
+      .withColumn("bb", TextOps.bandBucketCols(col("sig"), 16, 4))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hb = hist.select(col("doc_id").as("hid"),
+      posexplode(col("bb")).as(Seq("band", "bucket")))
+    val ok = hb.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= 256).select(col("band"), col("bucket"))
+    val hbOk = hb.join(ok, Seq("band", "bucket"))
+    val ab = arr.select(col("doc_id").as("aid"),
+      posexplode(col("bb")).as(Seq("band", "bucket")))
+    val keep = ab.join(hbOk, Seq("band", "bucket"))
+      .groupBy(col("aid"), col("hid")).agg(count(lit(1)).as("nb"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("aid")).orderBy(col("nb").desc, col("hid"))))
+      .observe("dedup_minhash_incremental_cap",
+        sum(when(col("rn") === MinhashDegreeCap + 1, 1L).otherwise(0L))
+          .as("truncated_arrivals"),
+        max(col("rn")).as("max_degree"))
+      .filter(col("rn") <= MinhashDegreeCap)
+      .select(col("aid"), col("hid"))
+      .localCheckpoint(true) // consumed by the verify chain AND n_candidates
+    val agree = keep
+      .join(arr.select(col("doc_id").as("aid"), col("sig").as("sig_a")), "aid")
+      .join(hist.select(col("doc_id").as("hid"), col("sig").as("sig_h")), "hid")
+      .filter(TextOps.sigAgree(col("sig_a"), col("sig_h")) >= 24)
+      .select(col("aid"), col("hid"))
+    val ver = agree
+      .join(arr.select(col("doc_id").as("aid"), col("sh").as("sh_a")), "aid")
+      .join(hist.select(col("doc_id").as("hid"), col("sh").as("sh_h")), "hid")
+      .select(col("aid"), col("hid"),
+        round(size(array_intersect(col("sh_a"), col("sh_h"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_h"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+    val best = ver.withColumn("rn", row_number().over(
+        Window.partitionBy(col("aid")).orderBy(col("jaccard").desc, col("hid"))))
+      .filter(col("rn") === 1)
+      .select(col("aid").as("doc_id"), col("hid").as("dup_of"), col("jaccard"))
+    val ncand = keep.groupBy(col("aid")).agg(count(lit(1)).as("nc"))
+      .select(col("aid").as("doc_id"), col("nc"))
+    val out = arr.select(col("doc_id"))
+      .join(ncand, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("nc"), lit(0L)).as("n_candidates"),
+        col("dup_of"), col("jaccard"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    arr.unpersist()
+    out
   }
 
   /** Cross-corpus LINE dedup (the C4/RefinedWeb repetition-removal rule):
@@ -423,7 +553,7 @@ object DataPipelineQueries {
     * (evicted with its session or by the JVM shutdown sweep).
     * [[ngramJaccardPairs]] stays as the unmemoized bypass. */
   private val pairMemo = new graft.core.SessionMemo[String](dir =>
-    deleteRecursively(java.nio.file.Paths.get(dir)))
+    deleteRecursively(java.nio.file.Paths.get(dir)), name = "ngram_pairs")
 
   private def sharedNgramPairs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(pairMemo.getOrBuild(s, d) {
@@ -467,14 +597,61 @@ object DataPipelineQueries {
     val toksRep = grouped.select(col("rep_id"), col("source"), col("lang"),
       explode(col("sh")).as("g"))
     val sizes = grouped.select(col("rep_id"), size(col("sh")).as("n"))
-    val common = toksRep.select(col("source"), col("lang"), col("g"), col("rep_id").as("id_a"))
-      .join(toksRep.select(col("source"), col("lang"), col("g"), col("rep_id").as("id_b")),
-        Seq("source", "lang", "g"))
+    // r13 (verdict ask #2): the token join gets the minhash recipe — a
+    // whole-bucket cap on per-(block, trigram) buckets bounds candidate
+    // GENERATION (Σ min(sz, cap)·sz join rows instead of Σ sz²), a per-rep
+    // degree cap (ranked by cold-shared-trigram count, ties to the smaller
+    // id — deterministic, replayed by the oracle) bounds everything
+    // downstream at cap·reps, and the HOT (over-cap) trigrams are added
+    // back EXACTLY for the surviving candidates via the small hot-token
+    // relation — so every REPORTED jaccard stays exact at any scale; the
+    // trade is recall only (a pair whose every shared trigram is hot in an
+    // over-cap bucket is not generated — the pathological-block regime).
+    // Both caps are NON-BINDING at the gate SFs (measured: max bucket 111,
+    // max degree 111 at sf0.1) — output bit-identical to the uncapped
+    // engine there; the observe() metrics surface a binding cap to any
+    // listener (Bench reports them).
+    val bsz = toksRep.groupBy(col("source"), col("lang"), col("g"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val coldKeys = bsz.filter(col("c") >= 2 && col("c") <= NgramBucketCap)
+      .select(col("source"), col("lang"), col("g"))
+    val hotKeys = bsz.filter(col("c") > NgramBucketCap)
+      .select(col("source"), col("lang"), col("g"))
+    val coldToks = toksRep.join(coldKeys, Seq("source", "lang", "g"))
+    val commonCold = coldToks
+      .select(col("source"), col("lang"), col("g"), col("rep_id").as("id_a"))
+      .join(coldToks.select(col("source"), col("lang"), col("g"),
+        col("rep_id").as("id_b")), Seq("source", "lang", "g"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
-    val verified = common
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("cc"))
+      .localCheckpoint(true) // consumed by both rank directions + verify
+    val cand = commonCold
+      .select(col("id_a").as("rep"), col("id_b").as("other"), col("cc"))
+      .union(commonCold.select(col("id_b"), col("id_a"), col("cc")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("rep")).orderBy(col("cc").desc, col("other"))))
+      .observe("dedup_ngram_cap",
+        sum(when(col("rn") === NgramDegreeCap + 1, 1L).otherwise(0L))
+          .as("truncated_reps"),
+        max(col("rn")).as("max_degree"))
+      .filter(col("rn") <= NgramDegreeCap)
+      .select(least(col("rep"), col("other")).as("id_a"),
+        greatest(col("rep"), col("other")).as("id_b"))
+      .distinct()
+      .localCheckpoint(true) // consumed by the hot add-back AND the verify
+    // hot add-back: hotKeys is bounded by (token rows)/cap so it always
+    // broadcasts; EMPTY whenever no bucket exceeds the cap (both gate SFs)
+    val hotToks = toksRep.join(broadcast(hotKeys), Seq("source", "lang", "g"))
+    val hcommon = cand
+      .join(hotToks.select(col("rep_id").as("id_a"), col("g")), "id_a")
+      .join(hotToks.select(col("rep_id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("hc"))
+    val verified = cand
+      .join(commonCold, Seq("id_a", "id_b"))
+      .join(hcommon, Seq("id_a", "id_b"), "left")
       .join(sizes.select(col("rep_id").as("id_a"), col("n").as("n_a")), "id_a")
       .join(sizes.select(col("rep_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("common", col("cc") + coalesce(col("hc"), lit(0L)))
       .withColumn("jaccard", round(col("common").cast("double") /
         (col("n_a") + col("n_b") - col("common")), 6))
       .filter(col("jaccard") >= 0.5)
@@ -2542,9 +2719,12 @@ object DataPipelineQueries {
     * transition participant). Docs with < 2 chars have no bigrams: they
     * report n_bigrams 0, score 0.0. */
   /** The DuckDB replay of [[lmScores]] — the add-one corpus-bigram LM —
-    * as a reusable CTE chain (`n`, `bg`, `counts`, `firsts`, `vocab`,
-    * `model`, `scored`): text_lm_score and text_perplexity_buckets build
-    * on the same scoring, mirroring the engine-side memo. */
+    * as a reusable CTE chain (`n`, `bg`, `dbg`, `counts`, `firsts`,
+    * `vocab`, `model`, `scored`): text_lm_score and text_perplexity_buckets
+    * build on the same scoring, mirroring the engine-side memo. `dbg` is
+    * the r13 per-doc count image: the score is the count-weighted mean
+    * Σ c·logp / Σ c — the same quantity as the old per-occurrence avg,
+    * computed from per-doc-distinct addends on BOTH engines. */
   private def lmScoreCtesSql: String =
     """n AS (
       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
@@ -2555,20 +2735,23 @@ object DataPipelineQueries {
       |                          i -> substr(norm, CAST(i AS INT), 2))
       |      ELSE [] END) AS bg
       |  FROM n),
-      |counts AS (SELECT bg, substr(bg, 1, 1) AS c1, count(*) AS c2 FROM bg GROUP BY 1, 2),
-      |firsts AS (SELECT c1, sum(c2) AS c1n FROM counts GROUP BY 1),
+      |dbg AS MATERIALIZED (
+      |  SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+      |counts AS (SELECT bg, substr(bg, 1, 1) AS c1, CAST(sum(c) AS BIGINT) AS c2
+      |           FROM dbg GROUP BY 1, 2),
+      |firsts AS (SELECT c1, CAST(sum(c2) AS BIGINT) AS c1n FROM counts GROUP BY 1),
       |vocab AS (SELECT count(*) AS v FROM (
       |  SELECT c1 AS ch FROM counts UNION SELECT substr(bg, 2, 1) FROM counts) t),
       |model AS (
       |  SELECT bg, ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1n + v AS DOUBLE)) AS logp
       |  FROM counts JOIN firsts USING (c1) CROSS JOIN vocab),
       |scored AS (
-      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-      |         round(avg(logp), 6) AS lm_logp
-      |  FROM bg JOIN model USING (bg) GROUP BY doc_id)""".stripMargin
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |         round(sum(c * logp) / sum(c), 6) AS lm_logp
+      |  FROM dbg JOIN model USING (bg) GROUP BY doc_id)""".stripMargin
 
   private val lmMemo = new graft.core.SessionMemo[String](dir =>
-    deleteRecursively(java.nio.file.Paths.get(dir)))
+    deleteRecursively(java.nio.file.Paths.get(dir)), name = "lm_scores")
 
   /** The corpus-bigram LM scoring behind text_lm_score, memoized per
     * (session, corpus dir) as a parquet table — text_lm_score and
@@ -2580,13 +2763,23 @@ object DataPipelineQueries {
   private def lmScores(s: SparkSession, d: String): DataFrame =
     s.read.parquet(lmMemo.getOrBuild(s, d) {
       val base = docs(s, d).select(col("doc_id"), TextOps.normalized("text").as("norm"))
-      val bgs = base.select(col("doc_id"),
-        explode(when(length(col("norm")) >= 2,
-            expr("transform(sequence(1, length(norm) - 1), i -> substring(norm, i, 2))"))
-          .otherwise(array())).as("bg"))
-      // one corpus pass trains the model; eager-checkpointed because three
-      // tiny derivations (firsts, vocab, model) read it
-      val counts = bgs.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      // r13 (verdict ask #3): PER-DOC bigram counts first. A doc's exploded
+      // bigrams all live in one partition (a generator never splits its
+      // input row), so the (doc_id, bg) partial hash-aggregate finishes
+      // MAP-SIDE and every exchange from here on carries Σ per-doc DISTINCT
+      // bigrams — bounded by min(doc length, |V|²) per doc — instead of one
+      // row per character (Σ doc lengths; the r12 10× fixture measured that
+      // constant at 16.5×). Eager because BOTH the model pass and the
+      // scoring pass read it (and each used to re-scan + re-explode the
+      // corpus).
+      val dbg = base.select(col("doc_id"),
+          explode(when(length(col("norm")) >= 2,
+              expr("transform(sequence(1, length(norm) - 1), i -> substring(norm, i, 2))"))
+            .otherwise(array())).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      // the model: global bigram counts fold the per-doc partials
+      val counts = dbg.groupBy(col("bg")).agg(sum(col("c")).as("c2"))
         .withColumn("c1", substring(col("bg"), 1, 1))
         .localCheckpoint(true)
       val firsts = counts.groupBy(col("c1")).agg(sum(col("c2")).as("c1n"))
@@ -2597,9 +2790,13 @@ object DataPipelineQueries {
         .select(col("bg"),
           log((col("c2") + lit(1)).cast("double") / (col("c1n") + lit(vocab)).cast("double"))
             .as("logp"))
-      val scored = bgs.join(broadcast(model), "bg")
+      // scoring: count-weighted mean replaces the per-occurrence avg —
+      // Σ c·logp / Σ c, the identical quantity with per-doc-distinct
+      // addends (the oracle computes the same weighted form)
+      val scored = dbg.join(broadcast(model), "bg")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("logp")), 6).as("lm_logp"))
+        .agg(sum(col("c")).as("n_bigrams"),
+          round(sum(col("c") * col("logp")) / sum(col("c")), 6).as("lm_logp"))
       val out = base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -2873,6 +3070,7 @@ object DataPipelineQueries {
     "text_substring_dedup" -> (textSubstringDedup _),
     "scan_orc" -> (scanOrc _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_minhash_incremental" -> (dedupMinhashIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_groups" -> (dedupGroups _),
@@ -2944,6 +3142,164 @@ object DataPipelineQueries {
     * → signature-agreement ≥ 24 → exact Jaccard over the shingle sets →
     * the same within/cross best-partner selection. dup_of AND jaccard are
     * hash-checked per doc — not a verdict. */
+  /** Shared DuckDB replay of [[ngramJaccardPairs]] — collapse to (trigram
+    * set, block) representatives, capped cold token join, degree rank, hot
+    * add-back, exact jaccard, then fan-out to doc pairs (cross-group via
+    * the verified rep pair, within-group at jaccard 1.0). Ends in a CTE
+    * `pairs(doc_a, doc_b, jaccard)` with doc_a < doc_b; the three pair
+    * consumers (dedup_ngram_jaccard, dedup_groups, dedup_keep_best) build
+    * on it. Replays the r13 caps VERBATIM ([[NgramBucketCap]],
+    * [[NgramDegreeCap]]) — both non-binding at the gate SFs, where this
+    * chain is value-identical to the r12 uncapped brute-force oracle. */
+  private def ngramPairCtesSql: String =
+    s"""sh0 AS (
+       |  SELECT doc_id, source, lang,
+       |         unnest(list_distinct(list_transform(
+       |           generate_series(1, greatest(length(text) - 2, 1)),
+       |           i -> substr(text, CAST(i AS INT), 3)))) AS g
+       |  FROM documents),
+       |dkey AS MATERIALIZED (
+       |  SELECT doc_id, source, lang,
+       |         md5(string_agg(g, chr(1) ORDER BY g)) AS set_key
+       |  FROM sh0 GROUP BY 1, 2, 3),
+       |grpk AS MATERIALIZED (
+       |  SELECT set_key, source, lang, min(doc_id) AS rep_id
+       |  FROM dkey GROUP BY 1, 2, 3),
+       |rt AS MATERIALIZED (
+       |  SELECT k.rep_id, k.source, k.lang, s.g
+       |  FROM grpk k JOIN sh0 s ON s.doc_id = k.rep_id),
+       |rsz AS (SELECT rep_id, count(*) AS n FROM rt GROUP BY 1),
+       |bszn AS MATERIALIZED (
+       |  SELECT source, lang, g, count(*) AS c FROM rt GROUP BY 1, 2, 3),
+       |coldt AS (SELECT rt.* FROM rt JOIN bszn USING (source, lang, g)
+       |          WHERE bszn.c BETWEEN 2 AND $NgramBucketCap),
+       |hott AS (SELECT rt.* FROM rt JOIN bszn USING (source, lang, g)
+       |         WHERE bszn.c > $NgramBucketCap),
+       |ccold AS MATERIALIZED (
+       |  SELECT a.rep_id AS id_a, b.rep_id AS id_b, count(*) AS cc
+       |  FROM coldt a JOIN coldt b
+       |    ON a.source = b.source AND a.lang = b.lang AND a.g = b.g
+       |   AND a.rep_id < b.rep_id
+       |  GROUP BY 1, 2),
+       |keepd AS (SELECT rep, other FROM (
+       |            SELECT rep, other,
+       |                   row_number() OVER (PARTITION BY rep
+       |                                      ORDER BY cc DESC, other) AS rn
+       |            FROM (SELECT id_a AS rep, id_b AS other, cc FROM ccold
+       |                  UNION ALL SELECT id_b, id_a, cc FROM ccold))
+       |          WHERE rn <= $NgramDegreeCap),
+       |candn AS (SELECT DISTINCT least(rep, other) AS id_a,
+       |                 greatest(rep, other) AS id_b FROM keepd),
+       |hcom AS (SELECT c.id_a, c.id_b, count(*) AS hc
+       |         FROM candn c JOIN hott ha ON ha.rep_id = c.id_a
+       |                      JOIN hott hb ON hb.rep_id = c.id_b AND hb.g = ha.g
+       |         GROUP BY 1, 2),
+       |rp AS MATERIALIZED (
+       |  SELECT id_a, id_b, jaccard FROM (
+       |    SELECT c.id_a, c.id_b,
+       |           round((cc.cc + coalesce(h.hc, 0)) * 1.0
+       |                 / (sa.n + sb.n - cc.cc - coalesce(h.hc, 0)), 6) AS jaccard
+       |    FROM candn c
+       |    JOIN ccold cc ON cc.id_a = c.id_a AND cc.id_b = c.id_b
+       |    LEFT JOIN hcom h ON h.id_a = c.id_a AND h.id_b = c.id_b
+       |    JOIN rsz sa ON sa.rep_id = c.id_a
+       |    JOIN rsz sb ON sb.rep_id = c.id_b)
+       |  WHERE jaccard >= 0.5),
+       |pairs AS MATERIALIZED (
+       |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+       |         greatest(ma.doc_id, mb.doc_id) AS doc_b, rp.jaccard
+       |  FROM rp
+       |  JOIN grpk ga ON ga.rep_id = rp.id_a
+       |  JOIN grpk gb ON gb.rep_id = rp.id_b
+       |  JOIN dkey ma ON ma.set_key = ga.set_key AND ma.source = ga.source
+       |               AND ma.lang = ga.lang
+       |  JOIN dkey mb ON mb.set_key = gb.set_key AND mb.source = gb.source
+       |               AND mb.lang = gb.lang
+       |  UNION ALL
+       |  SELECT a.doc_id, b.doc_id, CAST(1.0 AS DOUBLE) AS jaccard
+       |  FROM dkey a JOIN dkey b
+       |    ON a.set_key = b.set_key AND a.source = b.source
+       |   AND a.lang = b.lang AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** DuckDB replay of [[dedupMinhashIncremental]] at doc level: signatures
+    * and band hashes recomputed from the same md5-parity construction for
+    * ALL docs, split by parity into the history table image and the
+    * arrival batch; then history bucket cap (256) → band probe with
+    * shared-band count → per-arrival degree cap ([[MinhashDegreeCap]]) →
+    * signature agreement ≥ 24 → exact Jaccard ≥ 0.5 → best partner. */
+  private def minhashIncrementalOracleSql: String = {
+    val (as, bs) = graft.text.TextOps.minhashCoeffs(64)
+    val aList = as.mkString("[", ", ", "]")
+    val bList = bs.mkString("[", ", ", "]")
+    val bandParts = (1 to 4).map(r => s"CAST(ms[4 * bb.b + $r] AS VARCHAR)")
+      .mkString(" || ',' || ")
+    s"""WITH consts AS (SELECT $aList::BIGINT[] AS a, $bList::BIGINT[] AS b),
+       |d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+       |      FROM documents),
+       |sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(generate_series(1, greatest(length(norm) - 4, 1)),
+       |                               i -> substr(norm, CAST(i AS INT), 5))) AS s
+       |  FROM d),
+       |hs AS MATERIALIZED (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS hm FROM sh),
+       |sigl AS MATERIALIZED (
+       |  SELECT h.doc_id,
+       |         list_transform(generate_series(1, 64),
+       |           i -> list_min(list_transform(h.hml, x -> (c.a[i] * x + c.b[i]) % 2147483647))) AS ms
+       |  FROM (SELECT doc_id, list(hm) AS hml FROM hs GROUP BY doc_id) h, consts c),
+       |bands AS MATERIALIZED (
+       |  SELECT doc_id, bb.b,
+       |         ('0x' || substr(md5($bandParts), 1, 15))::BIGINT AS bucket
+       |  FROM sigl, (SELECT unnest(generate_series(0, 15)) AS b) bb),
+       |hb AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+       |ab AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+       |ok AS (SELECT b, bucket FROM hb GROUP BY b, bucket HAVING count(*) <= 256),
+       |hbok AS (SELECT hb.* FROM hb JOIN ok USING (b, bucket)),
+       |candn AS (SELECT a.doc_id AS aid, h.doc_id AS hid, count(*) AS nb
+       |          FROM ab a JOIN hbok h ON a.b = h.b AND a.bucket = h.bucket
+       |          GROUP BY 1, 2),
+       |keep AS (SELECT aid, hid FROM (
+       |           SELECT aid, hid,
+       |                  row_number() OVER (PARTITION BY aid
+       |                                     ORDER BY nb DESC, hid) AS rn
+       |           FROM candn) WHERE rn <= $MinhashDegreeCap),
+       |agree AS (
+       |  SELECT k.aid, k.hid
+       |  FROM keep k JOIN sigl sa ON sa.doc_id = k.aid
+       |              JOIN sigl sb ON sb.doc_id = k.hid
+       |  WHERE len(list_filter(generate_series(1, 64), i -> sa.ms[i] = sb.ms[i])) >= 24),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.aid, p.hid, count(*) AS common
+       |  FROM agree p JOIN sh a ON a.doc_id = p.aid
+       |               JOIN sh b ON b.doc_id = p.hid AND b.s = a.s
+       |  GROUP BY 1, 2),
+       |verq AS (
+       |  SELECT aid, hid, jaccard FROM (
+       |    SELECT p.aid, p.hid,
+       |           round(coalesce(i.common, 0) * 1.0
+       |                 / (sa.n + sb.n - coalesce(i.common, 0)), 6) AS jaccard
+       |    FROM agree p
+       |    LEFT JOIN inter i ON i.aid = p.aid AND i.hid = p.hid
+       |    JOIN sizes sa ON sa.doc_id = p.aid
+       |    JOIN sizes sb ON sb.doc_id = p.hid)
+       |  WHERE jaccard >= 0.5),
+       |best AS (SELECT aid, hid, jaccard FROM (
+       |           SELECT aid, hid, jaccard,
+       |                  row_number() OVER (PARTITION BY aid
+       |                                     ORDER BY jaccard DESC, hid) AS rn
+       |           FROM verq) WHERE rn = 1),
+       |ncand AS (SELECT aid, CAST(count(*) AS BIGINT) AS n_candidates
+       |          FROM keep GROUP BY aid)
+       |SELECT dd.doc_id, coalesce(nc.n_candidates, 0) AS n_candidates,
+       |       b.hid AS dup_of, b.jaccard
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) dd
+       |LEFT JOIN ncand nc ON nc.aid = dd.doc_id
+       |LEFT JOIN best b ON b.aid = dd.doc_id
+       |ORDER BY dd.doc_id""".stripMargin
+  }
+
   private def minhashOracleSql: String = {
     val (as, bs) = graft.text.TextOps.minhashCoeffs(64)
     val aList = as.mkString("[", ", ", "]")
@@ -3098,6 +3454,7 @@ object DataPipelineQueries {
     // recall-floor verdict for the LSH pipeline — same normalization +
     // grouping as dedup_exact; see dedupMinhash's projection comment
     "dedup_minhash" -> minhashOracleSql,
+    "dedup_minhash_incremental" -> minhashIncrementalOracleSql,
     // full value-level recompute — md5-derived token hash makes the 64
     // bit-majority votes, band collisions and nearest-code choice exact SQL
     // (the bucket cap is a measured no-op at gate scale; see the scaladoc)
@@ -3151,46 +3508,14 @@ object DataPipelineQueries {
         |JOIN g USING (u) LEFT JOIN g2 USING (u) LEFT JOIN best b USING (u)
         |ORDER BY a.doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
-      """WITH sh AS (
-        |  SELECT DISTINCT doc_id, source, lang, g FROM (
-        |    SELECT doc_id, source, lang,
-        |           unnest(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
-        |                                 i -> substr(text, CAST(i AS INT), 3))) AS g
-        |    FROM documents)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM sh a JOIN sh b
-        |    ON a.source = b.source AND a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT i.doc_a, i.doc_b,
-        |       round(i.common * 1.0 / (sa.n + sb.n - i.common), 6) AS jaccard
-        |FROM inter i
-        |JOIN sizes sa ON sa.doc_id = i.doc_a
-        |JOIN sizes sb ON sb.doc_id = i.doc_b
-        |WHERE round(i.common * 1.0 / (sa.n + sb.n - i.common), 6) >= 0.5
+      s"""WITH $ngramPairCtesSql
+        |SELECT doc_a, doc_b, jaccard FROM pairs
         |ORDER BY doc_a, doc_b""".stripMargin,
     // same pair CTE as dedup_ngram_jaccard, closed into components with a
     // recursive min-label CTE (the union_find pattern) — checks the
     // distributed propagation loop itself, not just the pair generation
     "dedup_groups" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT DISTINCT doc_id, source, lang, g FROM (
-        |    SELECT doc_id, source, lang,
-        |           unnest(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
-        |                                 i -> substr(text, CAST(i AS INT), 3))) AS g
-        |    FROM documents)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM sh a JOIN sh b
-        |    ON a.source = b.source AND a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT i.doc_a, i.doc_b FROM inter i
-        |  JOIN sizes sa ON sa.doc_id = i.doc_a
-        |  JOIN sizes sb ON sb.doc_id = i.doc_b
-        |  WHERE round(i.common * 1.0 / (sa.n + sb.n - i.common), 6) >= 0.5),
+      s"""WITH RECURSIVE $ngramPairCtesSql,
         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
         |comp(node, label) AS (
@@ -3207,23 +3532,7 @@ object DataPipelineQueries {
     // score; keep = row_number() = 1 under the identical
     // (rounded score DESC, doc_id) total order
     "dedup_keep_best" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT DISTINCT doc_id, source, lang, g FROM (
-        |    SELECT doc_id, source, lang,
-        |           unnest(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
-        |                                 i -> substr(text, CAST(i AS INT), 3))) AS g
-        |    FROM documents)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM sh a JOIN sh b
-        |    ON a.source = b.source AND a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT i.doc_a, i.doc_b FROM inter i
-        |  JOIN sizes sa ON sa.doc_id = i.doc_a
-        |  JOIN sizes sb ON sb.doc_id = i.doc_b
-        |  WHERE round(i.common * 1.0 / (sa.n + sb.n - i.common), 6) >= 0.5),
+      s"""WITH RECURSIVE $ngramPairCtesSql,
         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
         |comp(node, label) AS (

@@ -34,7 +34,8 @@ object PipelineQueries {
     * fit the way a deployment serves one trained model to many callers.
     * [[AnomalyDetection.fit]] stays the unmemoized bypass (multilevel /
     * streaming fits use their own windows + params and never share). */
-  private val fitMemo = new graft.core.SessionMemo[(DataFrame, AnomalyDetection.Model)]
+  private val fitMemo = new graft.core.SessionMemo[(DataFrame, AnomalyDetection.Model)](
+    name = "fitted_model")
 
   private def fitOn(s: SparkSession, d: String): (DataFrame, AnomalyDetection.Model) =
     fitMemo.getOrBuild(s, d) {

@@ -1,9 +1,10 @@
 package graft.relational
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.text.TextOps
+import graft.text.{Similarity, TextOps}
 
 /** Retrieval wave: RAG-style document chunking, inverted-index
   * construction, and BM25 ranked keyword search — the retrieval side of
@@ -171,12 +172,107 @@ object SearchQueries {
       .orderBy(col("lang"), col("rank"))
   }
 
+  // ----------------------------------------------------------- hybrid RRF
+  /** RRF constant (Cormack et al. 2009's k=60) and the leg / fused depths. */
+  private[relational] val RrfK = 60
+  private[relational] val HybridLegK = 20
+  private[relational] val HybridTopK = 10
+
+  /** Reciprocal-rank FUSION of two leg rankings — factored out so the spec
+    * can pin the fusion math on synthetic legs (the r12 verdict's
+    * acceptance case: a doc at rank 2 in BOTH legs must beat a doc at
+    * rank 1 in one leg and absent from the other). Integer arithmetic
+    * end-to-end: each present leg contributes `10⁹ div (RrfK + rank)` —
+    * truncating division, exact on both engines — absent legs contribute
+    * 0; fused order is (score DESC, doc_id), top [[HybridTopK]] kept.
+    *
+    * @param lex (qid, doc_id, rank) lexical leg, rank 1-based BIGINT
+    * @param vec (qid, doc_id, rank) vector leg */
+  private[relational] def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame =
+    lex.select(col("qid"), col("doc_id"), col("rank").as("lex_rank"))
+      .join(vec.select(col("qid"), col("doc_id"), col("rank").as("vec_rank")),
+        Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr(s"1000000000L div ($RrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000000L div ($RrfK + vec_rank)"), lit(0L)))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rrf_score").desc, col("doc_id"))))
+      .filter(col("fused_rank") <= HybridTopK)
+      .select(col("qid"), col("doc_id"), col("rrf_score"),
+        col("fused_rank").cast("long").as("fused_rank"),
+        col("lex_rank"), col("vec_rank"))
+
+  /** HYBRID retrieval via reciprocal-rank fusion — the r12 verdict's
+    * "what's missing" #3, the RAG-serving shape nearly every retrieval
+    * pipeline ships: for each of the 10 fixed query docs (doc_id < 10 —
+    * the similarity family's query-subset convention; embeddings.vec_id
+    * indexes the same corpus ids), fuse (a) a BM25 more-like-this leg
+    * (the query doc's DISTINCT tokens as terms, the proven
+    * text_search_bm25 rounding discipline, self excluded, top
+    * [[HybridLegK]]) with (b) the exact cosine top-[[HybridLegK]] leg
+    * (the proven similarity_topk construction) — RRF with k=[[RrfK]] in
+    * pure integer arithmetic ([[rrfFuse]]).
+    *
+    * 100-TB shape: the lexical leg is the corpus token stream semi-joined
+    * to the (small, broadcast) query lexicon before any aggregation plus
+    * two combinable aggregates; the vector leg's brute force stands in
+    * for the IVF path at the exactness gate (similarity_ivf/ivfpq hold
+    * the scale story); fusion itself is query-keyed joins over ≤ 2·legK
+    * rows per query — nothing corpus-sized past the legs. */
+  private def searchHybridRrf(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), TextOps.tokens("text").as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = base.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+    val qTerms = base.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"), explode(array_distinct(col("toks"))).as("token"))
+    val qTok = qTerms.select(col("token")).distinct()
+    // postings restricted to query terms BEFORE aggregation (the bm25 plan
+    // rule); eager because df and the per-query fan-out both read it
+    val qHits = base.select(col("doc_id"), explode(col("toks")).as("token"))
+      .join(broadcast(qTok), "token")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint(true)
+    val dfT = qHits.groupBy(col("token")).agg(count(lit(1)).cast("double").as("dft"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      round(avg(col("dl")), 6).as("avgdl"))
+    val lexScores = qHits
+      .join(broadcast(qTerms), "token")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(dl, "doc_id")
+      .join(broadcast(dfT), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_r",
+        round(log((col("n_docs") - col("dft") + 0.5) / (col("dft") + 0.5) + 1.0), 6))
+      .withColumn("w_r", round(
+        col("idf_r") * col("tf") * 2.2 /
+          (col("tf") + (col("dl") / col("avgdl") * 0.75 + 0.25) * 1.2), 6))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("w_r")), 4).as("score"))
+    val lex = lexScores
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= HybridLegK)
+      .select(col("qid"), col("doc_id"), col("rank").cast("long").as("rank"))
+    val e = Tables.embeddings(s, d)
+    val vec = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = HybridLegK)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("neighbor"))))
+      .select(col("qid"), col("neighbor").as("doc_id"),
+        col("rank").cast("long").as("rank"))
+    val out = rrfFuse(lex, vec).orderBy(col("qid"), col("fused_rank"))
+      .localCheckpoint(true)
+    base.unpersist()
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_reservoir" -> (sampleReservoir _),
     "feature_hash" -> (featureHash _),
     "text_chunk" -> (textChunk _),
     "text_inverted_index" -> (textInvertedIndex _),
     "text_search_bm25" -> (textSearchBm25 _),
+    "search_hybrid_rrf" -> (searchHybridRrf _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -251,6 +347,70 @@ object SearchQueries {
         |FROM tf JOIN lex ON tf.token = lex.token
         |ORDER BY tf.token, tf.doc_id""".stripMargin,
     // same rounding ladder: idf@6dp -> term weight@6dp -> sum@4dp -> rank
+    // full replay of both legs + the integer RRF fusion: the BM25 leg with
+    // each query doc's distinct tokens as terms (identical rounding chain
+    // to text_search_bm25), the exact-cosine leg (identical construction
+    // to similarity_topk), 10^9 // (60 + rank) contributions, (score DESC,
+    // doc_id) fused order, top-10 per query
+    "search_hybrid_rrf" ->
+      s"""WITH base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |              FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM base),
+        |qterms AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS token
+        |           FROM base WHERE doc_id < 10),
+        |postings AS MATERIALIZED (
+        |  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS token FROM base)
+        |  WHERE token IN (SELECT DISTINCT token FROM qterms)
+        |  GROUP BY 1, 2),
+        |dft AS (SELECT token, CAST(count(*) AS DOUBLE) AS dft FROM postings GROUP BY token),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |                 round(avg(dl), 6) AS avgdl FROM dl),
+        |w AS (SELECT q.qid, p.doc_id,
+        |        round(round(ln((s.n_docs - d.dft + 0.5) / (d.dft + 0.5) + 1.0), 6)
+        |              * p.tf * 2.2
+        |              / (p.tf + (l.dl / s.avgdl * 0.75 + 0.25) * 1.2), 6) AS w_r
+        |      FROM postings p
+        |      JOIN qterms q USING (token)
+        |      JOIN dl l ON l.doc_id = p.doc_id
+        |      JOIN dft d USING (token)
+        |      CROSS JOIN stats s
+        |      WHERE p.doc_id <> q.qid),
+        |lexs AS (SELECT qid, doc_id, round(sum(w_r), 4) AS score FROM w GROUP BY 1, 2),
+        |lex AS (SELECT qid, doc_id, CAST(rn AS BIGINT) AS lex_rank FROM (
+        |          SELECT qid, doc_id,
+        |                 row_number() OVER (PARTITION BY qid
+        |                                    ORDER BY score DESC, doc_id) AS rn
+        |          FROM lexs) WHERE rn <= $HybridLegK),
+        |q2 AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |p2 AS (
+        |  SELECT q2.qid, e.vec_id,
+        |         list_sum(list_transform(generate_series(1, len(q2.qe)),
+        |                                 i -> q2.qe[i]::DOUBLE * e.embedding[i]::DOUBLE)) AS dot,
+        |         list_sum(list_transform(generate_series(1, len(q2.qe)),
+        |                                 i -> q2.qe[i]::DOUBLE * q2.qe[i]::DOUBLE)) AS n1,
+        |         list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |                                 i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) AS n2
+        |  FROM q2, embeddings e WHERE q2.qid <> e.vec_id),
+        |vec AS (SELECT qid, vec_id AS doc_id, CAST(rn AS BIGINT) AS vec_rank FROM (
+        |          SELECT qid, vec_id,
+        |                 row_number() OVER (PARTITION BY qid
+        |                   ORDER BY round(dot / (sqrt(n1) * sqrt(n2)), 6) DESC, vec_id) AS rn
+        |          FROM p2) WHERE rn <= $HybridLegK),
+        |fused AS (
+        |  SELECT coalesce(l.qid, v.qid) AS qid,
+        |         coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |         coalesce(CAST(1000000000 // ($RrfK + l.lex_rank) AS BIGINT), 0)
+        |       + coalesce(CAST(1000000000 // ($RrfK + v.vec_rank) AS BIGINT), 0) AS rrf_score,
+        |         l.lex_rank, v.vec_rank
+        |  FROM lex l FULL OUTER JOIN vec v
+        |    ON l.qid = v.qid AND l.doc_id = v.doc_id)
+        |SELECT qid, doc_id, rrf_score, CAST(rn AS BIGINT) AS fused_rank,
+        |       lex_rank, vec_rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |                 ORDER BY rrf_score DESC, doc_id) AS rn FROM fused)
+        |WHERE rn <= $HybridTopK
+        |ORDER BY qid, fused_rank""".stripMargin,
     "text_search_bm25" ->
       """WITH base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
         |              FROM documents),
