@@ -280,6 +280,19 @@ object DataPipelineQueries {
     * Output: one row per arrival — its post-cap candidate count, its best
     * history partner (jaccard DESC, smaller id) or NULL. */
   private def dedupMinhashIncremental(s: SparkSession, d: String): DataFrame = {
+    val (out, arr) = minhashIncrementalParts(s, d)
+    val r = out.localCheckpoint(true)
+    arr.unpersist()
+    r
+  }
+
+  /** The un-checkpointed incremental frame plus the cached arrival batch —
+    * exposed so IncrementalMinhashPlanSpec can assert the no-rescan plan
+    * shape (the outer plan's only parquet scans are the memoized history
+    * signature table; corpus text reaches it solely through the cached
+    * arrival batch). */
+  private[relational] def minhashIncrementalParts(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val hist = minhashHistoryTable(s, d)
     val arr = docs(s, d).filter(col("doc_id") % 2 === 1)
       .select(col("doc_id"), TextOps.normalized("text").as("norm"))
@@ -330,9 +343,7 @@ object DataPipelineQueries {
       .select(col("doc_id"), coalesce(col("nc"), lit(0L)).as("n_candidates"),
         col("dup_of"), col("jaccard"))
       .orderBy(col("doc_id"))
-      .localCheckpoint(true)
-    arr.unpersist()
-    out
+    (out, arr)
   }
 
   /** Cross-corpus LINE dedup (the C4/RefinedWeb repetition-removal rule):
