@@ -624,45 +624,77 @@ object DataPipelineQueries {
     // listener (Bench reports them).
     val bsz = toksRep.groupBy(col("source"), col("lang"), col("g"))
       .agg(count(lit(1)).as("c")).localCheckpoint(true)
-    val coldKeys = bsz.filter(col("c") >= 2 && col("c") <= NgramBucketCap)
-      .select(col("source"), col("lang"), col("g"))
     val hotKeys = bsz.filter(col("c") > NgramBucketCap)
       .select(col("source"), col("lang"), col("g"))
-    val coldToks = toksRep.join(coldKeys, Seq("source", "lang", "g"))
-    val commonCold = coldToks
+    // cap filter as a broadcast ANTI-join against the OVER-cap keys —
+    // bounded by (token rows)/cap BY CONSTRUCTION, so it always
+    // broadcasts; a semi-join with the (unbounded, stats-free) cold key
+    // set would sort-merge-shuffle the whole token stream twice (the r13
+    // A/B measured that at ~2 s on sf0.1). Size-1 buckets stay in: they
+    // self-join to nothing under id_a < id_b, exactly as pre-cap.
+    val coldToks = toksRep.join(broadcast(hotKeys),
+      Seq("source", "lang", "g"), "left_anti")
+    // Two PROVEN-equivalence fast paths keep the cap machinery ~free off
+    // pathological corpora (both gate SFs take both; the r13 A/B measured
+    // the general path's two extra materializations at ~3 s on sf0.1):
+    //   · a rep's candidates all live in its own (source, lang) block, so
+    //     degree ≤ blockReps − 1 — when even the LARGEST block fits under
+    //     the cap, the degree rank is the identity and the
+    //     union/window/distinct pass is skipped (equal output by the
+    //     bound, not by luck; sf0.1 max block = 112 reps);
+    //   · when NO bucket exceeds the bucket cap, the hot relation is empty
+    //     and the hot add-back join contributes nothing — the verify stays
+    //     the r12 fused single pass.
+    // Both tests are tiny driver actions on the materialized size frames;
+    // the oracle replays the GENERAL form (value-equal on these branches).
+    val needsRank = grouped.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("bn")).agg(max(col("bn"))).head().getLong(0) -
+      1 > NgramDegreeCap
+    val hotEmpty = bsz.filter(col("c") > NgramBucketCap).isEmpty
+    val commonCold0 = coldToks
       .select(col("source"), col("lang"), col("g"), col("rep_id").as("id_a"))
       .join(coldToks.select(col("source"), col("lang"), col("g"),
         col("rep_id").as("id_b")), Seq("source", "lang", "g"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("cc"))
-      .localCheckpoint(true) // consumed by both rank directions + verify
-    val cand = commonCold
-      .select(col("id_a").as("rep"), col("id_b").as("other"), col("cc"))
-      .union(commonCold.select(col("id_b"), col("id_a"), col("cc")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("rep")).orderBy(col("cc").desc, col("other"))))
-      .observe("dedup_ngram_cap",
-        sum(when(col("rn") === NgramDegreeCap + 1, 1L).otherwise(0L))
-          .as("truncated_reps"),
-        max(col("rn")).as("max_degree"))
-      .filter(col("rn") <= NgramDegreeCap)
-      .select(least(col("rep"), col("other")).as("id_a"),
-        greatest(col("rep"), col("other")).as("id_b"))
-      .distinct()
-      .localCheckpoint(true) // consumed by the hot add-back AND the verify
+    // materialized only when >1 consumer reads it (rank directions ×2, or
+    // the hot add-back beside the verify)
+    val commonCold =
+      if (needsRank || !hotEmpty) commonCold0.localCheckpoint(true)
+      else commonCold0
+    val cand =
+      if (!needsRank) commonCold
+      else commonCold
+        .select(col("id_a").as("rep"), col("id_b").as("other"), col("cc"))
+        .union(commonCold.select(col("id_b"), col("id_a"), col("cc")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("rep")).orderBy(col("cc").desc, col("other"))))
+        .observe("dedup_ngram_cap",
+          sum(when(col("rn") === NgramDegreeCap + 1, 1L).otherwise(0L))
+            .as("truncated_reps"),
+          max(col("rn")).as("max_degree"))
+        .filter(col("rn") <= NgramDegreeCap)
+        .select(least(col("rep"), col("other")).as("id_a"),
+          greatest(col("rep"), col("other")).as("id_b"), col("cc"))
+        .distinct() // a pair surviving from both directions collapses; cc
+                    // is direction-free so it rides the distinct key
+        .localCheckpoint(true) // consumed by the hot add-back AND the verify
     // hot add-back: hotKeys is bounded by (token rows)/cap so it always
-    // broadcasts; EMPTY whenever no bucket exceeds the cap (both gate SFs)
-    val hotToks = toksRep.join(broadcast(hotKeys), Seq("source", "lang", "g"))
-    val hcommon = cand
-      .join(hotToks.select(col("rep_id").as("id_a"), col("g")), "id_a")
-      .join(hotToks.select(col("rep_id").as("id_b"), col("g")), Seq("id_b", "g"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("hc"))
-    val verified = cand
-      .join(commonCold, Seq("id_a", "id_b"))
-      .join(hcommon, Seq("id_a", "id_b"), "left")
+    // broadcasts
+    val withHot =
+      if (hotEmpty) cand.withColumn("common", col("cc"))
+      else {
+        val hotToks = toksRep.join(broadcast(hotKeys), Seq("source", "lang", "g"))
+        val hcommon = cand.select(col("id_a"), col("id_b"))
+          .join(hotToks.select(col("rep_id").as("id_a"), col("g")), "id_a")
+          .join(hotToks.select(col("rep_id").as("id_b"), col("g")), Seq("id_b", "g"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("hc"))
+        cand.join(hcommon, Seq("id_a", "id_b"), "left")
+          .withColumn("common", col("cc") + coalesce(col("hc"), lit(0L)))
+      }
+    val verified = withHot
       .join(sizes.select(col("rep_id").as("id_a"), col("n").as("n_a")), "id_a")
       .join(sizes.select(col("rep_id").as("id_b"), col("n").as("n_b")), "id_b")
-      .withColumn("common", col("cc") + coalesce(col("hc"), lit(0L)))
       .withColumn("jaccard", round(col("common").cast("double") /
         (col("n_a") + col("n_b") - col("common")), 6))
       .filter(col("jaccard") >= 0.5)

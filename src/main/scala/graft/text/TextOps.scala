@@ -298,11 +298,15 @@ object TextOps {
     * the exact hazard the cap exists to bound. */
   def candidatePairs(buckets: DataFrame, idCol: String,
                      maxBucketSize: Int = 256): DataFrame = {
-    val ok = buckets.groupBy(col("band"), col("bucket"))
+    // cap as a broadcast ANTI-join against the OVER-cap buckets — bounded
+    // by rows/cap, always broadcastable; a semi-join against the unbounded
+    // ≤-cap key set would sort-merge-shuffle the bucket stream twice.
+    // Size-1 buckets collect a singleton list and expand nothing.
+    val over = buckets.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("sz"))
-      .filter(col("sz") >= 2 && col("sz") <= maxBucketSize)
+      .filter(col("sz") > maxBucketSize)
       .select(col("band"), col("bucket"))
-    val ml = buckets.join(ok, Seq("band", "bucket"))
+    val ml = buckets.join(broadcast(over), Seq("band", "bucket"), "left_anti")
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col(idCol))).as("ml"))
     // sorted members ⇒ x < y by construction; slice's over-length third arg
@@ -344,12 +348,12 @@ object TextOps {
                                    maxBucketSize: Int = 256): DataFrame = {
     val buckets = df.select(col(idCol),
       posexplode(col(bbCol)).as(Seq("band", "bucket")))
-    // one size pass feeds both filters (eager — two consumers)
+    // one size pass feeds the mask and the collect filter (eager — two
+    // consumers); only the OVER-cap set is ever joined, and it is bounded
+    // by rows/cap, so every join against it broadcasts
     val sizes = buckets.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("sz"))
       .localCheckpoint(true)
-    val ok = sizes.filter(col("sz") >= 2 && col("sz") <= maxBucketSize)
-      .select(col("band"), col("bucket"))
     val over = sizes.filter(col("sz") > maxBucketSize)
       .select(col("band"), col("bucket"))
     // the masked vector = the id's own band vector with dropped-bucket
@@ -360,14 +364,23 @@ object TextOps {
     // id-keyed groupBy (the first r13 cut paid one; the 10× A/B showed it)
     val ovb = buckets.join(broadcast(over), Seq("band", "bucket"), "left_semi")
       .groupBy(col(idCol)).agg(collect_list(col("band")).as("ovb"))
-    val mbb = df.select(col(idCol), col(bbCol).as("bb"))
+    // the masked vector rides the explode itself (every exchange from here
+    // is bucket-keyed): an id-keyed join attaching it afterwards would
+    // sort-merge-shuffle the bucket stream a second time
+    // no broadcast hint on ovb: it is EMPTY off swarm corpora (AQE's
+    // empty-relation propagation erases the join) but can approach N rows
+    // on one (every id in some oversized bucket) — forcing a broadcast
+    // would be the scale hazard, the id-keyed shuffle is the honest plan
+    val withMbb = df.select(col(idCol), col(bbCol).as("bb"))
       .join(ovb, Seq(idCol), "left")
-      .select(col(idCol), expr(
+      .select(col(idCol), col("bb"), expr(
         "transform(bb, (x, i) -> CASE WHEN ovb IS NOT NULL AND " +
           "array_contains(ovb, i) THEN CAST(NULL AS BIGINT) ELSE x END)")
         .as("mbb"))
-    val ml = buckets.join(ok, Seq("band", "bucket"))
-      .join(mbb, idCol)
+    val ml = withMbb
+      .select(col(idCol), col("mbb"),
+        posexplode(col("bb")).as(Seq("band", "bucket")))
+      .join(broadcast(over), Seq("band", "bucket"), "left_anti")
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("mbb")))).as("ml"))
     ml.select(explode(expr(
