@@ -679,20 +679,21 @@ object DataPipelineQueries {
         .distinct() // a pair surviving from both directions collapses; cc
                     // is direction-free so it rides the distinct key
         .localCheckpoint(true) // consumed by the hot add-back AND the verify
-    // hot add-back: hotKeys is bounded by (token rows)/cap so it always
-    // broadcasts
-    val withHot =
+    // exact verify. When no bucket is hot, cc already IS |A∩B| (every
+    // shared trigram sits in a ≤-cap bucket both reps occupy), so the
+    // fused count path stands. Otherwise the DEGREE-CAPPED candidates
+    // fetch the two shingle arrays once each and intersect — bounded by
+    // cap·reps pairs; the r13 first cut re-joined ~hot-tokens-per-rep
+    // rows PER candidate instead (measured ~10⁹ transient rows on the
+    // 10× fixture) and this form replaced it.
+    val withCommon =
       if (hotEmpty) cand.withColumn("common", col("cc"))
-      else {
-        val hotToks = toksRep.join(broadcast(hotKeys), Seq("source", "lang", "g"))
-        val hcommon = cand.select(col("id_a"), col("id_b"))
-          .join(hotToks.select(col("rep_id").as("id_a"), col("g")), "id_a")
-          .join(hotToks.select(col("rep_id").as("id_b"), col("g")), Seq("id_b", "g"))
-          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("hc"))
-        cand.join(hcommon, Seq("id_a", "id_b"), "left")
-          .withColumn("common", col("cc") + coalesce(col("hc"), lit(0L)))
-      }
-    val verified = withHot
+      else cand.select(col("id_a"), col("id_b"))
+        .join(grouped.select(col("rep_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(grouped.select(col("rep_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("common"))
+    val verified = withCommon
       .join(sizes.select(col("rep_id").as("id_a"), col("n").as("n_a")), "id_a")
       .join(sizes.select(col("rep_id").as("id_b"), col("n").as("n_b")), "id_b")
       .withColumn("jaccard", round(col("common").cast("double") /
@@ -3215,9 +3216,7 @@ object DataPipelineQueries {
        |bszn AS MATERIALIZED (
        |  SELECT source, lang, g, count(*) AS c FROM rt GROUP BY 1, 2, 3),
        |coldt AS (SELECT rt.* FROM rt JOIN bszn USING (source, lang, g)
-       |          WHERE bszn.c BETWEEN 2 AND $NgramBucketCap),
-       |hott AS (SELECT rt.* FROM rt JOIN bszn USING (source, lang, g)
-       |         WHERE bszn.c > $NgramBucketCap),
+       |          WHERE bszn.c <= $NgramBucketCap),
        |ccold AS MATERIALIZED (
        |  SELECT a.rep_id AS id_a, b.rep_id AS id_b, count(*) AS cc
        |  FROM coldt a JOIN coldt b
@@ -3233,18 +3232,16 @@ object DataPipelineQueries {
        |          WHERE rn <= $NgramDegreeCap),
        |candn AS (SELECT DISTINCT least(rep, other) AS id_a,
        |                 greatest(rep, other) AS id_b FROM keepd),
-       |hcom AS (SELECT c.id_a, c.id_b, count(*) AS hc
-       |         FROM candn c JOIN hott ha ON ha.rep_id = c.id_a
-       |                      JOIN hott hb ON hb.rep_id = c.id_b AND hb.g = ha.g
-       |         GROUP BY 1, 2),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS common
+       |          FROM candn c JOIN rt a ON a.rep_id = c.id_a
+       |                       JOIN rt b ON b.rep_id = c.id_b AND b.g = a.g
+       |          GROUP BY 1, 2),
        |rp AS MATERIALIZED (
        |  SELECT id_a, id_b, jaccard FROM (
        |    SELECT c.id_a, c.id_b,
-       |           round((cc.cc + coalesce(h.hc, 0)) * 1.0
-       |                 / (sa.n + sb.n - cc.cc - coalesce(h.hc, 0)), 6) AS jaccard
+       |           round(i.common * 1.0 / (sa.n + sb.n - i.common), 6) AS jaccard
        |    FROM candn c
-       |    JOIN ccold cc ON cc.id_a = c.id_a AND cc.id_b = c.id_b
-       |    LEFT JOIN hcom h ON h.id_a = c.id_a AND h.id_b = c.id_b
+       |    JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
        |    JOIN rsz sa ON sa.rep_id = c.id_a
        |    JOIN rsz sb ON sb.rep_id = c.id_b)
        |  WHERE jaccard >= 0.5),
