@@ -985,32 +985,153 @@ object AnalyticsQueries {
     * construction (counts are integers; the tie-break is total), so the
     * unrolled DuckDB replay hashes exactly. */
   private def graphLabelProp(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val seed = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    seed.select(col("vec_id"), col("label").cast("long").as("label_in"))
+      .join(sharedLpLabels(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label_out")), "vec_id")
+      .withColumn("unchanged", col("label_in") === col("label_out"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Session-scoped memo of the CONVERGED label-prop label table — the
+    * [[edgeMemo]] pattern one derivation deeper: label_prop, modularity
+    * and conductance all consume the identical (node, community) frame
+    * over the identical corpus, so the first caller pays the [[LpIters]]
+    * vote rounds and the rest scan an N-row parquet table (a cached frame
+    * would die to the bench's per-query RDD hygiene; a persisted
+    * community table is also the production shape — partition quality
+    * metrics are served FROM the stored clustering, not by re-running
+    * it). Build time lands in the bench's `family_builds` ledger. */
+  private val lpMemo = new graft.core.SessionMemo[String](dir =>
+    DataPipelineQueries.deleteRecursively(java.nio.file.Paths.get(dir)),
+    name = "lp_labels")
+
+  private[relational] def sharedLpLabels(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(lpMemo.getOrBuild(s, d) {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      val und = sharedAnnEdges(s, d)
+        .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+        .union(und.select(col("b"), col("a")))
+        .cache()
+      val seed = emb.select(col("vec_id"), col("label"))
+      var labels = seed
+      for (_ <- 1 to LpIters) {
+        val votes = adj.join(labels.select(col("vec_id").as("nbr"), col("label")), "nbr")
+          .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+        val winner = votes
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("node")).orderBy(col("c").desc, col("label"))))
+          .filter(col("rn") === 1)
+          .select(col("node"), col("label").as("next_label"))
+        labels = labels.join(winner, labels("vec_id") === winner("node"), "left")
+          .select(col("vec_id"), coalesce(col("next_label"), col("label")).as("label"))
+          .localCheckpoint(true)
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lp_labels_")
+      labels.write.mode("overwrite").parquet(tmp.toString)
+      adj.unpersist()
+      tmp.toString
+    })
+
+  /** NEWMAN MODULARITY of the converged label-prop communities over the
+    * memoized k-NN graph (Newman & Girvan 2004): per community c,
+    * Q_c = e_c/m − (d_c/2m)² where m = undirected edge count, e_c =
+    * intra-community edges and d_c = Σ degrees in c — the standard
+    * partition-quality audit run AFTER a community detection, here over
+    * the stored clustering ([[sharedLpLabels]]) exactly as a production
+    * deployment would score a persisted partition. Every quantity is an
+    * exact integer, so the per-community term is pinned as
+    * `q_term_micros` = (10⁶·(4m·e_c − d_c²)) div (4m²) — term-wise
+    * truncating integer-micro division (the [[graphBetweennessFrac]]
+    * recipe: truncation does not distribute over a sum, so the TERM is
+    * the pinned unit, engines bit-agree, and `q_total_micros` is the
+    * plain integer sum of the pinned terms). Shape: two labeled joins
+    * over the ≤ k·N memoized edges, combinable counts, and a
+    * |communities|-row result — every corpus-sized stage is keyed, the
+    * community frame is dimension-sized, and the 1-row m total
+    * broadcasts. Degenerate guard: an edgeless corpus has m = 0 and
+    * Q is undefined — both engines emit NULL terms (the
+    * [[graphAssortativity]] rule). Overflow fail-fast: terms are
+    * ≤ 4·10⁶·m², BIGINT-safe for m ≤ 1.4·10⁶ edges; a larger fixture
+    * RAISES instead of wrapping (the [[graphBetweennessFrac]] guard). */
+  private def graphModularity(s: SparkSession, d: String): DataFrame = {
+    val lab = sharedLpLabels(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("community"))
     val und = sharedAnnEdges(s, d)
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct()
-    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
-      .union(und.select(col("b"), col("a")))
-      .cache()
-    val seed = emb.select(col("vec_id"), col("label"))
-    var labels = seed
-    for (_ <- 1 to LpIters) {
-      val votes = adj.join(labels.select(col("vec_id").as("nbr"), col("label")), "nbr")
-        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
-      val winner = votes
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("node")).orderBy(col("c").desc, col("label"))))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("label").as("next_label"))
-      labels = labels.join(winner, labels("vec_id") === winner("node"), "left")
-        .select(col("vec_id"), coalesce(col("next_label"), col("label")).as("label"))
-        .localCheckpoint(true)
-    }
-    seed.select(col("vec_id"), col("label").cast("long").as("label_in"))
-      .join(labels.select(col("vec_id"), col("label").cast("long").as("label_out")), "vec_id")
-      .withColumn("unchanged", col("label_in") === col("label_out"))
-      .orderBy(col("vec_id"))
+    val undl = und
+      .join(lab.select(col("vec_id").as("a"), col("community").as("ca")), "a")
+      .join(lab.select(col("vec_id").as("b"), col("community").as("cb")), "b")
+    val mRow = undl.agg(count(lit(1)).as("m"))
+    val ein = undl.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+    // directed degree mass per community: both orientations of every
+    // undirected edge, keyed by the source's community — Σ deg_sum = 2m
+    val vol = undl.select(col("ca").as("c")).union(undl.select(col("cb")))
+      .groupBy(col("c").as("community")).agg(count(lit(1)).as("deg_sum"))
+    val terms = lab.groupBy(col("community")).agg(count(lit(1)).as("n_nodes"))
+      .join(ein, Seq("community"), "left")
+      .join(vol, Seq("community"), "left")
+      .crossJoin(broadcast(mRow))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        coalesce(col("deg_sum"), lit(0L)).as("deg_sum"), col("m"),
+        expr("""CASE WHEN assert_true(m <= 1400000,
+                  'graph_modularity: edge count exceeds the BIGINT-safe ceiling (1.4e6); q_term_micros would overflow') IS NULL
+                THEN CASE WHEN m = 0 THEN NULL
+                     ELSE (1000000L * (4L * m * coalesce(e_in, 0L)
+                           - coalesce(deg_sum, 0L) * coalesce(deg_sum, 0L)))
+                          div (4L * m * m) END
+                END""").as("q_term_micros"))
+      .localCheckpoint(true) // referenced twice below (rows + its own total)
+    // the total as a broadcast 1-row join, not an unpartitioned window —
+    // same dimension-sized frame, no single-partition WindowExec
+    terms.crossJoin(broadcast(terms.agg(sum(col("q_term_micros")).as("q_total_micros"))))
+      .orderBy(col("community"))
+  }
+
+  /** PER-COMMUNITY CONDUCTANCE over the same stored clustering
+    * ([[sharedLpLabels]]) and memoized k-NN graph: φ(c) = cut(c) /
+    * min(vol(c), 2m − vol(c)) — the boundary-quality companion to
+    * [[graphModularity]] (Kannan, Vempala & Vetta 2004's cluster-quality
+    * measure; low φ = a well-separated community, high φ = a community
+    * that leaks most of its edges outside). cut(c) counts each crossing
+    * undirected edge once per side (the orientation whose source lies in
+    * c), vol(c) is the directed degree mass, all exact integers —
+    * `phi_micros` = (10⁶·cut) div min(vol, 2m−vol), truncating division
+    * on both engines, NULL where the min is 0 (an edgeless community, or
+    * a community holding EVERY edge endpoint, has no defined boundary
+    * ratio). Same 100-TB shape as modularity: keyed joins over ≤ k·N
+    * edges, combinable counts, dimension-sized output. */
+  private def graphConductance(s: SparkSession, d: String): DataFrame = {
+    val lab = sharedLpLabels(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("community"))
+    val und = sharedAnnEdges(s, d)
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val dirl = und.union(und.select(col("b"), col("a")))
+      .join(lab.select(col("vec_id").as("a"), col("community").as("ca")), "a")
+      .join(lab.select(col("vec_id").as("b"), col("community").as("cb")), "b")
+    val mRow = und.agg(count(lit(1)).as("m"))
+    val byC = dirl.groupBy(col("ca").as("community")).agg(
+      count(lit(1)).as("vol"),
+      sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L)).as("cut"))
+    lab.groupBy(col("community")).agg(count(lit(1)).as("n_nodes"))
+      .join(byC, Seq("community"), "left")
+      .crossJoin(broadcast(mRow))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("vol"), lit(0L)).as("vol"),
+        coalesce(col("cut"), lit(0L)).as("cut"), col("m"),
+        expr("""CASE WHEN least(coalesce(vol, 0L), 2L * m - coalesce(vol, 0L)) = 0
+                THEN NULL
+                ELSE (1000000L * coalesce(cut, 0L))
+                     div least(coalesce(vol, 0L), 2L * m - coalesce(vol, 0L)) END""")
+          .as("phi_micros"))
+      .orderBy(col("community"))
   }
 
   /** POINT-IN-TIME dimension join (the feature-store / training-data
@@ -1736,9 +1857,12 @@ object AnalyticsQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
-  /** The unrolled DuckDB replay of [[graphLabelProp]]: same edge set, same
-    * [[LpIters]] majority-vote rounds as chained CTEs. */
-  private def labelPropOracleSql: String = {
+  /** The shared unrolled label-prop CTE chain — the same edge set and
+    * [[LpIters]] majority-vote rounds, ending at `l$LpIters` (vec_id,
+    * label) and the undirected `und` (a, b) edge relation; composed by
+    * the label_prop, modularity and conductance oracles exactly as the
+    * engines compose [[sharedLpLabels]]. */
+  private def lpChainCteSql: String = {
     val iterCtes = (1 to LpIters).map { k =>
       s"""v$k AS (SELECT adj.node, l.label, count(*) AS c
          |      FROM adj JOIN l${k - 1} l ON l.vec_id = adj.nbr GROUP BY 1, 2),
@@ -1750,17 +1874,78 @@ object AnalyticsQueries {
          |       LEFT JOIN (SELECT node, label FROM w$k WHERE rn = 1) w ON w.node = e.vec_id
          |       JOIN l${k - 1} p ON p.vec_id = e.vec_id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${annEdgesCteSql(withLabel = true)},
-       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+    s"""${annEdgesCteSql(withLabel = true)},
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
        |adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
        |l0 AS (SELECT vec_id, label FROM emb),
-       |$iterCtes
+       |$iterCtes""".stripMargin
+  }
+
+  /** The unrolled DuckDB replay of [[graphLabelProp]]: same edge set, same
+    * [[LpIters]] majority-vote rounds as chained CTEs. */
+  private def labelPropOracleSql: String =
+    s"""WITH $lpChainCteSql
        |SELECT l$LpIters.vec_id, CAST(emb.label AS BIGINT) AS label_in,
        |       CAST(l$LpIters.label AS BIGINT) AS label_out,
        |       emb.label = l$LpIters.label AS unchanged
        |FROM l$LpIters JOIN emb ON emb.vec_id = l$LpIters.vec_id
        |ORDER BY l$LpIters.vec_id""".stripMargin
-  }
+
+  /** The DuckDB replay of [[graphModularity]]: the [[lpChainCteSql]]
+    * communities, the same labeled undirected edge relation, and the
+    * identical pinned term-wise integer-micro arithmetic. */
+  private def modularityOracleSql: String =
+    s"""WITH $lpChainCteSql,
+       |lab AS MATERIALIZED (SELECT vec_id, CAST(label AS BIGINT) AS community FROM l$LpIters),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+       |undl AS MATERIALIZED (
+       |  SELECT la.community AS ca, lb.community AS cb
+       |  FROM und u JOIN lab la ON la.vec_id = u.a JOIN lab lb ON lb.vec_id = u.b),
+       |ein AS (SELECT ca AS community, CAST(count(*) AS BIGINT) AS e_in
+       |        FROM undl WHERE ca = cb GROUP BY 1),
+       |vol AS (SELECT c AS community, CAST(count(*) AS BIGINT) AS deg_sum
+       |        FROM (SELECT ca AS c FROM undl UNION ALL SELECT cb FROM undl) GROUP BY 1),
+       |nn AS (SELECT community, CAST(count(*) AS BIGINT) AS n_nodes FROM lab GROUP BY 1),
+       |terms AS (
+       |  SELECT nn.community, nn.n_nodes,
+       |         coalesce(ein.e_in, 0) AS e_in,
+       |         coalesce(vol.deg_sum, 0) AS deg_sum, mm.m,
+       |         CASE WHEN mm.m = 0 THEN NULL
+       |              ELSE (1000000 * (4 * mm.m * coalesce(ein.e_in, 0)
+       |                    - coalesce(vol.deg_sum, 0) * coalesce(vol.deg_sum, 0)))
+       |                   // (4 * mm.m * mm.m) END AS q_term_micros
+       |  FROM nn LEFT JOIN ein ON ein.community = nn.community
+       |          LEFT JOIN vol ON vol.community = nn.community
+       |          CROSS JOIN mm)
+       |SELECT community, n_nodes, e_in, deg_sum, m,
+       |       CAST(q_term_micros AS BIGINT) AS q_term_micros,
+       |       CAST(sum(q_term_micros) OVER () AS BIGINT) AS q_total_micros
+       |FROM terms ORDER BY community""".stripMargin
+
+  /** The DuckDB replay of [[graphConductance]]: same communities, same
+    * directed labeled edges, same pinned φ integer-micro division. */
+  private def conductanceOracleSql: String =
+    s"""WITH $lpChainCteSql,
+       |lab AS MATERIALIZED (SELECT vec_id, CAST(label AS BIGINT) AS community FROM l$LpIters),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+       |dirl AS MATERIALIZED (
+       |  SELECT la.community AS ca, lb.community AS cb
+       |  FROM (SELECT a, b FROM und UNION ALL SELECT b, a FROM und) d
+       |  JOIN lab la ON la.vec_id = d.a JOIN lab lb ON lb.vec_id = d.b),
+       |byc AS (SELECT ca AS community, CAST(count(*) AS BIGINT) AS vol,
+       |               CAST(sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END) AS BIGINT) AS cut
+       |        FROM dirl GROUP BY 1),
+       |nn AS (SELECT community, CAST(count(*) AS BIGINT) AS n_nodes FROM lab GROUP BY 1)
+       |SELECT nn.community, nn.n_nodes,
+       |       coalesce(byc.vol, 0) AS vol,
+       |       coalesce(byc.cut, 0) AS cut, mm.m,
+       |       CASE WHEN least(coalesce(byc.vol, 0), 2 * mm.m - coalesce(byc.vol, 0)) = 0
+       |            THEN NULL
+       |            ELSE CAST((1000000 * coalesce(byc.cut, 0))
+       |                 // least(coalesce(byc.vol, 0), 2 * mm.m - coalesce(byc.vol, 0)) AS BIGINT)
+       |       END AS phi_micros
+       |FROM nn LEFT JOIN byc ON byc.community = nn.community CROSS JOIN mm
+       |ORDER BY nn.community""".stripMargin
 
   // -------------------------------------------------------------- corpus mixing
   /** Per-source target quotas for the mixture; sources not listed fall back
@@ -2335,6 +2520,8 @@ object AnalyticsQueries {
     "graph_assortativity" -> (graphAssortativity _),
     "graph_kcore" -> (graphKcore _),
     "graph_label_prop" -> (graphLabelProp _),
+    "graph_modularity" -> (graphModularity _),
+    "graph_conductance" -> (graphConductance _),
     "graph_khop" -> (graphKhop _),
     "graph_knn_recall" -> (graphKnnRecall _),
     "graph_components" -> (graphComponents _),
@@ -2733,6 +2920,8 @@ object AnalyticsQueries {
          |ORDER BY vec_id, rank""".stripMargin,
     "graph_kcore" -> kcoreOracleSql,
     "graph_label_prop" -> labelPropOracleSql,
+    "graph_modularity" -> modularityOracleSql,
+    "graph_conductance" -> conductanceOracleSql,
     "graph_components" -> componentsOracleSql,
     // same weighted edge relation, bounded walk enumeration + lex argmin
     "graph_sssp" -> ssspOracleSql,
