@@ -23,11 +23,20 @@ import org.apache.spark.sql.types._
   * so results are partitioning-independent. Null values are skipped (SQL
   * aggregate convention). Returns `array<struct<value double, id bigint>>`
   * sorted best-first; callers posexplode into ranked rows.
-  */
+  *
+  * `distinctIds = true` dedups by id INSIDE the aggregate: an id already
+  * kept is skipped, so a pre-aggregation `distinct()` exchange over the
+  * raw candidate stream is unnecessary. REQUIRES that duplicates of an id
+  * carry the SAME value (the deterministic-recompute duplicates a
+  * multi-table LSH candidate generator emits) — the k-slot eviction
+  * argument then makes the result identical to distinct-then-top-k: an
+  * evicted id was the heap root, so every survivor (and its replacement)
+  * beats it, and a re-offered duplicate can never re-enter. */
 case class TopKRows(
     k: Int,
     valueExpr: Expression,
     idExpr: Expression,
+    distinctIds: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKRows.Buffer] {
@@ -46,7 +55,8 @@ case class TopKRows(
         s"top_k_rows expects (double value, bigint id), got (${v.simpleString}, ${i.simpleString})")
     }
 
-  override def createAggregationBuffer(): TopKRows.Buffer = new TopKRows.Buffer(k)
+  override def createAggregationBuffer(): TopKRows.Buffer =
+    new TopKRows.Buffer(k, distinctIds)
 
   override def update(buf: TopKRows.Buffer, input: InternalRow): TopKRows.Buffer = {
     val v = valueExpr.eval(input)
@@ -70,7 +80,7 @@ case class TopKRows(
 
   override def serialize(buf: TopKRows.Buffer): Array[Byte] = buf.toBytes
   override def deserialize(bytes: Array[Byte]): TopKRows.Buffer =
-    TopKRows.Buffer.fromBytes(bytes, k)
+    TopKRows.Buffer.fromBytes(bytes, k, distinctIds)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TopKRows =
     copy(mutableAggBufferOffset = newOffset)
@@ -103,10 +113,17 @@ object TopKRows {
   /** Bounded buffer: a k-slot min-heap keyed by the SAME total order used
     * for ranking (heap root = current worst kept entry), so offer() is
     * O(log k) and the group's state never exceeds k entries. */
-  final class Buffer(k: Int) {
+  final class Buffer(k: Int, distinctIds: Boolean = false) {
     private var n = 0
     private val vs = new Array[Double](k)
     private val ids = new Array[Long](k)
+
+    // linear scan over ≤ k kept entries — k is a small plan constant
+    private def containsId(id: Long): Boolean = {
+      var i = 0
+      while (i < n) { if (ids(i) == id) return true; i += 1 }
+      false
+    }
 
     private def worseThan(i: Int, j: Int): Boolean = beats(vs(j), ids(j), vs(i), ids(i))
 
@@ -131,7 +148,8 @@ object TopKRows {
     }
 
     def offer(v: Double, id: Long): Unit =
-      if (n < k) {
+      if (distinctIds && containsId(id)) ()
+      else if (n < k) {
         vs(n) = v; ids(n) = id; n += 1; siftUp(n - 1)
       } else if (beats(v, id, vs(0), ids(0))) {
         vs(0) = v; ids(0) = id; siftDown()
@@ -162,9 +180,9 @@ object TopKRows {
   }
 
   object Buffer {
-    def fromBytes(bytes: Array[Byte], k: Int): Buffer = {
+    def fromBytes(bytes: Array[Byte], k: Int, distinctIds: Boolean = false): Buffer = {
       val in = new DataInputStream(new ByteArrayInputStream(bytes))
-      val buf = new Buffer(k)
+      val buf = new Buffer(k, distinctIds)
       val n = in.readInt()
       var i = 0
       while (i < n) { buf.offer(in.readDouble(), in.readLong()); i += 1 }

@@ -633,17 +633,27 @@ object AnalyticsQueries {
     // recall boost): each node probes its own code plus the `bits`
     // one-bit-flip codes — bits+1 probe rows per (node, table), not a
     // bigger index
-    val probes = bk2.select(col("vec_id").as("src"), col("t"),
+    // vectors attach to BOTH sides of the bucket join up front (two
+    // vec_id-keyed joins over N·tables rows), so the candidate stream
+    // flows from the (t, code) equi-join straight into the map-side
+    // partial of the top-k aggregate IN THE SAME STAGE — nothing
+    // pair-sized is ever exchanged. The r12 form materialized the raw
+    // candidate relation three times (a distinct() exchange plus two
+    // pair-level joins shipping a dim-sized vector per candidate row);
+    // at 100× vectors (200k) that was ~10⁹ rows × ~0.5 KB of shuffle —
+    // measured to exhaust this box's disk — while the fused form's only
+    // corpus-scaled exchanges are the two vector-carrying join inputs
+    // (N·tables·(bits+1) and N·tables rows), 50× smaller. Cross-table
+    // duplicate candidates carry bit-identical cosines (same two
+    // vectors, same rounding), so the aggregate's id-dedup reproduces
+    // distinct()-then-top-k exactly (see TopKRows.distinctIds).
+    val withV = bk2.join(emb, "vec_id")
+    val probesV = withV.select(col("vec_id").as("src"), col("t"),
+      col("v").as("va"),
       explode(array(col("code") +:
         (0 until bits).map(b => col("code").bitwiseXOR(lit(1L << b))): _*)).as("code"))
-    val cand = probes
-      .join(bk2.select(col("t"), col("code"), col("vec_id").as("dst")), Seq("t", "code"))
-      .filter(col("src") =!= col("dst"))
-      // the distinct's exchange hash-spreads (src, dst) across the
-      // cluster, so the re-rank work is already balanced — no extra
-      // repartition pass (the old exact build needed one because its
-      // single-file scan arrived as ONE partition)
-      .select(col("src"), col("dst")).distinct()
+    val dstV = withV.select(col("t"), col("code"), col("vec_id").as("dst"),
+      col("v").as("vb"))
     // top-k per src through the combinable TopKRows aggregate (value DESC,
     // id ASC — the identical ordering), NOT a rank window: the window form
     // re-exchanges and fully sorts the candidate relation, while the
@@ -653,11 +663,12 @@ object AnalyticsQueries {
     val topk = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.TopKRows(PrK,
         org.apache.spark.sql.graft.ColumnBridge.expression(col("cos")),
-        org.apache.spark.sql.graft.ColumnBridge.expression(col("dst")))
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("dst")),
+        distinctIds = true)
         .toAggregateExpression())
-    val edges = cand
-      .join(emb.select(col("vec_id").as("src"), col("v").as("va")), "src")
-      .join(emb.select(col("vec_id").as("dst"), col("v").as("vb")), "dst")
+    val edges = probesV
+      .join(dstV, Seq("t", "code"))
+      .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), round(Similarity.cosine("va", "vb"), 6).as("cos"))
       .groupBy(col("src")).agg(topk.as("tk"))
       .select(col("src"), explode(col("tk")).as("e"))

@@ -105,6 +105,39 @@ class TopKRowsSpec extends AnyFunSuite {
     }
   }
 
+  test("distinctIds: duplicated (value, id) rows equal distinct-then-top-k under any scatter") {
+    import org.scalacheck.Gen
+    def forAll[A](g: Gen[A])(body: A => Unit): Unit =
+      graft.PropSampler.forAll(g, seedBase = 0xD15CL, n = 300)(body)
+    // the LSH generator's duplicate profile: each (value, id) appears 1-8
+    // times (once per table), values deterministic per id
+    val rowsGen = for {
+      n <- Gen.chooseNum(0, 25)
+      dups <- Gen.listOfN(n, Gen.chooseNum(1, 8))
+    } yield dups.zipWithIndex.flatMap { case (d, i) =>
+      List.fill(d)((math.floor((i * 37 % 11) * 0.25) / 2.0, i.toLong))
+    }
+    forAll(Gen.zip(rowsGen, Gen.chooseNum(1, 5), Gen.chooseNum(1, 4))) {
+      case (rows, k, nBufs) =>
+        val bufs = Array.fill(nBufs)(new TopKRows.Buffer(k, distinctIds = true))
+        rows.zipWithIndex.foreach { case ((v, id), i) => bufs(i % nBufs).offer(v, id) }
+        val merged = bufs.reduce { (a, b) => b.foreach((v, id) => a.offer(v, id)); a }
+        val got = merged.sortedBestFirst.toSeq
+        val want = rows.distinct.sortBy { case (v, id) => (-v, id) }.take(k)
+        assert(got == want, s"k=$k bufs=$nBufs rows=$rows:\n got=$got\nwant=$want")
+    }
+  }
+
+  test("distinctIds: without it duplicates occupy slots — the behavior the edge build must avoid") {
+    val plain = new TopKRows.Buffer(3)
+    Seq((5.0, 1L), (5.0, 1L), (5.0, 1L), (4.0, 2L)).foreach { case (v, id) => plain.offer(v, id) }
+    assert(plain.sortedBestFirst.toSeq == Seq((5.0, 1L), (5.0, 1L), (5.0, 1L)),
+      "plain buffer keeps duplicates (documented contrast)")
+    val dedup = new TopKRows.Buffer(3, distinctIds = true)
+    Seq((5.0, 1L), (5.0, 1L), (5.0, 1L), (4.0, 2L)).foreach { case (v, id) => dedup.offer(v, id) }
+    assert(dedup.sortedBestFirst.toSeq == Seq((5.0, 1L), (4.0, 2L)))
+  }
+
   /** -0.0 ties 0.0 in the SQL order; NaN canonicalized for set compare. */
   private def normalize(v: Double): Double =
     if (v.isNaN) Double.NaN else if (v == 0.0) 0.0 else v
