@@ -346,6 +346,97 @@ object DataPipelineQueries {
     (out, arr)
   }
 
+  /** FUZZY benchmark decontamination — the MinHash-LSH variant of
+    * [[textDecontaminate]] that real corpus pipelines (Dolma, FineWeb)
+    * run beside the exact n-gram pass: a corpus document is contaminated
+    * when it CONTAINS most of a benchmark document's content, even after
+    * paraphrase-level edits that break every exact 8-gram. Benchmark =
+    * the `doc_id % 10 = 0` slice (the [[textDecontaminate]] convention);
+    * the metric is ASYMMETRIC containment C(bench, doc) =
+    * |S(bench) ∩ S(doc)| / |S(bench)| ≥ 0.5 over 5-char shingles —
+    * normalizing by the BENCHMARK side, so a long corpus doc that
+    * swallowed a short eval example scores high where symmetric Jaccard
+    * (reported beside it for diagnostics) would dilute. Attribution
+    * rides along: each contaminated doc names its best benchmark source
+    * (containment DESC, smaller id).
+    *
+    * Candidates come from the dedup_minhash machinery — signatures,
+    * 16-band buckets, benchmark-side bucket cap 256, per-doc degree cap
+    * ([[MinhashDegreeCap]], shared-band rank), split verify with a
+    * LOWERED agreement floor (≥ 8 of 64, Jaccard ≈ 0.11) so
+    * asymmetric pairs the banding surfaced aren't strangled before the
+    * exact containment check. Honest recall note: banding keys on
+    * JACCARD, so a tiny benchmark doc quoted inside a huge document may
+    * never share a band — that extreme quote-leak shape is
+    * [[textContainment]]'s rarest-shingle blocking, cross-referenced
+    * rather than duplicated here.
+    *
+    * 100-TB shape: the benchmark side is small by definition (its band
+    * table broadcasts or co-locates); the corpus side pays one
+    * shingle+signature pass and band-keyed joins; caps bound any swarm;
+    * verify traffic ≤ cap·N. Everything is replayed verbatim by the
+    * oracle. */
+  private def textDecontaminateFuzzy(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+      .select(col("doc_id"), TextOps.normalized("text").as("norm"))
+      .withColumn("sh", TextOps.charShingles("norm", 5))
+      .drop("norm")
+      .withColumn("sig", TextOps.minhashSigCol(col("sh"), 64))
+      .withColumn("bb", TextOps.bandBucketCols(col("sig"), 16, 4))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bench = all.filter(col("doc_id") % 10 === 0)
+    val corp = all.filter(col("doc_id") % 10 =!= 0)
+    val hb = bench.select(col("doc_id").as("bid"),
+      posexplode(col("bb")).as(Seq("band", "bucket")))
+    val ok = hb.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= 256).select(col("band"), col("bucket"))
+    val hbOk = hb.join(ok, Seq("band", "bucket"))
+    val cb = corp.select(col("doc_id").as("cid"),
+      posexplode(col("bb")).as(Seq("band", "bucket")))
+    val keep = cb.join(hbOk, Seq("band", "bucket"))
+      .groupBy(col("cid"), col("bid")).agg(count(lit(1)).as("nb"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("nb").desc, col("bid"))))
+      .observe("text_decontaminate_fuzzy_cap",
+        sum(when(col("rn") === MinhashDegreeCap + 1, 1L).otherwise(0L))
+          .as("truncated_docs"),
+        max(col("rn")).as("max_degree"))
+      .filter(col("rn") <= MinhashDegreeCap)
+      .select(col("cid"), col("bid"))
+      .localCheckpoint(true) // consumed by the verify chain AND n_candidates
+    val agree = keep
+      .join(corp.select(col("doc_id").as("cid"), col("sig").as("sig_c")), "cid")
+      .join(bench.select(col("doc_id").as("bid"), col("sig").as("sig_b")), "bid")
+      .filter(TextOps.sigAgree(col("sig_c"), col("sig_b")) >= 8)
+      .select(col("cid"), col("bid"))
+    val ver = agree
+      .join(corp.select(col("doc_id").as("cid"), col("sh").as("sh_c")), "cid")
+      .join(bench.select(col("doc_id").as("bid"), col("sh").as("sh_b")), "bid")
+      .select(col("cid"), col("bid"),
+        round(size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
+          size(col("sh_b")), 6).as("containment"),
+        round(size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_b"), col("sh_c"))), 6).as("jaccard"))
+      .filter(col("containment") >= 0.5)
+    val best = ver.withColumn("rn", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("containment").desc, col("bid"))))
+      .filter(col("rn") === 1)
+      .select(col("cid").as("doc_id"), col("bid").as("contaminated_by"),
+        col("containment"), col("jaccard"))
+    val ncand = keep.groupBy(col("cid")).agg(count(lit(1)).as("nc"))
+      .select(col("cid").as("doc_id"), col("nc"))
+    val out = corp.select(col("doc_id"))
+      .join(ncand, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("nc"), lit(0L)).as("n_candidates"),
+        col("contaminated_by"), col("containment"), col("jaccard"),
+        col("contaminated_by").isNotNull.as("contaminated"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    all.unpersist()
+    out
+  }
+
   /** Cross-corpus LINE dedup (the C4/RefinedWeb repetition-removal rule):
     * every '. '-delimited span keeps only its globally FIRST occurrence —
     * ordered by (doc_id, position), the ingestion order — and each
@@ -3115,6 +3206,7 @@ object DataPipelineQueries {
     "scan_orc" -> (scanOrc _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_minhash_incremental" -> (dedupMinhashIncremental _),
+    "text_decontaminate_fuzzy" -> (textDecontaminateFuzzy _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_groups" -> (dedupGroups _),
@@ -3260,6 +3352,86 @@ object DataPipelineQueries {
        |  FROM dkey a JOIN dkey b
        |    ON a.set_key = b.set_key AND a.source = b.source
        |   AND a.lang = b.lang AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** DuckDB replay of [[textDecontaminateFuzzy]]: the same signature /
+    * band construction as [[minhashIncrementalOracleSql]], split by the
+    * benchmark parity (doc_id % 10), benchmark bucket cap → degree cap →
+    * agreement ≥ 8 → exact containment |∩|/|S_bench| ≥ 0.5 (jaccard
+    * beside it) → best source per doc (containment DESC, smaller id). */
+  private def decontaminateFuzzyOracleSql: String = {
+    val (as, bs) = graft.text.TextOps.minhashCoeffs(64)
+    val aList = as.mkString("[", ", ", "]")
+    val bList = bs.mkString("[", ", ", "]")
+    val bandParts = (1 to 4).map(r => s"CAST(ms[4 * bb.b + $r] AS VARCHAR)")
+      .mkString(" || ',' || ")
+    s"""WITH consts AS (SELECT $aList::BIGINT[] AS a, $bList::BIGINT[] AS b),
+       |d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+       |      FROM documents),
+       |sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(generate_series(1, greatest(length(norm) - 4, 1)),
+       |                               i -> substr(norm, CAST(i AS INT), 5))) AS s
+       |  FROM d),
+       |hs AS MATERIALIZED (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS hm FROM sh),
+       |sigl AS MATERIALIZED (
+       |  SELECT h.doc_id,
+       |         list_transform(generate_series(1, 64),
+       |           i -> list_min(list_transform(h.hml, x -> (c.a[i] * x + c.b[i]) % 2147483647))) AS ms
+       |  FROM (SELECT doc_id, list(hm) AS hml FROM hs GROUP BY doc_id) h, consts c),
+       |bands AS MATERIALIZED (
+       |  SELECT doc_id, bb.b,
+       |         ('0x' || substr(md5($bandParts), 1, 15))::BIGINT AS bucket
+       |  FROM sigl, (SELECT unnest(generate_series(0, 15)) AS b) bb),
+       |hb AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+       |cb AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+       |ok AS (SELECT b, bucket FROM hb GROUP BY b, bucket HAVING count(*) <= 256),
+       |hbok AS (SELECT hb.* FROM hb JOIN ok USING (b, bucket)),
+       |candn AS (SELECT c.doc_id AS cid, h.doc_id AS bid, count(*) AS nb
+       |          FROM cb c JOIN hbok h ON c.b = h.b AND c.bucket = h.bucket
+       |          GROUP BY 1, 2),
+       |keep AS (SELECT cid, bid FROM (
+       |           SELECT cid, bid,
+       |                  row_number() OVER (PARTITION BY cid
+       |                                     ORDER BY nb DESC, bid) AS rn
+       |           FROM candn) WHERE rn <= $MinhashDegreeCap),
+       |agree AS (
+       |  SELECT k.cid, k.bid
+       |  FROM keep k JOIN sigl sc ON sc.doc_id = k.cid
+       |              JOIN sigl sb ON sb.doc_id = k.bid
+       |  WHERE len(list_filter(generate_series(1, 64), i -> sc.ms[i] = sb.ms[i])) >= 8),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.cid, p.bid, count(*) AS common
+       |  FROM agree p JOIN sh c ON c.doc_id = p.cid
+       |               JOIN sh b ON b.doc_id = p.bid AND b.s = c.s
+       |  GROUP BY 1, 2),
+       |verq AS (
+       |  SELECT cid, bid, containment, jaccard FROM (
+       |    SELECT p.cid, p.bid,
+       |           round(coalesce(i.common, 0) * 1.0 / sb.n, 6) AS containment,
+       |           round(coalesce(i.common, 0) * 1.0
+       |                 / (sc.n + sb.n - coalesce(i.common, 0)), 6) AS jaccard
+       |    FROM agree p
+       |    LEFT JOIN inter i ON i.cid = p.cid AND i.bid = p.bid
+       |    JOIN sizes sc ON sc.doc_id = p.cid
+       |    JOIN sizes sb ON sb.doc_id = p.bid)
+       |  WHERE containment >= 0.5),
+       |best AS (SELECT cid, bid, containment, jaccard FROM (
+       |           SELECT cid, bid, containment, jaccard,
+       |                  row_number() OVER (PARTITION BY cid
+       |                                     ORDER BY containment DESC, bid) AS rn
+       |           FROM verq) WHERE rn = 1),
+       |ncand AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_candidates
+       |          FROM keep GROUP BY cid)
+       |SELECT dd.doc_id, coalesce(nc.n_candidates, 0) AS n_candidates,
+       |       b.bid AS contaminated_by, b.containment, b.jaccard,
+       |       (b.bid IS NOT NULL) AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) dd
+       |LEFT JOIN ncand nc ON nc.cid = dd.doc_id
+       |LEFT JOIN best b ON b.cid = dd.doc_id
+       |ORDER BY dd.doc_id""".stripMargin
+  }
 
   /** DuckDB replay of [[dedupMinhashIncremental]] at doc level: signatures
     * and band hashes recomputed from the same md5-parity construction for
@@ -3495,6 +3667,7 @@ object DataPipelineQueries {
     // grouping as dedup_exact; see dedupMinhash's projection comment
     "dedup_minhash" -> minhashOracleSql,
     "dedup_minhash_incremental" -> minhashIncrementalOracleSql,
+    "text_decontaminate_fuzzy" -> decontaminateFuzzyOracleSql,
     // full value-level recompute — md5-derived token hash makes the 64
     // bit-majority votes, band collisions and nearest-code choice exact SQL
     // (the bucket cap is a measured no-op at gate scale; see the scaladoc)
