@@ -1092,6 +1092,29 @@ object DataPipelineQueries {
       .orderBy(col("qid"), col("neighbor"))
   }
 
+  /** Cosine threshold for [[similarityRange]] — sits in the fixture's
+    * discriminating band (37 hits at sf0.001, 147 at sf0.1 over the 10
+    * probes; 0.4 returns almost nothing, 0.2 returns hundreds). */
+  private[relational] val RangeTau = 0.3
+
+  /** RANGE (radius) similarity search — the fixed-THRESHOLD serving shape
+    * beside similarity_topk's fixed-count one: every corpus vector with
+    * rounded cosine ≥ [[RangeTau]] of each probe (the "find everything at
+    * least this similar" retrieval filter, and the query form dedup
+    * sweeps and near-duplicate audits serve). Result size is
+    * DATA-DEPENDENT (zero to corpus-sized per probe) — the structural
+    * difference from top-k, and why both shapes exist in every vector
+    * store. Exact leg: broadcast probes × corpus linear scan with the
+    * native VecDot cosine ([[graft.text.Similarity.bruteForceRange]]);
+    * at corpus scale a tight radius prunes through the same LSH bucket
+    * probes as the ANN stack, while a loose one is corpus-sized by its
+    * own semantics and the scan is the honest plan. */
+  private def similarityRange(s: SparkSession, d: String): DataFrame = {
+    val e = embeds(s, d)
+    Similarity.bruteForceRange(e, e.filter(col("vec_id") < 10), RangeTau)
+      .orderBy(col("qid"), col("neighbor"))
+  }
+
   /** LSH-bucketed approximate top-5 for the same query subset, SELF-VERIFIED
     * against the in-query brute-force baseline (the llk_score_long pattern):
     * per query the verdict row carries `n_returned` (contract: exactly k)
@@ -3237,6 +3260,7 @@ object DataPipelineQueries {
     "tokenize_unigram" -> (tokenizeUnigram _),
     "sink_partitioned" -> (sinkPartitioned _),
     "similarity_topk" -> (similarityTopK _),
+    "similarity_range" -> (similarityRange _),
     "similarity_ann" -> (similarityAnn _),
     "similarity_ivf" -> (similarityIvf _),
     "similarity_ivfpq" -> (similarityIvfpq _),
@@ -4097,6 +4121,21 @@ object DataPipelineQueries {
         |                            ORDER BY round(dot / (sqrt(n1) * sqrt(n2)), 6) DESC, vec_id) AS rn
         |  FROM p)
         |SELECT qid, vec_id AS neighbor, cosine FROM r WHERE rn <= 5
+        |ORDER BY qid, neighbor""".stripMargin,
+    "similarity_range" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.qid, e.vec_id,
+        |         list_sum(list_transform(generate_series(1, len(q.qe)),
+        |                                 i -> q.qe[i]::DOUBLE * e.embedding[i]::DOUBLE)) AS dot,
+        |         list_sum(list_transform(generate_series(1, len(q.qe)),
+        |                                 i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE)) AS n1,
+        |         list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |                                 i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) AS n2
+        |  FROM q, embeddings e WHERE q.qid <> e.vec_id)
+        |SELECT qid, vec_id AS neighbor,
+        |       round(dot / (sqrt(n1) * sqrt(n2)), 6) AS cosine
+        |FROM p WHERE round(dot / (sqrt(n1) * sqrt(n2)), 6) >= $RangeTau
         |ORDER BY qid, neighbor""".stripMargin,
     // self-verifying verdict grids (see the query scaladocs): the queries
     // compute recall against the in-query brute-force baseline; the oracle

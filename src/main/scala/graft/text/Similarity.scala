@@ -59,6 +59,25 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"))
   }
 
+  /** RANGE (radius) search — every corpus vector within rounded cosine ≥
+    * `tau` of each query: the fixed-threshold serving shape beside
+    * [[bruteForceTopK]]'s fixed-count one (dedup sweeps, "find everything
+    * at least this similar" retrieval filters). Exact leg: broadcast
+    * probes × corpus linear scan, LINEAR in N. At corpus scale a HIGH tau
+    * prunes through the same LSH bucket probes the ANN stack uses; a tau
+    * near the bulk of the cosine distribution makes every vector a
+    * candidate BY THE QUERY'S OWN SEMANTICS (the answer itself is
+    * corpus-sized), so the scan is the honest plan there, not a defect. */
+  def bruteForceRange(corpus: DataFrame, queries: DataFrame, tau: Double): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
+    c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cosine", round(cosine("qe", "emb"), 6))
+      .filter(col("cosine") >= tau)
+      .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"))
+  }
+
   /** Random-hyperplane signer: per table, a `bits`-bit code of dot-product
     * signs against Gaussian hyperplanes drawn once from `seed`. Two vectors
     * at angle θ agree on one bit w.p. 1 − θ/π; `tables` independent tables

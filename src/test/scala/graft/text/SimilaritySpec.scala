@@ -23,6 +23,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(topk.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
+  test("range search returns exactly the threshold-filtered pure-Scala set, boundary inclusive") {
+    import spark.implicits._
+    // planted angles: v(theta) = cos(theta)*e0 + sin(theta)*e1, float32-
+    // quantized like the physical column (the round-10 ulp rule); the
+    // pure-Scala recompute mirrors GraphTestUtil.cos exactly
+    val dir = java.nio.file.Files.createTempDirectory("simrange").toString
+    val thetas = Seq(0.0, 0.3, 0.6, 0.9, 1.2, 1.5, 2.2, 3.0)
+    val rows = (0L, Array(1.0f) ++ Array.fill(7)(0.0f), 0) +: thetas.zipWithIndex.map {
+      case (t, i) =>
+        val v = Array(math.cos(t).toFloat, math.sin(t).toFloat) ++ Array.fill(6)(0.0f)
+        ((i + 1).toLong, v, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.bruteForceRange(e, e.filter(col("vec_id") === 0L), 0.3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byId = rows.map { case (id, v, _) => id -> v.map(_.toDouble) }.toMap
+    val want = byId.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, r6(cosD(byId(0L), v))) }
+      .filter(_._2 >= 0.3).sortBy(_._1)
+    assert(got == want, s"got=$got want=$want")
+    // the fixture is discriminating: some in, some out
+    assert(want.nonEmpty && want.size < thetas.size)
+  }
+
   test("ANN recalls most of the brute-force top-10 with far fewer comparisons") {
     val e = embeddings
     val q = e.filter(col("vec_id") < 20)
