@@ -220,50 +220,120 @@ object SearchQueries {
     * the scale story); fusion itself is query-keyed joins over ≤ 2·legK
     * rows per query — nothing corpus-sized past the legs. */
   private def searchHybridRrf(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d).select(col("doc_id"), TextOps.tokens("text").as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dl = base.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
-    val qTerms = base.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("qid"), explode(array_distinct(col("toks"))).as("token"))
-    val qTok = qTerms.select(col("token")).distinct()
-    // postings restricted to query terms BEFORE aggregation (the bm25 plan
-    // rule); eager because df and the per-query fan-out both read it
-    val qHits = base.select(col("doc_id"), explode(col("toks")).as("token"))
-      .join(broadcast(qTok), "token")
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .localCheckpoint(true)
-    val dfT = qHits.groupBy(col("token")).agg(count(lit(1)).cast("double").as("dft"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-      round(avg(col("dl")), 6).as("avgdl"))
-    val lexScores = qHits
-      .join(broadcast(qTerms), "token")
-      .filter(col("doc_id") =!= col("qid"))
-      .join(dl, "doc_id")
-      .join(broadcast(dfT), "token")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf_r",
-        round(log((col("n_docs") - col("dft") + 0.5) / (col("dft") + 0.5) + 1.0), 6))
-      .withColumn("w_r", round(
-        col("idf_r") * col("tf") * 2.2 /
-          (col("tf") + (col("dl") / col("avgdl") * 0.75 + 0.25) * 1.2), 6))
-      .groupBy(col("qid"), col("doc_id"))
-      .agg(round(sum(col("w_r")), 4).as("score"))
-    val lex = lexScores
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("rank") <= HybridLegK)
-      .select(col("qid"), col("doc_id"), col("rank").cast("long").as("rank"))
-    val e = Tables.embeddings(s, d)
-    val vec = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = HybridLegK)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("neighbor"))))
-      .select(col("qid"), col("neighbor").as("doc_id"),
-        col("rank").cast("long").as("rank"))
-    val out = rrfFuse(lex, vec).orderBy(col("qid"), col("fused_rank"))
-      .localCheckpoint(true)
-    base.unpersist()
-    out
+    val legs = hybridLegsTable(s, d)
+    def leg(name: String) = legs.filter(col("leg") === name)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    rrfFuse(leg("lex"), leg("vec")).orderBy(col("qid"), col("fused_rank"))
+  }
+
+  /** Both retrieval legs persisted once per corpus (the family-memo
+    * pattern, `family_builds` name "hybrid_legs"): `leg = 'lex'` rows
+    * carry the 4-dp BM25 more-like-this score, `leg = 'vec'` rows the
+    * 6-dp exact cosine, each with its 1-based per-query rank —
+    * search_hybrid_rrf and search_hybrid_weighted fuse from the same
+    * table, the way a serving stack scores each leg once and feeds every
+    * fusion policy from the cached leg results. */
+  private val hybridLegsMemo = new graft.core.SessionMemo[String](dir =>
+    DataPipelineQueries.deleteRecursively(java.nio.file.Paths.get(dir)),
+    name = "hybrid_legs")
+
+  private def hybridLegsTable(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(hybridLegsMemo.getOrBuild(s, d) {
+      val base = docs(s, d).select(col("doc_id"), TextOps.tokens("text").as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dl = base.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+      val qTerms = base.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), explode(array_distinct(col("toks"))).as("token"))
+      val qTok = qTerms.select(col("token")).distinct()
+      // postings restricted to query terms BEFORE aggregation (the bm25 plan
+      // rule); eager because df and the per-query fan-out both read it
+      val qHits = base.select(col("doc_id"), explode(col("toks")).as("token"))
+        .join(broadcast(qTok), "token")
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+        .localCheckpoint(true)
+      val dfT = qHits.groupBy(col("token")).agg(count(lit(1)).cast("double").as("dft"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        round(avg(col("dl")), 6).as("avgdl"))
+      val lexScores = qHits
+        .join(broadcast(qTerms), "token")
+        .filter(col("doc_id") =!= col("qid"))
+        .join(dl, "doc_id")
+        .join(broadcast(dfT), "token")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf_r",
+          round(log((col("n_docs") - col("dft") + 0.5) / (col("dft") + 0.5) + 1.0), 6))
+        .withColumn("w_r", round(
+          col("idf_r") * col("tf") * 2.2 /
+            (col("tf") + (col("dl") / col("avgdl") * 0.75 + 0.25) * 1.2), 6))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(round(sum(col("w_r")), 4).as("score"))
+      val lex = lexScores
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rank") <= HybridLegK)
+        .select(lit("lex").as("leg"), col("qid"), col("doc_id"),
+          col("score"), col("rank").cast("long").as("rank"))
+      val e = Tables.embeddings(s, d)
+      val vec = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = HybridLegK)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("neighbor"))))
+        .select(lit("vec").as("leg"), col("qid"), col("neighbor").as("doc_id"),
+          col("cosine").as("score"), col("rank").cast("long").as("rank"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hybrid_legs_")
+      lex.unionByName(vec).write.mode("overwrite").parquet(tmp.toString)
+      base.unpersist()
+      tmp.toString
+    })
+
+  /** Weighted-sum hybrid — the MIN-MAX-normalized alpha-blend fusion
+    * (Elastic/Vespa-style "linear" hybrid) beside [[searchHybridRrf]]'s
+    * rank-only one: each leg's scores are normalized per query to
+    * [0, 10⁶] in EXACT integer arithmetic (scores are already
+    * fixed-point — BM25 at 4 dp, cosine at 6 dp — so
+    * `(10⁶·(s − min)) div (max − min)` is engine-exact; a constant leg
+    * normalizes to 10⁶), then fused as 0.6·lex + 0.4·vec via
+    * `(6·lex + 4·vec) div 10`, absent legs contributing 0. Unlike RRF,
+    * score GAPS matter: a leg that ranks a doc far above its runner-up
+    * keeps that margin through fusion. Serves from the same memoized
+    * leg table; fusion is query-keyed joins over ≤ 2·[[HybridLegK]]
+    * rows per query. */
+  private def searchHybridWeighted(s: SparkSession, d: String): DataFrame = {
+    val legs = hybridLegsTable(s, d)
+    def leg(name: String) = legs.filter(col("leg") === name)
+      .select(col("qid"), col("doc_id"), col("score"))
+    weightedFuse(leg("lex"), leg("vec")).orderBy(col("qid"), col("fused_rank"))
+  }
+
+  /** The weighted fusion math factored like [[rrfFuse]] so the spec can
+    * pin it on synthetic legs: min-max normalize each leg per query to
+    * [0, 10⁶] in exact integer arithmetic (inputs are fixed-point — lex
+    * 4 dp, vec 6 dp — so `(10⁶·(s−min)) div (max−min)` is engine-exact;
+    * a constant leg normalizes to 10⁶), fuse 0.6/0.4 as
+    * `(6·lex + 4·vec) div 10` with absent legs contributing 0.
+    *
+    * @param lex (qid, doc_id, score) — 4-dp fixed-point scores
+    * @param vec (qid, doc_id, score) — 6-dp fixed-point scores */
+  private[relational] def weightedFuse(lex: DataFrame, vec: DataFrame): DataFrame = {
+    def normed(df: DataFrame, scale: Long, out: String) = {
+      val w = Window.partitionBy(col("qid"))
+      df.withColumn("smic", expr(s"cast(round(score * $scale) as bigint)"))
+        .withColumn("mn", min(col("smic")).over(w))
+        .withColumn("mx", max(col("smic")).over(w))
+        .select(col("qid"), col("doc_id"),
+          expr("""CASE WHEN mx = mn THEN 1000000L
+                  ELSE (1000000L * (smic - mn)) div (mx - mn) END""").as(out))
+    }
+    normed(lex, 10000L, "lex_norm")
+      .join(normed(vec, 1000000L, "vec_norm"), Seq("qid", "doc_id"), "full_outer")
+      .withColumn("fused_micros",
+        expr("""(6L * coalesce(lex_norm, 0L) + 4L * coalesce(vec_norm, 0L)) div 10L"""))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("fused_micros").desc, col("doc_id"))))
+      .filter(col("fused_rank") <= HybridTopK)
+      .select(col("qid"), col("doc_id"), col("fused_micros"),
+        col("fused_rank").cast("long").as("fused_rank"),
+        col("lex_norm"), col("vec_norm"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -273,7 +343,58 @@ object SearchQueries {
     "text_inverted_index" -> (textInvertedIndex _),
     "text_search_bm25" -> (textSearchBm25 _),
     "search_hybrid_rrf" -> (searchHybridRrf _),
+    "search_hybrid_weighted" -> (searchHybridWeighted _),
   )
+
+  /** The two legs as shared oracle CTEs — `lexr` (qid, doc_id, 4-dp BM25
+    * score, rank) and `vecr` (qid, doc_id, 6-dp cosine score, rank) —
+    * composed by both fusion oracles exactly as the engines compose
+    * [[hybridLegsTable]]. */
+  private def hybridLegsCteSql: String =
+    s"""base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+      |              FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM base),
+      |qterms AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS token
+      |           FROM base WHERE doc_id < 10),
+      |postings AS MATERIALIZED (
+      |  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, unnest(toks) AS token FROM base)
+      |  WHERE token IN (SELECT DISTINCT token FROM qterms)
+      |  GROUP BY 1, 2),
+      |dft AS (SELECT token, CAST(count(*) AS DOUBLE) AS dft FROM postings GROUP BY token),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+      |                 round(avg(dl), 6) AS avgdl FROM dl),
+      |w AS (SELECT q.qid, p.doc_id,
+      |        round(round(ln((s.n_docs - d.dft + 0.5) / (d.dft + 0.5) + 1.0), 6)
+      |              * p.tf * 2.2
+      |              / (p.tf + (l.dl / s.avgdl * 0.75 + 0.25) * 1.2), 6) AS w_r
+      |      FROM postings p
+      |      JOIN qterms q USING (token)
+      |      JOIN dl l ON l.doc_id = p.doc_id
+      |      JOIN dft d USING (token)
+      |      CROSS JOIN stats s
+      |      WHERE p.doc_id <> q.qid),
+      |lexs AS (SELECT qid, doc_id, round(sum(w_r), 4) AS score FROM w GROUP BY 1, 2),
+      |lexr AS (SELECT qid, doc_id, score, CAST(rn AS BIGINT) AS rank FROM (
+      |          SELECT qid, doc_id, score,
+      |                 row_number() OVER (PARTITION BY qid
+      |                                    ORDER BY score DESC, doc_id) AS rn
+      |          FROM lexs) WHERE rn <= $HybridLegK),
+      |q2 AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      |p2 AS (
+      |  SELECT q2.qid, e.vec_id,
+      |         list_sum(list_transform(generate_series(1, len(q2.qe)),
+      |                                 i -> q2.qe[i]::DOUBLE * e.embedding[i]::DOUBLE)) AS dot,
+      |         list_sum(list_transform(generate_series(1, len(q2.qe)),
+      |                                 i -> q2.qe[i]::DOUBLE * q2.qe[i]::DOUBLE)) AS n1,
+      |         list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |                                 i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) AS n2
+      |  FROM q2, embeddings e WHERE q2.qid <> e.vec_id),
+      |vecr AS (SELECT qid, vec_id AS doc_id, score, CAST(rn AS BIGINT) AS rank FROM (
+      |          SELECT qid, vec_id, round(dot / (sqrt(n1) * sqrt(n2)), 6) AS score,
+      |                 row_number() OVER (PARTITION BY qid
+      |                   ORDER BY round(dot / (sqrt(n1) * sqrt(n2)), 6) DESC, vec_id) AS rn
+      |          FROM p2) WHERE rn <= $HybridLegK)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // same 4-hex-char priority, hash-ASC with doc_id tiebreak
@@ -353,50 +474,9 @@ object SearchQueries {
     // to similarity_topk), 10^9 // (60 + rank) contributions, (score DESC,
     // doc_id) fused order, top-10 per query
     "search_hybrid_rrf" ->
-      s"""WITH base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
-        |              FROM documents),
-        |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM base),
-        |qterms AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS token
-        |           FROM base WHERE doc_id < 10),
-        |postings AS MATERIALIZED (
-        |  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
-        |  FROM (SELECT doc_id, unnest(toks) AS token FROM base)
-        |  WHERE token IN (SELECT DISTINCT token FROM qterms)
-        |  GROUP BY 1, 2),
-        |dft AS (SELECT token, CAST(count(*) AS DOUBLE) AS dft FROM postings GROUP BY token),
-        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-        |                 round(avg(dl), 6) AS avgdl FROM dl),
-        |w AS (SELECT q.qid, p.doc_id,
-        |        round(round(ln((s.n_docs - d.dft + 0.5) / (d.dft + 0.5) + 1.0), 6)
-        |              * p.tf * 2.2
-        |              / (p.tf + (l.dl / s.avgdl * 0.75 + 0.25) * 1.2), 6) AS w_r
-        |      FROM postings p
-        |      JOIN qterms q USING (token)
-        |      JOIN dl l ON l.doc_id = p.doc_id
-        |      JOIN dft d USING (token)
-        |      CROSS JOIN stats s
-        |      WHERE p.doc_id <> q.qid),
-        |lexs AS (SELECT qid, doc_id, round(sum(w_r), 4) AS score FROM w GROUP BY 1, 2),
-        |lex AS (SELECT qid, doc_id, CAST(rn AS BIGINT) AS lex_rank FROM (
-        |          SELECT qid, doc_id,
-        |                 row_number() OVER (PARTITION BY qid
-        |                                    ORDER BY score DESC, doc_id) AS rn
-        |          FROM lexs) WHERE rn <= $HybridLegK),
-        |q2 AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
-        |p2 AS (
-        |  SELECT q2.qid, e.vec_id,
-        |         list_sum(list_transform(generate_series(1, len(q2.qe)),
-        |                                 i -> q2.qe[i]::DOUBLE * e.embedding[i]::DOUBLE)) AS dot,
-        |         list_sum(list_transform(generate_series(1, len(q2.qe)),
-        |                                 i -> q2.qe[i]::DOUBLE * q2.qe[i]::DOUBLE)) AS n1,
-        |         list_sum(list_transform(generate_series(1, len(e.embedding)),
-        |                                 i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) AS n2
-        |  FROM q2, embeddings e WHERE q2.qid <> e.vec_id),
-        |vec AS (SELECT qid, vec_id AS doc_id, CAST(rn AS BIGINT) AS vec_rank FROM (
-        |          SELECT qid, vec_id,
-        |                 row_number() OVER (PARTITION BY qid
-        |                   ORDER BY round(dot / (sqrt(n1) * sqrt(n2)), 6) DESC, vec_id) AS rn
-        |          FROM p2) WHERE rn <= $HybridLegK),
+      s"""WITH $hybridLegsCteSql,
+        |lex AS (SELECT qid, doc_id, rank AS lex_rank FROM lexr),
+        |vec AS (SELECT qid, doc_id, rank AS vec_rank FROM vecr),
         |fused AS (
         |  SELECT coalesce(l.qid, v.qid) AS qid,
         |         coalesce(l.doc_id, v.doc_id) AS doc_id,
@@ -409,6 +489,41 @@ object SearchQueries {
         |       lex_rank, vec_rank
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
         |                 ORDER BY rrf_score DESC, doc_id) AS rn FROM fused)
+        |WHERE rn <= $HybridTopK
+        |ORDER BY qid, fused_rank""".stripMargin,
+    "search_hybrid_weighted" ->
+      s"""WITH $hybridLegsCteSql,
+        |lexn AS (
+        |  SELECT qid, doc_id,
+        |         CASE WHEN mx = mn THEN 1000000
+        |              ELSE (1000000 * (smic - mn)) // (mx - mn) END AS lex_norm
+        |  FROM (SELECT qid, doc_id, smic,
+        |               min(smic) OVER (PARTITION BY qid) AS mn,
+        |               max(smic) OVER (PARTITION BY qid) AS mx
+        |        FROM (SELECT qid, doc_id,
+        |                     CAST(round(score * 10000) AS BIGINT) AS smic FROM lexr))),
+        |vecn AS (
+        |  SELECT qid, doc_id,
+        |         CASE WHEN mx = mn THEN 1000000
+        |              ELSE (1000000 * (smic - mn)) // (mx - mn) END AS vec_norm
+        |  FROM (SELECT qid, doc_id, smic,
+        |               min(smic) OVER (PARTITION BY qid) AS mn,
+        |               max(smic) OVER (PARTITION BY qid) AS mx
+        |        FROM (SELECT qid, doc_id,
+        |                     CAST(round(score * 1000000) AS BIGINT) AS smic FROM vecr))),
+        |fused AS (
+        |  SELECT coalesce(l.qid, v.qid) AS qid,
+        |         coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |         (6 * coalesce(l.lex_norm, 0) + 4 * coalesce(v.vec_norm, 0)) // 10
+        |           AS fused_micros,
+        |         CAST(l.lex_norm AS BIGINT) AS lex_norm,
+        |         CAST(v.vec_norm AS BIGINT) AS vec_norm
+        |  FROM lexn l FULL OUTER JOIN vecn v
+        |    ON l.qid = v.qid AND l.doc_id = v.doc_id)
+        |SELECT qid, doc_id, CAST(fused_micros AS BIGINT) AS fused_micros,
+        |       CAST(rn AS BIGINT) AS fused_rank, lex_norm, vec_norm
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |                 ORDER BY fused_micros DESC, doc_id) AS rn FROM fused)
         |WHERE rn <= $HybridTopK
         |ORDER BY qid, fused_rank""".stripMargin,
     "text_search_bm25" ->

@@ -31,6 +31,34 @@ class HybridRrfSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(rows(2).fieldIndex("lex_rank")), "doc 70 has no lex rank")
   }
 
+  test("weighted fusion preserves score margins where RRF flattens them") {
+    // lex: doc 50 towers over doc 60 (9.0 vs 1.0 → norms 1e6 vs 0); doc 40
+    // sits between (5.0 → norm 500000). vec: doc 60 barely ahead of 50
+    // (0.31 vs 0.30, 40 at 0.29). RRF sees only ranks (60 would tie-war);
+    // weighted keeps lex's margin: 50 wins outright.
+    val lex = Seq((3L, 50L, 9.0), (3L, 40L, 5.0), (3L, 60L, 1.0))
+      .toDF("qid", "doc_id", "score")
+    val vec = Seq((3L, 60L, 0.31), (3L, 50L, 0.30), (3L, 40L, 0.29))
+      .toDF("qid", "doc_id", "score")
+    val out = SearchQueries.weightedFuse(lex, vec).orderBy(col("fused_rank"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // norms — lex: 50→1e6, 40→5e5, 60→0; vec: 60→1e6, 50→5e5, 40→0
+    // fused: 50 = (6e6+2e6)/10 = 800000; 60 = (0+4e6)/10 = 400000;
+    //        40 = (3e6+0)/10 = 300000
+    assert(out.toSeq == Seq((50L, 800000L), (60L, 400000L), (40L, 300000L)),
+      out.mkString(","))
+  }
+
+  test("weighted fusion: constant leg normalizes to 1e6; absent leg contributes 0") {
+    val lex = Seq((1L, 10L, 2.5), (1L, 20L, 2.5)).toDF("qid", "doc_id", "score")
+    val vec = Seq((1L, 30L, 0.9)).toDF("qid", "doc_id", "score")
+    val rows = SearchQueries.weightedFuse(lex, vec).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // constant lex leg → both docs norm 1e6 → fused 600000; vec-only doc:
+    // single-row leg is constant too → norm 1e6 → fused 400000
+    assert(rows == Map(10L -> 600000L, 20L -> 600000L, 30L -> 400000L), rows.toString)
+  }
+
   test("fusion is per-query and capped at HybridTopK") {
     // 2 queries × 15 lex-only docs each → each query keeps its own top 10
     val lex = (for (q <- 1L to 2L; r <- 1L to 15L) yield (q, 1000 * q + r, r))
