@@ -84,11 +84,15 @@ object SearchQueries {
     * aggregate only ever sees query-term hits; document lengths are one
     * combinable aggregate over the same scan; N and avgdl collapse to a
     * 1-row broadcast; per-term df is a query-lexicon-sized broadcast.
-    * Top-20 via `TakeOrdered` on the ROUNDED score (idf rounded to 6 dp,
-    * each term contribution rounded to 6 dp, the sum rounded to 4 dp
-    * before ranking, ties to doc_id — no unrounded float ever feeds the
-    * rank, so a last-ulp `ln` difference between engines cannot reorder
-    * results). */
+    * Top-20 via `TakeOrdered` on an EXACT INTEGER score: idf rounded to
+    * 6 dp, each term contribution rounded to 6 dp then lifted to BIGINT
+    * micros, and the document score is `sum(w_micros)` — an integer sum,
+    * hence independent of partition/accumulation order (ties to doc_id).
+    * The r13 shape summed the rounded DOUBLES and re-rounded to 4 dp;
+    * double summation is order-dependent in the last ulp, so a term sum
+    * landing within an ulp of a 4-dp half boundary could flip between
+    * runs and between engines — exactly the driver-gate hash-fail on
+    * search_hybrid_weighted. Integer micros close that class. */
   private def textSearchBm25(s: SparkSession, d: String): DataFrame = {
     val query = Seq("spark", "window", "merge")
     val base = docs(s, d).select(col("doc_id"), TextOps.tokens("text").as("toks"))
@@ -110,10 +114,11 @@ object SearchQueries {
       .withColumn("w_r", round(
         col("idf_r") * col("tf") * 2.2 /
           (col("tf") + (col("dl") / col("avgdl") * 0.75 + 0.25) * 1.2), 6))
+      .withColumn("w_micros", expr("cast(round(w_r * 1000000) as bigint)"))
       .groupBy(col("doc_id"))
-      .agg(round(sum(col("w_r")), 4).as("score"),
+      .agg(sum(col("w_micros")).as("score_micros"),
         count(lit(1)).as("n_terms"))
-      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .orderBy(col("score_micros").desc, col("doc_id")).limit(20)
   }
 
   // ------------------------------------------------------ feature hashing
@@ -228,11 +233,16 @@ object SearchQueries {
 
   /** Both retrieval legs persisted once per corpus (the family-memo
     * pattern, `family_builds` name "hybrid_legs"): `leg = 'lex'` rows
-    * carry the 4-dp BM25 more-like-this score, `leg = 'vec'` rows the
-    * 6-dp exact cosine, each with its 1-based per-query rank —
-    * search_hybrid_rrf and search_hybrid_weighted fuse from the same
-    * table, the way a serving stack scores each leg once and feeds every
-    * fusion policy from the cached leg results. */
+    * carry the BM25 more-like-this score, `leg = 'vec'` rows the exact
+    * cosine — BOTH as exact BIGINT micros (`score_micros`), each with its
+    * 1-based per-query rank — search_hybrid_rrf and search_hybrid_weighted
+    * fuse from the same table, the way a serving stack scores each leg
+    * once and feeds every fusion policy from the cached leg results.
+    * The lex score is `sum` of per-term 6-dp weights lifted to BIGINT
+    * micros — an exact integer sum, order-independent (the r13
+    * `round(sum(double), 4)` flipped at 4-dp half boundaries with
+    * partition order: the round's one driver-gate hash-fail); the vec
+    * score is the 6-dp cosine lifted to micros. */
   private val hybridLegsMemo = new graft.core.SessionMemo[String](dir =>
     DataPipelineQueries.deleteRecursively(java.nio.file.Paths.get(dir)),
     name = "hybrid_legs")
@@ -266,20 +276,22 @@ object SearchQueries {
         .withColumn("w_r", round(
           col("idf_r") * col("tf") * 2.2 /
             (col("tf") + (col("dl") / col("avgdl") * 0.75 + 0.25) * 1.2), 6))
+        .withColumn("w_micros", expr("cast(round(w_r * 1000000) as bigint)"))
         .groupBy(col("qid"), col("doc_id"))
-        .agg(round(sum(col("w_r")), 4).as("score"))
+        .agg(sum(col("w_micros")).as("score_micros"))
       val lex = lexScores
         .withColumn("rank", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))))
+          Window.partitionBy(col("qid")).orderBy(col("score_micros").desc, col("doc_id"))))
         .filter(col("rank") <= HybridLegK)
         .select(lit("lex").as("leg"), col("qid"), col("doc_id"),
-          col("score"), col("rank").cast("long").as("rank"))
+          col("score_micros"), col("rank").cast("long").as("rank"))
       val e = Tables.embeddings(s, d)
       val vec = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = HybridLegK)
+        .withColumn("score_micros", expr("cast(round(cosine * 1000000) as bigint)"))
         .withColumn("rank", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("neighbor"))))
+          Window.partitionBy(col("qid")).orderBy(col("score_micros").desc, col("neighbor"))))
         .select(lit("vec").as("leg"), col("qid"), col("neighbor").as("doc_id"),
-          col("cosine").as("score"), col("rank").cast("long").as("rank"))
+          col("score_micros"), col("rank").cast("long").as("rank"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_hybrid_legs_")
       lex.unionByName(vec).write.mode("overwrite").parquet(tmp.toString)
       base.unpersist()
@@ -288,44 +300,43 @@ object SearchQueries {
 
   /** Weighted-sum hybrid — the MIN-MAX-normalized alpha-blend fusion
     * (Elastic/Vespa-style "linear" hybrid) beside [[searchHybridRrf]]'s
-    * rank-only one: each leg's scores are normalized per query to
-    * [0, 10⁶] in EXACT integer arithmetic (scores are already
-    * fixed-point — BM25 at 4 dp, cosine at 6 dp — so
-    * `(10⁶·(s − min)) div (max − min)` is engine-exact; a constant leg
-    * normalizes to 10⁶), then fused as 0.6·lex + 0.4·vec via
-    * `(6·lex + 4·vec) div 10`, absent legs contributing 0. Unlike RRF,
-    * score GAPS matter: a leg that ranks a doc far above its runner-up
-    * keeps that margin through fusion. Serves from the same memoized
-    * leg table; fusion is query-keyed joins over ≤ 2·[[HybridLegK]]
-    * rows per query. */
+    * rank-only one: each leg's EXACT-INTEGER micro scores are normalized
+    * per query to [0, 10⁶] in exact integer arithmetic
+    * (`(10⁶·(s − min)) div (max − min)`; a constant leg normalizes to
+    * 10⁶), then fused as 0.6·lex + 0.4·vec via `(6·lex + 4·vec) div 10`,
+    * absent legs contributing 0. Unlike RRF, score GAPS matter: a leg
+    * that ranks a doc far above its runner-up keeps that margin through
+    * fusion. Serves from the same memoized leg table; fusion is
+    * query-keyed joins over ≤ 2·[[HybridLegK]] rows per query. Every
+    * value from leg score to fused rank is integer arithmetic — no
+    * double ever feeds the output, so no accumulation-order flake. */
   private def searchHybridWeighted(s: SparkSession, d: String): DataFrame = {
     val legs = hybridLegsTable(s, d)
     def leg(name: String) = legs.filter(col("leg") === name)
-      .select(col("qid"), col("doc_id"), col("score"))
+      .select(col("qid"), col("doc_id"), col("score_micros"))
     weightedFuse(leg("lex"), leg("vec")).orderBy(col("qid"), col("fused_rank"))
   }
 
   /** The weighted fusion math factored like [[rrfFuse]] so the spec can
     * pin it on synthetic legs: min-max normalize each leg per query to
-    * [0, 10⁶] in exact integer arithmetic (inputs are fixed-point — lex
-    * 4 dp, vec 6 dp — so `(10⁶·(s−min)) div (max−min)` is engine-exact;
-    * a constant leg normalizes to 10⁶), fuse 0.6/0.4 as
-    * `(6·lex + 4·vec) div 10` with absent legs contributing 0.
+    * [0, 10⁶] in exact integer arithmetic
+    * (`(10⁶·(s−min)) div (max−min)` over BIGINT micro scores; a constant
+    * leg normalizes to 10⁶), fuse 0.6/0.4 as `(6·lex + 4·vec) div 10`
+    * with absent legs contributing 0.
     *
-    * @param lex (qid, doc_id, score) — 4-dp fixed-point scores
-    * @param vec (qid, doc_id, score) — 6-dp fixed-point scores */
+    * @param lex (qid, doc_id, score_micros) — exact BIGINT micro scores
+    * @param vec (qid, doc_id, score_micros) — exact BIGINT micro scores */
   private[relational] def weightedFuse(lex: DataFrame, vec: DataFrame): DataFrame = {
-    def normed(df: DataFrame, scale: Long, out: String) = {
+    def normed(df: DataFrame, out: String) = {
       val w = Window.partitionBy(col("qid"))
-      df.withColumn("smic", expr(s"cast(round(score * $scale) as bigint)"))
-        .withColumn("mn", min(col("smic")).over(w))
-        .withColumn("mx", max(col("smic")).over(w))
+      df.withColumn("mn", min(col("score_micros")).over(w))
+        .withColumn("mx", max(col("score_micros")).over(w))
         .select(col("qid"), col("doc_id"),
           expr("""CASE WHEN mx = mn THEN 1000000L
-                  ELSE (1000000L * (smic - mn)) div (mx - mn) END""").as(out))
+                  ELSE (1000000L * (score_micros - mn)) div (mx - mn) END""").as(out))
     }
-    normed(lex, 10000L, "lex_norm")
-      .join(normed(vec, 1000000L, "vec_norm"), Seq("qid", "doc_id"), "full_outer")
+    normed(lex, "lex_norm")
+      .join(normed(vec, "vec_norm"), Seq("qid", "doc_id"), "full_outer")
       .withColumn("fused_micros",
         expr("""(6L * coalesce(lex_norm, 0L) + 4L * coalesce(vec_norm, 0L)) div 10L"""))
       .withColumn("fused_rank", row_number().over(
@@ -346,9 +357,11 @@ object SearchQueries {
     "search_hybrid_weighted" -> (searchHybridWeighted _),
   )
 
-  /** The two legs as shared oracle CTEs — `lexr` (qid, doc_id, 4-dp BM25
-    * score, rank) and `vecr` (qid, doc_id, 6-dp cosine score, rank) —
-    * composed by both fusion oracles exactly as the engines compose
+  /** The two legs as shared oracle CTEs — `lexr` (qid, doc_id, BM25
+    * score_micros, rank) and `vecr` (qid, doc_id, cosine score_micros,
+    * rank), both exact BIGINT micros (per-term 6-dp weights lifted to
+    * integers BEFORE the order-independent integer sum) — composed by
+    * both fusion oracles exactly as the engines compose
     * [[hybridLegsTable]]. */
   private def hybridLegsCteSql: String =
     s"""base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
@@ -374,11 +387,13 @@ object SearchQueries {
       |      JOIN dft d USING (token)
       |      CROSS JOIN stats s
       |      WHERE p.doc_id <> q.qid),
-      |lexs AS (SELECT qid, doc_id, round(sum(w_r), 4) AS score FROM w GROUP BY 1, 2),
-      |lexr AS (SELECT qid, doc_id, score, CAST(rn AS BIGINT) AS rank FROM (
-      |          SELECT qid, doc_id, score,
+      |lexs AS (SELECT qid, doc_id,
+      |                sum(CAST(round(w_r * 1000000) AS BIGINT)) AS score_micros
+      |         FROM w GROUP BY 1, 2),
+      |lexr AS (SELECT qid, doc_id, score_micros, CAST(rn AS BIGINT) AS rank FROM (
+      |          SELECT qid, doc_id, score_micros,
       |                 row_number() OVER (PARTITION BY qid
-      |                                    ORDER BY score DESC, doc_id) AS rn
+      |                                    ORDER BY score_micros DESC, doc_id) AS rn
       |          FROM lexs) WHERE rn <= $HybridLegK),
       |q2 AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
       |p2 AS (
@@ -390,10 +405,13 @@ object SearchQueries {
       |         list_sum(list_transform(generate_series(1, len(e.embedding)),
       |                                 i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) AS n2
       |  FROM q2, embeddings e WHERE q2.qid <> e.vec_id),
-      |vecr AS (SELECT qid, vec_id AS doc_id, score, CAST(rn AS BIGINT) AS rank FROM (
-      |          SELECT qid, vec_id, round(dot / (sqrt(n1) * sqrt(n2)), 6) AS score,
+      |vecr AS (SELECT qid, vec_id AS doc_id, score_micros, CAST(rn AS BIGINT) AS rank FROM (
+      |          SELECT qid, vec_id,
+      |                 CAST(round(round(dot / (sqrt(n1) * sqrt(n2)), 6) * 1000000)
+      |                      AS BIGINT) AS score_micros,
       |                 row_number() OVER (PARTITION BY qid
-      |                   ORDER BY round(dot / (sqrt(n1) * sqrt(n2)), 6) DESC, vec_id) AS rn
+      |                   ORDER BY CAST(round(round(dot / (sqrt(n1) * sqrt(n2)), 6) * 1000000)
+      |                                 AS BIGINT) DESC, vec_id) AS rn
       |          FROM p2) WHERE rn <= $HybridLegK)""".stripMargin
 
   val oracle: Map[String, String] = Map(
@@ -467,7 +485,8 @@ object SearchQueries {
         |SELECT tf.token, lex.df, tf.doc_id, tf.tf
         |FROM tf JOIN lex ON tf.token = lex.token
         |ORDER BY tf.token, tf.doc_id""".stripMargin,
-    // same rounding ladder: idf@6dp -> term weight@6dp -> sum@4dp -> rank
+    // same rounding ladder: idf@6dp -> term weight@6dp -> BIGINT micros
+    // -> exact integer sum -> rank (order-independent by construction)
     // full replay of both legs + the integer RRF fusion: the BM25 leg with
     // each query doc's distinct tokens as terms (identical rounding chain
     // to text_search_bm25), the exact-cosine leg (identical construction
@@ -497,20 +516,18 @@ object SearchQueries {
         |  SELECT qid, doc_id,
         |         CASE WHEN mx = mn THEN 1000000
         |              ELSE (1000000 * (smic - mn)) // (mx - mn) END AS lex_norm
-        |  FROM (SELECT qid, doc_id, smic,
-        |               min(smic) OVER (PARTITION BY qid) AS mn,
-        |               max(smic) OVER (PARTITION BY qid) AS mx
-        |        FROM (SELECT qid, doc_id,
-        |                     CAST(round(score * 10000) AS BIGINT) AS smic FROM lexr))),
+        |  FROM (SELECT qid, doc_id, score_micros AS smic,
+        |               min(score_micros) OVER (PARTITION BY qid) AS mn,
+        |               max(score_micros) OVER (PARTITION BY qid) AS mx
+        |        FROM lexr)),
         |vecn AS (
         |  SELECT qid, doc_id,
         |         CASE WHEN mx = mn THEN 1000000
         |              ELSE (1000000 * (smic - mn)) // (mx - mn) END AS vec_norm
-        |  FROM (SELECT qid, doc_id, smic,
-        |               min(smic) OVER (PARTITION BY qid) AS mn,
-        |               max(smic) OVER (PARTITION BY qid) AS mx
-        |        FROM (SELECT qid, doc_id,
-        |                     CAST(round(score * 1000000) AS BIGINT) AS smic FROM vecr))),
+        |  FROM (SELECT qid, doc_id, score_micros AS smic,
+        |               min(score_micros) OVER (PARTITION BY qid) AS mn,
+        |               max(score_micros) OVER (PARTITION BY qid) AS mx
+        |        FROM vecr)),
         |fused AS (
         |  SELECT coalesce(l.qid, v.qid) AS qid,
         |         coalesce(l.doc_id, v.doc_id) AS doc_id,
@@ -545,8 +562,10 @@ object SearchQueries {
         |      JOIN dl l USING (doc_id)
         |      JOIN dft d USING (token)
         |      CROSS JOIN stats s)
-        |SELECT doc_id, round(sum(w_r), 4) AS score, CAST(count(*) AS BIGINT) AS n_terms
+        |SELECT doc_id,
+        |       CAST(sum(CAST(round(w_r * 1000000) AS BIGINT)) AS BIGINT) AS score_micros,
+        |       CAST(count(*) AS BIGINT) AS n_terms
         |FROM w GROUP BY doc_id
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+        |ORDER BY score_micros DESC, doc_id LIMIT 20""".stripMargin,
   )
 }

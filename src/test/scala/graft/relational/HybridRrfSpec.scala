@@ -32,14 +32,14 @@ class HybridRrfSpec extends AnyFunSuite {
   }
 
   test("weighted fusion preserves score margins where RRF flattens them") {
-    // lex: doc 50 towers over doc 60 (9.0 vs 1.0 → norms 1e6 vs 0); doc 40
-    // sits between (5.0 → norm 500000). vec: doc 60 barely ahead of 50
-    // (0.31 vs 0.30, 40 at 0.29). RRF sees only ranks (60 would tie-war);
-    // weighted keeps lex's margin: 50 wins outright.
-    val lex = Seq((3L, 50L, 9.0), (3L, 40L, 5.0), (3L, 60L, 1.0))
-      .toDF("qid", "doc_id", "score")
-    val vec = Seq((3L, 60L, 0.31), (3L, 50L, 0.30), (3L, 40L, 0.29))
-      .toDF("qid", "doc_id", "score")
+    // lex: doc 50 towers over doc 60 (9.0 vs 1.0 in micros → norms 1e6 vs
+    // 0); doc 40 sits between (5.0 → norm 500000). vec: doc 60 barely
+    // ahead of 50 (0.31 vs 0.30, 40 at 0.29). RRF sees only ranks (60
+    // would tie-war); weighted keeps lex's margin: 50 wins outright.
+    val lex = Seq((3L, 50L, 9000000L), (3L, 40L, 5000000L), (3L, 60L, 1000000L))
+      .toDF("qid", "doc_id", "score_micros")
+    val vec = Seq((3L, 60L, 310000L), (3L, 50L, 300000L), (3L, 40L, 290000L))
+      .toDF("qid", "doc_id", "score_micros")
     val out = SearchQueries.weightedFuse(lex, vec).orderBy(col("fused_rank"))
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     // norms — lex: 50→1e6, 40→5e5, 60→0; vec: 60→1e6, 50→5e5, 40→0
@@ -50,8 +50,9 @@ class HybridRrfSpec extends AnyFunSuite {
   }
 
   test("weighted fusion: constant leg normalizes to 1e6; absent leg contributes 0") {
-    val lex = Seq((1L, 10L, 2.5), (1L, 20L, 2.5)).toDF("qid", "doc_id", "score")
-    val vec = Seq((1L, 30L, 0.9)).toDF("qid", "doc_id", "score")
+    val lex = Seq((1L, 10L, 2500000L), (1L, 20L, 2500000L))
+      .toDF("qid", "doc_id", "score_micros")
+    val vec = Seq((1L, 30L, 900000L)).toDF("qid", "doc_id", "score_micros")
     val rows = SearchQueries.weightedFuse(lex, vec).collect()
       .map(r => r.getLong(1) -> r.getLong(2)).toMap
     // constant lex leg → both docs norm 1e6 → fused 600000; vec-only doc:

@@ -98,11 +98,33 @@ class SearchQueriesSpec extends AnyFunSuite {
         }
       }
       if (ws.isEmpty) None
-      else Some((doc, BigDecimal(ws.sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, ws.length))
+      // per-term 6-dp weights lifted to BIGINT micros, then an EXACT
+      // integer sum — the order-independent score the engine now emits
+      else Some((doc, ws.map(w => math.round(w * 1e6)).sum, ws.length))
     }.toSeq
     val expected = scored.sortBy { case (doc, score, _) => (-score, doc) }.take(20)
-    val got = rows.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2).toInt)).toSeq
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt)).toSeq
     assert(got === expected, "top-20 ranking, scores, and term counts all match")
+  }
+
+  test("integer micro scores are order-invariant where 4-dp double sums flip") {
+    // Planted 6-dp term weights whose exact decimal sum (1.670350) sits ON
+    // a 4-dp half boundary: two accumulation orders of the DOUBLE sum round
+    // to different 4-dp values — the r13 `round(sum(w_r), 4)` score
+    // definition, and the mechanism behind the search_hybrid_weighted
+    // driver-gate hash-fail (partition order flipped the rounded score).
+    val terms = Seq(0.682555, 0.050632, 0.075955, 0.861169, 0.000039)
+    def r4(xs: Seq[Double]): BigDecimal =
+      BigDecimal(xs.foldLeft(0.0)(_ + _))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val orderB = Seq(0.682555, 0.050632, 0.075955, 0.000039, 0.861169)
+    assert(r4(terms) != r4(orderB),
+      "witness: double summation IS order-dependent at the 4-dp boundary")
+    // the shipped path: lift each 6-dp term to BIGINT micros, sum integers
+    def micros(xs: Seq[Double]): Long = xs.map(w => math.round(w * 1e6)).sum
+    assert(terms.permutations.map(micros).toSet.size === 1,
+      "integer micro sum is identical under EVERY accumulation order")
+    assert(micros(terms) === 1670350L)
   }
 
   test("text_search_bm25 plan: bounded top-k, broadcast stats and df") {
