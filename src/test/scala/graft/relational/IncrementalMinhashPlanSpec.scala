@@ -52,16 +52,22 @@ class IncrementalMinhashPlanSpec extends AnyFunSuite {
     assert(rows(5L)._2 == -1L && rows(5L)._1 == 0L, s"unrelated: ${rows(5L)}")
   }
 
-  test("history signature table builds once per corpus (memo)") {
+  test("family signature table builds once per corpus (shared minhash_sigs memo)") {
     val dir = writeFixture()
     def builds = graft.core.SessionMemo.buildLedger
-      .count(_._1 == "minhash_history")
+      .count(_._1 == "minhash_sigs")
     val before = builds
     DataPipelineQueries.minhashHistoryTable(spark, dir).count()
     val afterFirst = builds
     DataPipelineQueries.minhashHistoryTable(spark, dir).count()
     assert(afterFirst == before + 1, "first call must record one build")
     assert(builds == afterFirst, "second call must serve from the memo")
+    // the whole family serves from that ONE build: running
+    // dedup_minhash_incremental AND text_decontaminate_fuzzy over the
+    // same corpus must not record another minhash_sigs build
+    DataPipelineQueries.queries("dedup_minhash_incremental")(spark, dir).count()
+    DataPipelineQueries.queries("text_decontaminate_fuzzy")(spark, dir).count()
+    assert(builds == afterFirst, "family queries must share the memoized build")
   }
 
   test("probe plan reads only the signature table — history never rescanned") {
@@ -74,7 +80,7 @@ class IncrementalMinhashPlanSpec extends AnyFunSuite {
         h.location.rootPaths.map(_.toString)
       }.flatten
       assert(scans.nonEmpty, "expected parquet reads of the signature table")
-      assert(scans.forall(_.contains("graft_minhash_hist_")),
+      assert(scans.forall(_.contains("graft_minhash_sigs_")),
         s"non-signature-table parquet scan in the probe plan: $scans")
       // corpus text reaches the plan ONLY through the cached arrival batch
       val cached = frame.queryExecution.optimizedPlan.collect {
