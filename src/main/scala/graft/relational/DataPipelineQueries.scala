@@ -1161,6 +1161,49 @@ object DataPipelineQueries {
       .orderBy(col("qid"), col("neighbor"))
   }
 
+  /** Per-query recall floor (×10) for [[similarityRangeAnn]]: measured
+    * per-probe recall is 1.0 for 25 of the 30 (probe, sf) cells and never
+    * below 0.75 (sf0.001 qid 4: 3/4; sf0.1 worst 0.875) — the 0.5 floor
+    * sits a full hit of margin under the worst measured cell, and the
+    * hyperplanes are seed-pinned so the measurement is deterministic. */
+  private[relational] val RangeAnnRecallFloor10 = 5L
+
+  /** The PRUNED range-search leg the similarity_range scaladoc promises
+    * (r13 verdict ask #5): the same fixed-radius query served through the
+    * ANN stack's capped bucket probes ([[Similarity.annRange]] — LSH
+    * candidates + exact re-rank ≥ [[RangeTau]]) instead of the exact
+    * leg's full linear scan, with the similarity_ann recipe's in-query
+    * verdict grid against the exact leg: per probe, `n_exact` (the exact
+    * leg's hit count — replayed value-exactly by the DuckDB oracle),
+    * `recall_ok` (found ≥ floor·exact) and `subset_ok` (every ANN hit IS
+    * an exact hit — the re-rank uses the exact leg's own cosine
+    * expression, so a fabricated or unfiltered row is a plumbing bug this
+    * flag catches). Probes are seed-pinned, so recall is deterministic
+    * margin, not flake tolerance. */
+  private def similarityRangeAnn(s: SparkSession, d: String): DataFrame = {
+    val e = embeds(s, d)
+    val q = e.filter(col("vec_id") < 10)
+    val ann = Similarity.annRange(e, q, RangeTau)
+      .select(col("qid"), col("neighbor")).localCheckpoint(true)
+    val exact = Similarity.bruteForceRange(e, q, RangeTau)
+      .select(col("qid"), col("neighbor")).localCheckpoint(true)
+    val hits = exact.join(ann, Seq("qid", "neighbor"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_found"))
+    val nEx = exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+    val nAnn = ann.groupBy(col("qid")).agg(count(lit(1)).as("n_ann"))
+    q.select(col("vec_id").as("qid"))
+      .join(nEx, Seq("qid"), "left")
+      .join(nAnn, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        (coalesce(col("n_found"), lit(0L)) * 10L >=
+          coalesce(col("n_exact"), lit(0L)) * RangeAnnRecallFloor10).as("recall_ok"),
+        (coalesce(col("n_ann"), lit(0L)) === coalesce(col("n_found"), lit(0L)))
+          .as("subset_ok"))
+      .orderBy(col("qid"))
+  }
+
   /** LSH-bucketed approximate top-5 for the same query subset, SELF-VERIFIED
     * against the in-query brute-force baseline (the llk_score_long pattern):
     * per query the verdict row carries `n_returned` (contract: exactly k)
@@ -3307,6 +3350,7 @@ object DataPipelineQueries {
     "sink_partitioned" -> (sinkPartitioned _),
     "similarity_topk" -> (similarityTopK _),
     "similarity_range" -> (similarityRange _),
+    "similarity_range_ann" -> (similarityRangeAnn _),
     "similarity_ann" -> (similarityAnn _),
     "similarity_ivf" -> (similarityIvf _),
     "similarity_ivfpq" -> (similarityIvfpq _),
@@ -4183,6 +4227,28 @@ object DataPipelineQueries {
         |       round(dot / (sqrt(n1) * sqrt(n2)), 6) AS cosine
         |FROM p WHERE round(dot / (sqrt(n1) * sqrt(n2)), 6) >= $RangeTau
         |ORDER BY qid, neighbor""".stripMargin,
+    // the pruned-leg verdict grid: n_exact replays the exact leg's
+    // per-probe hit count value-exactly; recall/subset are engine-side
+    // booleans the oracle expects all-true (seed-pinned probes, so the
+    // floor is deterministic margin — see the query scaladoc)
+    "similarity_range_ann" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.qid, e.vec_id,
+        |         list_sum(list_transform(generate_series(1, len(q.qe)),
+        |                                 i -> q.qe[i]::DOUBLE * e.embedding[i]::DOUBLE)) AS dot,
+        |         list_sum(list_transform(generate_series(1, len(q.qe)),
+        |                                 i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE)) AS n1,
+        |         list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |                                 i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) AS n2
+        |  FROM q, embeddings e WHERE q.qid <> e.vec_id),
+        |ex AS (SELECT qid, CAST(count(*) FILTER (
+        |         round(dot / (sqrt(n1) * sqrt(n2)), 6) >= $RangeTau) AS BIGINT) AS n_exact
+        |       FROM p GROUP BY qid)
+        |SELECT q.qid, coalesce(ex.n_exact, 0) AS n_exact,
+        |       true AS recall_ok, true AS subset_ok
+        |FROM q LEFT JOIN ex ON q.qid = ex.qid
+        |ORDER BY q.qid""".stripMargin,
     // self-verifying verdict grids (see the query scaladocs): the queries
     // compute recall against the in-query brute-force baseline; the oracle
     // enumerates the expected verdict — any recall regression, missing

@@ -128,29 +128,7 @@ object Similarity {
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               tables: Int = 8, bits: Int = 0, dim: Int = 64,
               seed: Long = 42L, maxBucketSize: Int = 256): DataFrame = {
-    val nBits = if (bits > 0) bits else adaptiveBits(corpus.count())
-    // the signer kernel is O(tables·bits·dim) per row and the bucket frame
-    // feeds both the cap aggregation and the probe join — persist it for
-    // the duration of the candidate join, then release (the candidate set
-    // is the bounded relation that lives on)
-    val cb0 = buckets(corpus, tables, nBits, dim, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ok = cb0.groupBy(col("tbl"), col("code"))
-      .agg(count(lit(1)).as("sz"))
-      .filter(col("sz") <= maxBucketSize)
-      .select(col("tbl"), col("code"))
-    val cb = cb0.join(ok, Seq("tbl", "code"))
-    val qb = buckets(queries, tables, nBits, dim, seed)
-      .withColumnRenamed("vec_id", "qid")
-      .select(col("qid"), col("tbl"), explode(expr(
-        s"array_union(array(code), transform(sequence(0, ${nBits - 1}), " +
-          "i -> code ^ shiftleft(cast(1 as bigint), cast(i as int))))")).as("code"))
-    val cand = qb.join(cb, Seq("tbl", "code"))
-      .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id"))
-      .distinct()
-      .localCheckpoint(true)
-    cb0.unpersist()
+    val cand = probeCandidates(corpus, queries, tables, bits, dim, seed, maxBucketSize)
     val nCand = cand.groupBy(col("qid")).agg(count(lit(1)).as("n_candidates"))
     val c = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
@@ -174,6 +152,67 @@ object Similarity {
       .join(nCand, Seq("qid"), "left")
       .select(col("qid"), col("neighbor"), col("cosine"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+  }
+
+  /** The search-shaped candidate generator shared by [[annTopK]] and
+    * [[annRange]]: corpus vectors sharing ANY (table, code) bucket with a
+    * query probe, Hamming-radius-1 multiprobe on the query side, corpus
+    * buckets over `maxBucketSize` dropped. Returns the distinct (qid,
+    * vec_id) candidate relation, eagerly materialized (it is the bounded
+    * relation that lives on; the wide bucket frame is persisted only for
+    * the duration of the join, then released). */
+  private def probeCandidates(corpus: DataFrame, queries: DataFrame,
+                              tables: Int, bits: Int, dim: Int,
+                              seed: Long, maxBucketSize: Int): DataFrame = {
+    val nBits = if (bits > 0) bits else adaptiveBits(corpus.count())
+    val cb0 = buckets(corpus, tables, nBits, dim, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ok = cb0.groupBy(col("tbl"), col("code"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= maxBucketSize)
+      .select(col("tbl"), col("code"))
+    val cb = cb0.join(ok, Seq("tbl", "code"))
+    val qb = buckets(queries, tables, nBits, dim, seed)
+      .withColumnRenamed("vec_id", "qid")
+      .select(col("qid"), col("tbl"), explode(expr(
+        s"array_union(array(code), transform(sequence(0, ${nBits - 1}), " +
+          "i -> code ^ shiftleft(cast(1 as bigint), cast(i as int))))")).as("code"))
+    val cand = qb.join(cb, Seq("tbl", "code"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"))
+      .distinct()
+      .localCheckpoint(true)
+    cb0.unpersist()
+    cand
+  }
+
+  /** RANGE (radius) search through the ANN bucket probes — the pruned
+    * tight-radius leg beside [[bruteForceRange]]'s exact linear scan:
+    * candidates come from the same capped (table, code) bucket probes as
+    * [[annTopK]] (Hamming-radius-1 multiprobe included), exact rounded
+    * cosine is computed ONLY on candidates, and every candidate at
+    * cosine ≥ `tau` is returned. By construction the result is a SUBSET
+    * of the exact leg's (the re-rank cosine is the exact leg's own
+    * expression) — the trade is recall only, and recall rises with tau:
+    * per-bit collision probability is 1 − arccos(τ)/π, so the tighter
+    * the radius the more certainly a true hit shares a bucket. At corpus
+    * scale this replaces the exact leg's full scan with
+    * tables·(bits+1)·bucket probe rows per query.
+    *
+    * @return (qid, neighbor, cosine), cosine ≥ tau, plus n_candidates
+    *         per surviving row (the pruning evidence) */
+  def annRange(corpus: DataFrame, queries: DataFrame, tau: Double,
+               tables: Int = 8, bits: Int = 0, dim: Int = 64,
+               seed: Long = 42L, maxBucketSize: Int = 256): DataFrame = {
+    val cand = probeCandidates(corpus, queries, tables, bits, dim, seed, maxBucketSize)
+    val c = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
+    cand
+      .join(c, "vec_id")
+      .join(q, "qid")
+      .withColumn("cosine", round(cosine("qe", "emb"), 6))
+      .filter(col("cosine") >= tau)
+      .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"))
   }
 
   /** Near-duplicate PAIRS over the whole corpus — the dedup-shaped LSH

@@ -55,6 +55,57 @@ class SimilaritySpec extends AnyFunSuite {
     assert(want.nonEmpty && want.size < thetas.size)
   }
 
+  test("annRange: subset of exact range with identical cosines, per-query recall over the gate floor") {
+    val e = embeddings
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceRange(e, q, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ann = Similarity.annRange(e, q, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // subset with IDENTICAL 6-dp cosines — the re-rank is the exact leg's
+    // own expression, so any extra/misvalued row is a plumbing bug
+    val exMap = exact.map(t => (t._1, t._2) -> t._3).toMap
+    assert(ann.nonEmpty)
+    assert(ann.forall(t => exMap.get((t._1, t._2)).contains(t._3)),
+      "every ANN range hit must be an exact hit with the identical cosine")
+    // per-query recall ≥ the gate floor (0.5; measured worst cell 0.75)
+    val exBy = exact.groupBy(_._1).view.mapValues(_.size).toMap
+    val annBy = ann.groupBy(_._1).view.mapValues(_.size).toMap
+    exBy.foreach { case (qid, nEx) =>
+      val nF = annBy.getOrElse(qid, 0)
+      assert(nF * 10 >= nEx * 5, s"qid $qid recall $nF/$nEx under the 0.5 floor")
+    }
+  }
+
+  test("annRange tight radius: a planted twin swarm is fully recalled, scattered vectors excluded") {
+    import spark.implicits._
+    // 20 near-twins of e0 (tiny planted perturbations, float32-quantized
+    // like the physical column) plus 40 scattered vectors near-orthogonal
+    // to e0; at tau = 0.9 the answer is exactly the twin set. Per-bit
+    // collision at cos 0.99 is ~0.955, so missing a twin in all 8
+    // seed-pinned tables has probability ~1e-6 per twin — and the seed is
+    // fixed, so this is a deterministic pass, not a flake budget.
+    val dir = java.nio.file.Files.createTempDirectory("annrange").toString
+    val rnd = new scala.util.Random(11)
+    val twins = (1 to 20).map { i =>
+      val v = Array.fill(8)(0.0f)
+      v(0) = 1.0f; v(1) = (0.02 * (i % 5)).toFloat; v(2) = (0.01 * (i % 3)).toFloat
+      (i.toLong, v, 0)
+    }
+    val scattered = (21 to 60).map { i =>
+      val v = Array.fill(8)(rnd.nextGaussian().toFloat)
+      v(0) = 0.0f // orthogonal-ish to e0: cosine far below 0.9
+      (i.toLong, v, 1)
+    }
+    val probe = Seq((0L, Array(1.0f) ++ Array.fill(7)(0.0f), 0))
+    (probe ++ twins ++ scattered).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.annRange(e, e.filter(col("vec_id") === 0L), 0.9)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == (1L to 20L).toSet, s"tight-radius swarm recall: $got")
+  }
+
   test("ANN recalls most of the brute-force top-10 with far fewer comparisons") {
     val e = embeddings
     val q = e.filter(col("vec_id") < 20)
