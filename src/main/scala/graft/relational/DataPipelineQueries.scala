@@ -3146,6 +3146,118 @@ object DataPipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** TRAINED quality classifier (the FineWeb-Edu / Llama-2-filter shape,
+    * r13 verdict ask #6): a distributed-trained MODEL-based quality score
+    * beside the heuristic (text_quality), LM (text_lm_score) and rule
+    * (dq_gopher_rules) scorers every modern corpus pipeline stacks.
+    *
+    * Deterministic weak labels: the proven [[lmScores]] table's tertiles
+    * (the text_perplexity_buckets construction — rank by lm_logp DESC,
+    * doc_id; head third → label 1, tail third → 0, middle excluded), so
+    * the training set replays exactly. Features: the feature_hash
+    * construction (md5-hex ascii arithmetic, 64 buckets) as
+    * length-normalized term frequencies. Model: MLlib logistic regression
+    * (seeded, fixed maxIter/regParam) trained on the EVEN-doc_id half of
+    * the strata; the odd half is holdout. Scored corpus-wide; deciles by
+    * (probability DESC, doc_id) through the corpusShardPlan two-level
+    * rank decomposition (no single-partition window).
+    *
+    * The gate surface is a SELF-VERIFYING verdict grid (the
+    * cluster_kmeans pattern — LR coefficients are MLlib-internal floats
+    * the hash gate could never pin): one row per score decile with
+    * `n_docs` (pure integer math on the scored count — the oracle replays
+    * it), plus corpus-level booleans: train/holdout accuracy over floors
+    * (measured .91–.95 train and .85–.91 holdout across the three gate
+    * SFs; floors .75/.70), separation (the top decile's head-stratum
+    * fraction exceeds the bottom decile's by ≥ 0.3; measured ≥ .97 at
+    * every SF — the top decile is nearly pure head, the bottom nearly
+    * pure tail), and probability range sanity. Ulp-level training
+    * nondeterminism moves none of them: every boolean carries
+    * decimal-scale margin. */
+  private def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val hv = (pos: Int) =>
+      s"IF(ascii(substr(hx, $pos, 1)) >= 97, ascii(substr(hx, $pos, 1)) - 87," +
+        s" ascii(substr(hx, $pos, 1)) - 48)"
+    val feats = docs(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens("text")).as("token"))
+      .withColumn("hx", md5(col("token")))
+      .withColumn("fi", expr(s"(${hv(1)} * 16 + ${hv(2)}) % 64").cast("int"))
+      .groupBy(col("doc_id"), col("fi")).agg(count(lit(1)).cast("double").as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("fi"), col("cnt")))).as("m"),
+        sum(col("cnt")).as("tot"))
+      .select(col("doc_id"), array_to_vector(expr(
+        "transform(sequence(0, 63), i -> coalesce(element_at(m, i), cast(0.0 as double)) / tot)"))
+        .as("features"))
+      .localCheckpoint(true) // read by fit, two accuracy passes and scoring
+    // weak-label strata from the memoized LM table (tertile construction
+    // shared with text_perplexity_buckets; two-level rank decomposition)
+    val lm = lmScores(s, d)
+    val nLm = lm.count()
+    val keyed = lm.withColumn("k", floor(col("lm_logp") * 100).cast("long"))
+    val off = keyed.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .withColumn("offset", coalesce(
+        sum(col("c")).over(Window.orderBy(col("k").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val strata = keyed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("lm_logp").desc, col("doc_id"))))
+      .join(broadcast(off.select(col("k"), col("offset"))), Seq("k"))
+      .withColumn("bucket", expr(s"(((offset + rn) - 1) * 3) div $nLm"))
+      .filter(col("bucket") =!= 1)
+      .select(col("doc_id"), when(col("bucket") === 0, 1.0).otherwise(0.0).as("label"))
+    val labeled = strata.join(feats, "doc_id").localCheckpoint(true)
+    val train = labeled.filter(col("doc_id") % 2 === 0)
+    val holdout = labeled.filter(col("doc_id") % 2 === 1)
+    val model = new LogisticRegression()
+      .setMaxIter(50).setRegParam(0.01).setStandardization(true)
+      .fit(train)
+    def acc(df: DataFrame): Double = {
+      val r = model.transform(df)
+        .select((col("prediction") === col("label")).cast("long").as("ok"))
+        .agg(sum(col("ok")).cast("double"), count(lit(1)).cast("double")).head()
+      r.getDouble(0) / r.getDouble(1)
+    }
+    val trainAcc = acc(train)
+    val holdoutAcc = acc(holdout)
+    // corpus-wide scoring + decile rank (probability DESC, doc_id) via the
+    // same histogram decomposition — the scored probability is bounded in
+    // [0,1] so floor(1000·p) is a ≤1001-cell coarse key
+    val scored = model.transform(feats)
+      .select(col("doc_id"),
+        round(element_at(vector_to_array(col("probability")), 2), 6).as("q_prob"))
+      .localCheckpoint(true)
+    val nSc = scored.count()
+    val sKeyed = scored.withColumn("k", floor(col("q_prob") * 1000).cast("long"))
+    val sOff = sKeyed.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .withColumn("offset", coalesce(
+        sum(col("c")).over(Window.orderBy(col("k").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val deciled = sKeyed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("q_prob").desc, col("doc_id"))))
+      .join(broadcast(sOff.select(col("k"), col("offset"))), Seq("k"))
+      .withColumn("decile", expr(s"(((offset + rn) - 1) * 10) div $nSc"))
+      .select(col("doc_id"), col("decile"))
+    // separation: head-stratum fraction of the top decile vs the bottom
+    val headFrac = deciled.join(strata, "doc_id")
+      .groupBy(col("decile"))
+      .agg(avg(col("label")).as("hf"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sep = headFrac.getOrElse(0L, 0.0) - headFrac.getOrElse(9L, 1.0)
+    val probs = scored.agg(min(col("q_prob")), max(col("q_prob"))).head()
+    val probsOk = probs.getDouble(0) >= 0.0 && probs.getDouble(1) <= 1.0
+    deciled.groupBy(col("decile")).agg(count(lit(1)).as("n_docs"))
+      .select(col("decile"), col("n_docs"),
+        lit(trainAcc >= 0.75).as("train_acc_ok"),
+        lit(holdoutAcc >= 0.70).as("holdout_acc_ok"),
+        lit(sep >= 0.3).as("separation_ok"),
+        lit(probsOk).as("probs_in_range"))
+      .orderBy(col("decile"))
+  }
+
   // -------------------------------------------------------------- multimodal
   /** Binary-column metadata pass: byte length + header bytes, computed on
     * the opaque payload (the decode-free part every media pipeline runs). */
@@ -3409,6 +3521,7 @@ object DataPipelineQueries {
     "similarity_pq" -> (similarityPq _),
     "text_lang_id" -> (textLangId _),
     "text_quality" -> (textQuality _),
+    "quality_classifier" -> (qualityClassifier _),
     "text_token_count" -> (textTokenCount _),
     "text_repetition" -> (textRepetition _),
     "text_pii_scrub" -> (textPiiScrub _),
@@ -3957,6 +4070,22 @@ object DataPipelineQueries {
         |FROM embeddings e
         |LEFT JOIN (SELECT vec_id, dup_of, cosine FROM best WHERE rn = 1) b USING (vec_id)
         |ORDER BY e.vec_id""".stripMargin,
+    // the trained-classifier verdict grid: n_docs per decile is pure
+    // integer math over the scored universe (docs with >= 1 token), which
+    // DuckDB replays from the corpus alone; the training-quality booleans
+    // are engine-side checks with decimal-scale margins the oracle
+    // expects all-true (see the query scaladoc)
+    "quality_classifier" ->
+      """WITH u AS (SELECT doc_id FROM documents
+        |           WHERE len(regexp_extract_all(lower(text), '[a-z]+')) > 0),
+        |n AS (SELECT count(*) AS n FROM u),
+        |g AS (SELECT ((row_number() OVER (ORDER BY doc_id) - 1) * 10)
+        |             // (SELECT n FROM n) AS decile
+        |      FROM u)
+        |SELECT CAST(decile AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |       true AS train_acc_ok, true AS holdout_acc_ok,
+        |       true AS separation_ok, true AS probs_in_range
+        |FROM g GROUP BY decile ORDER BY decile""".stripMargin,
     // full value-level replay of the screening report: per corpus vector,
     // the brute-force best benchmark partner (rounded cosine DESC, smaller
     // benchmark id) and the threshold verdict — every vector's attribution

@@ -1,0 +1,36 @@
+package graft.relational
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** quality_classifier — the trained (MLlib logistic regression) quality
+  * scorer (r13 verdict ask #6). The gate hash-checks the verdict grid;
+  * these specs pin what the grid's booleans summarize: the decile
+  * partition is complete and integer-exact over the scored universe, and
+  * the verdict booleans hold with their margins on the fixture. */
+class QualityClassifierSpec extends AnyFunSuite {
+  private val spark = graft.TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("verdict grid: 10 complete deciles over the token-bearing universe, all checks true") {
+    val rows = DataPipelineQueries.queries("quality_classifier")(spark, sf).collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getLong(0)).toSeq === (0L to 9L), "deciles 0..9, ordered")
+    // the decile partition covers exactly the scored universe: docs with
+    // at least one [a-z]+ token (empty docs have no feature row)
+    val universe = Tables.tbl(spark, sf, "documents")
+      .filter(size(graft.text.TextOps.tokens("text")) > 0).count()
+    assert(rows.map(_.getLong(1)).sum === universe, "decile counts sum to the universe")
+    // integer-exact decile sizes: ((rank-1)*10) div N over ranks 1..N
+    val expected = (1L to universe).groupBy(r => (r - 1) * 10 / universe)
+      .view.mapValues(_.size.toLong).toMap
+    rows.foreach(r => assert(r.getLong(1) === expected(r.getLong(0)),
+      s"decile ${r.getLong(0)} size"))
+    // the four verdict booleans (floors .75/.70 accuracy, .3 separation;
+    // measured .93/.85/.98 here) all hold
+    rows.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5),
+        s"verdict row failed: $r")
+    }
+  }
+}
