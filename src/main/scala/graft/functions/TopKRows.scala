@@ -31,7 +31,10 @@ import org.apache.spark.sql.types._
   * multi-table LSH candidate generator emits) — the k-slot eviction
   * argument then makes the result identical to distinct-then-top-k: an
   * evicted id was the heap root, so every survivor (and its replacement)
-  * beats it, and a re-offered duplicate can never re-enter. */
+  * beats it, and a re-offered duplicate can never re-enter. The buffer
+  * fail-fasts (require) when a still-kept id is re-offered with a
+  * DIFFERENT value — a caller violating the precondition gets an error,
+  * not a silent divergence. */
 case class TopKRows(
     k: Int,
     valueExpr: Expression,
@@ -119,10 +122,10 @@ object TopKRows {
     private val ids = new Array[Long](k)
 
     // linear scan over ≤ k kept entries — k is a small plan constant
-    private def containsId(id: Long): Boolean = {
+    private def indexOfId(id: Long): Int = {
       var i = 0
-      while (i < n) { if (ids(i) == id) return true; i += 1 }
-      false
+      while (i < n) { if (ids(i) == id) return i; i += 1 }
+      -1
     }
 
     private def worseThan(i: Int, j: Int): Boolean = beats(vs(j), ids(j), vs(i), ids(i))
@@ -148,7 +151,19 @@ object TopKRows {
     }
 
     def offer(v: Double, id: Long): Unit =
-      if (distinctIds && containsId(id)) ()
+      if (distinctIds && indexOfId(id) >= 0) {
+        // precondition guard (best-effort: only duplicates of a STILL-KEPT
+        // id are visible here): distinctIds requires duplicates of an id
+        // to carry the IDENTICAL value — the deterministic-recompute
+        // duplicates an LSH candidate generator emits. A caller feeding
+        // per-id-varying values (e.g. unrounded recomputed scores) would
+        // silently diverge from distinct-then-top-k, so fail fast instead.
+        val i = indexOfId(id)
+        require(vs(i) == v ||
+            (java.lang.Double.isNaN(vs(i)) && java.lang.Double.isNaN(v)),
+          s"top_k_rows(distinctIds): id $id re-offered with value $v != kept ${vs(i)} " +
+            "— distinctIds requires identical values across an id's duplicates")
+      }
       else if (n < k) {
         vs(n) = v; ids(n) = id; n += 1; siftUp(n - 1)
       } else if (beats(v, id, vs(0), ids(0))) {

@@ -1077,7 +1077,12 @@ object AnalyticsQueries {
     val undl = und
       .join(lab.select(col("vec_id").as("a"), col("community").as("ca")), "a")
       .join(lab.select(col("vec_id").as("b"), col("community").as("cb")), "b")
-    val mRow = undl.agg(count(lit(1)).as("m"))
+    // m counts the RAW undirected edges (und), matching graphConductance
+    // and both oracles' mm CTE — not the label-joined relation, which is
+    // equal only while every endpoint carries a label (true of the
+    // converged lp table today, silently skewed under a partial-label
+    // community table)
+    val mRow = und.agg(count(lit(1)).as("m"))
     val ein = undl.filter(col("ca") === col("cb"))
       .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
     // directed degree mass per community: both orientations of every

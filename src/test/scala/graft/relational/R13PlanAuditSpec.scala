@@ -14,14 +14,49 @@ class R13PlanAuditSpec extends AnyFunSuite {
     graft.SparkEntry.queries(name)(spark, sf)
       .queryExecution.executedPlan.toString
 
+  /** Every physical plan EXECUTED while `body` runs — including the
+    * intermediate localCheckpoint materializations a final
+    * `queryExecution` can't see (the r13-advice vacuity: a checkpointed
+    * query's own plan is just an RDD scan; the real joins execute inside
+    * the build). Captured via a QueryExecutionListener and drained
+    * through the listener bus before returning. */
+  private def plansDuring(body: => Unit): Seq[String] = {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      body
+      org.apache.spark.sql.graft.ColumnBridge
+        .waitListenerBusEmpty(spark.sparkContext, 30000L)
+    } finally spark.listenerManager.unregister(l)
+    import scala.jdk.CollectionConverters._
+    plans.asScala.toSeq
+  }
+
   test("modularity and conductance: keyed joins only — no cartesian, no nested loop") {
     for (q <- Seq("graph_modularity", "graph_conductance")) {
-      val plan = planOf(q)
-      assert(!plan.contains("CartesianProduct"), s"$q grew a cartesian")
-      // the only nested-loop is the broadcast of the 1-row m total —
-      // every per-community relation must equi-join
-      val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
-      assert(nlj <= 2, s"$q has $nlj nested-loop joins (expected only 1-row-total broadcasts)")
+      // audit EVERY plan executed during the build, not just the final
+      // (possibly checkpoint-hidden) frame. collect(), NOT count():
+      // counting lets Catalyst prune the join payload columns away and
+      // the audited joins never execute (measured — count()'s plan was
+      // join-free)
+      val all = plansDuring(graft.SparkEntry.queries(q)(spark, sf).collect())
+      assert(all.nonEmpty, s"$q: no executed plans captured")
+      assert(all.exists(_.contains("HashJoin")) || all.exists(_.contains("SortMergeJoin")),
+        s"$q: expected a real equi-join among the captured plans")
+      all.foreach { plan =>
+        assert(!plan.contains("CartesianProduct"), s"$q grew a cartesian:\n$plan")
+        // the only nested-loop is the broadcast of the 1-row m total —
+        // every per-community relation must equi-join
+        val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+        assert(nlj <= 2, s"$q has $nlj nested-loop joins (expected only 1-row-total broadcasts)")
+      }
     }
   }
 
@@ -37,9 +72,18 @@ class R13PlanAuditSpec extends AnyFunSuite {
   }
 
   test("text_decontaminate_fuzzy: band-keyed candidate join, no pairwise doc scan") {
-    val plan = planOf("text_decontaminate_fuzzy")
-    assert(!plan.contains("CartesianProduct"), "decontaminate grew a cartesian")
-    assert(!plan.contains("BroadcastNestedLoopJoin"), "candidates must equi-join on (band, bucket)")
+    // the gate query returns a localCheckpoint'd frame, so its own
+    // executedPlan is an RDD scan — audit every plan the build executes
+    val all = plansDuring(
+      graft.SparkEntry.queries("text_decontaminate_fuzzy")(spark, sf).collect())
+    assert(all.nonEmpty, "no executed plans captured")
+    assert(all.exists(_.contains("HashJoin")) || all.exists(_.contains("SortMergeJoin")),
+      "expected the (band, bucket) candidate equi-join among the captured plans")
+    all.foreach { plan =>
+      assert(!plan.contains("CartesianProduct"), s"decontaminate grew a cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"candidates must equi-join on (band, bucket):\n$plan")
+    }
   }
 
   test("similarity_range: the 10-probe broadcast is the ONLY nested loop (the intended scan)") {
