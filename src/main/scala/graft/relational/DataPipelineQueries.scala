@@ -3176,10 +3176,13 @@ object DataPipelineQueries {
     * decimal-scale margin. */
   private def qualityClassifier(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.ml.classification.LogisticRegression
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.graft.ColumnBridge
     val hv = (pos: Int) =>
       s"IF(ascii(substr(hx, $pos, 1)) >= 97, ascii(substr(hx, $pos, 1)) - 87," +
         s" ascii(substr(hx, $pos, 1)) - 48)"
+    // features kept as a PLAIN array<double> — the MLlib vector exists only
+    // inside the bounded fit input (see the scoring note below)
     val feats = docs(s, d)
       .select(col("doc_id"), explode(TextOps.tokens("text")).as("token"))
       .withColumn("hx", md5(col("token")))
@@ -3188,9 +3191,9 @@ object DataPipelineQueries {
       .groupBy(col("doc_id"))
       .agg(map_from_entries(collect_list(struct(col("fi"), col("cnt")))).as("m"),
         sum(col("cnt")).as("tot"))
-      .select(col("doc_id"), array_to_vector(expr(
-        "transform(sequence(0, 63), i -> coalesce(element_at(m, i), cast(0.0 as double)) / tot)"))
-        .as("features"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, 63), i -> coalesce(element_at(m, i), cast(0.0 as double)) / tot)")
+        .as("farr"))
       .localCheckpoint(true) // read by fit, two accuracy passes and scoring
     // weak-label strata from the memoized LM table (tertile construction
     // shared with text_perplexity_buckets; two-level rank decomposition)
@@ -3213,10 +3216,26 @@ object DataPipelineQueries {
     val holdout = labeled.filter(col("doc_id") % 2 === 1)
     val model = new LogisticRegression()
       .setMaxIter(50).setRegParam(0.01).setStandardization(true)
-      .fit(train)
+      .fit(train.withColumn("features", array_to_vector(col("farr"))))
+    // Scoring is NATIVE — sigmoid over a VecDotConst margin from the
+    // fitted coefficients — never `model.transform`: the MLlib transform
+    // UDF captures the MODEL, whose trainingSummary holds the
+    // SparkSession, and serializing the session dies on any
+    // lazily-initialized non-serializable session field (observed:
+    // ObservationManager after any Observation-API query ran in the same
+    // session — the bench's one runtime failure this round). The fitted
+    // model contributes exactly 65 doubles, which ride whole-stage
+    // codegen as one referenced object; no UDF in the corpus-wide path.
+    val w = model.coefficients.toArray
+    val b = model.intercept
+    def margin(c: org.apache.spark.sql.Column) =
+      ColumnBridge.column(graft.functions.VecDotConst(
+        ColumnBridge.expression(c), w)) + lit(b)
+    val probCol = lit(1.0) / (lit(1.0) + exp(-margin(col("farr"))))
     def acc(df: DataFrame): Double = {
-      val r = model.transform(df)
-        .select((col("prediction") === col("label")).cast("long").as("ok"))
+      // margin > 0 ⇔ probability > 0.5: MLlib's default binary decision
+      val r = df.select((when(margin(col("farr")) > 0, 1.0).otherwise(0.0)
+          === col("label")).cast("long").as("ok"))
         .agg(sum(col("ok")).cast("double"), count(lit(1)).cast("double")).head()
       r.getDouble(0) / r.getDouble(1)
     }
@@ -3225,9 +3244,8 @@ object DataPipelineQueries {
     // corpus-wide scoring + decile rank (probability DESC, doc_id) via the
     // same histogram decomposition — the scored probability is bounded in
     // [0,1] so floor(1000·p) is a ≤1001-cell coarse key
-    val scored = model.transform(feats)
-      .select(col("doc_id"),
-        round(element_at(vector_to_array(col("probability")), 2), 6).as("q_prob"))
+    val scored = feats
+      .select(col("doc_id"), round(probCol, 6).as("q_prob"))
       .localCheckpoint(true)
     val nSc = scored.count()
     val sKeyed = scored.withColumn("k", floor(col("q_prob") * 1000).cast("long"))

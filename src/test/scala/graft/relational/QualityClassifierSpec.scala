@@ -12,6 +12,22 @@ class QualityClassifierSpec extends AnyFunSuite {
   private val spark = graft.TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("scoring survives a session whose Observation API has been exercised") {
+    // Regression pin for the round-14 bench failure: MLlib's
+    // `model.transform` UDF captures the MODEL, whose trainingSummary
+    // holds the SparkSession — and serializing the session dies on any
+    // lazily-initialized non-serializable session field. Running ANY
+    // Observation-API query (observe_metrics) initializes
+    // SparkSession.observationManager, after which a transform-based
+    // classifier throws Task-not-serializable on its next action. The
+    // fixed scorer is a native VecDotConst sigmoid over the fitted
+    // coefficients (65 doubles as a codegen reference object) — this test
+    // reproduces the poisoning order and must stay green.
+    graft.SparkEntry.queries("observe_metrics")(spark, sf).count()
+    val n = DataPipelineQueries.queries("quality_classifier")(spark, sf).count()
+    assert(n === 10L)
+  }
+
   test("verdict grid: 10 complete deciles over the token-bearing universe, all checks true") {
     val rows = DataPipelineQueries.queries("quality_classifier")(spark, sf).collect()
     assert(rows.length === 10)
