@@ -1254,6 +1254,87 @@ object DataPipelineQueries {
       .orderBy(col("qid"))
   }
 
+  /** FILTERED similarity search — the metadata-predicate + top-k shape
+    * every production vector store ships (tenant / language filtering):
+    * each probe's top-5 by rounded cosine among corpus vectors sharing
+    * the probe's OWN `label` (self excluded; ~10% selectivity on the
+    * fixture's 10 balanced labels). The predicate is an EQUI-JOIN key,
+    * not a post-filter — the probe set broadcasts with its labels, the
+    * corpus joins on label equality before any cosine, so at 100 TB a
+    * label-partitioned/bucketed layout serves this with only matching
+    * partitions scanned (the sink_partitioned pruning demonstrated on
+    * documents). Full value-level oracle: every (probe, neighbor,
+    * cosine) row replays in DuckDB. */
+  private def similarityFiltered(s: SparkSession, d: String): DataFrame = {
+    val e = embeds(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label"),
+        col("embedding").cast("array<double>").as("qe"))
+    val c = e.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("emb"))
+    c.join(broadcast(q), Seq("label"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cosine", round(Similarity.cosine("qe", "emb"), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id").as("neighbor"), col("label"), col("cosine"))
+      .orderBy(col("qid"), col("neighbor"))
+  }
+
+  /** Per-query found-count floor (of the exact filtered top-5) for
+    * [[similarityFilteredAnn]] — measured grid in the scaladoc below. */
+  private[relational] val FilteredAnnRecallFloor10 = 4L
+
+  /** The FILTERED-ANN leg beside [[similarityFiltered]]'s exact one
+    * ([[Similarity.annTopKFiltered]] — bucket-probe candidates
+    * pre-filtered by label equality BEFORE the exact re-rank, the
+    * candidate-set-filtering design production stores use because
+    * post-filtering a top-k result under a selective predicate returns
+    * short lists unrecoverably). Verdict grid per probe: `n_exact`
+    * (DuckDB-replayed exact filtered-top-5 size), `recall_ok` (found ≥
+    * 0.4·exact — measured per-probe found counts are 5/5 in 27 of the 30
+    * (probe, sf) cells and never below 4/5, so the floor sits two full
+    * hits under the worst measured cell; seed-pinned hyperplanes make the
+    * measurement deterministic), and `label_ok` (every ANN hit carries
+    * the probe's label — the filter plumbing itself). */
+  private def similarityFilteredAnn(s: SparkSession, d: String): DataFrame = {
+    val e = embeds(s, d)
+    val q = e.filter(col("vec_id") < 10)
+    val ann = Similarity.annTopKFiltered(e, q, k = 5, filterCol = "label")
+      .localCheckpoint(true)
+    val qv = q.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+      col("embedding").cast("array<double>").as("qe"))
+    val c = e.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("emb"))
+    val exact = c.join(broadcast(qv), col("label") === col("qlabel"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cosine", round(Similarity.cosine("qe", "emb"), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id").as("neighbor"))
+      .localCheckpoint(true)
+    val hits = exact.join(ann.select(col("qid"), col("neighbor")), Seq("qid", "neighbor"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_found"))
+    val nEx = exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+    val labOk = ann
+      .join(e.select(col("vec_id").as("neighbor"), col("label").as("nlabel")), "neighbor")
+      .join(e.select(col("vec_id").as("qid"), col("label").as("qlabel")), "qid")
+      .groupBy(col("qid"))
+      .agg(bool_and(col("nlabel") === col("qlabel")).as("label_ok"))
+    q.select(col("vec_id").as("qid"))
+      .join(nEx, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .join(labOk, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        (coalesce(col("n_found"), lit(0L)) * 10L >=
+          coalesce(col("n_exact"), lit(0L)) * FilteredAnnRecallFloor10).as("recall_ok"),
+        coalesce(col("label_ok"), lit(true)).as("label_ok"))
+      .orderBy(col("qid"))
+  }
+
   /** LSH-bucketed approximate top-5 for the same query subset, SELF-VERIFIED
     * against the in-query brute-force baseline (the llk_score_long pattern):
     * per query the verdict row carries `n_returned` (contract: exactly k)
@@ -3532,6 +3613,8 @@ object DataPipelineQueries {
     "similarity_topk" -> (similarityTopK _),
     "similarity_range" -> (similarityRange _),
     "similarity_range_ann" -> (similarityRangeAnn _),
+    "similarity_filtered" -> (similarityFiltered _),
+    "similarity_filtered_ann" -> (similarityFilteredAnn _),
     "similarity_ann" -> (similarityAnn _),
     "similarity_ivf" -> (similarityIvf _),
     "similarity_ivfpq" -> (similarityIvfpq _),
@@ -4451,6 +4534,42 @@ object DataPipelineQueries {
         |       round(dot / (sqrt(n1) * sqrt(n2)), 6) AS cosine
         |FROM p WHERE round(dot / (sqrt(n1) * sqrt(n2)), 6) >= $RangeTau
         |ORDER BY qid, neighbor""".stripMargin,
+    // the filtered-search value surface: every (probe, same-label
+    // neighbor, 6-dp cosine) row of the top-5 replays exactly
+    "similarity_filtered" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.qid, e.vec_id, e.label,
+        |         round(
+        |           list_sum(list_transform(generate_series(1, len(q.qe)),
+        |                                   i -> q.qe[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+        |           (sqrt(list_sum(list_transform(generate_series(1, len(q.qe)),
+        |                                         i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) *
+        |            sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |                                         i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6) AS cosine
+        |  FROM q JOIN embeddings e ON e.label = q.qlabel AND e.vec_id <> q.qid),
+        |r AS (SELECT qid, vec_id, label, cosine,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY cosine DESC, vec_id) AS rn
+        |      FROM p)
+        |SELECT qid, vec_id AS neighbor, label, cosine
+        |FROM r WHERE rn <= 5 ORDER BY qid, neighbor""".stripMargin,
+    // the filtered-ANN verdict grid: n_exact replays the exact filtered
+    // top-5 size; recall/label booleans are engine-side with measured
+    // margins (see the query scaladoc)
+    "similarity_filtered_ann" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS qlabel FROM embeddings
+        |           WHERE vec_id < 10),
+        |pool AS (SELECT q.qid, count(*) AS n_pool
+        |         FROM q JOIN embeddings e
+        |           ON e.label = q.qlabel AND e.vec_id <> q.qid
+        |         GROUP BY q.qid)
+        |SELECT q.qid,
+        |       CAST(least(5, coalesce(pool.n_pool, 0)) AS BIGINT) AS n_exact,
+        |       true AS recall_ok, true AS label_ok
+        |FROM q LEFT JOIN pool ON q.qid = pool.qid
+        |ORDER BY q.qid""".stripMargin,
     // the pruned-leg verdict grid: n_exact replays the exact leg's
     // per-probe hit count value-exactly; recall/subset are engine-side
     // booleans the oracle expects all-true (seed-pinned probes, so the

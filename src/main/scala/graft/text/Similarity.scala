@@ -215,6 +215,43 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"))
   }
 
+  /** FILTERED ANN top-k — the metadata-predicate + vector-search shape
+    * every production vector store ships (tenant / language / source
+    * filtering): candidates come from the same capped bucket probes as
+    * [[annTopK]], are PRE-FILTERED by equality on `filterCol` (query's
+    * value vs corpus row's value) BEFORE any embedding is fetched, and
+    * only the survivors pay the exact cosine + top-k. Filtering the
+    * CANDIDATE set (not the result set) is the honest design: post-
+    * filtering a top-k result under a selective predicate returns < k
+    * rows with no way to recover; pre-filtering the candidates keeps the
+    * re-rank pool as large as the probes allow. The recall trade vs an
+    * unfiltered search: the true same-filter neighbors sit lower in the
+    * cosine distribution, so their bucket-collision probability is lower
+    * — gate queries pin the measured floor. */
+  def annTopKFiltered(corpus: DataFrame, queries: DataFrame, k: Int,
+                      filterCol: String, tables: Int = 8, bits: Int = 0,
+                      dim: Int = 64, seed: Long = 42L,
+                      maxBucketSize: Int = 256): DataFrame = {
+    val cand = probeCandidates(corpus, queries, tables, bits, dim, seed, maxBucketSize)
+    // predicate first — narrow (id, filter) columns only; embeddings are
+    // fetched for the filtered survivors
+    val keep = cand
+      .join(corpus.select(col("vec_id"), col(filterCol).as("cf")), "vec_id")
+      .join(queries.select(col("vec_id").as("qid"), col(filterCol).as("qf")), "qid")
+      .filter(col("cf") === col("qf"))
+      .select(col("qid"), col("vec_id"))
+    val c = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
+    keep
+      .join(c, "vec_id")
+      .join(q, "qid")
+      .withColumn("cosine", round(cosine("qe", "emb"), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor"), col("cosine"))
+  }
+
   /** Near-duplicate PAIRS over the whole corpus — the dedup-shaped LSH
     * pipeline (bucket self-join, like MinHash banding), not the search-shaped
     * one (per-query probes): vectors sharing a FULL per-table code become
