@@ -1699,6 +1699,42 @@ object DataPipelineQueries {
     }
   }
 
+  /** STREAMING ingest-time benchmark decontamination — the screen a
+    * production pipeline runs on ARRIVING documents before they ever land
+    * in the training corpus (the missing deployment mode beside the three
+    * batch decontaminations: exact 8-gram, fuzzy MinHash, embedding
+    * cosine). Entirely STATELESS streaming: the benchmark slice's
+    * distinct word-8-gram set is a BATCH-computed static side (small by
+    * definition — eval suites are thousands of docs) that broadcasts into
+    * every micro-batch, and each arriving doc's distinct 8-grams
+    * stream-static equi-join against it — no state store, no watermark,
+    * append mode, so the plan adds zero stateful operators over the
+    * batch equivalent and a refreshed benchmark set picks up on the next
+    * trigger. Per-doc tallying is a batch post-pass over the emitted
+    * (doc, gram) hits (the streamSessionize post-pass convention); the
+    * output contract and the DuckDB oracle are EXACTLY
+    * [[textDecontaminate]]'s — the gate proves the streaming screen
+    * reaches bit-identical verdicts to the batch pass it deploys. */
+  private def streamDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val benchGrams = docs(s, d).filter(col("doc_id") % 10 === 0)
+      .withColumn("toks", TextOps.tokens("text"))
+      .select(explode(wordNgrams("toks", 8)).as("g")).distinct()
+    val hits = streamDocs(s, d)
+      .filter(col("doc_id") % 10 =!= 0)
+      .withColumn("toks", TextOps.tokens("text"))
+      .select(col("doc_id"), explode(wordNgrams("toks", 8)).as("g"))
+      .join(broadcast(benchGrams), "g") // stream-static, stateless
+      .select(col("doc_id"))
+    val emitted = runMemorySink(hits, "stream_decontam_", "append")
+    val tallies = emitted.groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    docs(s, d).select(col("doc_id"), (col("doc_id") % 10 === 0).as("is_benchmark"))
+      .join(tallies, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_benchmark"),
+        coalesce(col("n_hits"), lit(0L)).as("n_contaminated_ngrams"),
+        (coalesce(col("n_hits"), lit(0L)) > 0L).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** `events` as a file stream, `ts` surfacing in whatever type the batch
     * reader gives the current fixture encoding (long nanos under the legacy
     * flag, or timestamp/timestamp_ntz — [[Tables.tsUsCol]] normalizes
@@ -3587,6 +3623,7 @@ object DataPipelineQueries {
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_decontaminate" -> (dedupEmbeddingDecontaminate _),
     "stream_dedup" -> (streamDedup _),
+    "stream_decontaminate" -> (streamDecontaminate _),
     "stream_dedup_watermark" -> (streamDedupWatermark _),
     "stream_neardup" -> (streamNearDup _),
     "stream_sessionize" -> (streamSessionize _),
@@ -4694,6 +4731,28 @@ object DataPipelineQueries {
         |                 i -> substr(text, CAST(i AS INT), 8)))) * 1.0
         |             / greatest(length(text) - 7, 1), 6) AS dup_8gram_frac
         |FROM base b LEFT JOIN top t USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+    // the streaming screen must reach bit-identical verdicts to the batch
+    // pass it deploys — same oracle as text_decontaminate
+    "stream_decontaminate" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) >= 8
+        |         THEN list_transform(generate_series(1, len(toks) - 7),
+        |                             i -> array_to_string(toks[i:i+7], ' '))
+        |         ELSE [] END)) AS g
+        |  FROM base),
+        |bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n FROM g JOIN bg USING (g)
+        |  WHERE doc_id % 10 <> 0 GROUP BY doc_id)
+        |SELECT b.doc_id, b.doc_id % 10 = 0 AS is_benchmark,
+        |       coalesce(h.n, 0) AS n_contaminated_ngrams,
+        |       coalesce(h.n, 0) > 0 AS contaminated
+        |FROM base b LEFT JOIN hits h USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
     "text_decontaminate" ->
       """WITH base AS (
