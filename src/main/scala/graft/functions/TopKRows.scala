@@ -150,15 +150,16 @@ object TopKRows {
       val ti = ids(i); ids(i) = ids(j); ids(j) = ti
     }
 
-    def offer(v: Double, id: Long): Unit =
-      if (distinctIds && indexOfId(id) >= 0) {
+    def offer(v: Double, id: Long): Unit = {
+      val dup = if (distinctIds) indexOfId(id) else -1
+      if (dup >= 0) {
         // precondition guard (best-effort: only duplicates of a STILL-KEPT
         // id are visible here): distinctIds requires duplicates of an id
         // to carry the IDENTICAL value — the deterministic-recompute
         // duplicates an LSH candidate generator emits. A caller feeding
         // per-id-varying values (e.g. unrounded recomputed scores) would
         // silently diverge from distinct-then-top-k, so fail fast instead.
-        val i = indexOfId(id)
+        val i = dup
         require(vs(i) == v ||
             (java.lang.Double.isNaN(vs(i)) && java.lang.Double.isNaN(v)),
           s"top_k_rows(distinctIds): id $id re-offered with value $v != kept ${vs(i)} " +
@@ -169,6 +170,7 @@ object TopKRows {
       } else if (beats(v, id, vs(0), ids(0))) {
         vs(0) = v; ids(0) = id; siftDown()
       }
+    }
 
     def foreach(f: (Double, Long) => Unit): Unit = {
       var i = 0

@@ -199,8 +199,8 @@ object Similarity {
     * scale this replaces the exact leg's full scan with
     * tables·(bits+1)·bucket probe rows per query.
     *
-    * @return (qid, neighbor, cosine), cosine ≥ tau, plus n_candidates
-    *         per surviving row (the pruning evidence) */
+    * @return (qid, neighbor, cosine), cosine ≥ tau (the caller computes
+    *         candidate-volume evidence from probeCandidates if needed) */
   def annRange(corpus: DataFrame, queries: DataFrame, tau: Double,
                tables: Int = 8, bits: Int = 0, dim: Int = 64,
                seed: Long = 42L, maxBucketSize: Int = 256): DataFrame = {
@@ -746,5 +746,60 @@ object Similarity {
       .join(nCand, Seq("qid"), "left")
       .select(col("qid"), col("neighbor"), col("cosine"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+  }
+
+  /** Persist a fitted [[IvfPqIndex]] under `root` as three parquet tables
+    * (r14 verdict ask #3 — cross-SESSION index persistence; until now
+    * every index died with the session):
+    *   coded/     (vec_id, cell, codes) — the hot tier, bucketable on
+    *              `cell` at scale (the serving join's key)
+    *   centers/   (cell, center: array<double>)
+    *   codebooks/ (sub, cid, center: array<double>, m, k, sub_dim)
+    * Doubles round-trip parquet bit-exactly, so a reloaded index serves
+    * BIT-identical results to the fitted one (IvfPqPersistSpec pins it).
+    * At 100 TB this is the production vector-store layout: the parquet
+    * tree IS the index — build once on ingest, serve from object storage
+    * forever; only the centers/codebooks (a few KB) ever reach a driver. */
+  def saveIvfPqIndex(idx: IvfPqIndex, root: String): Unit = {
+    val s = idx.coded.sparkSession
+    import s.implicits._
+    idx.coded.write.mode("overwrite").parquet(s"$root/coded")
+    idx.centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centers")
+    (for {
+      (sub, sIdx) <- idx.codebooks.zipWithIndex
+      (cen, cIdx) <- sub.zipWithIndex
+    } yield (sIdx, cIdx, cen.toSeq, idx.m, idx.k, idx.subDim)).toSeq
+      .toDF("sub", "cid", "center", "m", "k", "sub_dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
+  }
+
+  /** Load a persisted [[IvfPqIndex]]. The coded tier stays a parquet scan
+    * (the on-disk index IS the hot tier — at scale it never fits a block
+    * manager and the serving join prunes it by cell); only the bounded
+    * centers/codebooks tables are collected. */
+  def loadIvfPqIndex(s: org.apache.spark.sql.SparkSession,
+                     root: String): IvfPqIndex = {
+    val coded = s.read.parquet(s"$root/coded")
+    val centers = s.read.parquet(s"$root/centers").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    require(centers.nonEmpty, s"ivfpq index at $root: empty centers table")
+    val cbRows = s.read.parquet(s"$root/codebooks")
+      .select(col("sub"), col("cid"), col("center"),
+        col("m"), col("k"), col("sub_dim")).collect()
+    require(cbRows.nonEmpty, s"ivfpq index at $root: empty codebooks table")
+    val m = cbRows.head.getInt(3)
+    val k = cbRows.head.getInt(4)
+    val subDim = cbRows.head.getInt(5)
+    val bySub = cbRows.groupBy(_.getInt(0))
+    require(bySub.keySet == (0 until m).toSet,
+      s"ivfpq index at $root: codebooks table covers subspaces " +
+        s"${bySub.keySet.toSeq.sorted} but m = $m")
+    val codebooks = Array.tabulate(m) { si =>
+      bySub(si).sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+    }
+    IvfPqIndex(coded, centers, codebooks, m, k, subDim)
   }
 }
