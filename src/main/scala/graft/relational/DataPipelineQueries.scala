@@ -418,18 +418,45 @@ object DataPipelineQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = all.filter(col("doc_id") % 10 === 0)
     val corp = all.filter(col("doc_id") % 10 =!= 0)
+    val cb = corp.select(col("doc_id").as("cid"),
+      posexplode(col("bb")).as(Seq("band", "bucket")))
+    val bandHits = cb.join(benchBandTable(bench), Seq("band", "bucket"))
+      .select(col("cid"), col("bid"))
+    val out = fuzzyScreenVerdict(bench, corp, bandHits,
+      "text_decontaminate_fuzzy_cap")
+    all.unpersist()
+    out
+  }
+
+  /** The benchmark side's capped (band, bucket, bid) probe table — small
+    * by definition (eval suites are thousands of docs), broadcastable
+    * into an ingest stream. Shared by the batch and streaming fuzzy
+    * screens so their candidate sets are IDENTICAL by construction. */
+  private def benchBandTable(bench: DataFrame): DataFrame = {
     val hb = bench.select(col("doc_id").as("bid"),
       posexplode(col("bb")).as(Seq("band", "bucket")))
     val ok = hb.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("sz"))
       .filter(col("sz") <= 256).select(col("band"), col("bucket"))
-    val hbOk = hb.join(ok, Seq("band", "bucket"))
-    val cb = corp.select(col("doc_id").as("cid"),
-      posexplode(col("bb")).as(Seq("band", "bucket")))
-    val keep = cb.join(hbOk, Seq("band", "bucket"))
+    hb.join(ok, Seq("band", "bucket"))
+  }
+
+  /** The fuzzy screen's verify chain downstream of the raw per-band hits
+    * (one row per corpus doc × shared ok-bucket band): count shared
+    * bands, rank + degree-cap, signature-agreement prefilter, exact
+    * containment verify over the memoized shingles, best-source
+    * attribution, full per-doc report. Factored so the batch pass
+    * ([[textDecontaminateFuzzy]]) and the ingest-time stream
+    * ([[streamDecontaminateFuzzy]]) provably share one definition — the
+    * streaming query can only differ in WHERE the band hits came from,
+    * and the oracle hash proves even that difference is invisible. */
+  private def fuzzyScreenVerdict(bench: DataFrame, corp: DataFrame,
+                                 bandHits: DataFrame,
+                                 observeName: String): DataFrame = {
+    val keep = bandHits
       .groupBy(col("cid"), col("bid")).agg(count(lit(1)).as("nb"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("cid")).orderBy(col("nb").desc, col("bid"))))
-      .observe("text_decontaminate_fuzzy_cap",
+      .observe(observeName,
         sum(when(col("rn") === MinhashDegreeCap + 1, 1L).otherwise(0L))
           .as("truncated_docs"),
         max(col("rn")).as("max_degree"))
@@ -465,6 +492,51 @@ object DataPipelineQueries {
         col("contaminated_by").isNotNull.as("contaminated"))
       .orderBy(col("doc_id"))
       .localCheckpoint(true)
+    out
+  }
+
+  /** STREAMING fuzzy decontamination (r14 verdict ask #5) — the MinHash
+    * containment screen deployed at INGEST time, the stream_decontaminate
+    * recipe applied to [[textDecontaminateFuzzy]]'s semantics. Entirely
+    * STATELESS streaming: the benchmark side's capped (band, bucket, bid)
+    * probe table (from the minhash_sigs memo — fixed-size by definition)
+    * broadcasts into every micro-batch; each ARRIVING document computes
+    * its own normalized-shingle MinHash signature and band buckets
+    * in-stream (the same native expressions the memo build runs, so the
+    * buckets are bit-identical to the batch side's) and stream-static
+    * equi-joins against the broadcast — no state store, no watermark,
+    * append mode. The emitted (cid, bid) band hits feed the SAME
+    * [[fuzzyScreenVerdict]] chain as the batch pass (the
+    * streamSessionize batch-post-pass convention; hit volume is bounded
+    * by genuine band agreements — random 64-bit bucket collisions are
+    * negligible), and the oracle is EXACTLY text_decontaminate_fuzzy's
+    * SQL: the gate hash-proves the ingest-time screen reaches
+    * bit-identical verdicts to the batch pass it deploys. */
+  private def streamDecontaminateFuzzy(s: SparkSession, d: String): DataFrame = {
+    val (membersT, sigsT) = minhashSigsTables(s, d)
+    val all = membersT.join(sigsT, "set_key")
+      .select(col("doc_id"), col("sh"), col("sig"), col("bb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bench = all.filter(col("doc_id") % 10 === 0)
+    val corp = all.filter(col("doc_id") % 10 =!= 0)
+    // the static side: capped benchmark probe table, eagerly materialized
+    // (it reads memo parquet; the stream re-plans the static side per
+    // micro-batch, so hand it a driver-checkpointed frame)
+    val benchProbe = benchBandTable(bench)
+      .select(col("band"), col("bucket"), col("bid"))
+      .localCheckpoint(true)
+    val arriving = streamDocs(s, d)
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("cid"), TextOps.normalized("text").as("norm"))
+      .select(col("cid"), TextOps.charShingles("norm", 5).as("sh"))
+      .select(col("cid"), TextOps.minhashSigCol(col("sh"), 64).as("sig"))
+      .select(col("cid"), TextOps.bandBucketCols(col("sig"), 16, 4).as("bb"))
+      .select(col("cid"), posexplode(col("bb")).as(Seq("band", "bucket")))
+      .join(broadcast(benchProbe), Seq("band", "bucket")) // stream-static, stateless
+      .select(col("cid"), col("bid"))
+    val bandHits = runMemorySink(arriving, "stream_decontam_fuzzy_", "append")
+    val out = fuzzyScreenVerdict(bench, corp, bandHits,
+      "stream_decontaminate_fuzzy_cap")
     all.unpersist()
     out
   }
@@ -1779,6 +1851,55 @@ object DataPipelineQueries {
         coalesce(col("n_hits"), lit(0L)).as("n_contaminated_ngrams"),
         (coalesce(col("n_hits"), lit(0L)) > 0L).as("contaminated"))
       .orderBy(col("doc_id"))
+  }
+
+  /** `embeddings` as a file stream (the [[streamDocs]] convention: single
+    * driver fixture file → glob-filtered parent dir; directory fixtures
+    * stream directly). */
+  private def streamEmbeds(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+    if (new java.io.File(s"$d/embeddings.parquet").isDirectory)
+      s.readStream.schema(schema).parquet(s"$d/embeddings.parquet")
+    else
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+  }
+
+  /** STREAMING embedding decontamination (r14 verdict ask #6) — the
+    * cosine-vs-benchmark paraphrase screen deployed at INGEST time over
+    * the vector stream. The benchmark vectors (fixed-size by definition)
+    * collect once and ride into every task as ONE reference object inside
+    * the native [[graft.functions.BestPartnerConst]] kernel, so each
+    * ARRIVING vector's best-partner argmax is a stateless per-row
+    * projection — no streaming aggregation, no state store, no watermark
+    * (a `groupBy(vec_id).max(...)` here would be stateful; folding the
+    * fixed benchmark side into the expression is what keeps the screen
+    * deployable). Per-pair arithmetic is bit-identical to
+    * [[dedupEmbeddingDecontaminate]]'s broadcast crossJoin + struct-max
+    * plan (see the kernel's scaladoc), and the oracle IS that query's
+    * full value-level replay: the gate hash-proves the ingest screen
+    * reaches bit-identical attributions to the batch pass. */
+  private def streamEmbedDecontaminate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val benchRows = embeds(s, d).filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect() // benchmark suite: fixed-size by definition (eval docs)
+      .sortBy(_.getLong(0))
+    require(benchRows.nonEmpty,
+      s"stream_embed_decontaminate: empty benchmark split under $d")
+    val bids = benchRows.map(_.getLong(0))
+    val bvecs = benchRows.map(_.getSeq[Double](1).toArray)
+    val scored = streamEmbeds(s, d)
+      .filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id"),
+        ColumnBridge.column(graft.functions.BestPartnerConst(
+          ColumnBridge.expression(col("embedding").cast("array<double>")),
+          bids, bvecs)).as("best"))
+      .select(col("vec_id"), col("best.bid").as("contaminated_by"),
+        col("best.cosine").as("cosine"),
+        (col("best.cosine") >= EmbedDecontamTau).as("contaminated"))
+    runMemorySink(scored, "stream_embed_decontam_", "append")
+      .orderBy(col("vec_id"))
   }
 
   /** `events` as a file stream, `ts` surfacing in whatever type the batch
@@ -3794,6 +3915,8 @@ object DataPipelineQueries {
     "dedup_embedding_decontaminate" -> (dedupEmbeddingDecontaminate _),
     "stream_dedup" -> (streamDedup _),
     "stream_decontaminate" -> (streamDecontaminate _),
+    "stream_decontaminate_fuzzy" -> (streamDecontaminateFuzzy _),
+    "stream_embed_decontaminate" -> (streamEmbedDecontaminate _),
     "stream_dedup_watermark" -> (streamDedupWatermark _),
     "stream_neardup" -> (streamNearDup _),
     "stream_sessionize" -> (streamSessionize _),
@@ -3946,6 +4069,31 @@ object DataPipelineQueries {
     * benchmark parity (doc_id % 10), benchmark bucket cap → degree cap →
     * agreement ≥ 8 → exact containment |∩|/|S_bench| ≥ 0.5 (jaccard
     * beside it) → best source per doc (containment DESC, smaller id). */
+  /** The embedding-decontamination replay, shared verbatim by the batch
+    * and streaming entries (verdict parity is the streaming contract). */
+  private def embedDecontamOracleSql: String =
+    s"""WITH b AS (SELECT vec_id AS bid, embedding AS be FROM embeddings
+      |            WHERE vec_id % 10 = 0),
+      |c AS (SELECT vec_id, embedding AS emb FROM embeddings
+      |      WHERE vec_id % 10 <> 0),
+      |p AS (
+      |  SELECT c.vec_id, b.bid,
+      |         round(
+      |           list_sum(list_transform(generate_series(1, len(c.emb)),
+      |                                   i -> c.emb[i]::DOUBLE * b.be[i]::DOUBLE)) /
+      |           (sqrt(list_sum(list_transform(generate_series(1, len(b.be)),
+      |                                         i -> b.be[i]::DOUBLE * b.be[i]::DOUBLE))) *
+      |            sqrt(list_sum(list_transform(generate_series(1, len(c.emb)),
+      |                                         i -> c.emb[i]::DOUBLE * c.emb[i]::DOUBLE)))), 6) AS cosine
+      |  FROM c, b),
+      |r AS (SELECT vec_id, bid, cosine,
+      |             row_number() OVER (PARTITION BY vec_id
+      |                                ORDER BY cosine DESC, bid) AS rn
+      |      FROM p)
+      |SELECT vec_id, bid AS contaminated_by, cosine,
+      |       cosine >= $EmbedDecontamTau AS contaminated
+      |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   private def decontaminateFuzzyOracleSql: String = {
     val (as, bs) = graft.text.TextOps.minhashCoeffs(64)
     val aList = as.mkString("[", ", ", "]")
@@ -4414,28 +4562,14 @@ object DataPipelineQueries {
     // the brute-force best benchmark partner (rounded cosine DESC, smaller
     // benchmark id) and the threshold verdict — every vector's attribution
     // is hash-checked, not just the contaminated few
-    "dedup_embedding_decontaminate" ->
-      s"""WITH b AS (SELECT vec_id AS bid, embedding AS be FROM embeddings
-        |            WHERE vec_id % 10 = 0),
-        |c AS (SELECT vec_id, embedding AS emb FROM embeddings
-        |      WHERE vec_id % 10 <> 0),
-        |p AS (
-        |  SELECT c.vec_id, b.bid,
-        |         round(
-        |           list_sum(list_transform(generate_series(1, len(c.emb)),
-        |                                   i -> c.emb[i]::DOUBLE * b.be[i]::DOUBLE)) /
-        |           (sqrt(list_sum(list_transform(generate_series(1, len(b.be)),
-        |                                         i -> b.be[i]::DOUBLE * b.be[i]::DOUBLE))) *
-        |            sqrt(list_sum(list_transform(generate_series(1, len(c.emb)),
-        |                                         i -> c.emb[i]::DOUBLE * c.emb[i]::DOUBLE)))), 6) AS cosine
-        |  FROM c, b),
-        |r AS (SELECT vec_id, bid, cosine,
-        |             row_number() OVER (PARTITION BY vec_id
-        |                                ORDER BY cosine DESC, bid) AS rn
-        |      FROM p)
-        |SELECT vec_id, bid AS contaminated_by, cosine,
-        |       cosine >= $EmbedDecontamTau AS contaminated
-        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "dedup_embedding_decontaminate" -> embedDecontamOracleSql,
+    // the STREAMING embed screen's contract IS the batch pass's: the same
+    // full value-level replay proves the ingest-time kernel reaches
+    // bit-identical attributions (r14 verdict ask #6)
+    "stream_embed_decontaminate" -> embedDecontamOracleSql,
+    // likewise the streaming fuzzy screen re-uses text_decontaminate_fuzzy's
+    // full replay verbatim (r14 verdict ask #5)
+    "stream_decontaminate_fuzzy" -> decontaminateFuzzyOracleSql,
     "scan_bucketed" ->
       """SELECT doc_id, lang, length(text) AS n_chars,
         |       CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
