@@ -1,0 +1,95 @@
+package graft.relational
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dev-only decade harness for the r14 search additions (r14 verdict ask
+  * #7): similarity_range_ann / similarity_filtered_ann /
+  * dedup_embedding_decontaminate carried gate-SF recall only; this
+  * measures, per fixture decade, MEASURED recall fractions (not just the
+  * floor booleans), candidate/result volumes, and wall time, so PLANS
+  * can record how the pruned legs hold up as the corpus grows 10×/100×
+  * under the adaptive knobs.
+  *
+  * Usage: `runMain graft.relational.SearchDecadeStudy <sfDir> [...]` —
+  * one JSON line per dir. Never invoked by the driver. */
+object SearchDecadeStudy {
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: SearchDecadeStudy <sfDir> [<sfDir2> ...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.driver.memory", "16g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.text.Similarity
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    args.foreach { dir =>
+      val e = Tables.embeddings(spark, dir)
+      val q = e.filter(col("vec_id") < 10)
+
+      // --- similarity_range_ann: pruned radius search vs exact ---
+      val (rangeRow, tRange) = timed {
+        val ann = Similarity.annRange(e, q, DataPipelineQueries.RangeTau)
+          .select(col("qid"), col("neighbor")).localCheckpoint(true)
+        val exact = Similarity.bruteForceRange(e, q, DataPipelineQueries.RangeTau)
+          .select(col("qid"), col("neighbor")).localCheckpoint(true)
+        val nFound = exact.join(ann, Seq("qid", "neighbor")).count()
+        val nExact = exact.count()
+        val nAnn = ann.count()
+        (nFound, nExact, nAnn)
+      }
+
+      // --- similarity_filtered_ann: label-filtered top-5 vs exact ---
+      val (filtRow, tFilt) = timed {
+        val ann = Similarity.annTopKFiltered(e, q, k = 5, filterCol = "label")
+          .filter(col("neighbor").isNotNull)
+          .select(col("qid"), col("neighbor")).localCheckpoint(true)
+        val qv = q.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").cast("array<double>").as("qe"))
+        val c = e.select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb"))
+        val exact = c.join(broadcast(qv), col("label") === col("qlabel"))
+          .filter(col("qid") =!= col("vec_id"))
+          .withColumn("cosine", round(Similarity.cosine("qe", "emb"), 6))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("vec_id").as("neighbor"))
+        val nFound = exact.join(ann, Seq("qid", "neighbor")).count()
+        val nExact = exact.count()
+        val nAnnRet = ann.count()
+        (nFound, nExact, nAnnRet)
+      }
+
+      // --- dedup_embedding_decontaminate: exact screen, wall + volume ---
+      val (embRow, tEmb) = timed {
+        val rep = DataPipelineQueries.queries("dedup_embedding_decontaminate")(spark, dir)
+          .localCheckpoint(true)
+        (rep.count(), rep.filter(col("contaminated")).count())
+      }
+
+      println(
+        s"""{"dir":"$dir",""" +
+        s""""range_ann":{"t":${fmt(tRange)},"n_found":${rangeRow._1},""" +
+        s""""n_exact":${rangeRow._2},"n_ann":${rangeRow._3},""" +
+        s""""recall":${fmt(rangeRow._1.toDouble / math.max(1L, rangeRow._2))}},""" +
+        s""""filtered_ann":{"t":${fmt(tFilt)},"n_found":${filtRow._1},""" +
+        s""""n_exact":${filtRow._2},"n_returned":${filtRow._3},""" +
+        s""""recall":${fmt(filtRow._1.toDouble / math.max(1L, filtRow._2))}},""" +
+        s""""embed_decontam":{"t":${fmt(tEmb)},"n_rows":${embRow._1},""" +
+        s""""n_contaminated":${embRow._2}}}""")
+    }
+    spark.stop()
+  }
+}
