@@ -456,7 +456,7 @@ object DataPipelineQueries {
     * ([[streamDecontaminateFuzzy]]) provably share one definition — the
     * streaming query can only differ in WHERE the band hits came from,
     * and the oracle hash proves even that difference is invisible. */
-  private def fuzzyScreenVerdict(bench: DataFrame, corp: DataFrame,
+  private[relational] def fuzzyScreenVerdict(bench: DataFrame, corp: DataFrame,
                                  bandHits: DataFrame,
                                  observeName: String): DataFrame = {
     val keep = bandHits
@@ -532,13 +532,27 @@ object DataPipelineQueries {
     val benchProbe = benchBandTable(bench)
       .select(col("band"), col("bucket"), col("bid"))
       .localCheckpoint(true)
+    // the streaming file source parallelizes by FILE, so a single-file
+    // fixture hands ONE task the whole micro-batch — a 32× loss on the
+    // CPU-heavy in-stream shingling+signing (measured 262 s vs the
+    // batch's 32-core 19 s at the 10× fixture). Repartition spreads the
+    // per-arrival compute; the exchange is stateless, so the zero-state
+    // contract is untouched. Production ingest arrives as many files per
+    // trigger, but per-batch skew has the same cure.
     val arriving = streamDocs(s, d)
       .filter(col("doc_id") % 10 =!= 0)
+      .repartition(streamCpus(s))
       .select(col("doc_id").as("cid"), TextOps.normalized("text").as("norm"))
       .select(col("cid"), TextOps.charShingles("norm", 5).as("sh"))
       .select(col("cid"), TextOps.minhashSigCol(col("sh"), 64).as("sig"))
       .select(col("cid"), TextOps.bandBucketCols(col("sig"), 16, 4).as("bb"))
-      .select(col("cid"), posexplode(col("bb")).as(Seq("band", "bucket")))
+      // posexplode_OUTER on purpose: the non-outer form lets Catalyst's
+      // InferFiltersFromGenerate push an inferred `size(bb) > 0` filter to
+      // the scan, re-inlining the whole shingle+minhash+band chain into an
+      // interpreted Filter — measured 17× re-evaluation (133 s vs 11.6 s
+      // at the 10× fixture). bb is always a 16-element array, so outer is
+      // bit-identical output with no inferable filter.
+      .select(col("cid"), posexplode_outer(col("bb")).as(Seq("band", "bucket")))
       .join(broadcast(benchProbe), Seq("band", "bucket")) // stream-static, stateless
       .select(col("cid"), col("bid"))
     val bandHits = runMemorySink(arriving, "stream_decontam_fuzzy_", "append")
@@ -1846,6 +1860,7 @@ object DataPipelineQueries {
       .select(explode(wordNgrams("toks", 8)).as("g")).distinct()
     val hits = streamDocs(s, d)
       .filter(col("doc_id") % 10 =!= 0)
+      .repartition(streamCpus(s)) // single-file source = one task otherwise
       .withColumn("toks", TextOps.tokens("text"))
       .select(col("doc_id"), explode(wordNgrams("toks", 8)).as("g"))
       .join(broadcast(benchGrams), "g") // stream-static, stateless
@@ -1859,6 +1874,12 @@ object DataPipelineQueries {
         (coalesce(col("n_hits"), lit(0L)) > 0L).as("contaminated"))
       .orderBy(col("doc_id"))
   }
+
+  /** Shuffle-partition count for spreading CPU-heavy per-arrival work
+    * across a micro-batch (the streaming file source parallelizes by
+    * file, so single-file fixtures otherwise run one task). */
+  private def streamCpus(s: SparkSession): Int =
+    s.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32)
 
   /** `embeddings` as a file stream (the [[streamDocs]] convention: single
     * driver fixture file → glob-filtered parent dir; directory fixtures
@@ -1898,6 +1919,7 @@ object DataPipelineQueries {
     val bvecs = benchRows.map(_.getSeq[Double](1).toArray)
     val scored = streamEmbeds(s, d)
       .filter(col("vec_id") % 10 =!= 0)
+      .repartition(streamCpus(s)) // single-file source = one task otherwise
       .select(col("vec_id"),
         ColumnBridge.column(graft.functions.BestPartnerConst(
           ColumnBridge.expression(col("embedding").cast("array<double>")),
@@ -1938,6 +1960,7 @@ object DataPipelineQueries {
       s"IF(ascii(substr(md5(t), $pos, 1)) >= 97, ascii(substr(md5(t), $pos, 1)) - 87," +
         s" ascii(substr(md5(t), $pos, 1)) - 48)"
     val scored = streamDocs(s, d)
+      .repartition(streamCpus(s)) // single-file source = one task otherwise
       .select(col("doc_id"), TextOps.tokens("text").as("toks"))
       .filter(size(col("toks")) > 0) // the scored universe: token-bearing docs
       .withColumn("fis", expr(s"transform(toks, t -> (${hv(1)} * 16 + ${hv(2)}) % 64)"))
