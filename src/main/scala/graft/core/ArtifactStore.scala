@@ -1,0 +1,77 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cross-SESSION persistence for the family memo artifacts (r15 verdict
+  * ask #3): [[SessionMemo]] amortizes a derived table WITHIN a session,
+  * but its temp dirs die with the session — at 100 TB the minhash
+  * signature table, the verified dedup pair/group frames, the k-NN edge
+  * relation and the LM score table are exactly the CATALOG tables a
+  * production pipeline maintains incrementally between runs, so each
+  * family gets a save/load pair built on this store.
+  *
+  * Layout under `root`: one parquet dir per named table plus `_meta/`
+  * (spec string + per-table row counts). `load` is LOUD on every
+  * mismatch — the quality-model/IVFPQ loader discipline: a foreign,
+  * truncated, or schema-drifted artifact must fail at load time with a
+  * message naming the root, never serve silently-wrong rows downstream.
+  * Row-count validation costs one count per table (metadata-only for
+  * parquet footers — no full scan), schema validation is free.
+  *
+  * Parquet round-trips long/string/double/array columns bit-exactly, so
+  * a reloaded artifact serves BIT-identical results to the session memo
+  * it was saved from (each family's round-trip spec pins it, and the
+  * *_persist gate entries prove it against the family's own DuckDB
+  * oracle VERBATIM). */
+object ArtifactStore {
+
+  /** Write `tables` under `root` (one parquet dir per name) plus the
+    * `_meta` table binding `spec` and the row counts `load` re-checks. */
+  def save(root: String, spec: String, tables: Seq[(String, DataFrame)]): Unit = {
+    require(tables.nonEmpty, s"artifact save at $root: no tables given")
+    val s = tables.head._2.sparkSession
+    import s.implicits._
+    val counts = tables.map { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$root/$name")
+      // count AFTER the write, from the written files: what load will see
+      (name, s.read.parquet(s"$root/$name").count())
+    }
+    counts.map { case (n, c) => (spec, n, c) }
+      .toDF("spec", "table", "n_rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/_meta")
+  }
+
+  /** Load the named tables back, failing loudly unless the artifact's
+    * spec string, table set, per-table schema (names AND types, in
+    * order) and row counts all match. Returns frames in `expected`
+    * order; each is a plain parquet scan (the artifact stays the
+    * storage-resident tier — nothing corpus-sized is collected). */
+  def load(s: SparkSession, root: String, spec: String,
+           expected: Seq[(String, String)]): Seq[DataFrame] = {
+    val metaRows =
+      try s.read.parquet(s"$root/_meta").collect()
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"artifact at $root: unreadable _meta (${e.getClass.getSimpleName}) — " +
+            "not an ArtifactStore root?", e)
+      }
+    val specs = metaRows.map(_.getString(0)).distinct
+    require(specs.toSeq == Seq(spec),
+      s"artifact at $root: spec ${specs.mkString(",")} != expected $spec")
+    val metaCounts = metaRows.map(r => r.getString(1) -> r.getLong(2)).toMap
+    require(metaCounts.keySet == expected.map(_._1).toSet,
+      s"artifact at $root: tables ${metaCounts.keySet.toSeq.sorted.mkString(",")} " +
+        s"!= expected ${expected.map(_._1).sorted.mkString(",")}")
+    expected.map { case (name, schemaFp) =>
+      val df = s.read.parquet(s"$root/$name")
+      val fp = df.schema.fields
+        .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+      require(fp == schemaFp,
+        s"artifact at $root/$name: schema $fp != expected $schemaFp")
+      val n = df.count()
+      require(n == metaCounts(name),
+        s"artifact at $root/$name: $n rows != ${metaCounts(name)} recorded at save")
+      df
+    }
+  }
+}

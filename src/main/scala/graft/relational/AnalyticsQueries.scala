@@ -561,6 +561,34 @@ object AnalyticsQueries {
     DataPipelineQueries.deleteRecursively(java.nio.file.Paths.get(dir)),
     name = "ann_edges")
 
+  /** Spec for the persisted k-NN edge artifact: adaptive-width md5-sign
+    * hyperplane codes, [[GraphTables]] tables, Hamming-1 multiprobe,
+    * bucket cap [[GraphBucketCap]], top-[[PrK]] by 6-dp cosine. */
+  private[relational] val AnnEdgesSpec =
+    s"md5sign_codes.tables$GraphTables.h1probe.cap$GraphBucketCap.top$PrK.cos6"
+
+  private[relational] def saveAnnEdges(s: SparkSession, d: String,
+                                       root: String): Unit =
+    graft.core.ArtifactStore.save(root, AnnEdgesSpec,
+      Seq("edges" -> sharedAnnEdges(s, d)))
+
+  private[relational] def loadAnnEdges(s: SparkSession, root: String): DataFrame =
+    graft.core.ArtifactStore.load(s, root, AnnEdgesSpec, Seq(
+      "edges" -> "src:bigint,dst:bigint,cos:double")).head
+
+  /** Gate: the hard-negative mining pass served from a RELOADED k-NN edge
+    * artifact — the cross-session form of the graph family's edge memo
+    * (r15 verdict ask #3; "the persisted similarity graph" the
+    * sample_hard_negatives scaladoc promises). Oracle =
+    * sample_hard_negatives' SQL VERBATIM. */
+  private def annEdgesPersist(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_edges_persist_")
+    try {
+      saveAnnEdges(s, d, tmp.toString)
+      hardNegativesFrom(s, d, loadAnnEdges(s, tmp.toString)).localCheckpoint(true)
+    } finally DataPipelineQueries.deleteRecursively(tmp)
+  }
+
   private[relational] def sharedAnnEdges(s: SparkSession, d: String): DataFrame =
     s.read.parquet(edgeMemo.getOrBuild(s, d) {
       val emb = Tables.embeddings(s, d)
@@ -958,9 +986,16 @@ object AnalyticsQueries {
     * their label emit no rows (no negative is better than a fake-easy
     * one). Cosines are the edge table's 6-dp-rounded values, already
     * oracle-proven; rank is an exact integer. */
-  private def sampleHardNegatives(s: SparkSession, d: String): DataFrame = {
+  private def sampleHardNegatives(s: SparkSession, d: String): DataFrame =
+    hardNegativesFrom(s, d, sharedAnnEdges(s, d))
+
+  /** [[sampleHardNegatives]] over an EXPLICIT edge relation — factored so
+    * ann_edges_persist can serve the identical mining pass from a
+    * RELOADED [[saveAnnEdges]] artifact (r15 verdict ask #3). */
+  private def hardNegativesFrom(s: SparkSession, d: String,
+                                edges: DataFrame): DataFrame = {
     val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
-    sharedAnnEdges(s, d)
+    edges
       .join(lbl.select(col("vec_id").as("src"), col("label").as("l_src")), "src")
       .join(lbl.select(col("vec_id").as("dst"), col("label").as("l_dst")), "dst")
       .filter(col("l_src") =!= col("l_dst"))
@@ -2533,6 +2568,7 @@ object AnalyticsQueries {
     "graph_clustering_coeff" -> (graphClusteringCoeff _),
     "graph_edge_overlap" -> (graphEdgeOverlap _),
     "sample_hard_negatives" -> (sampleHardNegatives _),
+    "ann_edges_persist" -> (annEdgesPersist _),
     "graph_assortativity" -> (graphAssortativity _),
     "graph_kcore" -> (graphKcore _),
     "graph_label_prop" -> (graphLabelProp _),
@@ -2563,7 +2599,13 @@ object AnalyticsQueries {
     "text_dedup_substring" -> (textDedupSubstring _),
   )
 
-  val oracle: Map[String, String] = Map(
+  /** Base literals plus the *_persist alias: the persist gate serves the
+    * family query's exact output from a reloaded artifact, so its oracle
+    * is the family SQL verbatim (see DataPipelineQueries.oracle). */
+  lazy val oracle: Map[String, String] = oracleBase +
+    ("ann_edges_persist" -> oracleBase("sample_hard_negatives"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
     // one conditional-aggregation row per statistic — the restated
     // transpose; generated over the stat × type grid
     "reshape_transpose" -> {

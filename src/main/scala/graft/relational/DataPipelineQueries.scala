@@ -149,8 +149,63 @@ object DataPipelineQueries {
     (s.read.parquet(s"$root/members"), s.read.parquet(s"$root/sigs"))
   }
 
+  /** Spec string pinned into the persisted signature artifact — names the
+    * exact construction (normalized-md5 set collapse, 5-char shingles,
+    * 64-hash md5-parity MinHash, 16×4 banding) so a loader pointed at an
+    * artifact built with ANY other geometry fails loudly instead of
+    * serving wrong near-dup verdicts. */
+  private[relational] val MinhashSigsSpec =
+    "norm_md5_set.charShingles5.md5minhash64.band16x4"
+
+  /** Persist the minhash_sigs family memo under `root` as a cross-session
+    * artifact (r15 verdict ask #3 — the SessionMemo dies with the session;
+    * this parquet pair is the signature CATALOG table a production
+    * pipeline maintains between ingest runs). */
+  private[relational] def saveMinhashSigs(s: SparkSession, d: String,
+                                          root: String): Unit = {
+    val (members, sigs) = minhashSigsTables(s, d)
+    graft.core.ArtifactStore.save(root, MinhashSigsSpec,
+      Seq("members" -> members, "sigs" -> sigs))
+  }
+
+  /** Load a [[saveMinhashSigs]] artifact, loudly validating spec, table
+    * set, schemas and row counts (the quality-model loader discipline). */
+  private[relational] def loadMinhashSigs(
+      s: SparkSession, root: String): (DataFrame, DataFrame) = {
+    val loaded = graft.core.ArtifactStore.load(s, root, MinhashSigsSpec, Seq(
+      "members" -> "doc_id:bigint,set_key:string",
+      "sigs" -> "set_key:string,sh:array<string>,sig:array<bigint>,bb:array<bigint>"))
+    (loaded(0), loaded(1))
+  }
+
+  /** Gate: dedup_minhash served from a RELOADED signature artifact —
+    * save the family memo to parquet, load it back through the loud
+    * validator, and run the IDENTICAL serve pipeline from the reloaded
+    * tables. The oracle is dedup_minhash's SQL VERBATIM (DuckDB replays
+    * normalize → collapse → shingle → sign → band → cap → verify from the
+    * raw corpus), so a hash match proves the persisted artifact serves
+    * BIT-identical results — parquet round-trips every column type here
+    * exactly. Eagerly materialized before the artifact dir is deleted. */
+  private def dedupMinhashPersist(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_minhash_persist_")
+    try {
+      saveMinhashSigs(s, d, tmp.toString)
+      val (m, g) = loadMinhashSigs(s, tmp.toString)
+      dedupMinhashFrom(m, g).localCheckpoint(true)
+    } finally deleteRecursively(tmp)
+  }
+
   private def dedupMinhash(s: SparkSession, d: String): DataFrame = {
     val (members0, sigsT) = minhashSigsTables(s, d)
+    dedupMinhashFrom(members0, sigsT)
+  }
+
+  /** The dedup_minhash serve pipeline over EXPLICIT signature tables —
+    * factored out of [[dedupMinhash]] so dedup_minhash_persist can run
+    * the identical plan from a RELOADED [[saveMinhashSigs]] artifact
+    * (r15 verdict ask #3). Takes (members, sigs) in the memo's shape. */
+  private[relational] def dedupMinhashFrom(members0: DataFrame,
+                                           sigsT: DataFrame): DataFrame = {
     // rep/group info is a narrow aggregate over the memoized members map;
     // the wide shingle/signature rows join in by set_key (one row per
     // distinct text on BOTH sides — keyed, never corpus × corpus)
@@ -272,8 +327,13 @@ object DataPipelineQueries {
     * shuffled; a bloom/sketch pre-filter drops the obvious non-dups
     * before the join without changing this plan's shape. */
   private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    // (doc_id, norm_md5) staged once: history and arrival branches both
+    // read it, and the history-side join key INFERS isnotnull(md5(norm)),
+    // re-inlining normalize+md5 into an interpreted Filter without the
+    // barrier (ExplodeTaxAudit r16) — 3 corpus hash passes become 1.
     val all = docs(s, d)
       .select(col("doc_id"), md5(TextOps.normalized("text")).as("norm_md5"))
+      .localCheckpoint(true)
     val history = all.filter(col("doc_id") % 2 === 0)
       .select(col("norm_md5")).distinct().withColumn("seen", lit(true))
     all.filter(col("doc_id") % 2 === 1)
@@ -708,8 +768,16 @@ object DataPipelineQueries {
     * (unsigned), which sidesteps signed-BIGINT mismatches between the
     * engines. */
   private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    // the (doc_id, simhash) code table materializes ONCE via an eager
+    // checkpoint: three plan branches consume it (the group aggregate,
+    // the m2 join side, the final join spine), and the two inner
+    // equi-joins on `simhash` each INFER isnotnull(simhash64(tokens)),
+    // re-inlining the tokenize+digest chain into interpreted Filters —
+    // 4 corpus-wide code computations collapse to 1 (ExplodeTaxAudit
+    // r16). 16 B/row: at 100 TB this IS the production code table.
     val sh = docs(s, d)
       .select(col("doc_id"), TextOps.simhashCol(TextOps.tokens("text")).as("simhash"))
+      .localCheckpoint(true)
     // per-code group: smallest member m1 (the representative), group size,
     // second-smallest m2 (= m1's own best partner) — three key-partitioned
     // aggs/joins on the code, never a per-group row collect
@@ -984,6 +1052,34 @@ object DataPipelineQueries {
         .write.mode("overwrite").parquet(tmp.toString)
       tmp.toString
     })
+
+  /** Spec for the persisted duplicate-group artifact: 3-char shingle
+    * sets, (source, lang)-blocked prefix candidates, exact Jaccard ≥ 0.5,
+    * min-label connected components. */
+  private[relational] val DupGroupsSpec =
+    "charShingles3.blocked_prefix.jaccard05.minlabel_cc"
+
+  private[relational] def saveDupGroups(s: SparkSession, d: String,
+                                        root: String): Unit =
+    graft.core.ArtifactStore.save(root, DupGroupsSpec,
+      Seq("groups" -> sharedDupGroups(s, d)))
+
+  private[relational] def loadDupGroups(s: SparkSession, root: String): DataFrame =
+    graft.core.ArtifactStore.load(s, root, DupGroupsSpec, Seq(
+      "groups" -> "doc_id:bigint,group_id:bigint,is_canonical:boolean,group_size:bigint"
+    )).head
+
+  /** Gate: dedup_groups served from a RELOADED group artifact — the
+    * cross-session form of the dup_groups memo (r15 verdict ask #3).
+    * Oracle = dedup_groups' recursive-CC SQL VERBATIM, so hash equality
+    * proves the persisted component table is bit-faithful. */
+  private def dedupGroupsPersist(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_groups_persist_")
+    try {
+      saveDupGroups(s, d, tmp.toString)
+      loadDupGroups(s, tmp.toString).orderBy(col("doc_id")).localCheckpoint(true)
+    } finally deleteRecursively(tmp)
+  }
 
   /** QUALITY-AWARE representative selection — the step a production
     * dedup pipeline runs AFTER grouping: within each near-dup component
@@ -2532,14 +2628,21 @@ object DataPipelineQueries {
     * than materializing wide gram arrays at that scale; callers with fast
     * storage and spare memory can persist upstream. */
   private def textDecontaminate(s: SparkSession, d: String): DataFrame = {
+    // the gram array is exploded INLINE (generator child = the ngram
+    // expression, never a named column): InferFiltersFromGenerate only
+    // fires on ATTRIBUTE-child generates (Spark 4.1 guards on
+    // `input.isInstanceOf[Attribute]`), and the r15-measured 3x tax was
+    // exactly the named-column shape — the inferred size(grams) > 0 &&
+    // isnotnull(grams) filter re-inlined the whole tokenize+ngram chain
+    // twice below the Project (ExplodeTaxAudit flagged it; the inline
+    // shape plans with NO filter and one chain evaluation per row)
     val base = docs(s, d)
       .withColumn("toks", TextOps.tokens("text"))
-      .select(col("doc_id"), wordNgrams("toks", 8).as("grams"))
       .withColumn("is_benchmark", col("doc_id") % 10 === 0)
     val benchGrams = base.filter(col("is_benchmark"))
-      .select(explode(col("grams")).as("g")).distinct()
+      .select(explode(wordNgrams("toks", 8)).as("g")).distinct()
     val hits = base.filter(!col("is_benchmark"))
-      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .select(col("doc_id"), explode(wordNgrams("toks", 8)).as("g"))
       .join(broadcast(benchGrams), "g")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
     base.join(hits, Seq("doc_id"), "left")
@@ -2561,10 +2664,13 @@ object DataPipelineQueries {
     * join anywhere: corpus-wide repetition is resolved entirely through the
     * gram key, which is how the real pipelines do it. */
   private def textBoilerplate(s: SparkSession, d: String): DataFrame = {
+    // ngrams exploded INLINE, not via a named `grams` column — the
+    // attribute-child generate shape pays the InferFiltersFromGenerate
+    // re-inline tax (see textDecontaminate; ExplodeTaxAudit flagged this
+    // query with the full 5-gram chain duplicated into a Filter)
     val base = docs(s, d)
       .withColumn("toks", TextOps.tokens("text"))
-      .select(col("doc_id"), wordNgrams("toks", 5).as("grams"))
-    val g = base.select(col("doc_id"), explode(col("grams")).as("g"))
+    val g = base.select(col("doc_id"), explode(wordNgrams("toks", 5)).as("g"))
     val df_ = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val per = g.join(df_, "g")
       .groupBy(col("doc_id"))
@@ -2641,10 +2747,18 @@ object DataPipelineQueries {
     * order within a token count, so the decomposed rank is bit-equal to
     * the oracle's straightforward global row_number. */
   private def corpusShardPlan(s: SparkSession, d: String): DataFrame = {
+    // narrow (doc_id, n_tokens, bkt) staged ONCE via eager checkpoint:
+    // the tally aggregate and the rank side both consume it (2 corpus
+    // tokenizations of the 3-class regexp without the barrier), and the
+    // rank side's equi-join on n_tokens additionally INFERS
+    // isnotnull(n_tokens), re-inlining the regexp into an interpreted
+    // Filter (ExplodeTaxAudit r16) — 3 corpus-wide tokenize passes
+    // collapse to 1. Same 100-TB story as corpusPrep's stats table.
     val toks = docs(s, d).select(col("doc_id"),
       expr("cast(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) as long)")
         .as("n_tokens"))
       .withColumn("bkt", expr(s"doc_id div $ShardRankBucket"))
+      .localCheckpoint(true)
     val tally = toks.groupBy(col("n_tokens"), col("bkt")).agg(count(lit(1)).as("c"))
     val off = tally.withColumn("offset", coalesce(
       sum(col("c")).over(Window.orderBy(col("n_tokens").desc, col("bkt"))
@@ -3188,14 +3302,32 @@ object DataPipelineQueries {
     * pure row math that pushes into the scan. */
   private def corpusPrep(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // the NARROW per-doc stats (token count + content hash) materialize
+    // ONCE via an eager checkpoint: this plan consumes them from four
+    // branches (the keep aggregate, both survivor join sides, the quality
+    // floor), and without the barrier each branch re-derives the
+    // tokenize+normalize+md5 chain from the scan — plus the survivor
+    // join's INFERRED isnotnull(norm_md5) and the pushed-down
+    // n_tokens >= 10 filter re-inline the chain into interpreted Filters
+    // (2 extra corpus-wide evaluations each, ExplodeTaxAudit r16). At
+    // 100 TB this checkpoint is the per-doc stats table every curation
+    // pipeline stages anyway (~40 B/row vs the corpus text; a production
+    // deployment writes it as parquet beside the corpus).
     val base = docs(s, d)
-      .withColumn("toks", TextOps.tokens("text"))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("norm_md5", md5(TextOps.normalized("text")))
-      .withColumn("is_benchmark", col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(TextOps.tokens("text")).cast("long").as("n_tokens"),
+        md5(TextOps.normalized("text")).as("norm_md5"),
+        (col("doc_id") % 10 === 0).as("is_benchmark"))
+      .localCheckpoint(true)
     val keep = base.groupBy(col("norm_md5")).agg(min(col("doc_id")).as("keep_id"))
-    val grams = base.select(col("doc_id"), col("is_benchmark"),
-      explode(wordNgrams("toks", 8)).as("g"))
+    // gram side re-scans the corpus text by design (grams are too wide to
+    // stage) and explodes the ngram chain INLINE — the attribute-child
+    // generate shape would pay the InferFiltersFromGenerate re-inline tax
+    // (see textDecontaminate)
+    val grams = docs(s, d)
+      .withColumn("toks", TextOps.tokens("text"))
+      .select(col("doc_id"), (col("doc_id") % 10 === 0).as("is_benchmark"),
+        explode(wordNgrams("toks", 8)).as("g"))
     val benchGrams = grams.filter(col("is_benchmark")).select(col("g")).distinct()
     val contaminated = grams.filter(!col("is_benchmark"))
       .join(broadcast(benchGrams), "g")
@@ -3469,6 +3601,31 @@ object DataPipelineQueries {
 
   private def textLmScore(s: SparkSession, d: String): DataFrame =
     lmScores(s, d).orderBy(col("doc_id"))
+
+  /** Spec for the persisted LM score artifact: normalized text, add-one
+    * char-bigram corpus LM, count-weighted mean logp rounded to 6 dp. */
+  private[relational] val LmScoresSpec = "norm.addone_char_bigram_lm.logp6"
+
+  private[relational] def saveLmScores(s: SparkSession, d: String,
+                                       root: String): Unit =
+    graft.core.ArtifactStore.save(root, LmScoresSpec,
+      Seq("lm_scores" -> lmScores(s, d)))
+
+  private[relational] def loadLmScores(s: SparkSession, root: String): DataFrame =
+    graft.core.ArtifactStore.load(s, root, LmScoresSpec, Seq(
+      "lm_scores" -> "doc_id:bigint,n_bigrams:bigint,lm_logp:double")).head
+
+  /** Gate: text_lm_score served from a RELOADED score artifact (r15
+    * verdict ask #3 — the lm_scores memo, like the quality model it
+    * feeds, becomes a cross-session table). Doubles round-trip parquet
+    * bit-exactly; oracle = text_lm_score's SQL VERBATIM. */
+  private def textLmPersist(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lm_persist_")
+    try {
+      saveLmScores(s, d, tmp.toString)
+      loadLmScores(s, tmp.toString).orderBy(col("doc_id")).localCheckpoint(true)
+    } finally deleteRecursively(tmp)
+  }
 
   /** CCNet-STYLE PERPLEXITY BUCKETS (Wenzek et al. 2020): split the corpus
     * into head / middle / tail TERTILES by LM score — the standard
@@ -3985,6 +4142,9 @@ object DataPipelineQueries {
     "text_substring_dedup" -> (textSubstringDedup _),
     "scan_orc" -> (scanOrc _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_minhash_persist" -> (dedupMinhashPersist _),
+    "dedup_groups_persist" -> (dedupGroupsPersist _),
+    "text_lm_persist" -> (textLmPersist _),
     "dedup_minhash_incremental" -> (dedupMinhashIncremental _),
     "text_decontaminate_fuzzy" -> (textDecontaminateFuzzy _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -4422,7 +4582,18 @@ object DataPipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
+  /** Module oracle map: the base literals plus the *_persist aliases — a
+    * persist gate serves the SAME output columns as its family query from
+    * a RELOADED [[graft.core.ArtifactStore]] artifact, so its DuckDB
+    * oracle is the family SQL VERBATIM: the oracle recomputes from raw
+    * corpus, so a hash match proves the persisted tables serve
+    * bit-identical results. */
+  lazy val oracle: Map[String, String] = oracleBase ++ Map(
+    "dedup_minhash_persist" -> oracleBase("dedup_minhash"),
+    "dedup_groups_persist" -> oracleBase("dedup_groups"),
+    "text_lm_persist" -> oracleBase("text_lm_score"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
     // C4 line-dedup replay: DuckDB's lockstep UNNEST pairs each span with
     // exact replay of the ExactSubstr census — same normalization, same
     // 40-char windows, same multiplicity >= 2 rule, same lead()-based

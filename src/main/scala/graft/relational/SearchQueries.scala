@@ -37,9 +37,16 @@ object SearchQueries {
     * dropped (no tokens ⇒ nothing to embed). */
   private def textChunk(s: SparkSession, d: String): DataFrame =
     docs(s, d)
+      // empty-doc drop expressed on the RAW column: `tokens` is the
+      // [a-z]+ runs of lower(text), so "has a token" ⟺ lower(text)
+      // contains an [a-z] char. The previous filter(size(toks) > 0) was
+      // pushed below the Project computing toks, re-inlining the full
+      // regexp tokenization into an interpreted Filter (a second
+      // corpus-wide tokenize — ExplodeTaxAudit r16); this single-char
+      // rlike scans cheaply and leaves exactly one tokenize in the plan
+      .filter(lower(col("text")).rlike("[a-z]"))
       .select(col("doc_id"), TextOps.tokens("text").as("toks"))
       .withColumn("n", size(col("toks")))
-      .filter(col("n") > 0)
       .withColumn("n_chunks",
         when(col("n") <= 50, lit(1L))
           .otherwise(ceil((col("n") - 50).cast("double") / 40.0).cast("long") + 1L))
@@ -95,10 +102,16 @@ object SearchQueries {
     * search_hybrid_weighted. Integer micros close that class. */
   private def textSearchBm25(s: SparkSession, d: String): DataFrame = {
     val query = Seq("spark", "window", "merge")
-    val base = docs(s, d).select(col("doc_id"), TextOps.tokens("text").as("toks"))
-    val dl = base.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
-    val hits = base
-      .select(col("doc_id"), explode(col("toks")).as("token"))
+    val dl = docs(s, d)
+      .select(col("doc_id"), size(TextOps.tokens("text")).cast("double").as("dl"))
+    // tokens exploded INLINE (generator child = the regexp expression):
+    // the previous named-column shape (`base.select(explode(col("toks")))`)
+    // paid InferFiltersFromGenerate's re-inline tax — size(tokens) > 0 &&
+    // isnotnull(tokens) pushed below the Project, tokenizing the corpus
+    // twice more per row (ExplodeTaxAudit r16). Inline children infer
+    // nothing (the Spark 4.1 rule guards on Attribute children).
+    val hits = docs(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens("text")).as("token"))
       .filter(col("token").isin(query: _*))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).cast("double").as("tf"))
@@ -310,11 +323,41 @@ object SearchQueries {
     * query-keyed joins over ≤ 2·[[HybridLegK]] rows per query. Every
     * value from leg score to fused rank is integer arithmetic — no
     * double ever feeds the output, so no accumulation-order flake. */
-  private def searchHybridWeighted(s: SparkSession, d: String): DataFrame = {
-    val legs = hybridLegsTable(s, d)
+  private def searchHybridWeighted(s: SparkSession, d: String): DataFrame =
+    weightedFuseFromLegs(hybridLegsTable(s, d))
+
+  private def weightedFuseFromLegs(legs: DataFrame): DataFrame = {
     def leg(name: String) = legs.filter(col("leg") === name)
       .select(col("qid"), col("doc_id"), col("score_micros"))
     weightedFuse(leg("lex"), leg("vec")).orderBy(col("qid"), col("fused_rank"))
+  }
+
+  /** Spec for the persisted hybrid leg artifact: exact-integer-micro bm25
+    * lexical leg + brute-force-cosine vector leg, top-[[HybridLegK]]. */
+  private[relational] val HybridLegsSpec =
+    s"bm25micro_lex.cos6micro_vec.top$HybridLegK"
+
+  private[relational] def saveHybridLegs(s: SparkSession, d: String,
+                                         root: String): Unit =
+    graft.core.ArtifactStore.save(root, HybridLegsSpec,
+      Seq("legs" -> hybridLegsTable(s, d)))
+
+  private[relational] def loadHybridLegs(s: SparkSession, root: String): DataFrame =
+    graft.core.ArtifactStore.load(s, root, HybridLegsSpec, Seq(
+      "legs" -> "leg:string,qid:bigint,doc_id:bigint,score_micros:bigint,rank:bigint"
+    )).head
+
+  /** Gate: the weighted hybrid fusion served from a RELOADED leg artifact
+    * (r15 verdict ask #3 — the hybrid_legs memo as a cross-session
+    * table; production search stacks persist per-leg scores and fuse at
+    * query time). All-integer legs round-trip parquet exactly; oracle =
+    * search_hybrid_weighted's SQL VERBATIM. */
+  private def searchHybridPersist(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_legs_persist_")
+    try {
+      saveHybridLegs(s, d, tmp.toString)
+      weightedFuseFromLegs(loadHybridLegs(s, tmp.toString)).localCheckpoint(true)
+    } finally DataPipelineQueries.deleteRecursively(tmp)
   }
 
   /** The weighted fusion math factored like [[rrfFuse]] so the spec can
@@ -355,6 +398,7 @@ object SearchQueries {
     "text_search_bm25" -> (textSearchBm25 _),
     "search_hybrid_rrf" -> (searchHybridRrf _),
     "search_hybrid_weighted" -> (searchHybridWeighted _),
+    "search_hybrid_persist" -> (searchHybridPersist _),
   )
 
   /** The two legs as shared oracle CTEs — `lexr` (qid, doc_id, BM25
@@ -414,7 +458,12 @@ object SearchQueries {
       |                                 AS BIGINT) DESC, vec_id) AS rn
       |          FROM p2) WHERE rn <= $HybridLegK)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  /** Base literals plus the *_persist alias (family SQL verbatim — see
+    * DataPipelineQueries.oracle). */
+  lazy val oracle: Map[String, String] = oracleBase +
+    ("search_hybrid_persist" -> oracleBase("search_hybrid_weighted"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
     // same 4-hex-char priority, hash-ASC with doc_id tiebreak
     "sample_reservoir" ->
       """WITH h AS (SELECT lang, doc_id,
