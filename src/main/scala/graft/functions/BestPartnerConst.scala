@@ -33,7 +33,13 @@ import org.apache.spark.sql.types._
   *    best (rounding moves a value < 5e-7, so anything further behind
   *    can neither win nor tie) — the hot loop stays allocation-free.
   *
-  * NULL for a NULL input or an empty benchmark matrix. */
+  * A NULL input array replicates the batch pin exactly (r15 advice): in
+  * the crossJoin plan a NULL corpus embedding pins EVERY pair's cosine to
+  * −1 (the coalesce guard), so the struct-max reports the smallest
+  * benchmark id with cosine −1.0 (⇒ contaminated = false). The kernel
+  * returns that same `struct(min(bid), -1.0)` rather than NULL, in both
+  * the interpreted and codegen paths. NULL only for an empty benchmark
+  * matrix. */
 case class BestPartnerConst(child: Expression,
                             benchIds: Array[Long],
                             benchVecs: Array[Array[Double]])
@@ -58,6 +64,17 @@ case class BestPartnerConst(child: Expression,
     StructField("cosine", DoubleType, nullable = false)))
   override def nullable: Boolean = true
   override def prettyName: String = "best_partner_const"
+
+  // the batch pin for a NULL corpus embedding: every pair's cosine is -1,
+  // so the struct-max lands on the smallest benchmark id at -1.0
+  private lazy val nullPin: InternalRow =
+    InternalRow(if (benchIds.isEmpty) 0L else benchIds.min, -1.0)
+
+  override def eval(input: InternalRow): Any = {
+    if (benchIds.isEmpty) return null
+    val v = child.eval(input)
+    if (v == null) nullPin else nullSafeEval(v)
+  }
 
   override def nullSafeEval(a: Any): Any = {
     val arr = a.asInstanceOf[ArrayData]
@@ -114,7 +131,9 @@ case class BestPartnerConst(child: Expression,
     val ids = ctx.addReferenceObj("benchIds", benchIds, "long[]")
     val vecs = ctx.addReferenceObj("benchVecs", benchVecs, "double[][]")
     val norms = ctx.addReferenceObj("benchNormSqrt", benchNormSqrt, "double[]")
-    nullSafeCodeGen(ctx, ev, a => {
+    val childGen = child.genCode(ctx)
+    val a = childGen.value
+    val body = {
       val n = ctx.freshName("n")
       val x = ctx.freshName("x")
       val hasNull = ctx.freshName("hasNull")
@@ -130,9 +149,6 @@ case class BestPartnerConst(child: Expression,
       val dot = ctx.freshName("dot")
       val sd = ctx.freshName("sd")
       s"""
-         |if ($ids.length == 0) {
-         |  ${ev.isNull} = true;
-         |} else {
          |  final int $n = $a.numElements();
          |  boolean $hasNull = false;
          |  final double[] $x = new double[$n];
@@ -168,9 +184,28 @@ case class BestPartnerConst(child: Expression,
          |  }
          |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
          |    new Object[]{$bestB, $bestR});
-         |}
        """.stripMargin
-    })
+    }
+    // hand-rolled null handling (vs nullSafeCodeGen): a NULL child must
+    // produce the batch pin struct, not a NULL result — mirrors eval above
+    val minBid = if (benchIds.isEmpty) 0L else benchIds.min
+    val javaT = org.apache.spark.sql.catalyst.expressions.codegen
+      .CodeGenerator.javaType(dataType)
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code =
+      code"""
+         |${childGen.code}
+         |boolean ${ev.isNull} = ($ids.length == 0);
+         |$javaT ${ev.value} = null;
+         |if (!${ev.isNull}) {
+         |  if (${childGen.isNull}) {
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |      new Object[]{${minBid}L, -1.0});
+         |  } else {
+         |${body}
+         |  }
+         |}
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): BestPartnerConst =

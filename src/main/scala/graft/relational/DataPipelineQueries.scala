@@ -580,6 +580,24 @@ object DataPipelineQueries {
     * SQL: the gate hash-proves the ingest-time screen reaches
     * bit-identical verdicts to the batch pass it deploys. */
   private def streamDecontaminateFuzzy(s: SparkSession, d: String): DataFrame = {
+    val (all, bench, corp, arriving) = fuzzyStreamScreen(s, d)
+    val bandHits = runMemorySink(arriving, "stream_decontam_fuzzy_", "append")
+    val out = fuzzyScreenVerdict(bench, corp, bandHits,
+      "stream_decontaminate_fuzzy_cap")
+    all.unpersist()
+    out
+  }
+
+  /** Shared construction of the ingest-time fuzzy screen: the memoized
+    * signature join, bench/corpus split, broadcast probe table, and the
+    * stateless in-stream shingle → sign → band → stream-static-join
+    * screen. Returns (all, bench, corp, arriving); `all` is persisted —
+    * the caller unpersists after its verdict chain materializes. Factored
+    * so the memory-sink gate (driver-sized SFs) and the parquet-sink gate
+    * (the production shape) provably run the IDENTICAL screen and differ
+    * only in the sink. */
+  private def fuzzyStreamScreen(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (membersT, sigsT) = minhashSigsTables(s, d)
     val all = membersT.join(sigsT, "set_key")
       .select(col("doc_id"), col("sh"), col("sig"), col("bb"))
@@ -615,11 +633,39 @@ object DataPipelineQueries {
       .select(col("cid"), posexplode_outer(col("bb")).as(Seq("band", "bucket")))
       .join(broadcast(benchProbe), Seq("band", "bucket")) // stream-static, stateless
       .select(col("cid"), col("bid"))
-    val bandHits = runMemorySink(arriving, "stream_decontam_fuzzy_", "append")
-    val out = fuzzyScreenVerdict(bench, corp, bandHits,
-      "stream_decontaminate_fuzzy_cap")
-    all.unpersist()
-    out
+    (all, bench, corp, arriving)
+  }
+
+  /** The fuzzy screen with a DISTRIBUTED sink (r15 verdict ask #2 — the
+    * production deployment the memory-sink gate's scaladoc promises): the
+    * IDENTICAL stateless in-stream screen writes its band hits to a
+    * PARQUET sink (exactly-once via the streaming commit log), and the
+    * verify chain runs as the batch post-pass over the sink files. The
+    * driver never holds a hit: at the 100× fixture the memory sink's
+    * >30 M collected rows OOM a 24 g heap while this shape completes with
+    * a bounded driver (StreamScreenProfile's sink mode measures it).
+    * Oracle = text_decontaminate_fuzzy's SQL VERBATIM — the third gate
+    * proving the same screen definition (batch, memory-sink stream,
+    * parquet-sink stream) reaches bit-identical verdicts. */
+  private def streamDecontaminateSink(s: SparkSession, d: String): DataFrame = {
+    val (all, bench, corp, arriving) = fuzzyStreamScreen(s, d)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fuzzy_sink_")
+    try {
+      val q = arriving.writeStream.format("parquet")
+        .option("path", s"$tmp/hits")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val bandHits = s.read.parquet(s"$tmp/hits")
+      // fuzzyScreenVerdict eagerly checkpoints its result, so the sink
+      // dir can be deleted as soon as this returns
+      val out = fuzzyScreenVerdict(bench, corp, bandHits,
+        "stream_decontaminate_sink_cap")
+      all.unpersist()
+      out
+    } finally deleteRecursively(tmp)
   }
 
   /** Cross-corpus LINE dedup (the C4/RefinedWeb repetition-removal rule):
@@ -2057,8 +2103,13 @@ object DataPipelineQueries {
         s" ascii(substr(md5(t), $pos, 1)) - 48)"
     val scored = streamDocs(s, d)
       .repartition(streamCpus(s)) // single-file source = one task otherwise
+      // scored universe = token-bearing docs, expressed on the RAW column
+      // (a token exists iff lower(text) has an [a-z] char): filtering on
+      // size(toks) > 0 after naming toks would push the filter below the
+      // Project and re-tokenize every arrival twice more (the explode-tax
+      // sibling, see textChunk)
+      .filter(lower(col("text")).rlike("[a-z]"))
       .select(col("doc_id"), TextOps.tokens("text").as("toks"))
-      .filter(size(col("toks")) > 0) // the scored universe: token-bearing docs
       .withColumn("fis", expr(s"transform(toks, t -> (${hv(1)} * 16 + ${hv(2)}) % 64)"))
       .withColumn("farr", expr(
         "transform(sequence(0, 63), i -> " +
@@ -4156,6 +4207,7 @@ object DataPipelineQueries {
     "stream_dedup" -> (streamDedup _),
     "stream_decontaminate" -> (streamDecontaminate _),
     "stream_decontaminate_fuzzy" -> (streamDecontaminateFuzzy _),
+    "stream_decontaminate_sink" -> (streamDecontaminateSink _),
     "stream_embed_decontaminate" -> (streamEmbedDecontaminate _),
     "stream_quality_filter" -> (streamQualityFilter _),
     "stream_dedup_watermark" -> (streamDedupWatermark _),
@@ -4591,7 +4643,10 @@ object DataPipelineQueries {
   lazy val oracle: Map[String, String] = oracleBase ++ Map(
     "dedup_minhash_persist" -> oracleBase("dedup_minhash"),
     "dedup_groups_persist" -> oracleBase("dedup_groups"),
-    "text_lm_persist" -> oracleBase("text_lm_score"))
+    "text_lm_persist" -> oracleBase("text_lm_score"),
+    // the parquet-sink deployment must reach the same verdicts as the
+    // memory-sink gate and the batch pass — all three share one oracle
+    "stream_decontaminate_sink" -> oracleBase("stream_decontaminate_fuzzy"))
 
   private lazy val oracleBase: Map[String, String] = Map(
     // C4 line-dedup replay: DuckDB's lockstep UNNEST pairs each span with

@@ -35,7 +35,9 @@ object MinhashProfile {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.driver.memory", "16g")
+      // NOTE: spark.driver.memory set here would be a no-op — the JVM heap
+      // is fixed at launch (build.sbt's fork flags; raise with
+      // SPARK_DRIVER_MEM=24g per the verify skill for 100x fixtures)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -66,22 +66,70 @@ object StreamScreenProfile {
         .select(col("cid"), posexplode_outer(col("bb")).as(Seq("band", "bucket")))
         .join(broadcast(benchProbe), Seq("band", "bucket"))
         .select(col("cid"), col("bid"))
+      // runs the stream into a noop sink; checkpoint temp dir deleted
+      // after termination (it held offsets/commits only — nothing a
+      // profiler run needs afterwards, and leaving it leaked disk across
+      // profiling sweeps)
+      def noopRun(): Double = {
+        val ckpt = java.nio.file.Files.createTempDirectory("ssp_noop_")
+        try {
+          val (_, t) = timed {
+            val q = arriving.writeStream.format("noop")
+              .option("checkpointLocation", ckpt.toString)
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
+          t
+        } finally DataPipelineQueries.deleteRecursively(ckpt)
+      }
       // GRAFT_SSP_NOOP_ONLY=1: at the 100× fixture the emitted hits
       // exceed what ANY driver-collected sink can hold (30M+ rows OOM a
       // 24g heap) — the screen itself is measured into a noop sink and
       // the driver-bound stages are skipped (prod writes distributed
       // sinks; the memory sink is gate plumbing for gate-sized SFs).
       val noopOnly = sys.env.get("GRAFT_SSP_NOOP_ONLY").contains("1")
-      if (noopOnly) {
-        val (_, tNoop0) = timed {
-          val q = arriving.writeStream.format("noop")
-            .option("checkpointLocation",
-              java.nio.file.Files.createTempDirectory("ssp_noop_").toString)
-            .outputMode("append")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        }
+      // GRAFT_SSP_SINK=1: the PRODUCTION shape end-to-end — stream the
+      // screen's hits into a parquet sink (driver never holds a hit),
+      // then run the verify chain as the batch post-pass over the sink
+      // files. This is the decade evidence for stream_decontaminate_sink:
+      // the shape that completes at the 100× fixture where the memory
+      // sink OOMs.
+      val sinkMode = sys.env.get("GRAFT_SSP_SINK").contains("1")
+      if (sinkMode) {
+        val tmp = java.nio.file.Files.createTempDirectory("ssp_sink_")
+        try {
+          val (_, tSink) = timed {
+            val q = arriving.writeStream.format("parquet")
+              .option("path", s"$tmp/hits")
+              .option("checkpointLocation", s"$tmp/ckpt")
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
+          val (nHits, tHitCount) = timed {
+            spark.read.parquet(s"$tmp/hits").count()
+          }
+          val allP = members.join(sigs, "set_key")
+            .select(col("doc_id"), col("sh"), col("sig"), col("bb"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val benchP = allP.filter(col("doc_id") % 10 === 0)
+          val corpP = allP.filter(col("doc_id") % 10 =!= 0)
+          val (nOut, tVerdict) = timed {
+            DataPipelineQueries.fuzzyScreenVerdict(benchP, corpP,
+              spark.read.parquet(s"$tmp/hits"), "ssp_sink_cap").count()
+          }
+          allP.unpersist()
+          println(s"""{"dir":"$dir","t_memo":${fmt(tMemo)},""" +
+            s""""t_bench_probe":${fmt(tProbe)},"t_stream_parquet_sink":${fmt(tSink)},""" +
+            s""""n_hits":$nHits,"t_hit_count":${fmt(tHitCount)},""" +
+            s""""t_verdict_postpass":${fmt(tVerdict)},"n_out":$nOut,""" +
+            s""""mode":"parquet_sink"}""")
+        } finally DataPipelineQueries.deleteRecursively(tmp)
+      } else if (noopOnly) {
+        val tNoop0 = noopRun()
         println(s"""{"dir":"$dir","t_memo":${fmt(tMemo)},""" +
           s""""t_bench_probe":${fmt(tProbe)},"t_stream_noop":${fmt(tNoop0)},""" +
           s""""mode":"noop_only"}""")
@@ -105,15 +153,7 @@ object StreamScreenProfile {
           .count()
       }
       // control 2: the same stream into a noop sink (no driver collect)
-      val (_, tNoop) = timed {
-        val q = arriving.writeStream.format("noop")
-          .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("ssp_noop_").toString)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
+      val tNoop = noopRun()
       val (_, tGate) = timed {
         DataPipelineQueries.queries("stream_decontaminate_fuzzy")(spark, dir).count()
       }

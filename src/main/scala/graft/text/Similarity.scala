@@ -782,10 +782,18 @@ object Similarity {
   def loadIvfPqIndex(s: org.apache.spark.sql.SparkSession,
                      root: String): IvfPqIndex = {
     val coded = s.read.parquet(s"$root/coded")
-    val centers = s.read.parquet(s"$root/centers").collect()
+    val centerRows = s.read.parquet(s"$root/centers").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).map(_._2)
-    require(centers.nonEmpty, s"ivfpq index at $root: empty centers table")
+      .sortBy(_._1)
+    require(centerRows.nonEmpty, s"ivfpq index at $root: empty centers table")
+    // cell-id coverage must be exactly 0 until n (the codebooks check's
+    // mirror — r15 advice): a partial/duplicated centers table would
+    // otherwise silently SHIFT every center after the sort and serve
+    // wrong neighbors with no error
+    require(centerRows.map(_._1).toSeq == centerRows.indices,
+      s"ivfpq index at $root: centers table cell ids " +
+        s"${centerRows.map(_._1).mkString(",")} are not 0 until ${centerRows.length}")
+    val centers = centerRows.map(_._2)
     val cbRows = s.read.parquet(s"$root/codebooks")
       .select(col("sub"), col("cid"), col("center"),
         col("m"), col("k"), col("sub_dim")).collect()
