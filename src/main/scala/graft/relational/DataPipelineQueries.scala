@@ -1472,10 +1472,19 @@ object DataPipelineQueries {
   private def similarityRangeAnn(s: SparkSession, d: String): DataFrame = {
     val e = embeds(s, d)
     val q = e.filter(col("vec_id") < 10)
-    val ann = Similarity.annRange(e, q, RangeTau)
-      .select(col("qid"), col("neighbor")).localCheckpoint(true)
-    val exact = Similarity.bruteForceRange(e, q, RangeTau)
-      .select(col("qid"), col("neighbor")).localCheckpoint(true)
+    rangeAnnVerdict(q, Similarity.annRange(e, q, RangeTau),
+      Similarity.bruteForceRange(e, q, RangeTau))
+  }
+
+  /** The per-probe verdict grid shared by [[similarityRangeAnn]] and
+    * [[similarityRangeAnnAdaptive]] (identical columns and semantics, so
+    * both serve the same DuckDB oracle): n_exact replayed value-exactly,
+    * recall_ok against [[RangeAnnRecallFloor10]], subset_ok proving every
+    * ANN hit is an exact hit. */
+  private def rangeAnnVerdict(q: DataFrame, annRaw: DataFrame,
+                              exactRaw: DataFrame): DataFrame = {
+    val ann = annRaw.select(col("qid"), col("neighbor")).localCheckpoint(true)
+    val exact = exactRaw.select(col("qid"), col("neighbor")).localCheckpoint(true)
     val hits = exact.join(ann, Seq("qid", "neighbor"))
       .groupBy(col("qid")).agg(count(lit(1)).as("n_found"))
     val nEx = exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
@@ -1491,6 +1500,25 @@ object DataPipelineQueries {
         (coalesce(col("n_ann"), lit(0L)) === coalesce(col("n_found"), lit(0L)))
           .as("subset_ok"))
       .orderBy(col("qid"))
+  }
+
+  /** DENSITY-ADAPTIVE range ANN (r15 verdict ask #4) — the same pruned
+    * radius search with the probe budget sized from a measured density
+    * pre-pass ([[graft.text.Similarity.rangeDensity]] →
+    * [[graft.text.Similarity.adaptiveRangeKnobs]]) instead of fixed
+    * defaults. The decade defect this closes: at the 100× fixture the
+    * in-radius population grows ~60× while a fixed budget's candidate
+    * volume stays flat, so recall collapsed to 0.151; sizing
+    * bits/tables/cap from n̂ buys it back without the caller knowing the
+    * density. At gate-fixture densities the knobs clamp to EXACTLY the
+    * fixed defaults (see adaptiveRangeKnobs scaladoc), so this grid is
+    * bit-identical to similarity_range_ann's and shares its oracle
+    * verbatim. */
+  private def similarityRangeAnnAdaptive(s: SparkSession, d: String): DataFrame = {
+    val e = embeds(s, d)
+    val q = e.filter(col("vec_id") < 10)
+    rangeAnnVerdict(q, Similarity.annRangeAdaptive(e, q, RangeTau),
+      Similarity.bruteForceRange(e, q, RangeTau))
   }
 
   /** FILTERED similarity search — the metadata-predicate + top-k shape
@@ -4236,6 +4264,7 @@ object DataPipelineQueries {
     "similarity_topk" -> (similarityTopK _),
     "similarity_range" -> (similarityRange _),
     "similarity_range_ann" -> (similarityRangeAnn _),
+    "similarity_range_ann_adaptive" -> (similarityRangeAnnAdaptive _),
     "similarity_filtered" -> (similarityFiltered _),
     "similarity_filtered_ann" -> (similarityFilteredAnn _),
     "similarity_ann" -> (similarityAnn _),
@@ -4646,7 +4675,11 @@ object DataPipelineQueries {
     "text_lm_persist" -> oracleBase("text_lm_score"),
     // the parquet-sink deployment must reach the same verdicts as the
     // memory-sink gate and the batch pass — all three share one oracle
-    "stream_decontaminate_sink" -> oracleBase("stream_decontaminate_fuzzy"))
+    "stream_decontaminate_sink" -> oracleBase("stream_decontaminate_fuzzy"),
+    // the density-adaptive budget clamps to the fixed defaults at gate
+    // densities (adaptiveRangeKnobs scaladoc), so the verdict grid is the
+    // fixed-budget query's, oracle and all
+    "similarity_range_ann_adaptive" -> oracleBase("similarity_range_ann"))
 
   private lazy val oracleBase: Map[String, String] = Map(
     // C4 line-dedup replay: DuckDB's lockstep UNNEST pairs each span with

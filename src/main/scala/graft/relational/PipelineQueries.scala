@@ -432,6 +432,43 @@ object PipelineQueries {
     rows.toDF("cluster", "alphabet_size", "roundtrip_ok").orderBy("cluster")
   }
 
+  /** source_model_dill as its OWN gate id (r15 verdict ask #6 — until now
+    * the load path was only exercised inside [[modelRoundtrip]]'s
+    * save→load fidelity verdict): a model saved to a FOREIGN directory is
+    * loaded back (detection.py:166-243's load half) and serves the full
+    * corpus prediction FROM THE LOADED MODEL ALONE — the deployment shape
+    * where the trainer and the scorer are different processes. Verdict:
+    * one row per sequence, `loaded_matches_fit` = the loaded-model
+    * prediction (is_anomaly, closest, llk) equals the in-memory model's.
+    * Bit-equal serialization (modelRoundtrip's contract) implies bit-equal
+    * scores, so equality is exact (llk +∞ compares equal; NaN is bridged
+    * explicitly — a lossy or reordered field upstream breaks this grid
+    * loudly rather than shifting scores silently). */
+  def modelLoadServe(s: SparkSession, d: String): DataFrame = {
+    val (long, model) = fitOn(s, d)
+    val path = s"/tmp/graft_model_src_${java.util.UUID.randomUUID().toString.take(8)}"
+    AnomalyDetection.save(s, model, path)
+    try {
+      val loaded = AnomalyDetection.load(s, path)
+      val fromLoaded = AnomalyDetection.predict(s, loaded, long)
+        .select(col("seq_id"), col("is_anomaly"), col("closest"), col("llk"))
+      val fromFit = AnomalyDetection.predict(s, model, long)
+        .select(col("seq_id"), col("is_anomaly").as("m_anom"),
+          col("closest").as("m_closest"), col("llk").as("m_llk"))
+      fromLoaded.join(fromFit, Seq("seq_id"), "full_outer")
+        .select(col("seq_id"),
+          (col("is_anomaly").isNotNull && col("m_anom").isNotNull &&
+            col("is_anomaly") === col("m_anom") &&
+            col("closest") === col("m_closest") &&
+            (col("llk") === col("m_llk") ||
+              (isnan(col("llk")) && isnan(col("m_llk")))))
+            .as("loaded_matches_fit"))
+        .orderBy(col("seq_id"))
+        .localCheckpoint(true) // materialized — the saved dir can go
+    } finally DataPipelineQueries.deleteRecursively(
+      java.nio.file.Paths.get(path))
+  }
+
   /** sink_png analog (detection.py:257-269): graphviz DOT source per PFSA
     * (rendering itself is out of engine scope, SURVEY.md §2.1). */
   def sinkDot(s: SparkSession, d: String): DataFrame = {
@@ -611,6 +648,7 @@ object PipelineQueries {
     "source_pfsa_table" -> (sourcePfsaTable _),
     "sink_pfsa_connector" -> (sinkPfsaConnector _),
     "sink_model_dill" -> (modelRoundtrip _),
+    "source_model_dill" -> (modelLoadServe _),
     "sink_dot" -> (sinkDot _),
     "predict_scalar_or_vec" -> (predictScalar _),
     "stream_fit_predict" -> (streamFitPredict _),
@@ -785,6 +823,11 @@ object PipelineQueries {
     "sink_model_dill" ->
       """SELECT * FROM (VALUES (0, 2, true), (1, 2, true))
         |AS t(cluster, alphabet_size, roundtrip_ok) ORDER BY cluster""".stripMargin,
+    // loaded-model serving parity — see modelLoadServe's scaladoc; the
+    // sequence universe is the flagship grid's (every events user_id)
+    "source_model_dill" ->
+      """SELECT user_id AS seq_id, TRUE AS loaded_matches_fit
+        |FROM events GROUP BY user_id ORDER BY seq_id""".stripMargin,
     // scalar/vector parity verdict — see predictScalar's scaladoc
     "predict_scalar_or_vec" ->
       "SELECT min(user_id) AS seq_id, true AS scalar_matches_full FROM events",

@@ -59,6 +59,24 @@ object SearchDecadeStudy {
         (nFound, nExact, nAnn)
       }
 
+      // --- similarity_range_ann_adaptive: density-sized budget vs exact ---
+      // the r15 ask-#4 decade evidence: the same radius query with
+      // tables/bits/cap derived from the rangeDensity pre-pass; records
+      // the derived knobs and the pre-pass estimate alongside recall/wall
+      // so the response is attributable
+      val ((adapRow, adapKnobs), tAdap) = timed {
+        val (n, nHat) = Similarity.rangeDensity(e, q, DataPipelineQueries.RangeTau)
+        val (kTables, kBits, kCap) =
+          Similarity.adaptiveRangeKnobs(n, nHat, DataPipelineQueries.RangeTau)
+        val ann = Similarity.annRange(e, q, DataPipelineQueries.RangeTau,
+            tables = kTables, bits = kBits, maxBucketSize = kCap)
+          .select(col("qid"), col("neighbor")).localCheckpoint(true)
+        val exact = Similarity.bruteForceRange(e, q, DataPipelineQueries.RangeTau)
+          .select(col("qid"), col("neighbor")).localCheckpoint(true)
+        val nFound = exact.join(ann, Seq("qid", "neighbor")).count()
+        ((nFound, exact.count(), ann.count()), (kTables, kBits, kCap, nHat))
+      }
+
       // --- similarity_filtered_ann: label-filtered top-5 vs exact ---
       val (filtRow, tFilt) = timed {
         val ann = Similarity.annTopKFiltered(e, q, k = 5, filterCol = "label")
@@ -110,6 +128,11 @@ object SearchDecadeStudy {
         s""""range_ann":{"t":${fmt(tRange)},"n_found":${rangeRow._1},""" +
         s""""n_exact":${rangeRow._2},"n_ann":${rangeRow._3},""" +
         s""""recall":${fmt(rangeRow._1.toDouble / math.max(1L, rangeRow._2))}},""" +
+        s""""range_ann_adaptive":{"t":${fmt(tAdap)},"n_found":${adapRow._1},""" +
+        s""""n_exact":${adapRow._2},"n_ann":${adapRow._3},""" +
+        s""""recall":${fmt(adapRow._1.toDouble / math.max(1L, adapRow._2))},""" +
+        s""""tables":${adapKnobs._1},"bits":${adapKnobs._2},""" +
+        s""""cap":${adapKnobs._3},"n_hat":${fmt(adapKnobs._4)}},""" +
         s""""filtered_ann":{"t":${fmt(tFilt)},"n_found":${filtRow._1},""" +
         s""""n_exact":${filtRow._2},"n_returned":${filtRow._3},""" +
         s""""recall":${fmt(filtRow._1.toDouble / math.max(1L, filtRow._2))}},""" +
