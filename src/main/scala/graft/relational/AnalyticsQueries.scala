@@ -2065,23 +2065,32 @@ object AnalyticsQueries {
     * early (scan_orc is the next stage); this entry exercises the
     * pattern's Spark plumbing end to end. */
   private def scanBinaryfile(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_binscan").toString
-    Tables.tbl(s, d, "documents").select(col("doc_id"), col("text"))
-      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-        it.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, f"doc_${r.getLong(0)}%08d.bin"),
-            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_binscan")
+    val dir = tmp.toString
+    // the raw landing dir is a CORPUS-SIZED copy (one file per doc) — it
+    // must die with the call on all paths (the scanJsonl/scanBucketed
+    // discipline; pre-fix this leaked ~20 MB per invocation at sf0.1,
+    // i.e. a full corpus copy per run at scale), so the read-back is
+    // eagerly materialized before the finally removes the files
+    try {
+      Tables.tbl(s, d, "documents").select(col("doc_id"), col("text"))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, f"doc_${r.getLong(0)}%08d.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
         }
-      }
-    // pathGlobFilter, not a glob in the path: a glob path makes Spark's
-    // literal-path probe log a spurious FileNotFoundException before it
-    // falls back to glob expansion
-    s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dir)
-      .select(
-        regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
-        col("length"), md5(col("content")).as("content_md5"))
-      .orderBy(col("doc_id"))
+      // pathGlobFilter, not a glob in the path: a glob path makes Spark's
+      // literal-path probe log a spurious FileNotFoundException before it
+      // falls back to glob expansion
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dir)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+          col("length"), md5(col("content")).as("content_md5"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally DataPipelineQueries.deleteRecursively(tmp)
   }
 
   // ----------------------------------------------------- semi-structured JSON

@@ -408,8 +408,11 @@ object PipelineQueries {
     import s.implicits._
     val (_, model) = fitOn(s, d)
     val path = s"/tmp/graft_model_${java.util.UUID.randomUUID().toString.take(8)}"
+    // KB-sized, but the same leak class scanBinaryfile had: the saved
+    // dir must not outlive the call (modelLoadServe's discipline)
     AnomalyDetection.save(s, model, path)
-    val loaded = AnomalyDetection.load(s, path)
+    val loaded = try AnomalyDetection.load(s, path)
+    finally DataPipelineQueries.deleteRecursively(java.nio.file.Paths.get(path))
     // bit-pattern equality for the stats: a cluster whose own-member llks
     // include +inf has a NaN sample std, which round-trips faithfully but
     // fails ==; doubleToLongBits treats it as the equal bits it is
