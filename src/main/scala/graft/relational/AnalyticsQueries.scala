@@ -2374,18 +2374,26 @@ object AnalyticsQueries {
     * Iceberg) holds the union schema in metadata instead — same
     * semantics, no per-file pass. */
   private def scanSchemaEvolution(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
-    val docs = Tables.tbl(s, d, "documents")
-    docs.filter(pmod(col("doc_id"), lit(2)) === 0)
-      .select(col("doc_id"), col("lang"))
-      .write.mode("overwrite").parquet(s"$dir/batch=0")
-    docs.filter(pmod(col("doc_id"), lit(2)) === 1)
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-      .write.mode("overwrite").parquet(s"$dir/batch=1")
-    s.read.option("mergeSchema", "true").parquet(dir)
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        col("batch").cast("long").as("batch"))
-      .orderBy(col("doc_id"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evo")
+    val dir = tmp.toString
+    // same per-call dir lifecycle as scan_binaryfile/scanJsonl (this was
+    // the leak audit's second find: the two corpus-projection batches
+    // stayed on /tmp after every invocation) — materialize the merged
+    // read eagerly, then the finally removes the files
+    try {
+      val docs = Tables.tbl(s, d, "documents")
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$dir/batch=0")
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$dir/batch=1")
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("batch").cast("long").as("batch"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally DataPipelineQueries.deleteRecursively(tmp)
   }
 
   // ------------------------------------------------------ substring dedup
