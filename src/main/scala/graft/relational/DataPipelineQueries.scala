@@ -1852,13 +1852,48 @@ object DataPipelineQueries {
     * session (specs + gate + bench share a JVM) never accumulate
     * driver-resident result sets. Shared by every stream_* gate query that
     * doesn't need the live query handle afterwards. */
+  /** Scale-adaptive STATE-partition count for a streaming query over a
+    * fixture table (guide §2.2 "fewer, larger partitions" + the
+    * stream_neardup precedent, which measured ~20% of that query lost to
+    * per-partition state-store open/commit at gate scale): one state
+    * partition per 32 MB of source, floor 8, capped at the session's
+    * `spark.sql.shuffle.partitions` (the cluster-sized value a production
+    * deployment sets). Derived from a DRIVER-SIDE FILE LISTING — no data
+    * pass — so the count grows with the corpus (at 100 TB the cap binds
+    * and the session value rules) instead of being a local[32] constant.
+    * Stream-START config only: the session value is restored immediately
+    * after `start()` (partitioning is frozen into the checkpoint at
+    * start), so batch verdict passes are untouched.
+    *
+    * Measured (r16, isolated 12-query stream spot bench ×2, steal <1.4%):
+    * 31.6/30.9 s at 32 state partitions → 22.4/23.9 s at 8 (−26%);
+    * stream_stream_join 6.4/5.7 → 2.7/2.8 s. A floor of 4 regressed the
+    * compute-in-stream members (stream_dedup 2.3 → 5.2 s), so 8 stands. */
+  private[relational] def streamStateParts(s: SparkSession, d: String,
+                                           table: String): Int = {
+    val f = new java.io.File(s"$d/$table")
+    val bytes =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.filter(_.isFile).map(_.length()).sum)
+          .getOrElse(0L)
+      else f.length()
+    val sessionParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(8L, math.min(sessionParts.toLong, bytes >> 25)).toInt
+  }
+
   private[relational] def runMemorySink(streamed: DataFrame, prefix: String,
-                            mode: String): DataFrame = {
+                            mode: String, parts: Option[Int] = None): DataFrame = {
     val qname = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = streamed.writeStream.format("memory").queryName(qname)
-      .outputMode(mode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val sess = streamed.sparkSession
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = sess.conf.get(partKey)
+    parts.foreach(p => sess.conf.set(partKey, p.toString))
+    val q =
+      try streamed.writeStream.format("memory").queryName(qname)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      finally sess.conf.set(partKey, prevParts)
     q.awaitTermination()
     val s = streamed.sparkSession
     val out = s.table(qname).localCheckpoint(true)
@@ -1869,7 +1904,8 @@ object DataPipelineQueries {
   private def streamDedupVerdict(s: SparkSession, d: String, qprefix: String,
                                  streamed: DataFrame): DataFrame = {
     val emitted = runMemorySink(
-      streamed.select(col("doc_id"), col("norm_md5")), qprefix, "append")
+      streamed.select(col("doc_id"), col("norm_md5")), qprefix, "append",
+      parts = Some(streamStateParts(s, d, "documents.parquet")))
     val membership = docs(s, d)
       .select(col("doc_id"), md5(TextOps.normalized("text")).as("norm_md5"))
       .withColumn("is_member", lit(true))
@@ -2201,7 +2237,8 @@ object DataPipelineQueries {
         timestamp_micros(col("ts_us") + lit(3155760000000000L)).as("event_ts"))
     val emitted = runMemorySink(graft.streaming.StreamingSessionize
       .sessions(real.unionByName(sentinel), "30 minutes", "40 days"),
-      "stream_sess_", "append")
+      "stream_sess_", "append",
+      parts = Some(streamStateParts(s, d, "events.parquet")))
     // batch post-pass over the emitted (finalized) sessions only: number
     // them per user in start order to match the batch-shaped contract
     emitted.filter(col("user_id") =!= -1L)
@@ -2286,7 +2323,8 @@ object DataPipelineQueries {
       .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
         timestamp_micros(col("ts_us")).as("v_ts"))
       .withWatermark("v_ts", "40 days")
-    runMemorySink(attributionJoin(p, v), "stream_ssj_", "append")
+    runMemorySink(attributionJoin(p, v), "stream_ssj_", "append",
+      parts = Some(streamStateParts(s, d, "events.parquet")))
       .orderBy(col("p_id"), col("v_id"))
   }
 
@@ -2312,7 +2350,8 @@ object DataPipelineQueries {
       .select(lit(WindowSentinel).as("event_type"),
         timestamp_micros(col("ts_us") + lit(3155760000000000L)).as("event_ts"))
     runMemorySink(windowCounts(real.unionByName(sentinel), "40 days"),
-      "stream_wc_", "append")
+      "stream_wc_", "append",
+      parts = Some(streamStateParts(s, d, "events.parquet")))
       .filter(col("event_type") =!= WindowSentinel)
       .orderBy(col("event_type"), col("window_start_us"))
   }
@@ -2337,7 +2376,8 @@ object DataPipelineQueries {
         count(lit(1)).as("n_events"))
       .select(unix_micros(col("win.start")).as("window_start_us"),
         col("n_approx"), col("n_events"))
-    val streamed = runMemorySink(agg, "stream_hll_", "complete")
+    val streamed = runMemorySink(agg, "stream_hll_", "complete",
+      parts = Some(streamStateParts(s, d, "events.parquet")))
     val e = Tables.eventsTsUs(s, d)
     val exact = e
       .groupBy((col("ts_us") - pmod(col("ts_us"), lit(3600000000L))).as("window_start_us"))
@@ -2368,7 +2408,8 @@ object DataPipelineQueries {
       val raw = src.select(col("user_id"), col("event_id"), col("value"),
         graft.relational.Tables.tsUsCol(src).as("ts_us"))
       runMemorySink(graft.streaming.StreamingAnomaly.scored(raw),
-        "stream_anom_", "append")
+        "stream_anom_", "append",
+        parts = Some(streamStateParts(s, d, "events.parquet")))
         .orderBy(col("event_id"))
     } finally {
       prev match {
@@ -2395,7 +2436,8 @@ object DataPipelineQueries {
       val raw = src.select(col("user_id"), col("event_id"), col("event_type"),
         graft.relational.Tables.tsUsCol(src).as("ts_us"))
       runMemorySink(graft.streaming.StreamingFunnel.completions(raw),
-        "stream_funnel_", "append")
+        "stream_funnel_", "append",
+        parts = Some(streamStateParts(s, d, "events.parquet")))
         .orderBy(col("user_id"))
     } finally {
       prev match {
@@ -2436,11 +2478,20 @@ object DataPipelineQueries {
       val src = streamEvents(s, d)
       val raw = src.select(col("user_id"), col("event_id"), col("value"),
         graft.relational.Tables.tsUsCol(src).as("ts_us"))
-      val q = raw.writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch(cdcUpsertBatch(tmp) _)
-        .start()
-      q.awaitTermination()
+      // unlike the memory-sink sites, the state work here is the BATCH
+      // groupBy INSIDE foreachBatch, which reads shuffle.partitions at
+      // each batch's execution — so the sized value must hold through
+      // awaitTermination and be restored after, not at start
+      val partKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partKey)
+      s.conf.set(partKey, streamStateParts(s, d, "events.parquet").toString)
+      try {
+        val q = raw.writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch(cdcUpsertBatch(tmp) _)
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set(partKey, prevParts)
       // localCheckpoint BEFORE the finally deletes the state dirs the
       // lazy read would otherwise scan — same lifecycle as the other sinks
       s.read.parquet(cdcStateDirs(tmp).last.getPath)
@@ -2522,11 +2573,17 @@ object DataPipelineQueries {
     }
     s.streams.addListener(listener)
     try {
-      val q = observed.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // state-partition sizing at stream START (see streamStateParts)
+      val partKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partKey)
+      s.conf.set(partKey, streamStateParts(s, d, "events.parquet").toString)
+      val q =
+        try observed.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        finally s.conf.set(partKey, prevParts)
       q.awaitTermination()
       // the listener bus is async: drain it before reading the tallies, or
       // a slow bus reads as missing micro-batches
@@ -2542,7 +2599,8 @@ object DataPipelineQueries {
   }
 
   private def streamVocab(s: SparkSession, d: String): DataFrame =
-    runMemorySink(vocabCounts(streamDocs(s, d)), "stream_vocab_", "complete")
+    runMemorySink(vocabCounts(streamDocs(s, d)), "stream_vocab_", "complete",
+      parts = Some(streamStateParts(s, d, "documents.parquet")))
       .orderBy(col("token"))
 
   /** The aggregation streamVocab runs — shared with StreamVocabSpec so the

@@ -636,11 +636,20 @@ object EmbedQueries {
           .otherwise(array(col("vec_id")))).as("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       val qname = "stream_embed_nd_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = StreamingEmbedNearDup.nearDupVecs(withCopies(src))
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // state-partition sizing at stream START (the streamNearDup
+      // precedent; see DataPipelineQueries.streamStateParts) — restored
+      // right after start() so the batch verdict side is untouched
+      val partKey = "spark.sql.shuffle.partitions"
+      val prevParts = s.conf.get(partKey)
+      s.conf.set(partKey, graft.relational.DataPipelineQueries
+        .streamStateParts(s, d, "embeddings.parquet").toString)
+      val q =
+        try StreamingEmbedNearDup.nearDupVecs(withCopies(src))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        finally s.conf.set(partKey, prevParts)
       q.awaitTermination()
       val sops = q.recentProgress.toSeq
         .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))

@@ -565,7 +565,8 @@ object QualityQueries {
       .groupBy(col("event_type"), col("bin"))
       .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("nb"),
         sum(when(!col("is_base"), 1L).otherwise(0L)).as("nc"))
-    val sunk = DataPipelineQueries.runMemorySink(counts, "stream_dq_drift_", "complete")
+    val sunk = DataPipelineQueries.runMemorySink(counts, "stream_dq_drift_", "complete",
+      parts = Some(DataPipelineQueries.streamStateParts(s, d, "events.parquet")))
     psiVerdict(s, edges, sunk)
   }
 
