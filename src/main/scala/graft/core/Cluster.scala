@@ -105,6 +105,24 @@ object Cluster {
     (relabelCol, rankMap, sizesByRank)
   }
 
+  /** Partition the clusterer's FIT input to the data size (optimization
+    * guide §2.2, r16): MLlib estimators iterate RDD jobs whose task count
+    * is the input frame's partition count, and AQE never touches RDD jobs
+    * — so a session-partitioned (e.g. 32-way) KB-scale feature frame pays
+    * ~25 scheduling rounds of near-empty tasks per fit (measured 2.05 s
+    * as-is vs 1.13 s coalesced for k=2 at sf0.1). One partition per 100k
+    * feature rows (rows are seq_id + a 4-8 double vector), floor 1, never
+    * more than the frame already has — at corpus scale the row count rules
+    * and this is a no-op, so nothing here is tuned to local[32]. The
+    * count is one job over a frame every caller evaluates repeatedly
+    * anyway (the fit path caches it; the verdict-grid paths re-evaluate
+    * it for transform and the output select). */
+  private def sizedForFit(feat: DataFrame): DataFrame = {
+    val cur = feat.rdd.getNumPartitions
+    val target = math.min(cur.toLong, math.max(1L, feat.count() / 100000L)).toInt
+    if (target < cur) feat.coalesce(target) else feat
+  }
+
   def assignFeatures(feat: DataFrame, nClusters: Int, seed: Long = 42L,
                      clusterer: Option[Estimator[_ <: Model[_]]] = None): DataFrame =
     assignFeaturesWithStats(feat, nClusters, seed, clusterer)._1
@@ -119,10 +137,16 @@ object Cluster {
     val labeled =
       if (nClusters <= 1 && clusterer.isEmpty) feat.withColumn("raw_label", lit(0))
       else {
+        // eager checkpoint BEFORE the fit: the feature sweep behind `feat`
+        // is otherwise re-evaluated by the sizing count, every estimator
+        // pass, transform, AND the relabel collect (uncached verdict-grid
+        // callers paid it 3-4x); the frame is one row per sequence, so the
+        // materialization is KB-to-MB scale at any corpus size (r16)
+        val f = feat.localCheckpoint(true)
         val est = clusterer.getOrElse(
           new KMeans().setK(nClusters).setSeed(seed)
             .setFeaturesCol("features").setPredictionCol("raw_label"))
-        est.fit(feat).transform(feat)
+        est.fit(sizedForFit(f)).transform(f)
       }
     val (relabelCol, _, sizes) = frequencyRelabel(labeled, nClusters)
     // carry whatever payload columns rode along (symbols on the array path,
@@ -142,10 +166,12 @@ object Cluster {
     * driver — the same bounded-collect class as the relabel rank map. */
   def assignFeaturesWithCenters(feat: DataFrame, nClusters: Int, seed: Long = 42L)
       : (DataFrame, Map[Int, Array[Double]], Seq[Long]) = {
+    // eager checkpoint before the fit — see assignFeaturesWithStats
+    val f = feat.localCheckpoint(true)
     val est = new KMeans().setK(nClusters).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("raw_label")
-    val model = est.fit(feat)
-    val labeled = model.transform(feat)
+    val model = est.fit(sizedForFit(f))
+    val labeled = model.transform(f)
     val (relabelCol, rankMap, sizes) = frequencyRelabel(labeled, nClusters)
     val centers = model.clusterCenters.zipWithIndex.map { case (c, lbl) =>
       rankMap(lbl) -> c.toArray }.toMap

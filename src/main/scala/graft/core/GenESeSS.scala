@@ -318,13 +318,21 @@ object GenESeSS {
   /** @param presort false when the caller already hash-partitioned by seq_id
     *                 and sorted by (seq_id, t) — e.g. fit's cached frame —
     *                 so the visit sweep adds no redundant exchange */
+  /** @param knownClusters the distinct `cluster` ids present in
+    *                       `longLabeled`, when the caller already holds them
+    *                       (fit's frequency relabel does) — skips a full
+    *                       re-scan of the labeled join just to re-derive
+    *                       them (r16: that distinct measured ~0.5 s per fit
+    *                       at sf0.1, pure job latency over a known answer) */
   def inferAllLong(spark: SparkSession, longLabeled: DataFrame, alphabetSize: Int,
-                   params: Params = Params(), presort: Boolean = true): Map[Int, Pfsa] = {
+                   params: Params = Params(), presort: Boolean = true,
+                   knownClusters: Option[Seq[Int]] = None): Map[Int, Pfsa] = {
     import org.apache.spark.sql.graft.ColumnBridge
     val k = alphabetSize
     val L = contextLength(k, params.eps, params.maxL)
     val counts = collectHeaps(ngramCountsLong(longLabeled, L), k, params)
-    val allClusters = longLabeled.select("cluster").distinct().collect().map(_.getInt(0))
+    val allClusters = knownClusters.map(_.toArray).getOrElse(
+      longLabeled.select("cluster").distinct().collect().map(_.getInt(0)))
     val skeletons = allClusters.map { cluster =>
       cluster -> buildSkeleton(counts.getOrElse(cluster, Map.empty), k, params)
     }.toMap

@@ -123,16 +123,25 @@ object AnomalyDetection {
         else None
 
       def inferForK(k: Int): (DataFrame, Map[Int, Pfsa]) = {
-        val lbl = feat match {
-          case Some(f) => Cluster.assignFeatures(f, k, params.kmeansSeed, clusterer).cache()
+        // observed cluster ids come FREE from the relabel's bounded collect
+        // (rank r has members iff sizes(r) > 0) — inferAllLong otherwise
+        // re-scans the labeled join just to re-derive them (r16)
+        val (lbl, observed) = feat match {
+          case Some(f) =>
+            val (l, sizes) = Cluster.assignFeaturesWithStats(
+              f, k, params.kmeansSeed, clusterer)
+            (l.cache(), sizes.zipWithIndex.collect { case (n, r) if n > 0 => r })
           // constant-label path: one distinct over the already-partitioned
           // cache (no exchange), no feature sweep
-          case None => q.select(col("seq_id")).distinct().withColumn("cluster", lit(0)).cache()
+          case None =>
+            (q.select(col("seq_id")).distinct().withColumn("cluster", lit(0)).cache(),
+              Seq(0))
         }
         // the join key is the partitioning key, so labels co-partition in and
         // the joined frame keeps q's (seq_id, t) order — no re-sort needed
         val lib = GenESeSS.inferAllLong(spark, q.join(lbl, "seq_id"),
-          alphabetSize, genParams, presort = false)
+          alphabetSize, genParams, presort = false,
+          knownClusters = Some(observed))
         (lbl, lib)
       }
 

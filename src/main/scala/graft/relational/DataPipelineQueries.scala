@@ -3836,6 +3836,12 @@ object DataPipelineQueries {
     * token frequencies as a PLAIN array<double> (the MLlib vector exists
     * only inside the bounded fit input — see the scoring note in
     * [[qualityClassifier]]). Lazy plan; callers persist or sink. */
+  /** Dev accessors for R16QualityProfile (profiling main) — not gate surface. */
+  private[relational] def qualityFeaturesDev(s: SparkSession, d: String): DataFrame =
+    qualityFeatures(s, d)
+  private[relational] def lmScoresDev(s: SparkSession, d: String): DataFrame =
+    lmScores(s, d)
+
   private def qualityFeatures(s: SparkSession, d: String): DataFrame = {
     val hv = (pos: Int) =>
       s"IF(ascii(substr(hx, $pos, 1)) >= 97, ascii(substr(hx, $pos, 1)) - 87," +
