@@ -141,8 +141,13 @@ object Cluster {
         // is otherwise re-evaluated by the sizing count, every estimator
         // pass, transform, AND the relabel collect (uncached verdict-grid
         // callers paid it 3-4x); the frame is one row per sequence, so the
-        // materialization is KB-to-MB scale at any corpus size (r16)
-        val f = feat.localCheckpoint(true)
+        // materialization is KB-to-MB scale at any corpus size. Skipped
+        // when the caller already persisted it (the fit path does) — a
+        // second materialization of a cached frame is pure overhead (r16)
+        val f =
+          if (feat.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            feat.localCheckpoint(true)
+          else feat
         val est = clusterer.getOrElse(
           new KMeans().setK(nClusters).setSeed(seed)
             .setFeaturesCol("features").setPredictionCol("raw_label"))
@@ -167,7 +172,10 @@ object Cluster {
   def assignFeaturesWithCenters(feat: DataFrame, nClusters: Int, seed: Long = 42L)
       : (DataFrame, Map[Int, Array[Double]], Seq[Long]) = {
     // eager checkpoint before the fit — see assignFeaturesWithStats
-    val f = feat.localCheckpoint(true)
+    val f =
+      if (feat.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        feat.localCheckpoint(true)
+      else feat
     val est = new KMeans().setK(nClusters).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("raw_label")
     val model = est.fit(sizedForFit(f))

@@ -607,6 +607,52 @@ object AnalyticsQueries {
       tmp.toString
     })
 
+  /** Session memo of the UNDIRECTED distinct edge set (a < b) over the
+    * k-NN graph (r16 optimization): EIGHT graph queries derived it per
+    * call — each paying a distinct-exchange over the edge table for the
+    * same answer (the sharedAnnEdges amortization rule one step deeper).
+    * Edge-sized parquet; lifecycle identical to the edge memo's. */
+  private val undMemo = new graft.core.SessionMemo[String](dir =>
+    DataPipelineQueries.deleteRecursively(java.nio.file.Paths.get(dir)),
+    name = "und_edges")
+
+  private[relational] def sharedUndEdges(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(undMemo.getOrBuild(s, d) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_und_edges_")
+      sharedAnnEdges(s, d)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+        .write.mode("overwrite").parquet(tmp.toString)
+      tmp.toString
+    })
+
+  /** Session memo of per-node TRIANGLE counts over [[sharedUndEdges]]
+    * (r16): graph_triangles and graph_clustering_coeff both ran the same
+    * oriented wedge join + LEFT SEMI closure + 3-corner aggregate — the
+    * family's most expensive derived relation after the edges themselves.
+    * Node-sized parquet (node, t). */
+  private val triMemo = new graft.core.SessionMemo[String](dir =>
+    DataPipelineQueries.deleteRecursively(java.nio.file.Paths.get(dir)),
+    name = "tri_counts")
+
+  private[relational] def sharedTriCounts(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(triMemo.getOrBuild(s, d) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_tri_counts_")
+      val und = sharedUndEdges(s, d)
+      val wedges = und.select(col("a").as("x"), col("b").as("y"))
+        .join(und.select(col("a").as("y"), col("b").as("z")), "y")
+      val tri = wedges.join(und.select(col("a").as("x"), col("b").as("z")),
+          Seq("x", "z"), "left_semi")
+        .localCheckpoint(true) // consumed 3x by the corner union below
+      tri.select(col("x").as("node"))
+        .union(tri.select(col("y")))
+        .union(tri.select(col("z")))
+        .groupBy(col("node")).agg(count(lit(1)).as("t"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      tmp.toString
+    })
+
   /** @param bitsOverride dev-only geometry knob for [[AnnKnobStudy]]:
     *                      > 0 pins the code width instead of
     *                      [[graphBits]]; the gate path always passes the
@@ -749,19 +795,10 @@ object AnalyticsQueries {
   private def graphTriangles(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val und = sharedAnnEdges(s, d)
-      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-      .cache()
-    val wedges = und.select(col("a").as("x"), col("b").as("y"))
-      .join(und.select(col("a").as("y"), col("b").as("z")), "y")
-    val tri = wedges.join(und.select(col("a").as("x"), col("b").as("z")),
-        Seq("x", "z"), "left_semi")
-      .cache()
-    val perNode = tri.select(col("x").as("node"))
-      .union(tri.select(col("y")))
-      .union(tri.select(col("z")))
-      .groupBy(col("node")).agg(count(lit(1)).as("t"))
+    // per-node counts come from the family memo (r16): the wedge + semi
+    // closure is computed once per (session, corpus) and shared with
+    // graph_clustering_coeff instead of re-run per call
+    val perNode = sharedTriCounts(s, d)
     emb.select(col("vec_id"))
       .join(perNode, emb("vec_id") === perNode("node"), "left")
       .select(col("vec_id"), coalesce(col("t"), lit(0L)).as("n_triangles"))
@@ -782,21 +819,11 @@ object AnalyticsQueries {
     * [[graphTriangles]]); everything keyed, no cartesian. */
   private def graphClusteringCoeff(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"))
-    val und = sharedAnnEdges(s, d)
-      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-      .cache()
+    val und = sharedUndEdges(s, d)
     val deg = und.select(col("a").as("node")).union(und.select(col("b")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val wedges = und.select(col("a").as("x"), col("b").as("y"))
-      .join(und.select(col("a").as("y"), col("b").as("z")), "y")
-    val tri = wedges.join(und.select(col("a").as("x"), col("b").as("z")),
-        Seq("x", "z"), "left_semi")
-      .cache()
-    val perNode = tri.select(col("x").as("node"))
-      .union(tri.select(col("y")))
-      .union(tri.select(col("z")))
-      .groupBy(col("node")).agg(count(lit(1)).as("t"))
+    // shared with graph_triangles via the family memo (r16)
+    val perNode = sharedTriCounts(s, d)
     emb.join(deg, emb("vec_id") === deg("node"), "left")
       .join(perNode, emb("vec_id") === perNode("node"), "left")
       .select(col("vec_id"),
@@ -824,9 +851,7 @@ object AnalyticsQueries {
     * back to EXISTING edges by a keyed left join; degrees are one
     * combinable aggregate. All integers, both engines exact. */
   private def graphEdgeOverlap(s: SparkSession, d: String): DataFrame = {
-    val und = sharedAnnEdges(s, d)
-      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+    val und = sharedUndEdges(s, d)
       .cache()
     val adj = und.select(col("a").as("node"), col("b").as("nbr"))
       .union(und.select(col("b"), col("a")))
@@ -949,9 +974,7 @@ object AnalyticsQueries {
     * aggregates; output is a single audit row. */
   private def graphAssortativity(s: SparkSession, d: String): DataFrame = {
     val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
-    val und = sharedAnnEdges(s, d)
-      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+    val und = sharedUndEdges(s, d)
     val dir = und.union(und.select(col("b"), col("a")))
       .join(lbl.select(col("vec_id").as("a"), col("label").as("la")), "a")
       .join(lbl.select(col("vec_id").as("b"), col("label").as("lb")), "b")
@@ -1056,9 +1079,7 @@ object AnalyticsQueries {
     s.read.parquet(lpMemo.getOrBuild(s, d) {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-      val und = sharedAnnEdges(s, d)
-        .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
-        .distinct()
+      val und = sharedUndEdges(s, d)
       val adj = und.select(col("a").as("node"), col("b").as("nbr"))
         .union(und.select(col("b"), col("a")))
         .cache()
@@ -1106,9 +1127,7 @@ object AnalyticsQueries {
   private def graphModularity(s: SparkSession, d: String): DataFrame = {
     val lab = sharedLpLabels(s, d)
       .select(col("vec_id"), col("label").cast("long").as("community"))
-    val und = sharedAnnEdges(s, d)
-      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+    val und = sharedUndEdges(s, d)
     val undl = und
       .join(lab.select(col("vec_id").as("a"), col("community").as("ca")), "a")
       .join(lab.select(col("vec_id").as("b"), col("community").as("cb")), "b")
@@ -1161,9 +1180,7 @@ object AnalyticsQueries {
   private def graphConductance(s: SparkSession, d: String): DataFrame = {
     val lab = sharedLpLabels(s, d)
       .select(col("vec_id"), col("label").cast("long").as("community"))
-    val und = sharedAnnEdges(s, d)
-      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+    val und = sharedUndEdges(s, d)
     val dirl = und.union(und.select(col("b"), col("a")))
       .join(lab.select(col("vec_id").as("a"), col("community").as("ca")), "a")
       .join(lab.select(col("vec_id").as("b"), col("community").as("cb")), "b")
@@ -1374,9 +1391,7 @@ object AnalyticsQueries {
     * DuckDB oracle replays the labeling exactly via a recursive
     * min-label flood over the identical replayed edge set. */
   private def graphComponents(s: SparkSession, d: String): DataFrame = {
-    val und = sharedAnnEdges(s, d)
-      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+    val und = sharedUndEdges(s, d)
     val nodes = Tables.embeddings(s, d).select(col("vec_id").as("id"))
     val comp = graft.text.Components.minLabel(nodes, und)
     val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("component_size"))
