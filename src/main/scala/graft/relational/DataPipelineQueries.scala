@@ -3963,8 +3963,6 @@ object DataPipelineQueries {
     val feats = s.read.parquet(s"$root/feats")
     val strata = s.read.parquet(s"$root/labels")
     val labeled = strata.join(feats, "doc_id")
-    val train = labeled.filter(col("doc_id") % 2 === 0)
-    val holdout = labeled.filter(col("doc_id") % 2 === 1)
     // Scoring is NATIVE — sigmoid over a VecDotConst margin from the
     // fitted coefficients — never `model.transform`: the MLlib transform
     // UDF captures the MODEL, whose trainingSummary holds the
@@ -3979,15 +3977,20 @@ object DataPipelineQueries {
       ColumnBridge.column(graft.functions.VecDotConst(
         ColumnBridge.expression(c), w)) + lit(b)
     val probCol = lit(1.0) / (lit(1.0) + exp(-margin(col("farr"))))
-    def acc(df: DataFrame): Double = {
-      // margin > 0 ⇔ probability > 0.5: MLlib's default binary decision
-      val r = df.select((when(margin(col("farr")) > 0, 1.0).otherwise(0.0)
+    // margin > 0 ⇔ probability > 0.5: MLlib's default binary decision.
+    // Train and holdout accuracy in ONE grouped pass over the labeled
+    // frame (r16): the two per-split agg jobs scanned the identical join
+    // twice for values a parity groupBy produces together.
+    val accBySplit = labeled.select((col("doc_id") % 2 === 0).as("is_train"),
+        (when(margin(col("farr")) > 0, 1.0).otherwise(0.0)
           === col("label")).cast("long").as("ok"))
-        .agg(sum(col("ok")).cast("double"), count(lit(1)).cast("double")).head()
-      r.getDouble(0) / r.getDouble(1)
-    }
-    val trainAcc = acc(train)
-    val holdoutAcc = acc(holdout)
+      .groupBy(col("is_train"))
+      .agg(sum(col("ok")).cast("double").as("oks"),
+        count(lit(1)).cast("double").as("n"))
+      .collect().map(r => r.getBoolean(0) -> (r.getDouble(1) / r.getDouble(2)))
+      .toMap
+    val trainAcc = accBySplit.getOrElse(true, 0.0)
+    val holdoutAcc = accBySplit.getOrElse(false, 0.0)
     // corpus-wide scoring + decile rank (probability DESC, doc_id) via the
     // same histogram decomposition — the scored probability is bounded in
     // [0,1] so floor(1000·p) is a ≤1001-cell coarse key
