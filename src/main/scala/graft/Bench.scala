@@ -191,10 +191,20 @@ object Bench {
     //      always ends with one complete parseable JSON object.
     // Compact-first would not survive: the tail is suffix-based, and the
     // long line behind it would push the summary out of the window.
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL_local.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullLine + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
+    // r16 verdict #2: the default detail path was a FIXED file, so the
+    // driver's own 8-core scaling run overwrote the 32-core detail in the
+    // working tree and per-query grading degraded to reconstruction work.
+    // The default is now stamped with core count + start time (never
+    // overwritten); $SPARK_GRAFT_BENCH_FULL still pins an explicit path,
+    // and BENCH_FULL_local.json is additionally refreshed as a
+    // latest-run pointer for existing tooling.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      s"BENCH_FULL_c${cpus}_$startedAtMs.json")
+    (Seq(fullPath, "BENCH_FULL_local.json").distinct).foreach { p =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), fullLine + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}") }
+    }
     println(fullLine)
     // top-10 slowest queries: the per-query signal that matters for grading,
     // small enough to always fit beside totals/errors/calibration
@@ -212,11 +222,21 @@ object Bench {
     val errCompact = (errors.take(5).map(e => q(sanitize(e))) ++
       (if (errors.size > 5) Seq(q(s"...and ${errors.size - 5} more")) else Nil))
       .mkString("[", ",", "]")
+    // per-FAMILY seconds (query-name prefix before the first '_'): the
+    // densest per-query signal that fits the driver's ~2,000-char tail —
+    // 262 per-query entries cannot (round 8 proved it), but ~40 family
+    // sums can, giving the round-over-round and 8c/32c scaling compare a
+    // machine-readable breakdown even when only the tail survives
+    // (r16 verdict #2).
+    val famJson = results.groupBy(_._1.takeWhile(_ != '_'))
+      .map { case (f, xs) => (f, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
+      .map { case (f, v) => "\"" + f + "\":" + pct(v) }.mkString("{", ",", "}")
     // family_builds is tiny (≤ a handful of named memos) and is the
     // round-over-round attribution signal — carried on the compact line too
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
       s""""errors":$errCompact,"calib_s":${pct(calibS)},"total_norm":$totalNorm,""" +
       s""""steal_pct":${pct(stealPct)},"family_builds":$familyJson,""" +
+      s""""families":$famJson,""" +
       s""""top_queries":$top,"detail_file":${q(fullPath)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1865,20 +1865,37 @@ object DataPipelineQueries {
     * after `start()` (partitioning is frozen into the checkpoint at
     * start), so batch verdict passes are untouched.
     *
+    * CONCURRENCY ASSUMPTION: the set→restore swap around `start()` mutates
+    * the session-global `spark.sql.shuffle.partitions`; any query PLANNED
+    * concurrently on the same session inside that window would inherit the
+    * stream's state-partition count. Safe under the gate/bench contract
+    * (queries run strictly sequentially); a concurrent registration would
+    * need a lock or a per-query cloned session here.
+    *
     * Measured (r16, isolated 12-query stream spot bench ×2, steal <1.4%):
     * 31.6/30.9 s at 32 state partitions → 22.4/23.9 s at 8 (−26%);
     * stream_stream_join 6.4/5.7 → 2.7/2.8 s. A floor of 4 regressed the
     * compute-in-stream members (stream_dedup 2.3 → 5.2 s), so 8 stands. */
   private[relational] def streamStateParts(s: SparkSession, d: String,
                                            table: String): Int = {
-    val f = new java.io.File(s"$d/$table")
+    // Size through the Hadoop FileSystem API, NOT java.io.File: the source
+    // dir can live on any filesystem (file:, hdfs:, s3a:, ...) and
+    // getContentSummary sums RECURSIVELY, so partitioned/nested layouts
+    // count too. (The r16 java.io.File version read 0 bytes on any remote
+    // FS or nested layout and silently pinned every stateful stream to the
+    // floor — the opposite of the documented scale story.) Still a
+    // driver-side metadata call: no data pass.
+    val path = new org.apache.hadoop.fs.Path(s"$d/$table")
     val bytes =
-      if (f.isDirectory)
-        Option(f.listFiles()).map(_.filter(_.isFile).map(_.length()).sum)
-          .getOrElse(0L)
-      else f.length()
+      try {
+        val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(path)) fs.getContentSummary(path).getLength else 0L
+      } catch { case _: java.io.IOException => 0L }
     val sessionParts = s.conf.get("spark.sql.shuffle.partitions").toInt
-    math.max(8L, math.min(sessionParts.toLong, bytes >> 25)).toInt
+    // Floor INSIDE the cap: the session's cluster-sized value always bounds
+    // the result, so a deployment that deliberately runs < 8 shuffle
+    // partitions is respected (the r16 order exceeded the documented cap).
+    math.min(sessionParts.toLong, math.max(8L, bytes >> 25)).toInt
   }
 
   private[relational] def runMemorySink(streamed: DataFrame, prefix: String,
