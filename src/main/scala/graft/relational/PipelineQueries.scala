@@ -175,26 +175,41 @@ object PipelineQueries {
     // event_type → cluster id via a collected distinct map: the type domain is
     // a small constant (~ a handful of values), so the driver round-trip is
     // bounded; the map goes back as a broadcast join — no global window.
-    val typeIds = long.select(col("event_type")).distinct().collect()
-      .map(_.getString(0)).sorted.zipWithIndex
+    val typeList = long.select(col("event_type")).distinct().collect()
+      .map(_.getString(0)).sorted
+    val typeIds = typeList.zipWithIndex
       .map { case (t, i) => (t, i) }.toSeq.toDF("event_type", "cluster")
     // long-form inference: a "sequence" is one (user, type) sub-stream; its
     // global per-user t ranks are re-ranked dense within the pair so the
     // visit aggregate folds single head runs — no collect_list anywhere
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("seq_id"), col("event_type")).orderBy(col("t"))
+    // eagerly materialized ONCE (r17): the events→quantize→double-rank
+    // chain below feeds FOUR full passes (long engine: ngram heap + visit
+    // sweep; array engine: the collect_list grouping, itself read twice
+    // inside inferAll) — uncheckpointed, each pass re-ran the whole chain
     val labeled = Quantize.simple(long, "seq_id", "t", "value")
       .join(broadcast(typeIds), Seq("event_type"))
       .select(struct(col("seq_id"), col("event_type")).as("seq_id"),
         (row_number().over(w) - 1).cast("long").as("t"),
         col("symbol"), col("cluster"))
-    val lib = GenESeSS.inferAllLong(s, labeled, alphabetSize = 2, GenESeSS.Params(eps = 0.2))
-    // array path over the SAME labeled rows — the independent comparator
+      .localCheckpoint(true)
+    // cluster ids are BY CONSTRUCTION 0..n-1 (the zipWithIndex over the
+    // collected type domain) — pass them instead of letting inferAllLong
+    // re-scan the labeled join for a distinct the driver already holds
+    // (the r16 knownClusters lever, unused here until now)
+    val lib = GenESeSS.inferAllLong(s, labeled, alphabetSize = 2,
+      GenESeSS.Params(eps = 0.2),
+      knownClusters = Some(typeList.indices))
+    // array path over the SAME labeled rows — the independent comparator;
+    // checkpointed because inferAll folds it twice (heap + visit sweep)
+    // and the collect_list grouping is the expensive step
     val arrInput = labeled
       .groupBy(col("seq_id"), col("cluster"))
       .agg(expr("transform(array_sort(collect_list(struct(t, symbol))), x -> x.symbol)")
         .as("symbols"))
       .select(col("cluster"), col("symbols"))
+      .localCheckpoint(true)
     val libArr = GenESeSS.inferAll(s, arrInput, alphabetSize = 2, GenESeSS.Params(eps = 0.2))
     val sameClusters = lib.keySet == libArr.keySet
     lib.keys.toSeq.sorted.map { c =>
