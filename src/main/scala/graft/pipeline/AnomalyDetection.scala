@@ -90,7 +90,31 @@ object AnomalyDetection {
     *                   `clustering_alg`, detection.py:26) — see
     *                   [[Cluster.assignFeatures]] for the contract */
   def fit(spark: SparkSession, longDf: DataFrame, params: Params = Params(),
-          clusterer: Option[org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]]] = None): Model = {
+          clusterer: Option[org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]]] = None): Model =
+    fitImpl(spark, longDf, params, clusterer, alsoPredict = false)._1
+
+  /** [[fit]] fused with a [[predict]] over the SAME input (r17, guide §2.4
+    * "two operations keyed the same way can share"): a separate
+    * fit-then-predict pair re-quantized + re-shuffled the input and re-ran
+    * the full scoring pass predict needs — but the fit's own-member stats
+    * pass already scores every (sequence, cluster) against the final
+    * library, so the fused form checkpoints that one llk matrix
+    * (sequence-count × k rows, tiny) and derives BOTH the stats and the
+    * predictions from it, reading the fit's cached quantized frame and
+    * never touching the source again. Values are identical by
+    * construction: predict's scoring input densify(quantize(longDf)) IS
+    * the fit's cached frame, and the prediction aggregate is the same
+    * [[predictFromLlks]] both paths share. The returned predictions are
+    * eagerly materialized (the fit's caches are released before return). */
+  def fitPredict(spark: SparkSession, longDf: DataFrame, params: Params = Params(),
+                 clusterer: Option[org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]]] = None): (Model, DataFrame) = {
+    val (model, pred) = fitImpl(spark, longDf, params, clusterer, alsoPredict = true)
+    (model, pred.get)
+  }
+
+  private def fitImpl(spark: SparkSession, longDf: DataFrame, params: Params,
+                      clusterer: Option[org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]]],
+                      alsoPredict: Boolean): (Model, Option[DataFrame]) = {
     val (quantized, complexModel) = quantizeLong(longDf, params, None)
     // ONE shuffle + sort (+ dense-t re-rank, see densify) for the whole fit:
     // every downstream pass (features, inference heap, visit sweep, the
@@ -177,7 +201,12 @@ object AnomalyDetection {
 
       // per-cluster llk stats over OWN members (detection.py:472-499), ddof=1
       val ordered = (0 until k).map(lib)
-      val ownScores = Llk.scoreAllLong(spark, q, ordered, presort = false)
+      // on the fused path the full (seq, cluster) llk matrix is
+      // checkpointed (output-sized) so the prediction below reuses it
+      // instead of running a second identical scoring pass over q
+      val llksAll = Llk.scoreAllLong(spark, q, ordered, presort = false)
+      val llks = if (alsoPredict) llksAll.localCheckpoint(true) else llksAll
+      val ownScores = llks
         .join(labels, "seq_id")
         .filter(col("cluster_id") === col("cluster"))
       val stats = ownScores.groupBy(col("cluster"))
@@ -185,9 +214,13 @@ object AnomalyDetection {
         .collect().map(r => r.getInt(0) -> (r.getDouble(1), if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
         .toMap
 
-      Model(params, complexModel, alphabetSize, ordered.toIndexedSeq,
+      val model = Model(params, complexModel, alphabetSize, ordered.toIndexedSeq,
         (0 until k).map(c => stats.get(c).map(_._1).getOrElse(0.0)).toArray,
         (0 until k).map(c => stats.get(c).map(_._2).getOrElse(0.0)).toArray)
+      val pred =
+        if (alsoPredict) Some(predictFromLlks(llks, model).localCheckpoint(true))
+        else None
+      (model, pred)
     } finally {
       if (labels != null) labels.unpersist()
       feat.foreach(_.unpersist())
@@ -214,6 +247,13 @@ object AnomalyDetection {
     // same dense-t normalization as fit (one shuffle, which scoreAllLong then
     // reuses via presort = false)
     val llks = Llk.scoreAllLong(spark, densify(quantized), model.library, presort = false)
+    predictFromLlks(llks, model)
+  }
+
+  /** The prediction aggregate over an already-scored (seq_id, cluster_id,
+    * llk) matrix — shared verbatim by [[predict]] and the fused
+    * [[fitPredict]] path so the two cannot diverge. */
+  private def predictFromLlks(llks: DataFrame, model: Model): DataFrame = {
     // per-cluster bound as a literal-array lookup — stays inside whole-stage
     // codegen (a lookup UDF here would break the span for one indexing op)
     val boundCol = element_at(

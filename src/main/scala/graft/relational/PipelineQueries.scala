@@ -68,9 +68,13 @@ object PipelineQueries {
     * The oracle enumerates the per-user row universe with literal TRUEs. */
   def pipelineFitPredict(s: SparkSession, d: String): DataFrame = {
     val long = Tables.eventsLong(s, d).withColumnRenamed("user_id", "seq_id")
-    val model = AnomalyDetection.fit(s, long, fitParams)
-    val pred = AnomalyDetection.predict(s, model, long)
-    val arr = Llk.scoreAll(s, sequences(s, d), model.library)
+    // fused fit+predict (r17): the separate predict re-quantized and
+    // re-scored the corpus the fit's own-stats pass had just scored
+    val (model, pred) = AnomalyDetection.fitPredict(s, long, fitParams)
+    // the array-kernel comparator feeds BOTH the expected-bounds aggregate
+    // and the assigned-cluster lookup below — checkpointed or the kernel
+    // sweep runs twice
+    val arr = Llk.scoreAll(s, sequences(s, d), model.library).localCheckpoint(true)
     val boundCol = element_at(
       array(model.bounds.map(lit).toIndexedSeq: _*), col("cluster_id") + 1)
     val expected = arr.withColumn("bound", boundCol)
@@ -542,8 +546,8 @@ object PipelineQueries {
       .select(struct(col("seq_id").as("stream_id"), col("win_id")).as("seq_id"),
         col("pos").as("t"), col("symbol").cast("double").as("value"))
     val params = fitParams.copy(quantize = false, nClusters = 1)
-    val model = AnomalyDetection.fit(s, win, params)
-    AnomalyDetection.predict(s, model, win)
+    // fused fit+predict (r17): same input frame, one scoring pass
+    AnomalyDetection.fitPredict(s, win, params)._2
       .select(col("seq_id.stream_id").as("stream_id"), col("seq_id.win_id").as("win_id"),
         (col("closest") >= 0 && col("is_anomaly").isNotNull).as("scored_ok"))
       .orderBy("stream_id", "win_id")
@@ -593,20 +597,25 @@ object PipelineQueries {
     val win1 = Segment.windows(Quantize.simple(long), size = 20, overlap = 10, "seq_id", "t")
       .select(struct(col("seq_id").as("stream_id"), col("win_id")).as("seq_id"),
         col("pos").as("t"), col("symbol").cast("double").as("value"))
-    val m1 = AnomalyDetection.fit(s, win1, fitParams.copy(quantize = false, nClusters = 2))
-    val lvl1 = AnomalyDetection.predict(s, m1, win1)
+    // fused fit+predict (r17): a separate predict re-derived win1 and re-ran
+    // the scoring pass the fit's own-stats sweep already paid
+    val lvl1 = AnomalyDetection
+      .fitPredict(s, win1, fitParams.copy(quantize = false, nClusters = 2))._2
       .select(col("seq_id.stream_id").as("seq_id"), col("seq_id.win_id").as("t"),
         col("closest").cast("double").as("value"))
       // consumed by the level-2 windowing AND the composition check below —
       // uncheckpointed, the full level-1 fit+predict would run twice
       .localCheckpoint(true)
     // level 2: the label sequence is itself a stream — window it again and
-    // fit/predict with quantize=false (labels are already symbols)
+    // fit/predict with quantize=false (labels are already symbols);
+    // checkpointed: the fused fit consumes it once and the composition
+    // check below re-reads it
     val win2 = Segment.windows(lvl1, size = 4, overlap = 2, "seq_id", "t")
       .select(struct(col("seq_id").as("stream_id"), col("win_id")).as("seq_id"),
         col("pos").as("t"), col("value"))
-    val m2 = AnomalyDetection.fit(s, win2, fitParams.copy(quantize = false, nClusters = 2))
-    val pred2 = AnomalyDetection.predict(s, m2, win2)
+      .localCheckpoint(true)
+    val pred2 = AnomalyDetection
+      .fitPredict(s, win2, fitParams.copy(quantize = false, nClusters = 2))._2
       .select(col("seq_id.stream_id").as("stream_id"), col("seq_id.win_id").as("win_id"),
         (col("closest") >= 0 && col("is_anomaly").isNotNull).as("scored_ok"))
     // composition check: each level-2 window row's source position is
