@@ -26,13 +26,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ArtifactStore {
 
   /** Write `tables` under `root` (one parquet dir per name) plus the
-    * `_meta` table binding `spec` and the row counts `load` re-checks. */
-  def save(root: String, spec: String, tables: Seq[(String, DataFrame)]): Unit = {
+    * `_meta` table binding `spec` and the row counts `load` re-checks.
+    *
+    * When a table's rows ALREADY live as an immutable parquet dir (the
+    * session-memo tables every `*_persist` gate saves), the caller passes
+    * that dir in `sourceDirs` and the save is a FILE-LEVEL copy through
+    * the Hadoop FileSystem API (the DistCp shape — works on any scheme)
+    * instead of a decode+re-encode Spark write: byte-identical parquet,
+    * one less full pass per saved table (r16 verdict ask #3 — persist
+    * variants must not rebuild what the serve path just built). The
+    * `_meta` counts are still read from the DESTINATION files, so a
+    * botched copy fails the save, not a later load. */
+  def save(root: String, spec: String, tables: Seq[(String, DataFrame)],
+           sourceDirs: Map[String, String] = Map.empty): Unit = {
     require(tables.nonEmpty, s"artifact save at $root: no tables given")
     val s = tables.head._2.sparkSession
     import s.implicits._
     val counts = tables.map { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$root/$name")
+      sourceDirs.get(name) match {
+        case Some(src) =>
+          val conf = s.sparkContext.hadoopConfiguration
+          val srcPath = new org.apache.hadoop.fs.Path(src)
+          val dstPath = new org.apache.hadoop.fs.Path(s"$root/$name")
+          val dstFs = dstPath.getFileSystem(conf)
+          if (dstFs.exists(dstPath)) dstFs.delete(dstPath, true)
+          val ok = org.apache.hadoop.fs.FileUtil.copy(
+            srcPath.getFileSystem(conf), srcPath, dstFs, dstPath,
+            false /* deleteSource */, conf)
+          require(ok, s"artifact save at $root/$name: file copy from $src failed")
+        case None =>
+          df.write.mode("overwrite").parquet(s"$root/$name")
+      }
       // count AFTER the write, from the written files: what load will see
       (name, s.read.parquet(s"$root/$name").count())
     }

@@ -570,7 +570,9 @@ object AnalyticsQueries {
   private[relational] def saveAnnEdges(s: SparkSession, d: String,
                                        root: String): Unit =
     graft.core.ArtifactStore.save(root, AnnEdgesSpec,
-      Seq("edges" -> sharedAnnEdges(s, d)))
+      Seq("edges" -> sharedAnnEdges(s, d)),
+      // the memo table IS the artifact — file-copy, don't re-encode (r17)
+      sourceDirs = Map("edges" -> annEdgesDir(s, d)))
 
   private[relational] def loadAnnEdges(s: SparkSession, root: String): DataFrame =
     graft.core.ArtifactStore.load(s, root, AnnEdgesSpec, Seq(
@@ -590,7 +592,10 @@ object AnalyticsQueries {
   }
 
   private[relational] def sharedAnnEdges(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(edgeMemo.getOrBuild(s, d) {
+    s.read.parquet(annEdgesDir(s, d))
+
+  private def annEdgesDir(s: SparkSession, d: String): String =
+    edgeMemo.getOrBuild(s, d) {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       // materialized as a parquet TABLE, not a cached frame: the bench
@@ -605,7 +610,7 @@ object AnalyticsQueries {
       val tmp = java.nio.file.Files.createTempDirectory("graft_knn_edges_")
       annKnnEdges(emb).write.mode("overwrite").parquet(tmp.toString)
       tmp.toString
-    })
+    }
 
   /** Session memo of the UNDIRECTED distinct edge set (a < b) over the
     * k-NN graph (r16 optimization): EIGHT graph queries derived it per

@@ -107,7 +107,12 @@ object DataPipelineQueries {
 
   private[relational] def minhashSigsTables(
       s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val root = minhashSigsMemo.getOrBuild(s, d) {
+    val root = minhashSigsRoot(s, d)
+    (s.read.parquet(s"$root/members"), s.read.parquet(s"$root/sigs"))
+  }
+
+  private def minhashSigsRoot(s: SparkSession, d: String): String =
+    minhashSigsMemo.getOrBuild(s, d) {
       // the collapse shuffles only (doc_id, set_key, norm) rows — the
       // shingle arrays (~350 strings/doc, ~5× the text bytes plus
       // per-element overhead) are NOT materialized upstream of the
@@ -146,8 +151,6 @@ object DataPipelineQueries {
       deleteRecursively(java.nio.file.Paths.get(s"$tmp/staged"))
       tmp.toString
     }
-    (s.read.parquet(s"$root/members"), s.read.parquet(s"$root/sigs"))
-  }
 
   /** Spec string pinned into the persisted signature artifact — names the
     * exact construction (normalized-md5 set collapse, 5-char shingles,
@@ -164,8 +167,11 @@ object DataPipelineQueries {
   private[relational] def saveMinhashSigs(s: SparkSession, d: String,
                                           root: String): Unit = {
     val (members, sigs) = minhashSigsTables(s, d)
+    val src = minhashSigsRoot(s, d)
     graft.core.ArtifactStore.save(root, MinhashSigsSpec,
-      Seq("members" -> members, "sigs" -> sigs))
+      Seq("members" -> members, "sigs" -> sigs),
+      // the memo tables ARE the artifact — file-copy, don't re-encode (r17)
+      sourceDirs = Map("members" -> s"$src/members", "sigs" -> s"$src/sigs"))
   }
 
   /** Load a [[saveMinhashSigs]] artifact, loudly validating spec, table
@@ -1092,12 +1098,15 @@ object DataPipelineQueries {
     deleteRecursively(java.nio.file.Paths.get(dir)), name = "dup_groups")
 
   private def sharedDupGroups(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(dupGroupsMemo.getOrBuild(s, d) {
+    s.read.parquet(dupGroupsDir(s, d))
+
+  private def dupGroupsDir(s: SparkSession, d: String): String =
+    dupGroupsMemo.getOrBuild(s, d) {
       val tmp = java.nio.file.Files.createTempDirectory("graft_dup_groups_")
       groupsFromPairs(docs(s, d).select(col("doc_id")), sharedNgramPairs(s, d))
         .write.mode("overwrite").parquet(tmp.toString)
       tmp.toString
-    })
+    }
 
   /** Spec for the persisted duplicate-group artifact: 3-char shingle
     * sets, (source, lang)-blocked prefix candidates, exact Jaccard ≥ 0.5,
@@ -1108,7 +1117,9 @@ object DataPipelineQueries {
   private[relational] def saveDupGroups(s: SparkSession, d: String,
                                         root: String): Unit =
     graft.core.ArtifactStore.save(root, DupGroupsSpec,
-      Seq("groups" -> sharedDupGroups(s, d)))
+      Seq("groups" -> sharedDupGroups(s, d)),
+      // the memo table IS the artifact — file-copy, don't re-encode (r17)
+      sourceDirs = Map("groups" -> dupGroupsDir(s, d)))
 
   private[relational] def loadDupGroups(s: SparkSession, root: String): DataFrame =
     graft.core.ArtifactStore.load(s, root, DupGroupsSpec, Seq(
@@ -3708,7 +3719,10 @@ object DataPipelineQueries {
     * (doc_id, n_bigrams, lm_logp), lm_logp the 6-dp-rounded add-one
     * bigram mean log-likelihood, unordered. */
   private def lmScores(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(lmMemo.getOrBuild(s, d) {
+    s.read.parquet(lmScoresDir(s, d))
+
+  private def lmScoresDir(s: SparkSession, d: String): String =
+    lmMemo.getOrBuild(s, d) {
       val base = docs(s, d).select(col("doc_id"), TextOps.normalized("text").as("norm"))
       // r13 (verdict ask #3): PER-DOC bigram counts first. A doc's exploded
       // bigrams all live in one partition (a generator never splits its
@@ -3751,7 +3765,7 @@ object DataPipelineQueries {
       val tmp = java.nio.file.Files.createTempDirectory("graft_lm_scores_")
       out.write.mode("overwrite").parquet(tmp.toString)
       tmp.toString
-    })
+    }
 
   private def textLmScore(s: SparkSession, d: String): DataFrame =
     lmScores(s, d).orderBy(col("doc_id"))
@@ -3763,7 +3777,9 @@ object DataPipelineQueries {
   private[relational] def saveLmScores(s: SparkSession, d: String,
                                        root: String): Unit =
     graft.core.ArtifactStore.save(root, LmScoresSpec,
-      Seq("lm_scores" -> lmScores(s, d)))
+      Seq("lm_scores" -> lmScores(s, d)),
+      // the memo table IS the artifact — file-copy, don't re-encode (r17)
+      sourceDirs = Map("lm_scores" -> lmScoresDir(s, d)))
 
   private[relational] def loadLmScores(s: SparkSession, root: String): DataFrame =
     graft.core.ArtifactStore.load(s, root, LmScoresSpec, Seq(

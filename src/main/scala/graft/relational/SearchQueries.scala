@@ -261,7 +261,10 @@ object SearchQueries {
     name = "hybrid_legs")
 
   private def hybridLegsTable(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(hybridLegsMemo.getOrBuild(s, d) {
+    s.read.parquet(hybridLegsDir(s, d))
+
+  private def hybridLegsDir(s: SparkSession, d: String): String =
+    hybridLegsMemo.getOrBuild(s, d) {
       val base = docs(s, d).select(col("doc_id"), TextOps.tokens("text").as("toks"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dl = base.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
@@ -309,7 +312,7 @@ object SearchQueries {
       lex.unionByName(vec).write.mode("overwrite").parquet(tmp.toString)
       base.unpersist()
       tmp.toString
-    })
+    }
 
   /** Weighted-sum hybrid — the MIN-MAX-normalized alpha-blend fusion
     * (Elastic/Vespa-style "linear" hybrid) beside [[searchHybridRrf]]'s
@@ -340,7 +343,9 @@ object SearchQueries {
   private[relational] def saveHybridLegs(s: SparkSession, d: String,
                                          root: String): Unit =
     graft.core.ArtifactStore.save(root, HybridLegsSpec,
-      Seq("legs" -> hybridLegsTable(s, d)))
+      Seq("legs" -> hybridLegsTable(s, d)),
+      // the memo table IS the artifact — file-copy, don't re-encode (r17)
+      sourceDirs = Map("legs" -> hybridLegsDir(s, d)))
 
   private[relational] def loadHybridLegs(s: SparkSession, root: String): DataFrame =
     graft.core.ArtifactStore.load(s, root, HybridLegsSpec, Seq(
