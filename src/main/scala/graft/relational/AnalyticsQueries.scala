@@ -2093,23 +2093,59 @@ object AnalyticsQueries {
     // i.e. a full corpus copy per run at scale), so the read-back is
     // eagerly materialized before the finally removes the files
     try {
-      Tables.tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      // Parallel landing write (r17, guide §2.6 idle capacity): the source
+      // parquet is a single split at gate scale, so ONE task wrote every
+      // .bin file serially (~1.5 s of the query — the dominant phase,
+      // measured; per-file create is ~200 µs on this FS). When the scan
+      // plans fewer tasks than cores, spread the writers by doc_id with an
+      // explicit partition count (AQE would coalesce the KB-scale exchange
+      // right back to one). Scale-adaptive: a corpus with >= cores splits
+      // keeps its scan layout and pays NO extra shuffle. One subdirectory
+      // per writer task keeps any shared landing FS contention-free;
+      // doc_id stays in the file NAME, so read-back identity is
+      // layout-independent.
+      val src = Tables.tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      val cores = s.sparkContext.defaultParallelism
+      val spread =
+        if (src.rdd.getNumPartitions < cores) src.repartition(cores, col("doc_id"))
+        else src
+      spread
         .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          val sub = java.nio.file.Paths.get(dir,
+            f"p=${org.apache.spark.TaskContext.getPartitionId()}%05d")
+          java.nio.file.Files.createDirectories(sub)
           it.foreach { r =>
             java.nio.file.Files.write(
-              java.nio.file.Paths.get(dir, f"doc_${r.getLong(0)}%08d.bin"),
+              sub.resolve(f"doc_${r.getLong(0)}%08d.bin"),
               r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
           }
         }
       // pathGlobFilter, not a glob in the path: a glob path makes Spark's
       // literal-path probe log a spurious FileNotFoundException before it
-      // falls back to glob expansion
-      s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dir)
-        .select(
-          regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
-          col("length"), md5(col("content")).as("content_md5"))
-        .orderBy(col("doc_id"))
-        .localCheckpoint(true)
+      // falls back to glob expansion.
+      // Tiny-file split packing (guide §6): the default
+      // spark.sql.files.openCostInBytes of 4 MB charges each KB-scale
+      // landing file 4 MB when packing splits, capping packing at ~32
+      // files per task — a corpus of N tiny files always plans ~N/32 scan
+      // tasks (157 at sf0.1) of near-pure open overhead. A 64 KB open
+      // cost (generous for one local/NVMe file open; object-store landing
+      // zones front this source with a manifest+compaction anyway, per
+      // the scaladoc above) packs ~2000 tiny files per 128 MB split, and
+      // large files still split by size. Scale-free: task count stays
+      // total(size+cost)/maxPartitionBytes at any corpus. Set around this
+      // read only, restored in finally.
+      val costKey = "spark.sql.files.openCostInBytes"
+      val prevCost = s.conf.get(costKey)
+      s.conf.set(costKey, (64L * 1024).toString)
+      try
+        s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+          .option("recursiveFileLookup", "true").load(dir)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+            col("length"), md5(col("content")).as("content_md5"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint(true)
+      finally s.conf.set(costKey, prevCost)
     } finally DataPipelineQueries.deleteRecursively(tmp)
   }
 

@@ -3629,21 +3629,30 @@ object DataPipelineQueries {
     // HOF was CodegenFallback — interpreted per trigram); the frame feeds
     // BOTH the profile build and the scoring join, so persist it once
     // instead of paying the explode twice (the graphKhop edge discipline)
+    // r17 (the lm_scores r13 recipe): per-doc DISTINCT trigram counts
+    // first. A doc's exploded trigrams all live in one partition (a
+    // generator never splits its input row), so the (doc, lang, tri)
+    // partial hash-aggregate finishes MAP-SIDE and everything cached and
+    // re-scanned from here on is Σ per-doc distinct trigrams — ~5× fewer
+    // rows than the per-character stream this used to persist. Both
+    // consumers fold counts, so values are identical: the profile sums
+    // per-doc counts per (lang, tri) and hits sums them per (doc, lang).
     val tris = base
       .filter(length(col("norm")) >= 3)
       .select(col("doc_id"), col("lang"),
         explode(expr("sequence(1, length(norm) - 2)")).as("i"), col("norm"))
       .select(col("doc_id"), col("lang"),
         expr("substring(norm, i, 3)").as("tri"))
+      .groupBy(col("doc_id"), col("lang"), col("tri")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val profile = tris.groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("n"))
+    val profile = tris.groupBy(col("lang"), col("tri")).agg(sum(col("c")).as("n"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tri"))))
       .filter(col("rn") <= 50)
       .select(col("lang").as("cand_lang"), col("tri"))
-    val best = tris.select(col("doc_id"), col("tri"))
+    val best = tris.select(col("doc_id"), col("tri"), col("c"))
       .join(broadcast(profile), "tri")
-      .groupBy(col("doc_id"), col("cand_lang")).agg(count(lit(1)).as("hits"))
+      .groupBy(col("doc_id"), col("cand_lang")).agg(sum(col("c")).as("hits"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("hits").desc, col("cand_lang"))))
       .filter(col("rn") === 1)
