@@ -941,12 +941,22 @@ object AnalyticsQueries {
     var r = 0
     var fixed = false
     while (r < KcoreRounds && !fixed) {
-      alive = coreDegrees(alive).filter(col("c") >= KcoreK)
-        .select(col("node")).localCheckpoint(true)
+      // TWO peels per materialization (r17, guide §2 fewer jobs per
+      // round): each checkpoint+count pair costs two scheduler jobs, so
+      // pairing halves the per-round fixed cost; peeling is monotone and
+      // idempotent at the fixpoint, so the possible extra peel changes
+      // nothing and an unchanged count after a pair still proves the
+      // fixpoint. The round budget counts PEELS, exactly as before.
+      val once = coreDegrees(alive).filter(col("c") >= KcoreK).select(col("node"))
+      val (stepped, peels) =
+        if (r + 1 < KcoreRounds)
+          (coreDegrees(once).filter(col("c") >= KcoreK).select(col("node")), 2)
+        else (once, 1)
+      alive = stepped.localCheckpoint(true)
       val n = alive.count()
       fixed = n == prev
       prev = n
-      r += 1
+      r += peels
     }
     // degree restricted to the final alive set — the output column, and
     // one extra peel step's worth of evidence for the converged flag
